@@ -1,0 +1,158 @@
+package graft.functions
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.H — scalar function surface, the reference's
+  * most-exercised layer: filename assembly (backup.sh:26–34), prefix
+  * matching (backup.sh:119–122), CSV splitting (env.sh:24), the four
+  * date-bucket templates (backup.sh:26–29), retention arithmetic
+  * (env.sh:26–29), plus the [NS] JSON/array surface the fixture tables
+  * exercise.
+  *
+  * Everything here is built-in `functions._` — whole-stage-codegen'd
+  * narrow maps, no shuffle except where a groupBy is explicitly part of
+  * the query shape. Type hygiene: Spark and DuckDB widen differently
+  * (Spark floor→LONG, DuckDB floor→DOUBLE; DuckDB year()→BIGINT), so
+  * every computed numeric is cast to BIGINT/DOUBLE explicitly on both
+  * sides.
+  */
+object Scalars extends QueryModule {
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // String surface: concat/upper/lower/substring/replace/length.
+    "q_str_funcs" -> QueryDef(
+      (s, dir) => Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat_ws("|", col("c_name"), col("c_mktsegment")).as("name_seg"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("name_short"),
+          length(col("c_name")).cast("long").as("name_len"),
+          col("c_name").startsWith("Customer").cast("int").as("is_customer"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  upper(c_name) AS name_upper,
+             |  lower(c_mktsegment) AS seg_lower,
+             |  substr(c_name, 1, 8) AS name_prefix,
+             |  concat_ws('|', c_name, c_mktsegment) AS name_seg,
+             |  replace(c_name, 'Customer', 'Cust') AS name_short,
+             |  CAST(length(c_name) AS BIGINT) AS name_len,
+             |  CAST(starts_with(c_name, 'Customer') AS INT) AS is_customer
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // CSV split + explode (env.sh:24 `tr , " "` + word loop): a
+    // Generator (UDTF shape) feeding an aggregation.
+    "q_split_explode" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "word"),
+      Some("""SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents WHERE doc_id < 20)
+             |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin)),
+
+    // The four bucket templates of backup.sh:26–29 + calendar parts.
+    // Week bucket via date_trunc('week') — identical Monday semantics in
+    // Spark and DuckDB (ISO `%G%V` formatting is a parity hazard, §5.3.6).
+    "q_date_funcs" -> QueryDef(
+      (s, dir) => Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd-HHmmss").as("bucket_instant"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("bucket_day"),
+          date_format(date_trunc("week", col("o_orderdate")), "yyyyMMdd").as("bucket_week"),
+          date_format(col("o_orderdate"), "yyyyMM").as("bucket_month"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y%m%d-%H%M%S') AS bucket_instant,
+             |  strftime(o_orderdate, '%Y%m%d') AS bucket_day,
+             |  strftime(date_trunc('week', o_orderdate), '%Y%m%d') AS bucket_week,
+             |  strftime(o_orderdate, '%Y%m') AS bucket_month,
+             |  CAST(year(o_orderdate) AS BIGINT) AS y,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             |  CAST(month(o_orderdate) AS BIGINT) AS m,
+             |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Retention arithmetic (env.sh:26–29: weeks*7+1, months*31+1) +
+    // numeric functions.
+    "q_math_funcs" -> QueryDef(
+      (s, dir) => Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_size") * 7 + 1).cast("long").as("weeks_days"),
+          (col("p_size") * 31 + 1).cast("long").as("months_days"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+          round(col("p_retailprice") * 1.1, 2).as("price_bumped"),
+          abs(col("p_size") - 25).cast("long").as("size_dev"),
+          pmod(col("p_partkey"), lit(7)).cast("long").as("key_mod"),
+          round(sqrt(col("p_retailprice")), 4).as("price_sqrt"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  CAST(p_size * 7 + 1 AS BIGINT) AS weeks_days,
+             |  CAST(p_size * 31 + 1 AS BIGINT) AS months_days,
+             |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+             |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+             |  round(p_retailprice * 1.1, 2) AS price_bumped,
+             |  CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+             |  CAST(p_partkey % 7 AS BIGINT) AS key_mod,
+             |  round(sqrt(p_retailprice), 4) AS price_sqrt
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // JSON-in-string extraction (events.props, FIXTURES.md): typed get.
+    "q_json_get" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Array surface over the 64-dim embeddings: size / element access /
+    // L2 norm via higher-order fold (no UDF — stays in codegen).
+    "q_array_funcs" -> QueryDef(
+      (s, dir) => Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
+          round(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS BIGINT) AS dim,
+             |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+             |  round(sqrt(list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Map type support ([CH] nested types): build a map from the JSON
+    // props, then read keys/values back. No map in the DuckDB fixtures
+    // → rows-only check (SURVEY.md §2.H marks the oracle ✗).
+    "q_map_funcs" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("props_map"))
+        .select(col("event_id"),
+          map_keys(col("props_map")).getItem(0).as("first_key"),
+          map_values(col("props_map")).getItem(0).as("first_value"),
+          try_element_at(col("props_map"), lit("k")).as("k_value"),
+          size(col("props_map")).cast("long").as("n_keys"))
+        .orderBy("event_id"),
+      None)
+  )
+}

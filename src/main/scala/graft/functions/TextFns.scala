@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline building blocks (SURVEY.md §2.J, [NS]): tokenization,
+  * shingling, MinHash signatures, SimHash — all as higher-order-function
+  * compositions over built-ins. No UDFs: every transform here stays
+  * inside whole-stage codegen and is usable at 100 TB without a
+  * serialization boundary.
+  */
+object TextFns {
+
+  /** Whitespace tokens (the fixture `documents.text` is space-separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Lowercase, collapse whitespace, strip non-alphanumerics — the
+    * canonical form used for content fingerprints and exact dedup.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint: md5 of the normalized text (md5 produces the
+    * same lowercase hex in Spark and DuckDB — oracle-safe).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** n-word shingles. Docs shorter than n shingle into their full text
+    * so no document maps to an empty set.
+    */
+  def shingles(ws: Column, n: Int): Column = {
+    val joined = array(array_join(ws, " "))
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(ws, i + k)): _*)))
+      .otherwise(joined)
+  }
+
+  /** 64-bit hashes of the distinct shingles of a document. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(array_distinct(shingles(words(text), n)), s => xxhash64(s))
+
+  /** MinHash signature: permutation i is the seeded rehash
+    * xxhash64(i, shingleHash) (a linear a·x+b (mod p) family overflows
+    * under ANSI arithmetic; seeded xxhash64 is overflow-free and at
+    * least as well-mixed). Computed entirely per-row (the shingle set
+    * is an array column) — no aggregation state, trivially parallel.
+    *
+    * ONE fold over the hashes, not k independent array_min passes:
+    * Catalyst's project-collapse inlines a referenced column expression
+    * at every use site, so k passes would rebuild the shingle array k
+    * times (measured 100× slowdown at sf0.1).
+    */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    aggregate(
+      hashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, h)),
+        (a, b) => least(a, b)))
+
+  /** LSH band keys: the signature split into `bands` contiguous rows of
+    * equal size, each band hashed to one bucket key. Two docs collide in
+    * a band iff that slice of their signatures is identical.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, concat_ws(",",
+        (1 to rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r)): _*)))
+
+  /** 64-bit SimHash over the word multiset. Bit arithmetic with a
+    * variable shift needs the SQL form (`functions.shiftright` takes a
+    * literal only), hence `expr` over a fixed input column name `wh`
+    * (array of word hashes).
+    *
+    * Single fold over `wh` building the 64 bit-votes at once, then one
+    * pass packing votes into bits — referencing `wh` inside a per-bit
+    * aggregate would inline (and recompute) the word-hash array 64×.
+    */
+  val simhashExpr: String =
+    """aggregate(
+      |  aggregate(
+      |    wh,
+      |    array_repeat(CAST(0 AS BIGINT), 64),
+      |    (acc, h) -> zip_with(acc,
+      |      transform(sequence(0, 63), i -> IF((h >> i) & 1 = 1, 1, -1)),
+      |      (a, b) -> a + b)),
+      |  named_struct('i', 0, 'sh', CAST(0 AS BIGINT)),
+      |  (st, v) -> named_struct(
+      |    'i', st.i + 1,
+      |    'sh', st.sh + IF(v > 0, shiftleft(CAST(1 AS BIGINT), st.i), CAST(0 AS BIGINT))),
+      |  st -> st.sh)""".stripMargin
+
+  /** The 4 × 16-bit chunks of a SimHash — pigeonhole LSH: two hashes
+    * within Hamming distance 3 share at least one identical chunk.
+    * SQL form (variable shift); input column must be named `sh`.
+    */
+  val simhashChunksExpr: String =
+    "transform(sequence(0, 3), j -> (sh >> (j * 16)) & 65535)"
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.D — aggregations. [R] seed: retention arithmetic
+  * (env.sh:26–29) and per-tier snapshot grouping (backup.sh:21–34) are
+  * group-by-bucket semantics; the multi-dimensional forms are [CH].
+  *
+  * All shapes are HashAggregate with map-side partial aggregation — one
+  * shuffle of the (small) group space, not the rows. ROLLUP/CUBE expand
+  * each input row into its grouping-set combinations BEFORE the partial
+  * aggregate, so the shuffle stays proportional to groups × sets.
+  * Doubles rounded to 4 on both sides (SURVEY.md §5.3.2); NULL group
+  * markers coalesced to sentinels on both sides because Spark and
+  * DuckDB order NULLs differently.
+  */
+object Aggregates extends QueryModule {
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1 shape: the canonical partial+final hash aggregate.
+    "q_agg_hash" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 4) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Exact distinct: Spark expands to a two-phase aggregate
+    // (distinct-key partial, then count) — no driver materialization.
+    "q_agg_distinct" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HLL sketch cardinality — approx ⇒ declared without oracle
+    // (SURVEY.md §5.3.4); driver records a rows-only check.
+    "q_agg_approx_distinct" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // Hierarchy totals (tier → db → grand total, backup.sh:21 shape).
+    "q_agg_rollup" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |       coalesce(l_linestatus, 'ALL') AS linestatus,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_quantity), 4) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // All bucket combinations.
+    "q_agg_cube" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .cube("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("user_id"), lit(-1L)).as("uid"),
+          col("n"), col("sum_value"))
+        .orderBy("etype", "uid"),
+      Some("""SELECT coalesce(event_type, 'ALL') AS etype,
+             |       coalesce(user_id, -1) AS uid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY CUBE (event_type, user_id)
+             |ORDER BY etype, uid""".stripMargin)),
+
+    // Explicit grouping sets — SQL-only surface, via spark.sql.
+    "q_agg_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events_gs")
+        s.sql("""SELECT coalesce(event_type, 'ALL') AS etype,
+                |       coalesce(CAST(user_id AS STRING), 'ALL') AS uid,
+                |       count(1) AS n,
+                |       round(sum(value), 4) AS sum_value
+                |FROM events_gs
+                |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+                |ORDER BY etype, uid""".stripMargin)
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS etype,
+             |       coalesce(CAST(user_id AS VARCHAR), 'ALL') AS uid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+             |ORDER BY etype, uid""".stripMargin))
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — joins. The reference's only join-like act is the
+  * per-DB filename match during GC (backup.sh:119–122), an anti-join by
+  * name prefix; the rest is [CH]/[NS] capability.
+  *
+  * Scale posture per join:
+  *  - hash/multiway: shuffle on the join key; AQE re-plans to broadcast
+  *    when a side is small, and splits skewed partitions.
+  *  - broadcast: explicit `broadcast()` hint on dims that are small at
+  *    ANY scale factor (region/nation/customer are TPC-H dims, they
+  *    grow far slower than facts).
+  *  - semi/anti: `left_semi`/`left_anti` never materialize right-side
+  *    payload columns.
+  *  - range: banded — the interval is exploded into day-bucket keys so
+  *    the theta predicate becomes an equi join + residual filter. A raw
+  *    theta join is a BroadcastNestedLoop (O(n·m)); the band version
+  *    shuffles on the day key, which survives 100×.
+  *  - as-of: single-pass union trick — one shuffle on (user), one sort,
+  *    `last(ignoreNulls)` carries the most recent left-side match
+  *    forward. No per-row subquery, no cross product, no skew blowup.
+  */
+object Joins extends QueryModule {
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Equi inner join fact⋈dim, aggregated. Spark picks SMJ/shuffled
+    // hash; AQE converts to broadcast at small SF.
+    "q_join_hash" -> QueryDef(
+      (s, dir) => Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total_price"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |       round(sum(o_totalprice), 4) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Small-dim broadcast join: no shuffle of the probe side at all.
+    "q_join_broadcast" -> QueryDef(
+      (s, dir) => Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, r_name
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // 3-table star join (TPC-H Q3 shape): Catalyst reorders; the dim
+    // chain (customer) broadcasts, the fact⋈fact (orders⋈lineitem)
+    // shuffles on the shared key once.
+    "q_join_multiway" -> QueryDef(
+      (s, dir) => Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("c_mktsegment", "o_orderpriority"),
+      Some("""SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY c_mktsegment, o_orderpriority
+             |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)),
+
+    // EXISTS: customers with at least one high-value order. The [R]
+    // seed is "keep files that belong to a live DB" (backup.sh:119).
+    "q_join_semi" -> QueryDef(
+      (s, dir) => {
+        val bigOrders = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        Tables(s, dir, "customer")
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // NOT EXISTS: the GC delete set (backup.sh:119–122).
+    "q_join_anti" -> QueryDef(
+      (s, dir) => {
+        val bigOrders = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        Tables(s, dir, "customer")
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Interval join, banded: lineitems shipped within [o_orderdate,
+    // o_orderdate + 3 days). Two scale tricks compose here:
+    //  1. band the interval into day buckets so the theta predicate
+    //     becomes an equi join (a naive theta join is a nested loop
+    //     that dies at 100×);
+    //  2. the probe side is aggregable BEFORE the join — the count per
+    //     order only needs per-day lineitem counts (both sides are
+    //     date-granular), so 600k lineitems collapse to ~2.5k day rows
+    //     that broadcast. The join output equals the row-level banded
+    //     join but the intermediate drops from ~10⁸ pairs to |orders|·3.
+    "q_join_range" -> QueryDef(
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .withColumn("off", explode(sequence(lit(0), lit(2))))
+          .withColumn("day_key", date_add(to_date(col("o_orderdate")), col("off")))
+        val dayCounts = Tables(s, dir, "lineitem")
+          .groupBy(to_date(col("l_shipdate")).as("day_key"))
+          .agg(count(lit(1)).as("day_n"))
+        orders.join(broadcast(dayCounts), Seq("day_key"), "inner")
+          .groupBy("o_orderkey")
+          .agg(sum(col("day_n")).as("n_shipped"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+             |FROM orders JOIN lineitem
+             |  ON l_shipdate >= o_orderdate
+             | AND l_shipdate < o_orderdate + INTERVAL 3 DAY
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // As-of join: each purchase matched to the latest prior click of
+    // the same user. Composite per SURVEY.md §2.C: single shuffle on
+    // user, one sort, `last(ignoreNulls)` carries the match forward —
+    // the sort-merge as-of shape, no per-key cross product.
+    "q_join_asof" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Relational.eventsSec(s, dir)
+          .withColumn("click_id",
+            when(col("event_type") === "click", col("event_id")))
+          .withColumn("prior_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "prior_click_id")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, prior_click_id FROM (
+             |  SELECT event_id, user_id, event_type,
+             |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id
+             |                 ORDER BY date_trunc('second', ts), event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
+             |  FROM events)
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+  )
+}

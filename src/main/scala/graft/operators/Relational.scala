@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.A (scans/sources) + §2.B (projections/filters) — the
+  * reference's literal dataflow as relational operators.
+  *
+  * Oracle hygiene used throughout every module (SURVEY.md §5.3):
+  *  - every query ends in ORDER BY over a unique key subset of the
+  *    output columns;
+  *  - `events.ts` is nanosecond parquet — Spark truncates to µs on
+  *    read, DuckDB keeps ns, so both sides `date_trunc('second', ts)`
+  *    before any comparison/ordering/output (helper [[Relational.eventsSec]]);
+  *  - computed integers are cast to BIGINT on both sides (Spark and
+  *    DuckDB widen differently);
+  *  - doubles produced by arithmetic are rounded to 4 decimals on both
+  *    sides.
+  */
+object Relational extends QueryModule {
+
+  /** events with a second-truncated timestamp — the only safe form of
+    * `events.ts` for oracle-checked queries (FIXTURES.md hazards).
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL); with the legacy flag
+    * it surfaces as a LongType of epoch-nanos, converted here: ns →
+    * µs (integer floor division — all values post-1970) → timestamp →
+    * second truncation. DuckDB (oracle side) reads the same values
+    * natively and applies `date_trunc('second', ts)` — identical
+    * results.
+    */
+  def eventsSec(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+      .withColumn("ts_s", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Full-table export: BACKUP DATABASE reads every table whole
+    // (backup.sh:45). Pure scan→sink; Catalyst maps it to a vectorized
+    // parquet read with no shuffle at any scale.
+    "q_snapshot_scan" -> QueryDef(
+      (s, dir) => Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Catalog enumeration: the per-database loop of backup.sh:24 /
+    // env.sh:24 as a manifest of (table, row_count). Each count is a
+    // map-side-partial aggregate; the union is metadata-only.
+    "q_catalog_enum" -> QueryDef(
+      (s, dir) =>
+        Tables.names.map { n =>
+          Tables(s, dir, n).agg(count(lit(1)).as("row_count"))
+            .select(lit(n).as("table_name"), col("row_count"))
+        }.reduce(_ unionByName _).orderBy("table_name"),
+      Some(Tables.names.map(n =>
+          s"SELECT '$n' AS table_name, CAST(count(*) AS BIGINT) AS row_count FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY table_name"))),
+
+    // GC name predicate (backup.sh:119–122): prefix match on the
+    // constructed snapshot filename. The startsWith filter is
+    // pushdown-eligible once the name is materialized; here it runs
+    // post-projection as the reference does.
+    "q_filter_pred" -> QueryDef(
+      (s, dir) => eventsSec(s, dir)
+        .select(col("event_id"), col("event_type"),
+          Retention.filename(col("event_type"), Retention.bucketDay(col("ts_s"))).as("filename"))
+        .filter(col("filename").startsWith("purchase-"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type, filename FROM (
+             |  SELECT event_id, event_type,
+             |         event_type || '-' || strftime(date_trunc('second', ts), '%Y%m%d') || '.zip' AS filename
+             |  FROM events)
+             |WHERE filename LIKE 'purchase-%' ORDER BY event_id""".stripMargin)),
+
+    // Age-based retention filter (backup.sh:119–122; windows from
+    // env.sh:26–29), cutoff anchored to max(ts) for determinism. The
+    // cutoff is a broadcast 1-row join — no shuffle of the fact side.
+    "q_retention_filter" -> QueryDef(
+      (s, dir) => Retention.gcCandidates(
+          eventsSec(s, dir).select(col("event_id"), col("user_id"), col("ts_s")),
+          col("ts_s"), "INTERVAL 7 DAYS")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts_s"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_str
+             |FROM events
+             |WHERE date_trunc('second', ts) <
+             |      (SELECT max(date_trunc('second', ts)) FROM events) - INTERVAL 7 DAY
+             |ORDER BY event_id""".stripMargin)),
+
+    // Filename construction (backup.sh:26–34): projection of (db, ts)
+    // into the four tier names. Narrow map, codegen'd end-to-end.
+    "q_project_rename" -> QueryDef(
+      (s, dir) => {
+        val e = eventsSec(s, dir)
+        Retention.withBuckets(e, col("ts_s"), col("event_type"))
+          .select("event_id", "f_last", "f_daily", "f_weekly", "f_monthly")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  event_type || '-' || strftime(date_trunc('second', ts), '%Y%m%d-%H%M%S') || '.zip' AS f_last,
+             |  event_type || '-' || strftime(date_trunc('second', ts), '%Y%m%d') || '.zip' AS f_daily,
+             |  event_type || '-' || strftime(date_trunc('week', ts), '%Y%m%d') || '.zip' AS f_weekly,
+             |  event_type || '-' || strftime(date_trunc('second', ts), '%Y%m') || '.zip' AS f_monthly
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}

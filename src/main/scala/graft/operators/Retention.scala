@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's own dataflow (layer [R]), re-expressed relationally.
+  *
+  * The reference rotates every backup into four retention tiers named by
+  * time-bucket templates (backup.sh:26–29): instant `%Y%m%d-%H%M%S`,
+  * day `%Y%m%d`, ISO week `%G%V`, month `%Y%m`; keeps a per-(db, tier)
+  * "latest" pointer (backup.sh:99–115); and garbage-collects snapshots
+  * older than a per-tier retention window (backup.sh:119–122, windows
+  * computed at env.sh:26–29).
+  *
+  * Spark-first modeling (SURVEY.md §4): ONE physical dataset with bucket
+  * columns; tiers are filters/views over it (the hardlink fan-out of
+  * backup.sh:67–97 becomes zero-copy projections). All helpers are pure
+  * Column/DataFrame transforms — no driver-side iteration, no collect —
+  * so they hold at any scale: bucketing is a narrow map, latest-pointer
+  * is a shuffle on (db, bucket) only, GC is a filter with a broadcast
+  * 1-row cutoff.
+  */
+object Retention {
+
+  /** Week bucket: `date_trunc('week')` day key rather than `%G%V`
+    * (SURVEY.md §5.3.6 — ISO-week-year formatting is an oracle parity
+    * hazard; Monday-truncation is identical in Spark and DuckDB).
+    */
+  def bucketWeek(ts: Column): Column = date_format(date_trunc("week", ts), "yyyyMMdd")
+  def bucketInstant(ts: Column): Column = date_format(ts, "yyyyMMdd-HHmmss")
+  def bucketDay(ts: Column): Column = date_format(ts, "yyyyMMdd")
+  def bucketMonth(ts: Column): Column = date_format(ts, "yyyyMM")
+
+  /** Snapshot filename per tier: `${db}-${bucket}${suffix}`
+    * (backup.sh:26–34, suffix default ".zip" per Dockerfile:23).
+    */
+  def filename(db: Column, bucket: Column, suffix: String = ".zip"): Column =
+    concat(db, lit("-"), bucket, lit(suffix))
+
+  /** Adds the four tier-bucket columns + per-tier filenames. `db` plays
+    * the role of the reference's database name (backup.sh:24 loop).
+    */
+  def withBuckets(df: DataFrame, ts: Column, db: Column): DataFrame =
+    df.withColumn("bucket_instant", bucketInstant(ts))
+      .withColumn("bucket_day", bucketDay(ts))
+      .withColumn("bucket_week", bucketWeek(ts))
+      .withColumn("bucket_month", bucketMonth(ts))
+      .withColumn("f_last", filename(db, bucketInstant(ts)))
+      .withColumn("f_daily", filename(db, bucketDay(ts)))
+      .withColumn("f_weekly", filename(db, bucketWeek(ts)))
+      .withColumn("f_monthly", filename(db, bucketMonth(ts)))
+
+  /** Latest pointer per group (backup.sh:99–115): rank-1 by recency.
+    * Deterministic tie-break on `id` so the winner is identical across
+    * engines (and across reruns). Window shuffles on the group keys
+    * only — at 100 TB this is a single hash-partition pass, and the
+    * per-group state is O(1) (row_number needs no buffering beyond sort).
+    */
+  def latest(df: DataFrame, groupCols: Seq[Column], ts: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(groupCols: _*).orderBy(ts.desc, id.desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Retention-GC candidates (backup.sh:119–122): rows strictly older
+    * than `max(ts) − keep`. Anchoring the cutoff to max(ts) instead of
+    * wall-clock keeps results deterministic (SURVEY.md §2.B). The 1-row
+    * aggregate is broadcast — no full-table shuffle, scale-safe.
+    */
+  def gcCandidates(df: DataFrame, ts: Column, keepExpr: String): DataFrame = {
+    val cutoff = df.agg(max(ts).as("mx"))
+      .select((col("mx") - expr(keepExpr)).as("cutoff"))
+    df.join(broadcast(cutoff)).filter(ts < col("cutoff")).drop("cutoff")
+  }
+
+  /** Retention-window arithmetic (env.sh:26–29): weeks→days `*7+1`,
+    * months→days `*31+1`.
+    */
+  def weeksToDays(weeks: Column): Column = weeks * 7 + 1
+  def monthsToDays(months: Column): Column = months * 31 + 1
+
+  /** Snapshot writer (the `BACKUP DATABASE … TO Disk` analog,
+    * backup.sh:45): one physical copy, partitioned by day bucket so the
+    * tier views and GC prune partitions instead of scanning. Overwrite
+    * per-partition = the reference's atomic `mv` swap (backup.sh:71–89).
+    */
+  def writeSnapshot(df: DataFrame, ts: Column, dest: String): Unit =
+    df.withColumn("bucket_day", bucketDay(ts))
+      .write.mode("overwrite")
+      .partitionBy("bucket_day")
+      .parquet(dest)
+}

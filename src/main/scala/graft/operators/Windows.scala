@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E (window functions) + §2.F (sorts/limits/top-k).
+  *
+  * [R] seeds: the per-(db, tier) "latest" pointer (backup.sh:99–115) is
+  * rank-1-by-recency; retention is a keep-K-newest view of GC
+  * (backup.sh:119–122).
+  *
+  * Scale notes: a window shuffles once on its partition keys; per-group
+  * top-k (row_number ≤ k then filter) never materializes a global sort.
+  * Global top-k uses orderBy+limit, which Spark plans as
+  * TakeOrderedAndProject — per-partition heaps + driver merge of k
+  * rows, O(k) driver memory at any input size. Ordering always uses the
+  * second-truncated ts with an id tie-break so ranks are deterministic
+  * and identical across engines (ns/µs hazard, SURVEY.md §5.3.3).
+  */
+object Windows extends QueryModule {
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Latest pointer per (db≈event_type, day bucket) — backup.sh:99–115.
+    "q_retention_keep_last" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir)
+          .withColumn("day_key", Retention.bucketDay(col("ts_s")))
+        Retention.latest(e, Seq(col("event_type"), col("day_key")), col("ts_s"), col("event_id"))
+          .select("event_type", "day_key", "event_id")
+          .orderBy("event_type", "day_key")
+      },
+      Some("""SELECT event_type, strftime(date_trunc('second', ts), '%Y%m%d') AS day_key, event_id
+             |FROM events
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY event_type, strftime(date_trunc('second', ts), '%Y%m%d')
+             |  ORDER BY date_trunc('second', ts) DESC, event_id DESC) = 1
+             |ORDER BY event_type, day_key""".stripMargin)),
+
+    // Rank snapshots per db by recency; top-3 (backup.sh:99–115 shape).
+    "q_win_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_s").desc, col("event_id").desc)
+        Relational.eventsSec(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("event_type", "rn", "event_id")
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, rn, event_id FROM (
+             |  SELECT event_type, event_id,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)),
+
+    // Running total per user — cumulative frame. Same ORDER BY on both
+    // engines ⇒ identical sequential summation order; round anyway.
+    "q_win_running_sum" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Relational.eventsSec(s, dir)
+          .withColumn("running_value", round(sum(col("value")).over(w), 4))
+          .select("user_id", "event_id", "running_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |       round(sum(value) OVER (PARTITION BY user_id
+             |         ORDER BY date_trunc('second', ts), event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // Inter-event gap per user (lag) and next-type preview (lead).
+    "q_win_lag_lead" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"), col("event_id"))
+        Relational.eventsSec(s, dir)
+          .withColumn("gap_sec",
+            (unix_timestamp(col("ts_s")) - lag(unix_timestamp(col("ts_s")), 1).over(w)).cast("long"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select("user_id", "event_id", "gap_sec", "next_type")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(epoch(date_trunc('second', ts)) -
+             |       lag(epoch(date_trunc('second', ts)), 1) OVER w AS BIGINT) AS gap_sec,
+             |  lead(event_type, 1) OVER w AS next_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Moving average over a RANGE frame keyed on a numeric column.
+    "q_win_frame_range" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("event_id"))
+          .rangeBetween(-100L, 0L)
+        Relational.eventsSec(s, dir)
+          // sum+count, not avg: inputs are 2-decimal values, so the sum
+          // stays on the 0.01 grid and round(…,4) never sits on a
+          // half-way boundary (avg does, and flips the last digit
+          // between engines).
+          .withColumn("moving_sum", round(sum(col("value")).over(w), 4))
+          .withColumn("moving_n", count(lit(1)).over(w))
+          .select("event_type", "event_id", "moving_sum", "moving_n")
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id,
+             |       round(sum(value) OVER w, 4) AS moving_sum,
+             |       CAST(count(*) OVER w AS BIGINT) AS moving_n
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+             |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_type, event_id""".stripMargin)),
+
+    // Global top-k by recency (keep-K-newest, backup.sh:119–122 view).
+    // TakeOrderedAndProject: no global sort, O(k) per partition.
+    "q_topk" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .orderBy(col("ts_s").desc, col("event_id").desc)
+        .limit(20)
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts_s"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type, ts_str FROM (
+             |  SELECT event_id, event_type,
+             |         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_str
+             |  FROM events
+             |  ORDER BY date_trunc('second', ts) DESC, event_id DESC LIMIT 20)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Deterministic multi-key sort (limit keeps verify output bounded;
+    // the (orderkey, linenumber) prefix of the sort key is unique so
+    // the limit is deterministic).
+    "q_sort_multi" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .orderBy(col("l_returnflag").asc, col("ship_day").desc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(1000),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+             |       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+             |FROM lineitem
+             |ORDER BY l_returnflag ASC, ship_day DESC, l_orderkey ASC, l_linenumber ASC
+             |LIMIT 1000""".stripMargin)),
+
+    // Top-k per group: window + filter, never a global sort.
+    "q_topk_per_group" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_orderpriority
+             |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin))
+  )
+}

@@ -1,0 +1,204 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.{TextFns, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` / `embeddings` (SURVEY.md
+  * §2.J + the training-data-pipeline mandate): exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * The 100 TB shape for every approximate variant is the same:
+  * per-row signature (narrow, codegen'd) → explode into O(1) bucket
+  * keys → self-join on the bucket key (one shuffle, key-partitioned) →
+  * verify candidates pairwise. Nothing is quadratic in the corpus; the
+  * only quadratic step is within a bucket, which the signature design
+  * keeps tiny (and a production run would salt/cap oversized buckets).
+  * The exact-Jaccard query is the verification baseline and is
+  * deliberately restricted to a sample — that restriction is what the
+  * LSH variants exist to remove.
+  */
+object Dedup extends QueryModule {
+
+  /** MinHash signatures (k=16) per doc, persisted: the signature table
+    * is referenced three times in the LSH plan (banding + two pair
+    * join-backs) and Spark executes each branch's subtree independently
+    * — persisting trades 50k tiny rows of memory for 3× the signature
+    * compute. The 100 TB analog is materializing signatures to a table
+    * once per corpus snapshot.
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.minhashSignature(TextFns.shingleHashes(col("text"), 3), 16).as("sig"))
+      .persist()
+
+  /** Oversized-bucket cap: an LSH bucket with hundreds of members is
+    * non-discriminative boilerplate (and quadratic in the join) — the
+    * standard production mitigation is to drop buckets above a cap.
+    */
+  private val BucketCap = 64
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Exact doc-level dedup on the normalized-content fingerprint: one
+    // survivor (min doc_id) per content hash. groupBy on the hash is a
+    // single shuffle on a high-cardinality key — the canonical exact
+    // dedup at any scale.
+    "q_dedup_docs" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(min(col("doc_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("norm_fp"),
+      Some("""SELECT norm_fp, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_copies
+             |FROM (SELECT doc_id,
+             |        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |            ' +', ' ', 'g'))) AS norm_fp
+             |      FROM documents)
+             |GROUP BY norm_fp ORDER BY norm_fp""".stripMargin)),
+
+    // MinHash + LSH banding: candidate pairs = docs sharing ≥1 band
+    // bucket; estimated Jaccard = matching signature fraction.
+    // Approximate ⇒ no oracle (SURVEY.md §5.3.4).
+    "q_dedup_minhash" -> QueryDef(
+      (s, dir) => {
+        val sigs = signatures(s, dir)
+        // ids-only through the bucket join: the 16-long signatures are
+        // re-attached once per surviving pair, not dragged through the
+        // (potentially skewed) bucket explosion.
+        val b = sigs.select(col("doc_id"),
+          posexplode(TextFns.bandKeys(col("sig"), 4, 4)).as(Seq("band", "band_key")))
+        val small = b.groupBy("band", "band_key").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > 1 && col("bn") <= BucketCap)
+        val inBucket = b.join(small.select("band", "band_key"), Seq("band", "band_key"))
+        val pairs = inBucket.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+          .join(inBucket.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+            Seq("band", "band_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        pairs
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(aggregate(
+              zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+              lit(0.0), (acc, x) => acc + x) / 16.0, 4).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // SimHash near-dup: 64-bit sign-of-votes hash over word hashes;
+    // candidates share one of the 4 16-bit chunks (pigeonhole: catches
+    // every pair within Hamming distance 3); report exact Hamming
+    // distance for candidates under 16. No oracle (approx).
+    "q_dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            transform(TextFns.words(col("text")), w => xxhash64(w)).as("wh"))
+          .select(col("doc_id"), expr(TextFns.simhashExpr).as("sh"))
+          .persist() // referenced once per chunk side — see signatures()
+          .select(col("doc_id"), col("sh"),
+            posexplode(expr(TextFns.simhashChunksExpr)).as(Seq("chunk", "chunk_val")))
+        val l = sh.select(col("chunk"), col("chunk_val"),
+          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val r = sh.select(col("chunk"), col("chunk_val"),
+          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        l.join(r, Seq("chunk", "chunk_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+          .filter(col("hamming") < 16)
+          .dropDuplicates("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Exact word-level Jaccard over a bounded sample — the correctness
+    // baseline the LSH variants approximate. Explode distinct words,
+    // self-join on the word (shuffle on word key), count intersections,
+    // Jaccard from the inclusion–exclusion identity.
+    "q_dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        val toks = docs.select(col("doc_id"),
+            explode(array_distinct(TextFns.words(col("text")))).as("w"))
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+        val common = toks.select(col("doc_id").as("doc_a"), col("w"))
+          .join(toks.select(col("doc_id").as("doc_b"), col("w")), Seq("w"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_words").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_words").as("nb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("n_common").cast("double") /
+              (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM documents WHERE doc_id < 200),
+             |sizes AS (SELECT doc_id, count(*) AS n_words FROM toks GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             |  FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 4) AS jaccard
+             |FROM common
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Embedding near-dup: pairs within the same coarse cluster (label)
+    // with cosine ≥ 0.35. The label equi-join IS the IVF trick: only
+    // within-cluster pairs are compared, so cost is Σ|cluster|², not
+    // |corpus|². Bounded sample (vec_id < 2000) keeps verify/bench
+    // output stable across scale factors.
+    "q_dedup_embed_cosine" -> QueryDef(
+      (s, dir) => {
+        // norms are computed per VECTOR below the join (once per row),
+        // not per pair — only the dot product is pairwise work.
+        val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 2000)
+          .select(col("label"), col("vec_id"), col("embedding"),
+            Vectors.norm(col("embedding")).as("nrm"))
+        val l = e.select(col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val r = e.select(col("label"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        l.join(r, Seq("label"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cos_sim", round(
+            Vectors.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4))
+          .filter(col("cos_sim") >= 0.35)
+          .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  round(
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(range(1, 65),
+             |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(range(1, 65),
+             |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cos_sim
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE a.vec_id < 2000 AND b.vec_id < 2000
+             |  AND round(
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+             |    (sqrt(list_sum(list_transform(range(1, 65),
+             |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+             |     sqrt(list_sum(list_transform(range(1, 65),
+             |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) >= 0.35
+             |ORDER BY vec_a, vec_b""".stripMargin))
+  )
+}

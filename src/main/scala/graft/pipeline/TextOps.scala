@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table (SURVEY.md §2.J + the
+  * training-data-pipeline mandate): per-document stats, token counting,
+  * heuristic language ID, quality scoring, content fingerprinting.
+  * Everything is a narrow, codegen'd projection — embarrassingly
+  * parallel, zero shuffle except the final deterministic ORDER BY
+  * (which only the verify harness needs).
+  */
+object TextOps extends QueryModule {
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Per-doc structural stats.
+    "q_text_stats" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(TextFns.words(col("text"))).cast("long").as("n_words"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(TextFns.words(col("text"))), 4).as("avg_word_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+             |        len(string_split(text, ' ')), 4) AS avg_word_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + a regex sub-word pass
+    // (the BPE-ish approximation: alnum runs capped at 4 chars).
+    "q_token_count" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFns.words(col("text"))).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z0-9]{1,4}")).cast("long").as("sub_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS sub_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Heuristic n-gram/stopword language ID. The CASE ladder is the
+    // model; the oracle runs the identical ladder, so the check
+    // verifies the Spark plumbing, not linguistic truth.
+    "q_lang_id" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(col("text").rlike("(^| )(the|a|of|and)( |$)"), "en")
+            .when(col("text").rlike("(^| )(el|la|de|que)( |$)"), "es")
+            .when(col("text").rlike("(^| )(le|la|et|les)( |$)"), "fr")
+            .otherwise("unk").as("pred_lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN regexp_matches(text, '(^| )(the|a|of|and)( |$)') THEN 'en'
+             |       WHEN regexp_matches(text, '(^| )(el|la|de|que)( |$)') THEN 'es'
+             |       WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'
+             |       ELSE 'unk' END AS pred_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality score: length saturation + lexical diversity + symbol
+    // cleanliness, each in [0,1], fixed weights.
+    "q_quality_score" -> QueryDef(
+      (s, dir) => {
+        val ws = TextFns.words(col("text"))
+        val nWords = size(ws).cast("double")
+        val uniqRatio = size(array_distinct(ws)).cast("double") / nWords
+        val alnumLen = length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("double")
+        val cleanRatio = alnumLen / length(col("text")).cast("double")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            round(least(nWords / 100.0, lit(1.0)), 4).as("len_score"),
+            round(uniqRatio, 4).as("uniq_ratio"),
+            round(cleanRatio, 4).as("clean_ratio"),
+            round(least(nWords / 100.0, lit(1.0)) * 0.4 + uniqRatio * 0.3 + cleanRatio * 0.3, 4)
+              .as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  round(least(len(string_split(text, ' ')) / 100.0, 1.0), 4) AS len_score,
+             |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+             |        len(string_split(text, ' ')), 4) AS uniq_ratio,
+             |  round(CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) /
+             |        length(text), 4) AS clean_ratio,
+             |  round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4 +
+             |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+             |          len(string_split(text, ' ')) * 0.3 +
+             |        CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) /
+             |          length(text) * 0.3, 4) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Content fingerprints: raw and normalized md5 (identical hex in
+    // both engines → oracle-safe).
+    "q_fingerprint" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("raw_fp"),
+          TextFns.fingerprint(col("text")).as("norm_fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(text) AS raw_fp,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |      ' +', ' ', 'g'))) AS norm_fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

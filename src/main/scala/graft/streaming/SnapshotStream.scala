@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.operators.Retention
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+/** The reference's runtime loop (EP1/EP2/EP3, SURVEY.md §3) as a
+  * Structured Streaming job:
+  *
+  *  - go-cron tick (init.sh:14, `SCHEDULE=@daily` Dockerfile:20) →
+  *    micro-batch trigger (`ProcessingTime`, or `AvailableNow` for the
+  *    "run once now" `BACKUP_ON_START` path, init.sh:10–12);
+  *  - per-tick `BACKUP DATABASE` (backup.sh:45) → `foreachBatch`
+  *    writing the batch as a day-bucket-partitioned parquet snapshot
+  *    (Retention.writeSnapshot);
+  *  - retention GC (backup.sh:119–122) → watermark: state older than
+  *    the retention window is evicted instead of find-and-rm;
+  *  - pre/post/error webhooks (backup.sh:16–18,128–130; 00-webhook) →
+  *    a StreamingQueryListener publishing lifecycle events.
+  *
+  * Scale: the aggregation state is keyed by (window, event_type) — tiny
+  * and bounded by the watermark; the snapshot write is partitioned by
+  * day bucket so downstream tier views prune. Nothing touches the
+  * driver except the listener callbacks.
+  */
+object SnapshotStream {
+
+  /** Lifecycle events captured by [[HookListener]] — the webhook
+    * payloads of hooks/00-webhook:10–62 (`{"status": "<action>"}`).
+    */
+  final case class HookEvent(status: String, detail: String)
+
+  /** The run-parts/webhook analog (backup.sh:8,17,129): collects
+    * lifecycle events; a production deployment would POST them with
+    * retry (00-webhook:14–15 `--retry 5 --max-time 10`).
+    */
+  final class HookListener(publish: HookEvent => Unit) extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      publish(HookEvent("pre-backup", e.id.toString))
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      publish(HookEvent("post-backup", s"rows=${e.progress.numInputRows}"))
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      publish(HookEvent(if (e.exception.isDefined) "error" else "terminated",
+        e.exception.getOrElse("")))
+  }
+
+  /** Tumbling daily aggregate with watermark eviction — the streaming
+    * form of `q_stream_tumbling`. Input must carry (ts: timestamp,
+    * event_type: string, value: double).
+    */
+  def dailyCounts(events: DataFrame, watermarkDelay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("day_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Start the snapshot pipeline: aggregate → foreachBatch snapshot
+    * write (one parquet dataset, day-partitioned; tiers are views).
+    * `AvailableNow` = drain-everything-then-stop (the BACKUP_ON_START
+    * immediate run); pass a ProcessingTime trigger for the cron shape.
+    */
+  def start(
+      spark: SparkSession,
+      events: DataFrame,
+      destDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: String): StreamingQuery = {
+    dailyCounts(events).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Atomic-swap analog (backup.sh:71–89): partition overwrite.
+        if (!batch.isEmpty)
+          Retention.writeSnapshot(batch, col("day_start"), s"$destDir/snapshots")
+        ()
+      }
+      .start()
+  }
+}

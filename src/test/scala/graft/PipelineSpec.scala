@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{TextFns, Vectors}
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators: signature properties and ANN recall against
+  * the exact brute-force baseline.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("minhash signature has k entries and is permutation-stable") {
+    val sig = Tables(spark, sf, "documents")
+      .select(TextFns.minhashSignature(TextFns.shingleHashes(col("text"), 3), 16).as("sig"))
+    assert(sig.filter(size(col("sig")) =!= 16).isEmpty)
+    // deterministic across evaluations
+    val a = sig.limit(5).collect().map(_.getSeq[Long](0))
+    val b = sig.limit(5).collect().map(_.getSeq[Long](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("identical docs collide in every band; est_jaccard = 1") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"),
+      TextFns.minhashSignature(TextFns.shingleHashes(col("text"), 3), 16).as("sig"))
+    val sigs = sig.collect().map(_.getSeq[Long](1))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = Tables(spark, sf, "embeddings").limit(10)
+      .select(round(Vectors.cosine(col("embedding"), col("embedding")), 6).as("c"))
+    assert(one.filter(col("c") =!= 1.0).isEmpty)
+  }
+
+  test("ANN with all cells probed equals exact brute force; nProbe=2 has sane recall") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.annTopK(spark, sf, nProbe = 10, k = 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "probing every cell must reproduce the exact top-k")
+    val ann = SparkEntry.queries("q_sim_ann")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall") // loose floor on the tiny sample
+  }
+
+  test("simhash of identical word multisets is identical") {
+    val docs = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("wh", transform(TextFns.words(col("text")), w => xxhash64(w)))
+      .withColumn("sh", expr(TextFns.simhashExpr))
+    val sh = df.select("sh").collect().map(_.getLong(0))
+    assert(sh(0) == sh(1) && sh(0) != sh(2))
+  }
+
+  test("multimodal feature extraction is deterministic and total") {
+    val f1 = pipeline.Multimodal.extractFeatures(
+      pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)
+    val f2 = pipeline.Multimodal.extractFeatures(
+      pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)
+    assert(f1.length == 500 && f1.map(_.feature_hash).toSeq == f2.map(_.feature_hash).toSeq)
+  }
+}

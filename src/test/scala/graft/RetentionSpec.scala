@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Relational, Retention}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Retention invariants (SURVEY.md §5.2): GC keeps exactly the rows
+  * older than the cutoff, the latest pointer is the argmax, dedup is
+  * idempotent, tier fan-out preserves counts. The arithmetic property
+  * check runs ScalaCheck against a driver-side evaluation of the same
+  * Columns (per-sample Spark jobs would take minutes).
+  */
+class RetentionSpec extends SparkSpec {
+
+  test("gcCandidates keeps exactly rows strictly older than max(ts) - keep") {
+    val e = Relational.eventsSec(spark, sf)
+    val mx = e.agg(max(col("ts_s"))).head.getTimestamp(0).toInstant
+    val cutoff = mx.minusSeconds(7L * 24 * 3600)
+    val got = Retention.gcCandidates(e, col("ts_s"), "INTERVAL 7 DAYS").count()
+    val want = e.filter(col("ts_s") < lit(java.sql.Timestamp.from(cutoff))).count()
+    assert(got == want && got > 0)
+  }
+
+  test("latest is the argmax per group") {
+    val e = Relational.eventsSec(spark, sf)
+    val got = Retention.latest(e, Seq(col("event_type")), col("ts_s"), col("event_id"))
+      .select("event_type", "event_id")
+    // independent formulation: max_by over (ts, id) struct
+    val want = e.groupBy("event_type")
+      .agg(max_by(col("event_id"), struct(col("ts_s"), col("event_id"))).as("event_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == e.select("event_type").distinct().count())
+  }
+
+  test("dedup is idempotent and tier fan-out preserves counts") {
+    val e = Relational.eventsSec(spark, sf).select("user_id", "event_type")
+    val once = e.dropDuplicates("user_id", "event_type")
+    assert(once.count() == once.dropDuplicates("user_id", "event_type").count())
+    val n = Relational.eventsSec(spark, sf).count()
+    val buckets = Retention.withBuckets(
+      Relational.eventsSec(spark, sf), col("ts_s"), col("event_type"))
+    assert(buckets.count() == n) // fan-out is column-wise, not row-wise
+  }
+
+  test("retention window arithmetic matches env.sh:26-29") {
+    // one Spark evaluation over a sampled batch of (weeks, months)
+    val gen = Gen.listOfN(50, Gen.zip(Gen.choose(0, 520), Gen.choose(0, 120)))
+    val samples = gen.sample.get
+    val df = spark.createDataFrame(samples).toDF("weeks", "months")
+      .select(col("weeks"), col("months"),
+        Retention.weeksToDays(col("weeks")).as("wd"),
+        Retention.monthsToDays(col("months")).as("md"))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    got.foreach { case (w, m, wd, md) =>
+      assert(wd == w * 7 + 1 && md == m * 31 + 1, s"w=$w m=$m wd=$wd md=$md")
+    }
+  }
+
+  test("bucket templates are consistent projections of one timestamp") {
+    val b = Retention.withBuckets(
+      Relational.eventsSec(spark, sf), col("ts_s"), col("event_type"))
+    // day prefix of instant; month prefix of day; filename embeds bucket
+    val bad = b.filter(
+      !col("bucket_instant").startsWith(col("bucket_day")) ||
+      !col("bucket_day").startsWith(col("bucket_month")) ||
+      !col("f_daily").startsWith(concat(col("event_type"), lit("-"), col("bucket_day"))))
+    assert(bad.isEmpty)
+  }
+}

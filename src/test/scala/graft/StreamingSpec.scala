@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.SnapshotStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/** Integration test for the streaming runtime (SURVEY.md §2.I, hazard
+  * H6): feed the fixture events through a MemoryStream, run the
+  * snapshot pipeline once (AvailableNow = the BACKUP_ON_START path),
+  * assert the partitioned snapshot landed and lifecycle hooks fired.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("snapshot stream writes day-partitioned parquet and fires hooks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select(col("ts_s").as("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)]
+      .collect().toSeq
+
+    val events = mutable.ArrayBuffer[SnapshotStream.HookEvent]()
+    val listener = new SnapshotStream.HookListener(e => events.synchronized { events += e })
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(rows)
+    val dest = Files.createTempDirectory("graft-snap").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = SnapshotStream.start(spark,
+      mem.toDF().toDF("ts", "event_type", "value"),
+      dest, Trigger.AvailableNow(), ckpt)
+    try q.awaitTermination(120000) finally {
+      q.stop(); spark.streams.removeListener(listener)
+    }
+
+    val snap = spark.read.parquet(s"$dest/snapshots")
+    assert(snap.columns.contains("bucket_day"))
+    assert(snap.count() > 0)
+    // watermark closed the daily windows for all but the tail day(s)
+    val days = snap.select("bucket_day").distinct().count()
+    assert(days >= 25, s"expected ~29 closed daily windows, got $days")
+    events.synchronized {
+      assert(events.exists(_.status == "pre-backup"))
+      assert(events.exists(_.status == "post-backup"))
+    }
+  }
+
+  test("batch and streaming tumbling aggregations agree on closed windows") {
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
+      .filter(col("day") < "2024-01-29") // watermark-closed region
+    val stream = SnapshotStream.dailyCounts(
+        operators.Relational.eventsSec(spark, sf)
+          .select(col("ts_s").as("ts"), col("event_type"), col("value")))
+      .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+      .filter(col("day") < "2024-01-29")
+    // dailyCounts on a batch DF computes the same aggregation sans state
+    assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty)
+  }
+}

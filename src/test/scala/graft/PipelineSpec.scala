@@ -28,6 +28,25 @@ class PipelineSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("native vec_dot matches the HOF formulation bit-for-bit") {
+    val emb = Tables(spark, sf, "embeddings")
+    val both = emb.join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        col("vec_id") === col("v2") - 1)
+      .select(Vectors.dot(col("embedding"), col("e2")).as("native"),
+        Vectors.dotHof(col("embedding"), col("e2")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
+  test("vec_dot is callable from SQL via GraftExtensions function registration") {
+    graft.expressions.VectorExprs.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      "SELECT vec_id, round(vec_dot(embedding, embedding), 4) AS sq FROM emb_sql LIMIT 5")
+    assert(r.count() == 5 && r.filter(col("sq") <= 0).isEmpty)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Tables(spark, sf, "embeddings").limit(10)
       .select(round(Vectors.cosine(col("embedding"), col("embedding")), 6).as("c"))

@@ -1,0 +1,181 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused per-document sketch kernels for the dedup family (SURVEY.md
+  * §2.J). The higher-order-function formulations in
+  * [[graft.functions.TextFns]] are semantically right but interpreted:
+  * a MinHash signature evaluates |shingles|·k lambda calls per row, a
+  * SimHash 64·|words| — at 100 TB that interpretation IS the job. Each
+  * kernel here is one static JVM call per row (whole-stage codegen
+  * emits a single invocation), with the arithmetic in tight primitive
+  * loops.
+  *
+  * Bit-parity contract: every hash goes through Spark's own
+  * [[XxHash64Function]] (seed 42, the `xxhash64` builtin), and shingles
+  * are joined with the same separator `concat_ws`/`array_join` use —
+  * so the kernels produce bit-identical values to the HOF forms, which
+  * the PipelineSpec cross-checks row-for-row.
+  */
+object TextKernels {
+
+  /** Spark's default xxhash64 seed (`XxHash64.seed`). */
+  val Seed = 42L
+
+  private val Space = UTF8String.fromString(" ")
+
+  private def hashString(s: UTF8String): Long =
+    XXH64.hashUTF8String(s, Seed)
+
+  /** Per-permutation seeds: `xxhash64(i, h)` folds as
+    * `hashLong(h, hashInt(i, 42))`, so `hashInt(i, 42)` is a constant
+    * per permutation — hoisted out of the row loop.
+    */
+  def minhashSeeds(k: Int): Array[Long] = {
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) { seeds(i) = XXH64.hashInt(i, Seed); i += 1 }
+    seeds
+  }
+
+  /** MinHash signature over n-word shingles of `words`.
+    *
+    * Matches `minhashSignature(shingleHashes(text, n), k)` exactly:
+    * shingle strings are the words `i..i+n-1` joined by a space (docs
+    * shorter than n shingle into their full text), hashed with seeded
+    * xxhash64; `array_distinct` in the HOF path is dropped here because
+    * duplicates cannot change a minimum.
+    */
+  def minhashWords(words: ArrayData, n: Int, seeds: Array[Long]): Array[Long] = {
+    val k = seeds.length
+    val acc = new Array[Long](k)
+    java.util.Arrays.fill(acc, Long.MaxValue)
+    val nw = words.numElements()
+    val width = if (nw >= n) n else nw
+    val nShingles = if (nw >= n) nw - n + 1 else 1
+    val buf = new Array[UTF8String](width)
+    var s = 0
+    while (s < nShingles) {
+      var j = 0
+      while (j < width) { buf(j) = words.getUTF8String(s + j); j += 1 }
+      val h = hashString(UTF8String.concatWs(Space, buf: _*))
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < acc(i)) acc(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  /** 64-bit SimHash over the word multiset: per-bit votes (+1/-1) from
+    * each word's xxhash64, sign of the vote becomes the bit. Matches
+    * `TextFns.simhashExpr` over `transform(words, xxhash64)` exactly.
+    */
+  def simhashWords(words: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val nw = words.numElements()
+    var w = 0
+    while (w < nw) {
+      val h = hashString(words.getUTF8String(w))
+      var i = 0
+      while (i < 64) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sh |= 1L << i; i += 1 }
+    sh
+  }
+}
+
+private[expressions] trait WordsArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+}
+
+/** `minhash_words(words, n, k)` — k-permutation MinHash signature over
+  * the n-word shingles of a tokenized document. Null words → null.
+  */
+case class MinHashWords(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with WordsArrayInput {
+
+  require(n >= 1 && k >= 1, s"minhash_words needs n,k >= 1, got n=$n k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_words"
+
+  @transient private lazy val seeds = TextKernels.minhashSeeds(k)
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(TextKernels.minhashWords(a.asInstanceOf[ArrayData], n, seeds))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.TextKernels.minhashWords($c, $n, $seedsRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashWords =
+    copy(child = newChild)
+}
+
+/** `simhash_words(words)` — 64-bit SimHash of a tokenized document. */
+case class SimHashWords(child: Expression)
+    extends UnaryExpression with WordsArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_words"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.simhashWords(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.simhashWords($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashWords =
+    copy(child = newChild)
+}
+
+object TextExprs {
+
+  /** Column-API entry points used by [[graft.functions.TextFns]]. */
+  def minhashWords(words: Column, n: Int, k: Int): Column =
+    bridge.column(MinHashWords(bridge.expression(words), n, k))
+
+  def simhashWords(words: Column): Column =
+    bridge.column(SimHashWords(bridge.expression(words)))
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_words"),
+      new ExpressionInfo(classOf[MinHashWords].getName, "minhash_words"),
+      (exprs: Seq[Expression]) => MinHashWords(exprs(0),
+        litInt(exprs(1), "minhash_words"), litInt(exprs(2), "minhash_words"))),
+    (FunctionIdentifier("simhash_words"),
+      new ExpressionInfo(classOf[SimHashWords].getName, "simhash_words"),
+      (exprs: Seq[Expression]) => SimHashWords(exprs(0))))
+}

@@ -103,5 +103,5 @@ object VectorExprs {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    VectorExprs.functions.foreach(e.injectFunction)
+    (VectorExprs.functions ++ TextExprs.functions).foreach(e.injectFunction)
 }

@@ -40,7 +40,18 @@ object TextFns {
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(array_distinct(shingles(words(text), n)), s => xxhash64(s))
 
-  /** MinHash signature: permutation i is the seeded rehash
+  /** MinHash signature over a document's n-word shingles, as one native
+    * fused kernel per row ([[graft.expressions.MinHashWords]]). The HOF
+    * formulation ([[minhashSignatureHof]]) evaluates |shingles|·k
+    * interpreted lambda calls per row — the kernel is the same hashes
+    * (seeded xxhash64, permutation i = xxhash64(i, shingleHash)) in one
+    * primitive loop, bit-identical (PipelineSpec cross-checks).
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    graft.expressions.TextExprs.minhashWords(words(text), n, k)
+
+  /** HOF-only formulation of [[minhashSignature]] (same values,
+    * interpreted): permutation i is the seeded rehash
     * xxhash64(i, shingleHash) (a linear a·x+b (mod p) family overflows
     * under ANSI arithmetic; seeded xxhash64 is overflow-free and at
     * least as well-mixed). Computed entirely per-row (the shingle set
@@ -51,7 +62,7 @@ object TextFns {
     * at every use site, so k passes would rebuild the shingle array k
     * times (measured 100× slowdown at sf0.1).
     */
-  def minhashSignature(hashes: Column, k: Int): Column =
+  def minhashSignatureHof(hashes: Column, k: Int): Column =
     aggregate(
       hashes,
       array_repeat(lit(Long.MaxValue), k),
@@ -69,7 +80,16 @@ object TextFns {
       xxhash64(b, concat_ws(",",
         (1 to rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r)): _*)))
 
-  /** 64-bit SimHash over the word multiset. Bit arithmetic with a
+  /** 64-bit SimHash over the word multiset, as one native fused kernel
+    * per row ([[graft.expressions.SimHashWords]]) — bit-identical to
+    * the HOF form [[simhashExpr]], which costs 64·|words| interpreted
+    * lambda calls per row.
+    */
+  def simhash(text: Column): Column =
+    graft.expressions.TextExprs.simhashWords(words(text))
+
+  /** HOF-only formulation of [[simhash]] (same values, interpreted).
+    * Bit arithmetic with a
     * variable shift needs the SQL form (`functions.shiftright` takes a
     * literal only), hence `expr` over a fixed input column name `wh`
     * (array of word hashes).

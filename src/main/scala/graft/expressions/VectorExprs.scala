@@ -85,11 +85,81 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmin-over-centroids kernel for the k-means / IVF assignment step.
+  * One static call per row; the centroid matrix rides along as a
+  * codegen REFERENCE object, not plan literals — so the generated
+  * source is identical across Lloyd iterations (codegen cache hit, no
+  * per-iteration recompile) and the plan stays O(1) size even with
+  * thousands of cells.
+  */
+object VectorKernels {
+  /** Returns argmin_j (norms2(j) − 2·vec·cents(j)) — the nearest
+    * centroid by L2 (|vec|² is constant per row); ties break toward
+    * the lower index.
+    */
+  def nearestCentroid(vec: ArrayData, cents: Array[Array[Double]], norms2: Array[Double]): Int = {
+    val n = vec.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += vec.getFloat(i).toDouble * c(i); i += 1 }
+      val d = norms2(j) - 2.0 * dot
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
+/** `nearest_centroid(vec)` against a fixed centroid matrix — the IVF /
+  * k-means assignment as a single codegen'd expression. Null vector →
+  * null. Equality is by centroid identity (models are immutable arrays
+  * built once per fit), which is safe: worst case Catalyst misses a
+  * common-subexpression reuse, never wrong results.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val norms2: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCentroid(a.asInstanceOf[ArrayData], centroids, norms2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("norms2", norms2, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.nearestCentroid($c, $cRef, $nRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorExprs {
 
   /** Column-API entry point used by [[graft.functions.Vectors]]. */
   def vecDot(a: Column, b: Column): Column =
     bridge.column(DotProductF(bridge.expression(a), bridge.expression(b)))
+
+  /** Column-API entry point used by [[graft.pipeline.KMeans]]. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    bridge.column(NearestCentroid(bridge.expression(vec), centroids))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),

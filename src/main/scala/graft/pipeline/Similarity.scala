@@ -12,51 +12,53 @@ import org.apache.spark.sql.functions._
   *
   * Brute force is O(|queries| · |corpus|) — correct, and fine when the
   * query set is small and broadcastable, but it scans the whole corpus
-  * per batch. The IVF variant prunes: assign the corpus to coarse
-  * cells (here the fixture's own cluster labels; a production build
-  * runs k-means once), pick the nProbe nearest centroids per query,
-  * and scan only those cells — at scale the cell assignment is the
-  * partition key, so pruning happens at the shuffle/scan level.
+  * per batch. The IVF variant prunes: a [[KMeans]] coarse quantizer
+  * (fit once per corpus snapshot — the index build) assigns the corpus
+  * to cells, each query probes only its nProbe nearest centroids, and
+  * only those cells are scanned — at scale the cell assignment is the
+  * partition key, so pruning skips whole partitions at the scan, not
+  * rows after it.
   */
 object Similarity extends QueryModule {
 
-  /** Per-label centroids: posexplode → per-(label, dim) mean →
-    * re-assemble ordered arrays. Two small shuffles, output = one row
-    * per label — broadcastable at any corpus size.
+  /** IVF cell count for the declared queries; the all-cells probe
+    * (`nProbe = AnnCells`) must reproduce exact brute force, which the
+    * PipelineSpec asserts.
     */
-  def centroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v")).as("mean_v"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pm"))
-      .select(col("label"), transform(col("pm"), p => p.getField("mean_v")).as("centroid"))
+  val AnnCells = 10
 
-  /** Two-stage IVF search: rank cells by query↔centroid similarity,
-    * scan only the nProbe best cells for the true top-k. The cell
-    * assignment (label) is the partition key at scale — pruning skips
-    * whole partitions, not just rows.
+  /** Two-stage IVF search: fit the coarse quantizer, rank cells by
+    * query↔centroid similarity, scan only the nProbe best cells for
+    * the true top-k. In production the model is fit once per corpus
+    * snapshot and the corpus is written partitioned by `cluster_id`;
+    * here the fit (a few small Lloyd rounds) runs inline.
     */
   def annTopK(s: SparkSession, dir: String, nProbe: Int, k: Int): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    val cents = centroids(emb)
+    val model = KMeans.fit(emb, "embedding", "vec_id", AnnCells, iters = 3)
+    val cents = model.toDf(emb)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("label").asc)
+      .orderBy(col("c_sim").desc, col("cluster_id").asc)
     val probes = queries.join(broadcast(cents))
       .withColumn("c_sim", round(Vectors.cosine(col("q_emb"), col("centroid")), 6))
       .withColumn("c_rank", row_number().over(probeW))
       .filter(col("c_rank") <= nProbe)
-      .select(col("q_id"), col("q_emb"), Vectors.norm(col("q_emb")).as("q_nrm"), col("label"))
-    // corpus norm below the join: once per vector, not per (q, vector)
-    val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
-        Vectors.norm(col("embedding")).as("c_nrm"))
-      .join(broadcast(probes), Seq("label"))
+      .select(col("q_id"), col("q_emb"), Vectors.norm(col("q_emb")).as("q_nrm"),
+        col("cluster_id"))
+    // corpus norm + cell id below the join: once per vector, not per
+    // (q, vector) — the assignment is k native dot products per row
+    val scored = emb.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("c_nrm"),
+        model.assignCol(col("embedding")).as("cluster_id"))
+      .join(broadcast(probes), Seq("cluster_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_sim", round(
         Vectors.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 4))
     rankTopK(scored, k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("label"), col("cos_sim"))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("cluster_id").cast("long").as("cell"), col("cos_sim"))
       .orderBy("q_id", "rank")
   }
 

@@ -74,10 +74,19 @@ class PipelineSpec extends SparkSpec {
     assert(one.filter(col("c") =!= 1.0).isEmpty)
   }
 
+  test("kmeans quantizer assignment is total and in-range") {
+    val emb = Tables(spark, sf, "embeddings")
+    val m = pipeline.KMeans.fit(emb, "embedding", "vec_id", k = 10, iters = 3)
+    assert(m.k == 10 && m.centroids.forall(_.length == 64))
+    val assigned = emb.select(m.assignCol(col("embedding")).as("c"))
+    assert(assigned.filter(col("c").isNull || col("c") < 0 || col("c") >= 10).isEmpty)
+    assert(assigned.count() == emb.count())
+  }
+
   test("ANN with all cells probed equals exact brute force; nProbe=2 has sane recall") {
     val exact = SparkEntry.queries("q_sim_topk")(spark, sf)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val full = Similarity.annTopK(spark, sf, nProbe = 10, k = 5)
+    val full = Similarity.annTopK(spark, sf, nProbe = Similarity.AnnCells, k = 5)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == exact, "probing every cell must reproduce the exact top-k")
     val ann = SparkEntry.queries("q_sim_ann")(spark, sf)

@@ -51,6 +51,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState sessionizer matches batch sessionization exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = operators.Relational.eventsSec(spark, sf)
+      .select(col("user_id"), col("ts_s").as("ts"))
+      .as[streaming.Sessionize.Event].collect().toSeq
+    val maxTs = ev.map(_.ts.getTime).max
+
+    val mem = MemoryStream[streaming.Sessionize.Event]
+    val q = streaming.Sessionize.sessions(mem.toDS(), gapSec = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(ev)
+      q.processAllAvailable()
+      // two sentinel rounds: round 1 advances the watermark past every
+      // real session's timeout, round 2 fires those timeouts
+      mem.addData(Seq(streaming.Sessionize.Event(-1L, new Timestamp(maxTs + 86400000L))))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Sessionize.Event(-1L, new Timestamp(maxTs + 2 * 86400000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_out")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    val want = SparkEntry.queries("q_stream_session")(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events").cast("long"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "closed-session sets must agree exactly with the declarative batch form")
+    assert(got.count() == want.count())
+  }
+
   test("batch and streaming tumbling aggregations agree on closed windows") {
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
       .filter(col("day") < "2024-01-29") // watermark-closed region

@@ -66,8 +66,16 @@ object Relational extends QueryModule {
     // constructed snapshot filename. The startsWith filter is
     // pushdown-eligible once the name is materialized; here it runs
     // post-projection as the reference does.
+    // The GC name match is `${DB}-*` (backup.sh:119) — an exact DB name
+    // then the dash. Expressed as equality on the STORED column plus
+    // the prefix match on the derived filename as a residual: the
+    // equality pushes into the parquet reader (PushedFilters, and
+    // partition pruning when snapshots are db-partitioned), whereas a
+    // predicate only on the derived concat would scan the world at
+    // 100 TB. PlanSpec pins the pushdown.
     "q_filter_pred" -> QueryDef(
       (s, dir) => eventsSec(s, dir)
+        .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("event_type"),
           Retention.filename(col("event_type"), Retention.bucketDay(col("ts_s"))).as("filename"))
         .filter(col("filename").startsWith("purchase-"))
@@ -75,7 +83,7 @@ object Relational extends QueryModule {
       Some("""SELECT event_id, event_type, filename FROM (
              |  SELECT event_id, event_type,
              |         event_type || '-' || strftime(date_trunc('second', ts), '%Y%m%d') || '.zip' AS filename
-             |  FROM events)
+             |  FROM events WHERE event_type = 'purchase')
              |WHERE filename LIKE 'purchase-%' ORDER BY event_id""".stripMargin)),
 
     // Age-based retention filter (backup.sh:119–122; windows from

@@ -78,6 +78,61 @@ object TextKernels {
     acc
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * algorithm): the rolling polynomial hash of every k-byte gram, then
+    * the rightmost minimum of each w-hash window, deduplicated — the
+    * guarantee is that any match of length ≥ k + w − 1 between two
+    * documents shares at least one selected fingerprint, at a bounded
+    * ~2/(w+1) selection density. Output is the sorted distinct selected
+    * hashes (a set — deterministic, join-ready).
+    *
+    * The rolling recurrence (h·B + b, with the leading term subtracted
+    * on slide) runs in Java long arithmetic — wraparound semantics,
+    * immune to Spark's ANSI overflow checking, O(len) per document.
+    * Documents shorter than k fingerprint as their whole text.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val B = 1000003L // polynomial base (prime, well-mixed under mod 2^64)
+    if (n < k) return Array(hashString(text))
+    val nGrams = n - k + 1
+    val grams = new Array[Long](nGrams)
+    var bk = 1L // B^(k-1)
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xffL) * bk) * B + (bytes(i + k - 1) & 0xffL)
+      grams(i) = h
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      // single window over all grams: rightmost minimum
+      var min = grams(0); var at = 0; var g = 1
+      while (g < nGrams) { if (grams(g) <= min) { min = grams(g); at = g }; g += 1 }
+      selected.add(grams(at))
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var min = grams(start); var at = start; var g = start + 1
+        while (g < start + w) { if (grams(g) <= min) { min = grams(g); at = g }; g += 1 }
+        selected.add(grams(at))
+        start += 1
+      }
+    }
+    val out = new Array[Long](selected.size())
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
   /** 64-bit SimHash over the word multiset: per-bit votes (+1/-1) from
     * each word's xxhash64, sign of the vote becomes the bit. Matches
     * `TextFns.simhashExpr` over `transform(words, xxhash64)` exactly.
@@ -137,6 +192,35 @@ case class MinHashWords(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** `winnow_fp(text, k, w)` — winnowed rolling-hash fingerprint set of a
+  * document (sorted distinct selected hashes). Null text → null.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, s"winnow_fp needs k,w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(TextKernels.winnow(a.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.TextKernels.winnow($c, $k, $w));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
 /** `simhash_words(words)` — 64-bit SimHash of a tokenized document. */
 case class SimHashWords(child: Expression)
     extends UnaryExpression with WordsArrayInput {
@@ -164,6 +248,9 @@ object TextExprs {
   def simhashWords(words: Column): Column =
     bridge.column(SimHashWords(bridge.expression(words)))
 
+  def winnowFp(text: Column, k: Int, w: Int): Column =
+    bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
+
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -177,5 +264,9 @@ object TextExprs {
         litInt(exprs(1), "minhash_words"), litInt(exprs(2), "minhash_words"))),
     (FunctionIdentifier("simhash_words"),
       new ExpressionInfo(classOf[SimHashWords].getName, "simhash_words"),
-      (exprs: Seq[Expression]) => SimHashWords(exprs(0))))
+      (exprs: Seq[Expression]) => SimHashWords(exprs(0))),
+    (FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0),
+        litInt(exprs(1), "winnow_fp"), litInt(exprs(2), "winnow_fp"))))
 }

@@ -80,6 +80,15 @@ object TextFns {
       xxhash64(b, concat_ws(",",
         (1 to rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r)): _*)))
 
+  /** Winnowed rolling-hash fingerprint set (MOSS winnowing — see
+    * [[graft.expressions.TextKernels.winnow]]): any shared substring of
+    * length ≥ k+w−1 guarantees a shared fingerprint, so equality on an
+    * exploded fingerprint is a complete candidate generator for
+    * substring-level near-duplication (vs MinHash's set-level Jaccard).
+    */
+  def winnowFingerprints(text: Column, k: Int = 16, w: Int = 8): Column =
+    graft.expressions.TextExprs.winnowFp(text, k, w)
+
   /** 64-bit SimHash over the word multiset, as one native fused kernel
     * per row ([[graft.expressions.SimHashWords]]) — bit-identical to
     * the HOF form [[simhashExpr]], which costs 64·|words| interpreted

@@ -116,6 +116,37 @@ object Dedup extends QueryModule {
       },
       None),
 
+    // Winnowing fingerprints (rolling-hash document fingerprinting):
+    // docs sharing ≥5 selected k-gram hashes are substring-level
+    // near-dup candidates — the complement of MinHash (which measures
+    // set-level Jaccard and misses short verbatim overlaps). Same
+    // LSH-style scale shape: explode a bounded fingerprint set, drop
+    // non-discriminative hot fingerprints, equi-join on the hash.
+    // Parameters measured on the fixture: k=8 flags 63% of ALL doc
+    // pairs (8-byte grams collide on common words); k=16/w=8 with the
+    // ≥5 co-occurrence floor isolates the stable true near-dup set.
+    // Approximate/custom-hash ⇒ no oracle.
+    "q_dedup_winnow" -> QueryDef(
+      (s, dir) => {
+        // persisted: referenced three times (hot-fp filter + both join
+        // sides) — same reuse rationale as the minhash signatures()
+        val fps = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFns.winnowFingerprints(col("text"), 16, 8)).as("fp"))
+          .persist()
+        val keep = fps.groupBy("fp").agg(count(lit(1)).as("fn"))
+          .filter(col("fn") > 1 && col("fn") <= BucketCap)
+        val inBucket = fps.join(keep.select("fp"), Seq("fp"))
+        inBucket.select(col("fp"), col("doc_id").as("doc_a"))
+          .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
     // Exact word-level Jaccard over a bounded sample — the correctness
     // baseline the LSH variants approximate. Explode distinct words,
     // self-join on the word (shuffle on word key), count intersections,

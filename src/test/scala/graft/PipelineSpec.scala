@@ -49,6 +49,26 @@ class PipelineSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("winnowing: deterministic, sorted-distinct, and guarantees shared fp on long overlaps") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // identical
+      (3L, s"PREFIX EDIT $base TRAILING EDIT"),    // long shared substring
+      (4L, "zz"),                                  // shorter than k -> whole-text fallback
+      (5L, "completely unrelated content xyzw"))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.winnowFingerprints(col("text"), 8, 4).as("fps"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1) == rows(2), "identical docs must fingerprint identically")
+    assert(rows(1).sorted == rows(1) && rows(1).distinct == rows(1),
+      "fingerprint set must be sorted distinct")
+    assert(rows(1).toSet.intersect(rows(3).toSet).nonEmpty,
+      "a shared substring of length >= k+w-1 must share a fingerprint")
+    assert(rows(4).length == 1, "sub-k documents fingerprint as their whole text")
+    assert(rows(1).toSet.intersect(rows(5).toSet).isEmpty)
+  }
+
   test("native vec_dot matches the HOF formulation bit-for-bit") {
     val emb = Tables(spark, sf, "embeddings")
     val both = emb.join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),

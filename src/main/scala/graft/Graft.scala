@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession configured the way every graft
+  * workload expects, plus catalog registration so the whole engine is
+  * usable from pure SQL.
+  *
+  * Settings rationale (100 TB posture, SURVEY.md §4):
+  *  - AQE on with skew-join handling: runtime re-planning converts
+  *    sort-merge to broadcast when a side turns out small and splits
+  *    skewed partitions — the behaviors the operators here rely on
+  *    instead of hand-tuning per query;
+  *  - shuffle partitions sized by the caller (cores locally, a
+  *    data-proportional number on a cluster) rather than Spark's
+  *    legacy 200;
+  *  - UTC session timezone: date-bucket semantics (backup.sh:26–29)
+  *    must not depend on cluster locale;
+  *  - graft's native expressions registered for SQL
+  *    ([[graft.expressions.GraftExtensions]]) so `vec_dot`,
+  *    `minhash_words`, `simhash_words`, `winnow_fp` work in
+  *    `spark.sql(...)` text, not just the Column API.
+  */
+object Graft {
+
+  def builder(
+      appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .withExtensions(new expressions.GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    master.fold(b)(b.master)
+  }
+
+  def session(
+      appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession =
+    builder(appName, master, shufflePartitions).getOrCreate()
+
+  /** Register every fixture table under its name as a temp view — the
+    * catalog enumeration of backup.sh:24/env.sh:24 — so all queries
+    * (and user SQL over graft's registered functions) run as plain
+    * `spark.sql` text.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

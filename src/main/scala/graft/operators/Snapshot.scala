@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The backup/restore loop itself (layer [R]): `BACKUP DATABASE … TO
+  * Disk` (backup.sh:45) with the post-write validation of
+  * backup.sh:47–65, and the restore direction the ClickHouse BACKUP
+  * feature implies.
+  *
+  * Scale shape: the snapshot is ONE physical parquet dataset
+  * partitioned by day bucket ([[Retention.writeSnapshot]]); the four
+  * retention tiers are zero-copy views (filters on bucket columns —
+  * the hardlink fan-out of backup.sh:67–97 without the copies), and
+  * reads that filter a bucket prune partitions at the scan.
+  */
+object Snapshot {
+
+  /** Snapshot write + the reference's fail-fast post-write checks
+    * (backup.sh:47–65: file must exist and be non-trivial, else exit
+    * 1): write day-partitioned, read back, verify row count matches.
+    * Returns the verified row count.
+    */
+  def backup(df: DataFrame, ts: Column, dest: String): Long = {
+    val expected = df.count()
+    Retention.writeSnapshot(df, ts, dest)
+    // an empty write leaves no readable footers — that IS the failure
+    // mode the reference's [ -f FILE ] check catches (backup.sh:47–52)
+    val actual =
+      try restore(df.sparkSession, dest).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    require(actual == expected,
+      s"snapshot validation failed: wrote $expected rows, read back $actual (dest=$dest)")
+    require(actual > 0, s"snapshot validation failed: empty snapshot at $dest")
+    actual
+  }
+
+  /** RESTORE analog: read the snapshot back (schema from parquet
+    * footers — the engine is schema-dynamic like the reference, which
+    * backs up whatever schema the DB has). Partition-column type
+    * inference is disabled so `bucket_day` restores as the string it
+    * was written as, not a guessed int.
+    */
+  def restore(spark: SparkSession, dest: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.parquet(dest)
+  }
+
+  /** A retention-tier view over the snapshot: day-bucket prefix length
+    * selects the tier granularity (day=8, month=6 via prefix). Filters
+    * on `bucket_day` are partition predicates — the scan prunes whole
+    * directories, which is the point of partitioning by the bucket.
+    */
+  def dayView(snap: DataFrame, day: String): DataFrame =
+    snap.filter(col("bucket_day") === day)
+
+  def monthView(snap: DataFrame, month: String): DataFrame =
+    snap.filter(col("bucket_day").startsWith(month))
+}

@@ -20,6 +20,7 @@ object SparkEntry {
     functions.Scalars,
     streaming.Shapes,
     pipeline.TextOps,
+    pipeline.Curate,
     pipeline.Dedup,
     pipeline.Similarity,
     pipeline.Multimodal)

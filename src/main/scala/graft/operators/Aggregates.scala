@@ -61,6 +61,41 @@ object Aggregates extends QueryModule {
         .orderBy("event_type"),
       None),
 
+    // Quantiles — the ClickHouse-staple aggregate ([CH]). Exact
+    // `percentile` (linear interpolation, same semantics as DuckDB's
+    // quantile_cont) so the query is oracle-checkable; it buffers each
+    // group's values, so at 100 TB the production form is
+    // `approx_percentile` (t-digest sketch, mergeable map-side) — the
+    // exact form here doubles as its correctness reference.
+    // One percentile call with the quantile ARRAY, not one aggregate
+    // per quantile: each exact-percentile aggregate builds its own
+    // value buffer per group, so 3 separate calls triple the dominant
+    // cost (measured 3× on sf0.1).
+    "q_agg_percentile" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
+          round(min(col("l_extendedprice")), 4).as("p_min"),
+          round(max(col("l_extendedprice")), 4).as("p_max"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"),
+          round(element_at(col("ps"), 3), 4).as("p99"),
+          col("p_min"), col("p_max"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(ps[1], 4) AS p50,
+             |  round(ps[2], 4) AS p90,
+             |  round(ps[3], 4) AS p99,
+             |  p_min, p_max
+             |FROM (SELECT l_returnflag,
+             |        quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS ps,
+             |        round(min(l_extendedprice), 4) AS p_min,
+             |        round(max(l_extendedprice), 4) AS p_max
+             |      FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Hierarchy totals (tier → db → grand total, backup.sh:21 shape).
     "q_agg_rollup" -> QueryDef(
       (s, dir) => Tables(s, dir, "lineitem")

@@ -86,6 +86,34 @@ object Multimodal extends QueryModule {
     }
   }
 
+  final case class ResizedAsset(
+      asset_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Resize plumbing: partition-local batch transform to a target
+    * geometry. The scaler is the STUB (deterministic stride subsample
+    * of the payload standing in for a real resampler — swap the body,
+    * keep the plumbing); what is real is the typed Dataset boundary,
+    * the metadata rewrite, and that the transform is a narrow map (no
+    * shuffle, scales with input splits).
+    */
+  def resizeAssets(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition setup (a real scaler would init once here)
+      val targetBytes = math.max(1, targetW * targetH / 8)
+      it.map { a =>
+        // ??? <- real resampler goes here; deterministic stride stub below
+        val stride = math.max(1, a.payload.length / targetBytes)
+        val out = a.payload.indices.by(stride).map(a.payload).toArray
+        ResizedAsset(a.asset_id, a.kind, targetW, targetH, out)
+      }
+    }
+  }
+
   /** Frame sampling: every k-th frame index per video asset, exploded
     * to one row per sampled frame with a byte-slice "frame" — the plan
     * shape (generator → projection) is identical with real frames.

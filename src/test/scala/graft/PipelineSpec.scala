@@ -69,6 +69,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1).toSet.intersect(rows(5).toSet).isEmpty)
   }
 
+  test("winnow guarantee holds on random documents (property)") {
+    import org.scalacheck.Gen
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 16; val w = 8
+    val charGen = Gen.frequency((9, Gen.alphaNumChar), (2, Gen.const(' ')))
+    def str(n: Int) = Gen.listOfN(n, charGen).map(_.mkString)
+    val cases = Gen.listOfN(100, for {
+      shared <- str(k + w - 1) // minimal guaranteed-match length
+      a1 <- str(40); a2 <- str(40)
+      b1 <- str(40); b2 <- str(40)
+    } yield (a1 + shared + a2, b1 + shared + b2)).sample.get
+    cases.foreach { case (d1, d2) =>
+      val f1 = graft.expressions.TextKernels
+        .winnow(UTF8String.fromString(d1), k, w).toSet
+      val f2 = graft.expressions.TextKernels
+        .winnow(UTF8String.fromString(d2), k, w).toSet
+      assert(f1.intersect(f2).nonEmpty,
+        s"winnow guarantee violated for:\n  $d1\n  $d2")
+    }
+  }
+
   test("native vec_dot matches the HOF formulation bit-for-bit") {
     val emb = Tables(spark, sf, "embeddings")
     val both = emb.join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),
@@ -122,6 +143,18 @@ class PipelineSpec extends SparkSpec {
       .withColumn("sh", expr(TextFns.simhashExpr))
     val sh = df.select("sh").collect().map(_.getLong(0))
     assert(sh(0) == sh(1) && sh(0) != sh(2))
+  }
+
+  test("multimodal resize rewrites geometry and bounds the payload, deterministically") {
+    val a = pipeline.Multimodal.assets(spark, sf)
+    val r1 = pipeline.Multimodal.resizeAssets(a, 32, 32).collect().sortBy(_.asset_id)
+    val r2 = pipeline.Multimodal.resizeAssets(a, 32, 32).collect().sortBy(_.asset_id)
+    assert(r1.length == 500)
+    assert(r1.forall(x => x.width == 32 && x.height == 32 && x.payload.nonEmpty))
+    assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
+    // downsampling never grows the payload
+    val orig = a.collect().map(x => x.asset_id -> x.payload.length).toMap
+    assert(r1.forall(x => x.payload.length <= orig(x.asset_id)))
   }
 
   test("multimodal feature extraction is deterministic and total") {

@@ -61,19 +61,27 @@ object KMeans {
 
   /** Fit by `iters` Lloyd rounds. Empty clusters keep their previous
     * centroid (they can re-acquire members as others move).
+    *
+    * The update step is ONE map-side-combined aggregation via the
+    * typed vector-mean Aggregator ([[graft.functions.VecMeanAgg]]):
+    * the shuffle carries k × (dim+1) doubles of partial state total —
+    * not the 64-rows-per-vector a posexplode formulation pushes
+    * through the exchange.
     */
   def fit(emb: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int): Model = {
     var model = init(emb, vecCol, idCol, k)
     var it = 0
     while (it < iters) {
       val means = emb
-        .select(model.assignCol(col(vecCol)).as("cluster_id"),
-          posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("cluster_id", "pos")
-        .agg(avg(col("v")).as("mean_v"))
+        .select(model.assignCol(col(vecCol)).as("cluster_id"), col(vecCol))
+        .groupBy("cluster_id")
+        .agg(graft.functions.VecMeanAgg(col(vecCol)).as("centroid"))
         .collect()
       val next = model.centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      means.foreach { r =>
+        val c = r.getSeq[Double](1)
+        if (c.nonEmpty) next(r.getInt(0)) = c.toArray
+      }
       model = Model(next)
       it += 1
     }

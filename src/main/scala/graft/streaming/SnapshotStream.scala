@@ -45,6 +45,17 @@ object SnapshotStream {
         e.exception.getOrElse("")))
   }
 
+  /** In-flight exact dedup — the streaming form of `q_dedup_exact`
+    * (and the ingestion-time half of the training-data dedup story):
+    * duplicates arriving within the watermark delay are dropped, and
+    * the key state is EVICTED once the watermark passes, so state size
+    * is bounded by the key arrival rate × delay, not by history.
+    */
+  def dedupedEvents(events: DataFrame, idCol: String,
+      watermarkDelay: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Tumbling daily aggregate with watermark eviction — the streaming
     * form of `q_stream_tumbling`. Input must carry (ts: timestamp,
     * event_type: string, value: double).

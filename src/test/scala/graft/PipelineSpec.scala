@@ -115,6 +115,19 @@ class PipelineSpec extends SparkSpec {
     assert(one.filter(col("c") =!= 1.0).isEmpty)
   }
 
+  test("VecMeanAgg computes the element-wise mean with map-side partials") {
+    val rows = Seq(
+      (0, Seq(1.0f, 2.0f, 3.0f)),
+      (0, Seq(3.0f, 2.0f, 1.0f)),
+      (1, Seq(10.0f, 0.0f, 0.0f)))
+    val got = spark.createDataFrame(rows).toDF("g", "v")
+      .repartition(3) // force cross-partition merge of partial buffers
+      .groupBy("g").agg(functions.VecMeanAgg(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0) == Seq(2.0, 2.0, 2.0))
+    assert(got(1) == Seq(10.0, 0.0, 0.0))
+  }
+
   test("kmeans quantizer assignment is total and in-range") {
     val emb = Tables(spark, sf, "embeddings")
     val m = pipeline.KMeans.fit(emb, "embedding", "vec_id", k = 10, iters = 3)

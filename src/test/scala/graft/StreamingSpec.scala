@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops in-flight duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select(col("ts_s").as("ts"), col("event_id"), col("user_id"))
+      .as[(Timestamp, Long, Long)].collect().toSeq.take(2000)
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val q = SnapshotStream.dedupedEvents(
+        mem.toDF().toDF("ts", "event_id", "user_id"), "event_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(rows)
+      mem.addData(rows) // exact duplicate replay
+      mem.addData(rows.map { case (ts, id, u) => (ts, id, u + 1) }) // same ids, new payload
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() == rows.length,
+      "each event_id must survive exactly once")
+    assert(got.select("event_id").distinct().count() == rows.length)
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch sessionization exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

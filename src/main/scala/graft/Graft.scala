@@ -40,8 +40,18 @@ object Graft {
   def session(
       appName: String = "graft",
       master: Option[String] = None,
-      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession =
-    builder(appName, master, shufflePartitions).getOrCreate()
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(appName, master, shufflePartitions).getOrCreate()
+    // getOrCreate may return a PRE-EXISTING session, in which case
+    // withExtensions never ran — register the SQL functions directly so
+    // the contract ("graft functions SQL-registered") holds either way
+    val reg = s.sessionState.functionRegistry
+    (expressions.VectorExprs.functions ++ expressions.TextExprs.functions).foreach {
+      case (ident, info, fb) =>
+        if (!reg.functionExists(ident)) reg.registerFunction(ident, info, fb)
+    }
+    s
+  }
 
   /** Register every fixture table under its name as a temp view — the
     * catalog enumeration of backup.sh:24/env.sh:24 — so all queries

@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   * multiplied, summed sequentially left-to-right — bit-identical
   * results (the DuckDB oracle relies on this). Assumes non-null array
   * elements (embeddings are dense); null ARRAYS yield null via
-  * BinaryExpression's null-intolerant contract.
+  * BinaryExpression's null-intolerant contract, and a length mismatch
+  * yields null too (as zip_with's null-padding does in the HOF form) —
+  * ragged embeddings surface as missing, never as a partial product.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,7 +50,12 @@ case class DotProductF(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // dimension mismatch → null, matching the HOF form (zip_with pads
+    // the shorter side with null, which nulls the whole aggregate) —
+    // a ragged embedding must surface as missing, not as a plausible
+    // partial dot product
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
@@ -62,6 +69,8 @@ case class DotProductF(left: Expression, right: Expression)
     s
   }
 
+  override def nullable: Boolean = true
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
     val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
@@ -70,12 +79,16 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

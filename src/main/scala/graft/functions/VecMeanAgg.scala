@@ -33,10 +33,13 @@ object VecMeanAgg {
         while (i < v.length) { s(i) = v(i).toDouble; i += 1 }
         Buf(s, 1L)
       } else {
+        // fail fast on ragged input: silently truncating would make the
+        // result depend on per-partition arrival order
+        require(v.length == b.sums.length,
+          s"vec_mean: dimension mismatch (${v.length} vs ${b.sums.length})")
         val s = b.sums
-        val m = math.min(s.length, v.length)
         var i = 0
-        while (i < m) { s(i) += v(i).toDouble; i += 1 }
+        while (i < s.length) { s(i) += v(i).toDouble; i += 1 }
         Buf(s, b.n + 1L)
       }
     }
@@ -45,9 +48,10 @@ object VecMeanAgg {
       if (a.n == 0L) b
       else if (b.n == 0L) a
       else {
-        val m = math.min(a.sums.length, b.sums.length)
+        require(a.sums.length == b.sums.length,
+          s"vec_mean: dimension mismatch (${a.sums.length} vs ${b.sums.length})")
         var i = 0
-        while (i < m) { a.sums(i) += b.sums(i); i += 1 }
+        while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
         Buf(a.sums, a.n + b.n)
       }
 

@@ -66,16 +66,17 @@ object Relational extends QueryModule {
     // constructed snapshot filename. The startsWith filter is
     // pushdown-eligible once the name is materialized; here it runs
     // post-projection as the reference does.
-    // The GC name match is `${DB}-*` (backup.sh:119) — an exact DB name
-    // then the dash. Expressed as equality on the STORED column plus
-    // the prefix match on the derived filename as a residual: the
-    // equality pushes into the parquet reader (PushedFilters, and
-    // partition pruning when snapshots are db-partitioned), whereas a
-    // predicate only on the derived concat would scan the world at
-    // 100 TB. PlanSpec pins the pushdown.
+    // The GC name match is `${DB}-*` glob semantics (backup.sh:119). A
+    // predicate on the derived concat alone cannot push down (full scan
+    // at 100 TB), so a provably-implied prefix filter on the STORED
+    // column is added: `filename LIKE 'purchase-%'` forces event_type
+    // to start with "purchase" (a shorter event_type would need the
+    // literal '-' inside "purchase", which has none), so the extra
+    // filter is a pure relaxation — same result set, but it reaches the
+    // parquet reader as a pushed StartsWith. PlanSpec pins the pushdown.
     "q_filter_pred" -> QueryDef(
       (s, dir) => eventsSec(s, dir)
-        .filter(col("event_type") === "purchase")
+        .filter(col("event_type").startsWith("purchase"))
         .select(col("event_id"), col("event_type"),
           Retention.filename(col("event_type"), Retention.bucketDay(col("ts_s"))).as("filename"))
         .filter(col("filename").startsWith("purchase-"))
@@ -83,7 +84,7 @@ object Relational extends QueryModule {
       Some("""SELECT event_id, event_type, filename FROM (
              |  SELECT event_id, event_type,
              |         event_type || '-' || strftime(date_trunc('second', ts), '%Y%m%d') || '.zip' AS filename
-             |  FROM events WHERE event_type = 'purchase')
+             |  FROM events WHERE event_type LIKE 'purchase%')
              |WHERE filename LIKE 'purchase-%' ORDER BY event_id""".stripMargin)),
 
     // Age-based retention filter (backup.sh:119–122; windows from

@@ -38,12 +38,20 @@ object Snapshot {
   /** RESTORE analog: read the snapshot back (schema from parquet
     * footers — the engine is schema-dynamic like the reference, which
     * backs up whatever schema the DB has). Partition-column type
-    * inference is disabled so `bucket_day` restores as the string it
-    * was written as, not a guessed int.
+    * inference is disabled DURING the read (and restored after — the
+    * read resolves its schema eagerly) so `bucket_day` comes back as
+    * the string it was written as without perturbing the caller's
+    * session for unrelated reads.
     */
   def restore(spark: SparkSession, dest: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.parquet(dest)
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(dest)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** A retention-tier view over the snapshot: day-bucket prefix length

@@ -68,8 +68,18 @@ object Sessionize {
                 case Some(s) if t - s.last > gapSec =>
                   out += close(user, s)
                   cur = Some(SessionState(t, t, 1))
+                case Some(s) if s.start - t > gapSec =>
+                  // late arrival more than a gap BEFORE the open session:
+                  // its own (already-closed) earlier session. Approximation:
+                  // multiple such stragglers arriving in different batches
+                  // each close separately instead of merging — exact
+                  // handling would require buffering evicted history.
+                  out += Session(user, e.ts, e.ts, 1)
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                  // in-gap arrival, possibly late: extend BOTH bounds so a
+                  // late-but-in-window event moves session_start back, as
+                  // the declarative batch form would
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

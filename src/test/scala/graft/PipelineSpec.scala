@@ -99,6 +99,28 @@ class PipelineSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("vec_dot yields null on dimension mismatch, like the HOF form") {
+    val df = spark.createDataFrame(Seq(
+        (Seq(1.0f, 2.0f), Seq(3.0f)),
+        (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))))
+      .toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("native"),
+        Vectors.dotHof(col("a"), col("b")).as("hof"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1),
+      "ragged vectors must yield null in both formulations")
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
+
+  test("VecMeanAgg fails fast on ragged input instead of truncating") {
+    val df = spark.createDataFrame(Seq(
+        (0, Seq(1.0f, 2.0f, 3.0f)), (0, Seq(1.0f, 2.0f))))
+      .toDF("g", "v")
+    intercept[org.apache.spark.SparkException] {
+      df.groupBy("g").agg(functions.VecMeanAgg(col("v"))).collect()
+    }
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions function registration") {
     graft.expressions.VectorExprs.functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

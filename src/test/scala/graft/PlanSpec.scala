@@ -56,8 +56,8 @@ class PlanSpec extends SparkSpec {
 
   test("filters reach the parquet scan as pushed filters") {
     val f = formatted("q_filter_pred")
-    assert(f.contains("PushedFilters") && f.contains("EqualTo(event_type,purchase)"),
-      "the DB-name predicate must push into the parquet reader")
+    assert(f.contains("PushedFilters") && f.contains("StringStartsWith(event_type,purchase)"),
+      "the DB-name prefix predicate must push into the parquet reader")
     val r = formatted("q_join_semi")
     assert(r.contains("PushedFilters") && r.contains("GreaterThan(o_totalprice"),
       "o_totalprice threshold must push into the orders scan")

@@ -109,6 +109,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count())
   }
 
+  test("sessionizer handles late cross-batch arrivals: in-gap extends start, isolated closes alone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[streaming.Sessionize.Event]
+    val q = streaming.Sessionize.sessions(mem.toDS(), gapSec = 1800, watermarkDelay = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("sess_late").start()
+    try {
+      mem.addData(Seq(
+        streaming.Sessionize.Event(1L, ts("2024-01-01 10:00:00")),
+        streaming.Sessionize.Event(2L, ts("2024-01-01 12:00:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        streaming.Sessionize.Event(1L, ts("2024-01-01 09:50:00")), // in-gap late
+        streaming.Sessionize.Event(2L, ts("2024-01-01 08:00:00")))) // isolated late
+      q.processAllAvailable()
+      // sentinel rounds advance the watermark so open sessions time out
+      mem.addData(Seq(streaming.Sessionize.Event(-1L, ts("2024-01-05 00:00:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Sessionize.Event(-1L, ts("2024-01-09 00:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_late").filter(col("user_id") > 0)
+      .select(col("user_id"),
+        date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "09:50", "10:00", 2L), // late in-gap event moved session_start back
+      (2L, "08:00", "08:00", 1L), // isolated late arrival closed alone
+      (2L, "12:00", "12:00", 1L)), s"got $got")
+  }
+
   test("batch and streaming tumbling aggregations agree on closed windows") {
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
       .filter(col("day") < "2024-01-29") // watermark-closed region

@@ -98,6 +98,92 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection (hyperplane LSH) kernel — see [[RpBits]]. */
+object RpKernels {
+  /** Spark's default xxhash64 seed, shared with TextKernels. */
+  val Seed = 42L
+
+  /** Deterministic Rademacher (±1) hyperplane matrix: sign(b, i) is
+    * bit 0 of xxhash64 of the (bit, dim) pair. Hash-derived rather
+    * than PRNG-stream-derived so each entry is independently
+    * reproducible — the same (b, i) gives the same sign on every JVM,
+    * every executor, every release.
+    */
+  def signs(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](nBits, dim)
+    var b = 0
+    while (b < nBits) {
+      var i = 0
+      while (i < dim) {
+        m(b)(i) = if ((XXH64.hashLong((b.toLong << 32) | i, Seed) & 1L) == 1L) 1.0 else -1.0
+        i += 1
+      }
+      b += 1
+    }
+    m
+  }
+
+  /** Bit b of the key = [vec · hyperplane_b >= 0]. Vectors longer
+    * than the hyperplane dim are truncated; shorter ones contribute
+    * only their defined components (zero-pad semantics). Up to 64
+    * bits in one pass — callers carve the key into per-table bucket
+    * ids with shift/mask arithmetic (multi-table LSH).
+    */
+  def rpBits(vec: ArrayData, signs: Array[Array[Double]]): Long = {
+    var key = 0L
+    var b = 0
+    while (b < signs.length) {
+      val row = signs(b)
+      val n = math.min(vec.numElements(), row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getFloat(i).toDouble * row(i); i += 1 }
+      if (s >= 0.0) key |= 1L << b
+      b += 1
+    }
+    key
+  }
+}
+
+/** `rp_bits(vec, nBits, dim)` — sign-random-projection LSH bits
+  * (Charikar's SimHash for real vectors): nBits deterministic
+  * Rademacher hyperplanes over the first `dim` components; bit b is
+  * the sign of the projection onto hyperplane b. Cosine-similar
+  * vectors agree on each bit with probability 1 − θ/π, so near
+  * neighbours collide in coarse buckets — the bucketing primitive
+  * behind `q_sim_lsh`, which carves the 64-bit key into L independent
+  * hash tables of b bits each. Null vector → null.
+  */
+case class RpBits(child: Expression, nBits: Int, dim: Int)
+    extends UnaryExpression {
+
+  require(nBits >= 1 && nBits <= 64 && dim >= 1,
+    s"rp_bits needs 1 <= nBits <= 64 and dim >= 1, got nBits=$nBits dim=$dim")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rp_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val signs = RpKernels.signs(nBits, dim)
+
+  override def nullSafeEval(a: Any): Any =
+    RpKernels.rpBits(a.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("rpSigns", signs, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.RpKernels.rpBits($c, $sRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RpBits =
+    copy(child = newChild)
+}
+
 /** Argmin-over-centroids kernel for the k-means / IVF assignment step.
   * One static call per row; the centroid matrix rides along as a
   * codegen REFERENCE object, not plan literals — so the generated
@@ -174,10 +260,24 @@ object VectorExprs {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     bridge.column(NearestCentroid(bridge.expression(vec), centroids))
 
+  /** Column-API entry point used by [[graft.pipeline.Similarity]]. */
+  def rpBits(vec: Column, nBits: Int, dim: Int): Column =
+    bridge.column(RpBits(bridge.expression(vec), nBits, dim))
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))),
+    (FunctionIdentifier("rp_bits"),
+      new ExpressionInfo(classOf[RpBits].getName, "rp_bits"),
+      (exprs: Seq[Expression]) => RpBits(exprs(0),
+        litInt(exprs(1), "rp_bits"), litInt(exprs(2), "rp_bits"))))
 }
 
 /** SQL-surface registration: `SparkSession.builder.withExtensions(new

@@ -96,6 +96,23 @@ object Aggregates extends QueryModule {
              |      FROM lineitem GROUP BY l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // The 100 TB form of q_agg_percentile: approx_percentile keeps an
+    // O(accuracy)-sized mergeable sketch per group (map-side partials,
+    // constant state) instead of buffering every value. Approx ⇒
+    // rows-only check; the exact query above is its correctness
+    // reference.
+    "q_agg_approx_percentile" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 1000)").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"),
+          round(element_at(col("ps"), 3), 4).as("p99"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Hierarchy totals (tier → db → grand total, backup.sh:21 shape).
     "q_agg_rollup" -> QueryDef(
       (s, dir) => Tables(s, dir, "lineitem")

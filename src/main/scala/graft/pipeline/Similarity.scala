@@ -27,6 +27,21 @@ object Similarity extends QueryModule {
     */
   val AnnCells = 10
 
+  /** Multi-table hyperplane LSH: L=8 independent tables of b=8 bits,
+    * all 64 hyperplane signs computed by ONE `rp_bits` call per row
+    * (same cost as a SimHash). The fixture's true neighbours are weak
+    * (cos ≈ 0.32 ⇒ per-bit agreement ≈ 0.60), so a single table is
+    * hopeless (0.6^8 ≈ 2%); with Hamming-≤1 multi-probe per table the
+    * per-table hit rate is ≈ 0.11 and 8 independent tables lift
+    * recall to 1 − 0.89^8 ≈ 0.6 — the classic b/L trade
+    * (Indyk–Motwani; Gionis et al., VLDB'99).
+    */
+  val LshBits = 8
+  val LshTables = 8
+
+  /** Embedding dimensionality of the fixture corpus (TESTDATA.md). */
+  val EmbDim = 64
+
   /** "Fit once per corpus snapshot" made literal: the quantizer model
     * is memoized per corpus dir, so repeated query construction (plan
     * dumps, test suites, repeated searches) reuses the index instead of
@@ -73,6 +88,60 @@ object Similarity extends QueryModule {
     rankTopK(scored, k)
       .select(col("q_id"), col("rank"), col("vec_id"),
         col("cluster_id").cast("long").as("cell"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (the non-learned alternative to [[annTopK]]'s
+    * IVF): every vector gets 64 sign-random-projection bits (native
+    * `rp_bits`), carved into `LshTables` bucket keys of `LshBits`
+    * bits; each query probes, per table, its home bucket plus all
+    * Hamming-1 neighbours. Only colliding (query, candidate) pairs —
+    * deduplicated ids-first, like the MinHash pipeline — are scored
+    * with the exact cosine. No index fit at all: the bucket key is a
+    * pure per-row function, which is the operational advantage over
+    * IVF (no training pass over the corpus, stable keys under
+    * appends).
+    *
+    * 100 TB shape: the corpus bucket table (vec_id, bucket — ids
+    * only, L rows per vector) is written partitioned by `bucket`; the
+    * probe set (|queries| × L × (b+1) rows) broadcasts; the bucket
+    * equi-join prunes whole partitions at the scan; embeddings are
+    * re-attached once per *surviving distinct pair*, never dragged
+    * through the bucket explosion.
+    */
+  def lshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val mask = (1L << LshBits) - 1
+    // (table << b) | tableKey — one composite bucket id per table
+    val buckets = emb.select(col("vec_id"),
+        graft.expressions.VectorExprs.rpBits(
+          col("embedding"), LshTables * LshBits, EmbDim).as("bits"))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${LshTables - 1}),
+           |  t -> shiftleft(bigint(t), $LshBits)
+           |       | (shiftrightunsigned(bits, t * $LshBits) & $mask))""".stripMargin))
+        .as("bucket"))
+    // per table: home bucket + every Hamming-1 neighbour (bit flips
+    // stay inside the low b key bits, so the table tag is preserved)
+    val probes = buckets.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), explode(concat(
+        array(col("bucket")),
+        expr(s"transform(sequence(0, ${LshBits - 1}), f -> bucket ^ shiftleft(1L, f))")))
+        .as("bucket"))
+    val pairs = buckets.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").distinct()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Vectors.norm(col("embedding")).as("q_nrm"))
+    val scored = pairs
+      .join(emb.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("c_nrm")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_sim", round(
+        Vectors.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 4))
+    rankTopK(scored, k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
       .orderBy("q_id", "rank")
   }
 
@@ -129,6 +198,13 @@ object Similarity extends QueryModule {
     // ScalaTest spec checks that probing ALL cells reproduces the
     // exact brute-force result, plus a recall floor at nProbe=2.
     "q_sim_ann" -> QueryDef(
-      (s, dir) => annTopK(s, dir, nProbe = 2, k = 5), None)
+      (s, dir) => annTopK(s, dir, nProbe = 2, k = 5), None),
+
+    // Hyperplane-LSH ANN: 8 tables × 8 bits, Hamming-≤1 multi-probe
+    // per table. Approximate (a neighbour missing every probed bucket
+    // in every table is lost) ⇒ no oracle; the ScalaTest spec checks
+    // a recall floor against exact brute force and key determinism.
+    "q_sim_lsh" -> QueryDef(
+      (s, dir) => lshTopK(s, dir, k = 5), None)
   )
 }

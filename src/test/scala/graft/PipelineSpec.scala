@@ -171,6 +171,38 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // loose floor on the tiny sample
   }
 
+  test("rp_bits keys are in-range, deterministic, and match the kernel") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val emb = Tables(spark, sf, "embeddings")
+    val keyed = emb.select(col("vec_id"),
+      expressions.VectorExprs.rpBits(col("embedding"), 8, 64).as("b"))
+    assert(keyed.filter(col("b").isNull || col("b") < 0 || col("b") >= 256).isEmpty)
+    // codegen'd DataFrame path vs a direct kernel call on the raw floats
+    val signs = expressions.RpKernels.signs(8, 64)
+    val rows = emb.limit(20).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        expressions.RpKernels.rpBits(
+          new GenericArrayData(r.getSeq[Float](1).toArray), signs)).toMap
+    val got = keyed.filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, b) => assert(b == rows(id), s"vec $id") }
+  }
+
+  test("LSH ANN recall floor vs exact brute force; no double-scored pairs") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_sim_lsh")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // 8 tables × Hamming-≤1 probing ⇒ expected ≈ 0.6 on the weak
+    // fixture neighbours (cos ≈ 0.32); floor leaves generous margin
+    assert(recall >= 0.3, s"recall=$recall")
+    // multi-table collisions are deduplicated before scoring
+    val dup = SparkEntry.queries("q_sim_lsh")(spark, sf)
+      .groupBy("q_id", "vec_id").count().filter(col("count") > 1)
+    assert(dup.isEmpty, "a candidate pair must be scored exactly once")
+  }
+
   test("simhash of identical word multisets is identical") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
     val df = spark.createDataFrame(docs).toDF("doc_id", "text")

@@ -239,7 +239,29 @@ case class SimHashWords(child: Expression)
     copy(child = newChild)
 }
 
+/** Shared helpers for SQL-surface function registration: literal-int
+  * extraction and clean arity failure (a wrong argument count must
+  * surface as an analysis-time error message, not an
+  * IndexOutOfBoundsException from the builder).
+  */
+private[expressions] object FnReg {
+  def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  def arity(fn: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${exprs.length}")
+      b(exprs)
+    }
+}
+
 object TextExprs {
+  import FnReg._
 
   /** Column-API entry points used by [[graft.functions.TextFns]]. */
   def minhashWords(words: Column, n: Int, k: Int): Column =
@@ -251,22 +273,16 @@ object TextExprs {
   def winnowFp(text: Column, k: Int, w: Int): Column =
     bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
 
-  private def litInt(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn expects a literal int, got $other")
-  }
-
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_words"),
       new ExpressionInfo(classOf[MinHashWords].getName, "minhash_words"),
-      (exprs: Seq[Expression]) => MinHashWords(exprs(0),
-        litInt(exprs(1), "minhash_words"), litInt(exprs(2), "minhash_words"))),
+      arity("minhash_words", 3)(exprs => MinHashWords(exprs(0),
+        litInt(exprs(1), "minhash_words"), litInt(exprs(2), "minhash_words")))),
     (FunctionIdentifier("simhash_words"),
       new ExpressionInfo(classOf[SimHashWords].getName, "simhash_words"),
-      (exprs: Seq[Expression]) => SimHashWords(exprs(0))),
+      arity("simhash_words", 1)(exprs => SimHashWords(exprs(0)))),
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
-      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0),
-        litInt(exprs(1), "winnow_fp"), litInt(exprs(2), "winnow_fp"))))
+      arity("winnow_fp", 3)(exprs => WinnowFingerprint(exprs(0),
+        litInt(exprs(1), "winnow_fp"), litInt(exprs(2), "winnow_fp")))))
 }

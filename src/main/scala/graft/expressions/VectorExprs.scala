@@ -100,8 +100,8 @@ case class DotProductF(left: Expression, right: Expression)
 
 /** Sign-random-projection (hyperplane LSH) kernel — see [[RpBits]]. */
 object RpKernels {
-  /** Spark's default xxhash64 seed, shared with TextKernels. */
-  val Seed = 42L
+  /** Spark's default xxhash64 seed — the one constant, shared. */
+  val Seed: Long = TextKernels.Seed
 
   /** Deterministic Rademacher (±1) hyperplane matrix: sign(b, i) is
     * bit 0 of xxhash64 of the (bit, dim) pair. Hash-derived rather
@@ -264,20 +264,16 @@ object VectorExprs {
   def rpBits(vec: Column, nBits: Int, dim: Int): Column =
     bridge.column(RpBits(bridge.expression(vec), nBits, dim))
 
-  private def litInt(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn expects a literal int, got $other")
-  }
+  import FnReg._
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))),
+      arity("vec_dot", 2)(exprs => DotProductF(exprs(0), exprs(1)))),
     (FunctionIdentifier("rp_bits"),
       new ExpressionInfo(classOf[RpBits].getName, "rp_bits"),
-      (exprs: Seq[Expression]) => RpBits(exprs(0),
-        litInt(exprs(1), "rp_bits"), litInt(exprs(2), "rp_bits"))))
+      arity("rp_bits", 3)(exprs => RpBits(exprs(0),
+        litInt(exprs(1), "rp_bits"), litInt(exprs(2), "rp_bits")))))
 }
 
 /** SQL-surface registration: `SparkSession.builder.withExtensions(new

@@ -65,8 +65,9 @@ object Aggregates extends QueryModule {
     // `percentile` (linear interpolation, same semantics as DuckDB's
     // quantile_cont) so the query is oracle-checkable; it buffers each
     // group's values, so at 100 TB the production form is
-    // `approx_percentile` (t-digest sketch, mergeable map-side) — the
-    // exact form here doubles as its correctness reference.
+    // `approx_percentile` (Greenwald–Khanna summary, mergeable
+    // map-side) — the exact form here doubles as its correctness
+    // reference.
     // One percentile call with the quantile ARRAY, not one aggregate
     // per quantile: each exact-percentile aggregate builds its own
     // value buffer per group, so 3 separate calls triple the dominant
@@ -97,10 +98,10 @@ object Aggregates extends QueryModule {
              |ORDER BY l_returnflag""".stripMargin)),
 
     // The 100 TB form of q_agg_percentile: approx_percentile keeps an
-    // O(accuracy)-sized mergeable sketch per group (map-side partials,
-    // constant state) instead of buffering every value. Approx ⇒
-    // rows-only check; the exact query above is its correctness
-    // reference.
+    // O(1/accuracy)-sized mergeable Greenwald–Khanna summary per group
+    // (map-side partials, bounded state, additive rank error) instead
+    // of buffering every value. Approx ⇒ rows-only check; the exact
+    // query above is its correctness reference.
     "q_agg_approx_percentile" -> QueryDef(
       (s, dir) => Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")

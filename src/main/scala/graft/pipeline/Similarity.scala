@@ -66,16 +66,13 @@ object Similarity extends QueryModule {
     val emb = Tables(s, dir, "embeddings")
     val model = fittedModel(emb, dir)
     val cents = model.toDf(emb)
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("cluster_id").asc)
-    val probes = queries.join(broadcast(cents))
+    val probes = querySide(emb).join(broadcast(cents))
       .withColumn("c_sim", round(Vectors.cosine(col("q_emb"), col("centroid")), 6))
       .withColumn("c_rank", row_number().over(probeW))
       .filter(col("c_rank") <= nProbe)
-      .select(col("q_id"), col("q_emb"), Vectors.norm(col("q_emb")).as("q_nrm"),
-        col("cluster_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cluster_id"))
     // corpus norm + cell id below the join: once per vector, not per
     // (q, vector) — the assignment is k native dot products per row
     val scored = emb.select(col("vec_id"), col("embedding"),
@@ -83,8 +80,7 @@ object Similarity extends QueryModule {
         model.assignCol(col("embedding")).as("cluster_id"))
       .join(broadcast(probes), Seq("cluster_id"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_sim", round(
-        Vectors.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("cos_sim", cosScore)
     rankTopK(scored, k)
       .select(col("q_id"), col("rank"), col("vec_id"),
         col("cluster_id").cast("long").as("cell"), col("cos_sim"))
@@ -131,19 +127,33 @@ object Similarity extends QueryModule {
     val pairs = buckets.join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").distinct()
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        Vectors.norm(col("embedding")).as("q_nrm"))
     val scored = pairs
       .join(emb.select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding")).as("c_nrm")), Seq("vec_id"))
-      .join(broadcast(queries), Seq("q_id"))
-      .withColumn("cos_sim", round(
-        Vectors.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 4))
+      .join(broadcast(querySide(emb)), Seq("q_id"))
+      .withColumn("cos_sim", cosScore)
     rankTopK(scored, k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
       .orderBy("q_id", "rank")
   }
+
+  /** The bounded query set every variant shares: vec_id < 10, with
+    * the norm precomputed once per query vector. O(1)-sized by
+    * construction ⇒ always broadcastable.
+    */
+  private def querySide(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Vectors.norm(col("embedding")).as("q_nrm"))
+
+  /** Exact cosine over the (q_emb, q_nrm) × (embedding, c_nrm)
+    * columns, rounded to the oracle grid — the single scoring formula
+    * all three variants (brute force, IVF, LSH) rank by, so the
+    * spec'd recall comparisons stay apples-to-apples.
+    */
+  private def cosScore: org.apache.spark.sql.Column =
+    round(Vectors.dot(col("q_emb"), col("embedding")) /
+      (col("q_nrm") * col("c_nrm")), 4)
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     // Rank on the rounded score with an id tie-break so ranks are
@@ -163,15 +173,11 @@ object Similarity extends QueryModule {
     "q_sim_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        val queries = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            Vectors.norm(col("embedding")).as("q_nrm"))
         val scored = emb.select(col("vec_id"), col("embedding"),
             Vectors.norm(col("embedding")).as("c_nrm"))
-          .join(broadcast(queries))
+          .join(broadcast(querySide(emb)))
           .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos_sim", round(
-            Vectors.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 4))
+          .withColumn("cos_sim", cosScore)
         rankTopK(scored, 5)
           .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
           .orderBy("q_id", "rank")

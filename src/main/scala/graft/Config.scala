@@ -1,0 +1,101 @@
+package graft
+
+/** Fail-fast configuration validation — the reference's env.sh as a
+  * typed precondition layer (SURVEY.md §2.B "config validation
+  * fail-fast" row).
+  *
+  * Reference semantics reproduced:
+  *  - required settings must be present and not the `**None**`
+  *    placeholder sentinel (env.sh:4–22; the Dockerfile ships the
+  *    sentinel as the default so an unconfigured container aborts at
+  *    boot rather than running with garbage);
+  *  - the database list is comma-separated and split into words
+  *    (env.sh:24 `tr , " "`);
+  *  - retention windows: minutes and days pass through, weeks→days
+  *    `*7+1`, months→days `*31+1` (env.sh:26–29 — mirrors
+  *    [[operators.Retention.weeksToDays]]/`monthsToDays` which apply
+  *    the same arithmetic in Column form).
+  *
+  * Unlike the reference (exit 1 on the FIRST bad var), validation
+  * aggregates every problem into one error — a config with three
+  * mistakes surfaces all three, which matters when the "container
+  * restart" is a cluster job resubmit.
+  */
+object Config {
+
+  /** The reference's unset-placeholder (env.sh:5,9,13,17). */
+  val Sentinel = "**None**"
+
+  /** Validated engine configuration; retention windows normalized to
+    * the units the GC predicate uses (minutes for the instant tier,
+    * days for the rest — backup.sh:119–122).
+    */
+  final case class Settings(
+      dbs: Seq[String],
+      snapshotDir: String,
+      keepMins: Int,
+      keepDays: Int,
+      keepWeeksAsDays: Int,
+      keepMonthsAsDays: Int,
+      backupOnStart: Boolean)
+
+  /** Parse + validate, collecting every failure. Keys mirror the
+    * reference's env surface (Dockerfile:13–28) with the engine's
+    * names: `GRAFT_DBS`, `GRAFT_SNAPSHOT_DIR`, `GRAFT_KEEP_MINS`,
+    * `GRAFT_KEEP_DAYS`, `GRAFT_KEEP_WEEKS`, `GRAFT_KEEP_MONTHS`,
+    * `GRAFT_BACKUP_ON_START`.
+    */
+  def fromEnv(env: Map[String, String]): Either[Seq[String], Settings] = {
+    val errs = Seq.newBuilder[String]
+
+    def required(key: String): Option[String] = env.get(key) match {
+      case None => errs += s"$key is required"; None
+      case Some(Sentinel) => errs += s"$key is still the $Sentinel placeholder"; None
+      case Some(v) if v.trim.isEmpty => errs += s"$key is empty"; None
+      case Some(v) => Some(v)
+    }
+
+    def intWithDefault(key: String, default: Int): Int = env.get(key) match {
+      case None | Some(Sentinel) => default
+      case Some(v) => v.toIntOption match {
+        case Some(n) if n >= 0 => n
+        case _ => errs += s"$key must be a non-negative integer, got '$v'"; default
+      }
+    }
+
+    // env.sh:24 — comma list to words, blanks dropped
+    val dbs = required("GRAFT_DBS").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    if (env.contains("GRAFT_DBS") && env("GRAFT_DBS") != Sentinel && dbs.isEmpty)
+      errs += "GRAFT_DBS lists no databases"
+    val dir = required("GRAFT_SNAPSHOT_DIR")
+    // defaults per Dockerfile:25–28
+    val keepMins = intWithDefault("GRAFT_KEEP_MINS", 1440)
+    val keepDays = intWithDefault("GRAFT_KEEP_DAYS", 7)
+    val keepWeeks = intWithDefault("GRAFT_KEEP_WEEKS", 4)
+    val keepMonths = intWithDefault("GRAFT_KEEP_MONTHS", 6)
+    val onStart = env.getOrElse("GRAFT_BACKUP_ON_START", "FALSE")
+      .equalsIgnoreCase("TRUE")
+
+    val collected = errs.result()
+    if (collected.nonEmpty) Left(collected)
+    else Right(Settings(
+      dbs = dbs,
+      snapshotDir = dir.get,
+      keepMins = keepMins,
+      keepDays = keepDays,
+      keepWeeksAsDays = keepWeeks * 7 + 1,   // env.sh:28
+      keepMonthsAsDays = keepMonths * 31 + 1, // env.sh:29
+      backupOnStart = onStart))
+  }
+
+  /** The exit-1 form (init.sh behavior): throw with every problem
+    * listed, for callers that want the reference's abort-at-boot
+    * semantics rather than an Either.
+    */
+  def fromEnvOrThrow(env: Map[String, String]): Settings =
+    fromEnv(env).fold(
+      errs => throw new IllegalArgumentException(
+        s"invalid graft configuration:\n  ${errs.mkString("\n  ")}"),
+      identity)
+}

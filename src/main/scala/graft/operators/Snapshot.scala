@@ -54,6 +54,34 @@ object Snapshot {
     }
   }
 
+  /** Format-parametric export — the `BACKUP_SUFFIX` axis of the
+    * reference (Dockerfile:23: the archive format is a config choice,
+    * not a semantic one). Parquet is the engine's native snapshot
+    * format (columnar, typed, partition-prunable); ORC matches it
+    * feature-for-feature; JSON/CSV are interchange sinks whose
+    * read-back needs the schema re-applied (text formats erase types —
+    * import requires the original schema for a lossless round trip,
+    * which [[importFrom]] enforces by taking it explicitly).
+    */
+  val Formats: Set[String] = Set("parquet", "orc", "json", "csv")
+
+  def exportAs(df: DataFrame, dest: String, format: String): Unit = {
+    require(Formats(format), s"unsupported snapshot format '$format' (one of $Formats)")
+    val w = df.write.mode("overwrite").format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(dest)
+  }
+
+  /** Schema-explicit import: text formats come back string-typed
+    * without it, and even parquet/ORC benefit from the assert-early
+    * contract (a drifted snapshot fails at read, not mid-query).
+    */
+  def importFrom(spark: SparkSession, dest: String, format: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(Formats(format), s"unsupported snapshot format '$format' (one of $Formats)")
+    val r = spark.read.format(format).schema(schema)
+    (if (format == "csv") r.option("header", "true") else r).load(dest)
+  }
+
   /** A retention-tier view over the snapshot: day-bucket prefix length
     * selects the tier granularity (day=8, month=6 via prefix). Filters
     * on `bucket_day` are partition predicates — the scan prunes whole

@@ -50,6 +50,26 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.monthView(snap, month).count() >= view.count())
   }
 
+  test("snapshot round-trips losslessly through every supported format") {
+    // timestamps through text formats are their own hazard (tz/format
+    // round-trip); export the second-truncated form as string for
+    // csv/json parity, typed columns otherwise
+    val src = Relational.eventsSec(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), date_format(col("ts_s"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    Snapshot.Formats.foreach { fmt =>
+      val dest = Files.createTempDirectory(s"graft-export-$fmt").toString
+      Snapshot.exportAs(src, dest, fmt)
+      val back = Snapshot.importFrom(spark, dest, fmt, src.schema)
+      assert(back.schema == src.schema, s"$fmt schema drift")
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        s"$fmt round trip lost or altered rows")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.exportAs(src, "/tmp/never", "avro")
+    }
+  }
+
   test("salted join is result-identical to the plain join") {
     val orders = Tables(spark, sf, "orders")
     val customer = Tables(spark, sf, "customer")

@@ -146,6 +146,54 @@ object Aggregates extends QueryModule {
              |FROM events GROUP BY CUBE (event_type, user_id)
              |ORDER BY etype, uid""".stripMargin)),
 
+    // Pivot: rows-to-columns restructuring (the OLAP cross-tab).
+    // Values are declared explicitly — with an inferred value set the
+    // plan needs a distinct-collect to the driver BEFORE planning,
+    // which is both a scale hazard and nondeterministic schema; the
+    // declared form is one hash aggregate. DuckDB side: conditional
+    // aggregation (the engine-portable pivot encoding).
+    "q_pivot" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .select(col("l_returnflag"),
+          round(col("F"), 4).as("qty_f"),
+          round(col("O"), 4).as("qty_o"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Unpivot/melt: columns-to-rows — the inverse restructuring, a
+    // zero-shuffle Expand (each input row emits one row per measure).
+    // Measures share a type by casting to double up front.
+    "q_unpivot" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .withColumn("val", round(col("val"), 4))
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             |         CAST(l_quantity AS DOUBLE) AS val FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             |         CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey < 100
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount',
+             |         CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey < 100)
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
     // Explicit grouping sets — SQL-only surface, via spark.sql.
     "q_agg_grouping_sets" -> QueryDef(
       (s, dir) => {

@@ -104,6 +104,25 @@ object Relational extends QueryModule {
              |      (SELECT max(date_trunc('second', ts)) FROM events) - INTERVAL 7 DAY
              |ORDER BY event_id""".stripMargin)),
 
+    // Deterministic consistent-hash sampling — ClickHouse's SAMPLE
+    // clause ([CH]): the same rows are selected on every run, on every
+    // engine, at any parallelism, because membership is a pure
+    // function of the sampling key (md5 — the one keyed hash Spark and
+    // DuckDB share bit-for-bit). ~1/16 of rows: first hex nibble = '0'.
+    // At scale this is a scan-side filter (no shuffle), and a fixed
+    // key samples CONSISTENTLY across tables/snapshots — joins of two
+    // samples on the key still line up, which `rand()` sampling and
+    // TABLESAMPLE cannot give.
+    "q_sample" -> QueryDef(
+      (s, dir) => Tables(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Filename construction (backup.sh:26–34): projection of (db, ts)
     // into the four tier names. Narrow map, codegen'd end-to-end.
     "q_project_rename" -> QueryDef(

@@ -146,6 +146,61 @@ object Aggregates extends QueryModule {
              |FROM events GROUP BY CUBE (event_type, user_id)
              |ORDER BY etype, uid""".stripMargin)),
 
+    // Sequential conversion funnel — ClickHouse's windowFunnel ([CH]):
+    // per user, the earliest signup, the earliest click AFTER it, the
+    // earliest purchase after THAT, all within 7 days of the signup;
+    // output is users per funnel depth. Expressed as chained
+    // conditional aggregates: every stage shuffles on user_id — the
+    // SAME key each time, so at scale the exchanges after the first
+    // reuse the partitioning; nothing is quadratic and no per-user
+    // event array is ever materialized (ClickHouse's implementation
+    // buffers per-user event lists; this shape streams).
+    "q_funnel" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir).select("user_id", "event_type", "ts_s")
+        val u1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+        val u2 = e.filter(col("event_type") === "click")
+          .join(u1, Seq("user_id"))
+          .filter(col("ts_s") > col("t1") &&
+            col("ts_s") <= col("t1") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("t2"), first(col("t1")).as("t1b"))
+        val u3 = e.filter(col("event_type") === "purchase")
+          .join(u2, Seq("user_id"))
+          .filter(col("ts_s") > col("t2") &&
+            col("ts_s") <= col("t1b") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("t3"))
+        u1.join(u2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(u3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1) + col("t2").isNotNull.cast("int") + col("t3").isNotNull.cast("int"))
+              .cast("long").as("level"))
+          .groupBy("level").agg(count(lit(1)).as("n_users"))
+          .orderBy("level")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
+             |u1 AS (SELECT user_id, min(ts_s) AS t1 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |u2 AS (SELECT e.user_id, min(e.ts_s) AS t2, min(u1.t1) AS t1b
+             |       FROM ev e JOIN u1 ON e.user_id = u1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts_s > u1.t1
+             |         AND e.ts_s <= u1.t1 + INTERVAL 7 DAY
+             |       GROUP BY e.user_id),
+             |u3 AS (SELECT e.user_id, min(e.ts_s) AS t3
+             |       FROM ev e JOIN u2 ON e.user_id = u2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts_s > u2.t2
+             |         AND e.ts_s <= u2.t1b + INTERVAL 7 DAY
+             |       GROUP BY e.user_id)
+             |SELECT level, CAST(count(*) AS BIGINT) AS n_users FROM (
+             |  SELECT u1.user_id,
+             |         CAST(1 + CASE WHEN u2.user_id IS NOT NULL THEN 1 ELSE 0 END
+             |                + CASE WHEN u3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+             |  FROM u1
+             |  LEFT JOIN u2 ON u1.user_id = u2.user_id
+             |  LEFT JOIN u3 ON u1.user_id = u3.user_id)
+             |GROUP BY level ORDER BY level""".stripMargin)),
+
     // Pivot: rows-to-columns restructuring (the OLAP cross-tab).
     // Values are declared explicitly — with an inferred value set the
     // plan needs a distinct-collect to the driver BEFORE planning,

@@ -146,6 +146,49 @@ object Aggregates extends QueryModule {
              |FROM events GROUP BY CUBE (event_type, user_id)
              |ORDER BY etype, uid""".stripMargin)),
 
+    // Cohort retention — ClickHouse's retention() ([CH]): users
+    // cohorted by signup week; per cohort, how many were active again
+    // in the next week and the week after. One distinct-activity
+    // aggregate + one cohort join, both keyed on user_id; the output
+    // is O(#weeks) rows. The retention flags are conditional
+    // max-aggregates over the (user, week) activity set — no per-user
+    // event arrays (ClickHouse's retention() builds a per-user bitmask;
+    // the relational form streams).
+    "q_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir)
+        val cohort = e.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts_s"))).as("cohort_week"))
+        val activity = e.select(col("user_id"),
+          date_trunc("week", col("ts_s")).as("act_week")).distinct()
+        cohort.join(activity, Seq("user_id"))
+          .groupBy("cohort_week")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            sum((col("act_week") === col("cohort_week") + expr("INTERVAL 7 DAYS"))
+              .cast("long")).as("wk1_retained"),
+            sum((col("act_week") === col("cohort_week") + expr("INTERVAL 14 DAYS"))
+              .cast("long")).as("wk2_retained"))
+          .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+            col("n_users"), col("wk1_retained"), col("wk2_retained"))
+          .orderBy("cohort_week")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
+             |cohort AS (
+             |  SELECT user_id, date_trunc('week', min(ts_s)) AS cohort_week
+             |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+             |activity AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts_s) AS act_week FROM ev)
+             |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+             |       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+             |       CAST(sum(CASE WHEN a.act_week = c.cohort_week + INTERVAL 7 DAY
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS wk1_retained,
+             |       CAST(sum(CASE WHEN a.act_week = c.cohort_week + INTERVAL 14 DAY
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS wk2_retained
+             |FROM cohort c JOIN activity a ON c.user_id = a.user_id
+             |GROUP BY c.cohort_week ORDER BY cohort_week""".stripMargin)),
+
     // Sequential conversion funnel — ClickHouse's windowFunnel ([CH]):
     // per user, the earliest signup, the earliest click AFTER it, the
     // earliest purchase after THAT, all within 7 days of the signup;

@@ -34,6 +34,13 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+      // read as a timestamp (PARQUET_TYPE_ILLEGAL); the legacy flag
+      // surfaces it as LongType epoch-nanos. A session-level default —
+      // NOT a per-query conf.set, which would be a global side effect
+      // from inside a lazy plan builder (concurrent sessions / other
+      // readers would be silently affected).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.fold(b)(b.master)
   }
 
@@ -45,6 +52,7 @@ object Graft {
     // getOrCreate may return a PRE-EXISTING session, in which case
     // withExtensions never ran — register the SQL functions directly so
     // the contract ("graft functions SQL-registered") holds either way
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reg = s.sessionState.functionRegistry
     (expressions.VectorExprs.functions ++ expressions.TextExprs.functions).foreach {
       case (ident, info, fb) =>

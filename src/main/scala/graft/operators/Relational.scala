@@ -23,19 +23,18 @@ object Relational extends QueryModule {
   /** events with a second-truncated timestamp — the only safe form of
     * `events.ts` for oracle-checked queries (FIXTURES.md hazards).
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL); with the legacy flag
-    * it surfaces as a LongType of epoch-nanos, converted here: ns →
+    * `events.ts` is TIMESTAMP(NANOS) parquet, surfaced as LongType
+    * epoch-nanos under `spark.sql.legacy.parquet.nanosAsLong` (a
+    * session default set in [[graft.Graft.builder]] — not mutated
+    * here: a plan builder must stay side-effect free), converted: ns →
     * µs (integer floor division — all values post-1970) → timestamp →
     * second truncation. DuckDB (oracle side) reads the same values
     * natively and applies `date_trunc('second', ts)` — identical
     * results.
     */
-  def eventsSec(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsSec(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .withColumn("ts_s", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
-  }
 
   def entries: Map[String, QueryDef] = Map(
 

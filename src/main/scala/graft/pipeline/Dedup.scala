@@ -21,24 +21,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** MinHash signatures (k=16) per doc, persisted: the signature table
-    * is referenced three times in the LSH plan (banding + two pair
-    * join-backs) and Spark executes each branch's subtree independently
-    * — persisting trades 50k tiny rows of memory for 3× the signature
-    * compute. The 100 TB analog is materializing signatures to a table
-    * once per corpus snapshot.
+  /** MinHash signatures (k=16) per doc, materialized once: the
+    * signature table is referenced three times in the LSH plan (banding
+    * + two pair join-backs) and Spark executes each branch's subtree
+    * independently — materializing trades 50k tiny rows of memory for
+    * 3× the signature compute. `localCheckpoint` (not `persist`): the
+    * blocks live at the RDD layer, so the ContextCleaner reclaims them
+    * as soon as the query's plan is unreachable — a `persist()` here
+    * would pin a CacheManager entry for the session's lifetime on every
+    * invocation (a leak in a 64-query loop or a long-lived service).
+    * The 100 TB analog is materializing signatures to a real table once
+    * per corpus snapshot.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"),
         TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
-      .persist()
+      .localCheckpoint()
 
   /** Oversized-bucket cap: an LSH bucket with hundreds of members is
     * non-discriminative boilerplate (and quadratic in the join) — the
     * standard production mitigation is to drop buckets above a cap.
     */
-  private val BucketCap = 64
+  private[graft] val BucketCap = 64
+
+  /** The (chunk, chunk_val)-keyed rows that enter the SimHash candidate
+    * self-join: only buckets with 2..BucketCap members survive the
+    * census. Package-private so PipelineSpec can assert the cap on the
+    * exact production plan, not a replica.
+    */
+  private[graft] def simhashInBucket(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.simhash(col("text")).as("sh"))
+      .localCheckpoint() // referenced by both join sides + the census — see signatures()
+      .select(col("doc_id"), col("sh"),
+        posexplode(expr(TextFns.simhashChunksExpr)).as(Seq("chunk", "chunk_val")))
+    val small = sh.groupBy("chunk", "chunk_val").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= BucketCap)
+    sh.join(small.select("chunk", "chunk_val"), Seq("chunk", "chunk_val"))
+  }
 
   def entries: Map[String, QueryDef] = Map(
 
@@ -95,16 +116,21 @@ object Dedup extends QueryModule {
     // candidates share one of the 4 16-bit chunks (pigeonhole: catches
     // every pair within Hamming distance 3); report exact Hamming
     // distance for candidates under 16. No oracle (approx).
+    //
+    // The chunk key space is only 2^16, so at corpus scale EVERY chunk
+    // bucket fills (~N/65536 docs) and an uncapped self-join is
+    // quadratic within each — the same non-discriminative-bucket
+    // problem minhash/winnow already guard against. Same mitigation:
+    // drop buckets above BucketCap before the join (oversized chunk
+    // buckets are near-zero-entropy chunks — boilerplate — whose pairs
+    // the other three chunks still recover for genuinely similar docs;
+    // dropping them is the standard recall/cost trade).
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => {
-        val sh = Tables(s, dir, "documents")
-          .select(col("doc_id"), TextFns.simhash(col("text")).as("sh"))
-          .persist() // referenced once per chunk side — see signatures()
-          .select(col("doc_id"), col("sh"),
-            posexplode(expr(TextFns.simhashChunksExpr)).as(Seq("chunk", "chunk_val")))
-        val l = sh.select(col("chunk"), col("chunk_val"),
+        val inBucket = simhashInBucket(s, dir)
+        val l = inBucket.select(col("chunk"), col("chunk_val"),
           col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val r = sh.select(col("chunk"), col("chunk_val"),
+        val r = inBucket.select(col("chunk"), col("chunk_val"),
           col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         l.join(r, Seq("chunk", "chunk_val"))
           .filter(col("doc_a") < col("doc_b"))
@@ -128,12 +154,12 @@ object Dedup extends QueryModule {
     // Approximate/custom-hash ⇒ no oracle.
     "q_dedup_winnow" -> QueryDef(
       (s, dir) => {
-        // persisted: referenced three times (hot-fp filter + both join
-        // sides) — same reuse rationale as the minhash signatures()
+        // materialized: referenced three times (hot-fp filter + both
+        // join sides) — same reuse + cleanup rationale as signatures()
         val fps = Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFns.winnowFingerprints(col("text"), 16, 8)).as("fp"))
-          .persist()
+          .localCheckpoint()
         val keep = fps.groupBy("fp").agg(count(lit(1)).as("fn"))
           .filter(col("fn") > 1 && col("fn") <= BucketCap)
         val inBucket = fps.join(keep.select("fp"), Seq("fp"))

@@ -205,6 +205,25 @@ class PipelineSpec extends SparkSpec {
     assert(lshRows.size == lsh.size, "a candidate pair must be scored exactly once")
   }
 
+  test("simhash candidate join admits no bucket above BucketCap") {
+    // the exact production input to the self-join (not a replica)
+    val census = pipeline.Dedup.simhashInBucket(spark, sf)
+      .groupBy("chunk", "chunk_val").count()
+    assert(census.filter(col("count") > pipeline.Dedup.BucketCap).isEmpty,
+      "an oversized bucket entered the simhash self-join")
+    assert(census.filter(col("count") < 2).isEmpty,
+      "singleton buckets must be dropped before the join (they yield no pairs)")
+  }
+
+  test("dedup queries leave the session CacheManager empty (no persist leak)") {
+    spark.sharedState.cacheManager.clearCache()
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_winnow").foreach { q =>
+      SparkEntry.queries(q)(spark, sf).count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q left a CacheManager entry pinned for the session lifetime")
+    }
+  }
+
   test("simhash of identical word multisets is identical") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
     val df = spark.createDataFrame(docs).toDF("doc_id", "text")

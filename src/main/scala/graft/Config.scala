@@ -37,7 +37,8 @@ object Config {
       keepDays: Int,
       keepWeeksAsDays: Int,
       keepMonthsAsDays: Int,
-      backupOnStart: Boolean)
+      backupOnStart: Boolean,
+      latestType: operators.Retention.LatestMode)
 
   /** Parse + validate, collecting every failure. Keys mirror the
     * reference's env surface (Dockerfile:13–28) with the engine's
@@ -76,6 +77,13 @@ object Config {
     val keepMonths = intWithDefault("GRAFT_KEEP_MONTHS", 6)
     val onStart = env.getOrElse("GRAFT_BACKUP_ON_START", "FALSE")
       .equalsIgnoreCase("TRUE")
+    // BACKUP_LATEST_TYPE (Dockerfile:24): symlink | hardlink | none,
+    // symlink being the shipped default
+    val latestType = operators.Retention.LatestMode
+      .parse(env.getOrElse("GRAFT_LATEST_TYPE", "symlink"))
+      .fold(e => { errs += s"GRAFT_LATEST_TYPE: $e"
+                   operators.Retention.LatestMode.Symlink },
+        identity)
 
     val collected = errs.result()
     if (collected.nonEmpty) Left(collected)
@@ -86,7 +94,8 @@ object Config {
       keepDays = keepDays,
       keepWeeksAsDays = keepWeeks * 7 + 1,   // env.sh:28
       keepMonthsAsDays = keepMonths * 31 + 1, // env.sh:29
-      backupOnStart = onStart))
+      backupOnStart = onStart,
+      latestType = latestType))
   }
 
   /** The exit-1 form (init.sh behavior): throw with every problem

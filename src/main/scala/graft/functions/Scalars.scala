@@ -59,14 +59,17 @@ object Scalars extends QueryModule {
              |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin)),
 
     // The four bucket templates of backup.sh:26–29 + calendar parts.
-    // Week bucket via date_trunc('week') — identical Monday semantics in
-    // Spark and DuckDB (ISO `%G%V` formatting is a parity hazard, §5.3.6).
+    // Day-keyed week bucket via date_trunc('week') plus the literal ISO
+    // `%G%V` bucket (Retention.bucketWeekIso — week-year from the
+    // Thursday-of-week identity), oracle-checked against DuckDB's
+    // native strftime('%G%V') including year-boundary rows.
     "q_date_funcs" -> QueryDef(
       (s, dir) => Tables(s, dir, "orders")
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyyMMdd-HHmmss").as("bucket_instant"),
           date_format(col("o_orderdate"), "yyyyMMdd").as("bucket_day"),
           date_format(date_trunc("week", col("o_orderdate")), "yyyyMMdd").as("bucket_week"),
+          graft.operators.Retention.bucketWeekIso(col("o_orderdate")).as("bucket_week_iso"),
           date_format(col("o_orderdate"), "yyyyMM").as("bucket_month"),
           year(col("o_orderdate")).cast("long").as("y"),
           quarter(col("o_orderdate")).cast("long").as("q"),
@@ -78,6 +81,7 @@ object Scalars extends QueryModule {
              |  strftime(o_orderdate, '%Y%m%d-%H%M%S') AS bucket_instant,
              |  strftime(o_orderdate, '%Y%m%d') AS bucket_day,
              |  strftime(date_trunc('week', o_orderdate), '%Y%m%d') AS bucket_week,
+             |  strftime(o_orderdate, '%G%V') AS bucket_week_iso,
              |  strftime(o_orderdate, '%Y%m') AS bucket_month,
              |  CAST(year(o_orderdate) AS BIGINT) AS y,
              |  CAST(quarter(o_orderdate) AS BIGINT) AS q,

@@ -32,6 +32,59 @@ object Retention {
   def bucketDay(ts: Column): Column = date_format(ts, "yyyyMMdd")
   def bucketMonth(ts: Column): Column = date_format(ts, "yyyyMM")
 
+  /** True ISO `%G%V` week bucket — bit-faithful to backup.sh:28, which
+    * [[bucketWeek]] only approximates (same partitioning, different
+    * label at year boundaries). Spark's datetime patterns ban the
+    * week-based-year letter, so the week-year is derived structurally:
+    * the ISO week-year of a date is the calendar year of the THURSDAY
+    * of its ISO week (ISO 8601), and `date_trunc('week')` is the week's
+    * Monday, +3 days = Thursday. `weekofyear` is already ISO
+    * week-of-year in both Spark and DuckDB.
+    */
+  def bucketWeekIso(ts: Column): Column =
+    format_string("%04d%02d",
+      year(date_add(date_trunc("week", ts).cast("date"), 3)),
+      weekofyear(ts))
+
+  /** `BACKUP_LATEST_TYPE` (Dockerfile:24; applied backup.sh:99–115):
+    * how the per-group "latest" pointer materializes.
+    */
+  sealed trait LatestMode
+  object LatestMode {
+    /** A zero-copy reference: group keys + the winning snapshot's
+      * identity only, dereferenced against the snapshot at read time —
+      * the relational symlink. GC of the target dangles the pointer,
+      * exactly like a filesystem symlink.
+      */
+    case object Symlink extends LatestMode
+    /** A full materialized copy of the latest rows — survives GC of the
+      * original, exactly like a hardlinked inode.
+      */
+    case object Hardlink extends LatestMode
+    /** No pointer emitted at all (`BACKUP_LATEST_TYPE=none`). */
+    case object Off extends LatestMode
+
+    def parse(s: String): Either[String, LatestMode] = s.toLowerCase match {
+      case "symlink" => Right(Symlink)
+      case "hardlink" => Right(Hardlink)
+      case "none" => Right(Off)
+      case other => Left(s"latest-pointer type must be symlink|hardlink|none, got '$other'")
+    }
+  }
+
+  /** The latest-pointer emission under a [[LatestMode]]: `None` for
+    * `Off`; pointer-only columns (group keys + id + ts) for `Symlink`;
+    * the full latest rows for `Hardlink`. All three share [[latest]]'s
+    * single window pass — the mode only chooses what survives it.
+    */
+  def latestPointer(df: DataFrame, groupCols: Seq[Column], ts: Column,
+      id: Column, mode: LatestMode): Option[DataFrame] = mode match {
+    case LatestMode.Off => None
+    case LatestMode.Hardlink => Some(latest(df, groupCols, ts, id))
+    case LatestMode.Symlink =>
+      Some(latest(df, groupCols, ts, id).select(groupCols :+ id :+ ts: _*))
+  }
+
   /** Snapshot filename per tier: `${db}-${bucket}${suffix}`
     * (backup.sh:26–34, suffix default ".zip" per Dockerfile:23).
     */

@@ -16,24 +16,151 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** Hidden manifest directory inside a snapshot: one row per day
+    * partition with an order-insensitive content digest. Paths starting
+    * with `_` are invisible to Spark's file index, so a plain
+    * `spark.read.parquet(dest)` of the data never picks it up.
+    */
+  private val ManifestDir = "_graft_manifest"
+
+  /** Per-day-partition content digest: row count + XOR and
+    * overflow-free decimal SUM of the per-row `xxhash64` over all data
+    * columns (column order fixed by sorting names, so the digest is
+    * schema-order independent). XOR alone cancels duplicate-row pairs;
+    * the (count, xor, sum) triple disambiguates. Order-insensitive by
+    * construction — parquet row order across writers never matters.
+    * One row per day bucket: metadata-scale, whatever the data scale.
+    */
+  private[graft] def digest(bucketed: DataFrame): DataFrame = {
+    val dataCols = bucketed.columns.filterNot(_ == "bucket_day").sorted
+      .map(col(_))
+    bucketed
+      .select(col("bucket_day"), xxhash64(dataCols: _*).as("_rh"))
+      .groupBy("bucket_day").agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(_rh)").as("content_xor"),
+        sum(col("_rh").cast("decimal(38,0)")).as("content_sum"))
+  }
+
   /** Snapshot write + the reference's fail-fast post-write checks
     * (backup.sh:47–65: file must exist and be non-trivial, else exit
     * 1): write day-partitioned, read back, verify row count matches.
-    * Returns the verified row count.
+    * The read-back pass also produces the per-partition digest manifest
+    * that incremental backups diff against — validation and manifest
+    * cost one pass together. Returns the verified row count.
     */
   def backup(df: DataFrame, ts: Column, dest: String): Long = {
     val expected = df.count()
     Retention.writeSnapshot(df, ts, dest)
     // an empty write leaves no readable footers — that IS the failure
     // mode the reference's [ -f FILE ] check catches (backup.sh:47–52)
-    val actual =
-      try restore(df.sparkSession, dest).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val dig =
+      try digest(restore(df.sparkSession, dest)).collect()
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row] }
+    val actual = dig.map(_.getLong(1)).sum
     require(actual == expected,
       s"snapshot validation failed: wrote $expected rows, read back $actual (dest=$dest)")
     require(actual > 0, s"snapshot validation failed: empty snapshot at $dest")
+    writeManifest(df.sparkSession, dest, dig.map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3).toString, "full", null: String)
+    })
     actual
   }
+
+  /** Incremental snapshot — the `base_backup` capability of ClickHouse
+    * 24.8's BACKUP (the version the reference pins, Dockerfile:2): a
+    * daily-cadence tool (Dockerfile:20 `@daily`) mostly re-backs-up
+    * unchanged data, so the delta writes ONLY day-partitions whose
+    * content digest differs from the base snapshot's manifest, plus a
+    * manifest mapping every current day to its source (base | delta).
+    *
+    * Scale shape: one full read of the data being backed up (the same
+    * read a full backup needs) but a write proportional to the CHANGED
+    * days only; the base is never re-read — its manifest (one row per
+    * day) carries the comparison. The only `.collect()`s move per-day
+    * digest rows: metadata scale, like the KMeans model pulls.
+    *
+    * Returns (changedDays, totalDays).
+    */
+  def backupIncremental(df: DataFrame, ts: Column, baseDir: String,
+      dest: String): (Int, Int) = {
+    val spark = df.sparkSession
+    val (_, baseRows) = readManifest(spark, baseDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"base snapshot at $baseDir has no manifest — re-run Snapshot.backup on it"))
+    val baseDig = baseRows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val cur = df.withColumn("bucket_day", Retention.bucketDay(ts))
+    val curDig = digest(cur).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3).toString)
+    }.sortBy(_._1)
+    require(curDig.nonEmpty, s"snapshot validation failed: empty snapshot at $dest")
+    val changed = curDig.collect {
+      case (day, n, x, s) if !baseDig.get(day).contains((n, x, s)) => day
+    }
+    if (changed.nonEmpty)
+      // the day list is O(days) literals — a partition-metadata-scale
+      // predicate the writer uses to re-scan only the changed days
+      cur.filter(col("bucket_day").isin(changed: _*))
+        .write.mode("overwrite").partitionBy("bucket_day").parquet(dest)
+    writeManifest(spark, dest, curDig.map { case (day, n, x, s) =>
+      (day, n, x, s, if (changed.contains(day)) "delta" else "base", baseDir)
+    })
+    // fail-fast validation, digest-deep like the reference's post-write
+    // check: the RESOLVED view (delta ∪ pruned base) must reproduce the
+    // current per-day digests exactly
+    val resolved = digest(resolve(spark, dest)).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3).toString)
+    }.sortBy(_._1)
+    require(resolved.sameElements(curDig),
+      s"incremental snapshot validation failed: resolved view diverges from source (dest=$dest)")
+    (changed.length, curDig.length)
+  }
+
+  /** Chain-resolving restore: a full snapshot reads directly; an
+    * incremental one unions its delta partitions with the (recursively
+    * resolved) base restricted to the days the manifest attributes to
+    * the base. Both sides filter on `bucket_day` — the partition column
+    * — so every leaf scan prunes to exactly the days it contributes.
+    * Days deleted since the base simply aren't in the manifest: restore
+    * reproduces the state at backup time, like RESTORE from a BACKUP
+    * chain.
+    */
+  def resolve(spark: SparkSession, dest: String): DataFrame =
+    readManifest(spark, dest) match {
+      case None | Some((None, _)) => restore(spark, dest)
+      case Some((Some(base), rows)) =>
+        val deltaDays = rows.collect { case (d, _, _, _, "delta") => d }
+        val baseDays = rows.collect { case (d, _, _, _, "base") => d }
+        val fromBase = resolve(spark, base)
+          .filter(col("bucket_day").isin(baseDays: _*))
+        if (deltaDays.isEmpty) fromBase // nothing changed: no delta footers exist
+        else restore(spark, dest)
+          .filter(col("bucket_day").isin(deltaDays: _*))
+          .unionByName(fromBase)
+    }
+
+  private def writeManifest(spark: SparkSession, dest: String,
+      rows: Seq[(String, Long, Long, String, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("bucket_day", "n_rows", "content_xor", "content_sum", "source", "base_path")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/$ManifestDir")
+  }
+
+  /** (base path if incremental, per-day rows (day, n, xor, sum, source));
+    * None when the directory has no manifest (a bare parquet dataset).
+    */
+  private def readManifest(spark: SparkSession, dir: String)
+      : Option[(Option[String], Seq[(String, Long, Long, String, String)])] =
+    try {
+      val rows = spark.read.parquet(s"$dir/$ManifestDir")
+        .select("bucket_day", "n_rows", "content_xor", "content_sum", "source", "base_path")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getString(4), Option(r.getString(5))))
+      val bases = rows.flatMap(_._6).distinct
+      require(bases.length <= 1, s"manifest at $dir names multiple bases: ${bases.mkString(",")}")
+      Some((bases.headOption, rows.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** RESTORE analog: read the snapshot back (schema from parquet
     * footers — the engine is schema-dynamic like the reference, which

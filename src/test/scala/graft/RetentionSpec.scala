@@ -56,6 +56,40 @@ class RetentionSpec extends SparkSpec {
     }
   }
 
+  test("bucketWeekIso produces true ISO %G%V labels at year boundaries") {
+    // hand-checked ISO 8601 facts: the week-YEAR differs from the
+    // calendar year exactly where %G%V and %Y%V diverge
+    val cases = Seq(
+      "2021-01-01" -> "202053", // Friday of 2020-W53
+      "2020-12-31" -> "202053",
+      "2019-12-30" -> "202001", // Monday of 2020-W01
+      "2023-01-01" -> "202252", // Sunday of 2022-W52
+      "2024-12-30" -> "202501", // Monday of 2025-W01
+      "2024-06-15" -> "202424") // mid-year: %G == %Y
+    val df = spark.createDataFrame(cases).toDF("d", "want")
+      .select(col("want"), Retention.bucketWeekIso(to_date(col("d"))).as("got"))
+    df.collect().foreach(r =>
+      assert(r.getString(1) == r.getString(0), s"want=${r.getString(0)} got=${r.getString(1)}"))
+  }
+
+  test("latestPointer honors the three BACKUP_LATEST_TYPE modes") {
+    val e = Relational.eventsSec(spark, sf)
+    def run(m: Retention.LatestMode) =
+      Retention.latestPointer(e, Seq(col("event_type")), col("ts_s"), col("event_id"), m)
+    assert(run(Retention.LatestMode.Off).isEmpty)
+    val symlink = run(Retention.LatestMode.Symlink).get
+    val hardlink = run(Retention.LatestMode.Hardlink).get
+    // symlink is pointer-only (keys + identity), hardlink is the full row
+    assert(symlink.columns.toSet == Set("event_type", "event_id", "ts_s"))
+    assert(hardlink.columns.toSet == e.columns.toSet)
+    // both select the same winners
+    val a = symlink.select("event_type", "event_id")
+    val b = hardlink.select("event_type", "event_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(Retention.LatestMode.parse("HardLink") == Right(Retention.LatestMode.Hardlink))
+    assert(Retention.LatestMode.parse("sym-link").isLeft)
+  }
+
   test("bucket templates are consistent projections of one timestamp") {
     val b = Retention.withBuckets(
       Relational.eventsSec(spark, sf), col("ts_s"), col("event_type"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Snapshot}
+import graft.operators.{Relational, Retention, Snapshot}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -48,6 +48,60 @@ class SnapshotSpec extends SparkSpec {
     // month view covers every day view of that month
     val month = day.substring(0, 6)
     assert(Snapshot.monthView(snap, month).count() >= view.count())
+  }
+
+  test("incremental backup writes only changed days; base+delta resolves to a full backup") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val baseDir = Files.createTempDirectory("graft-incr-base").toString
+    Snapshot.backup(src, col("ts_s"), baseDir)
+
+    // modify a strict subset of days: bump `value` on the earliest day,
+    // drop the latest day entirely, leave the rest untouched
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0))
+    assert(days.length >= 3, "fixture must span several days")
+    val (first, last) = (days.head, days.last)
+    val modified = src
+      .filter(Retention.bucketDay(col("ts_s")) =!= last)
+      .withColumn("value",
+        when(Retention.bucketDay(col("ts_s")) === first, col("value") + 1)
+          .otherwise(col("value")))
+
+    val deltaDir = Files.createTempDirectory("graft-incr-delta").toString
+    val (changed, total) = Snapshot.backupIncremental(modified, col("ts_s"), baseDir, deltaDir)
+    assert(changed == 1, s"only the bumped day changed, got $changed")
+    assert(total == days.length - 1, "the dropped day must leave the manifest")
+    // the delta dataset physically contains ONLY the changed day
+    val deltaPhysical = Snapshot.restore(spark, deltaDir)
+    assert(deltaPhysical.select("bucket_day").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(first))
+
+    // resolution ≡ an independent full backup of the modified data
+    val fullDir = Files.createTempDirectory("graft-incr-full").toString
+    Snapshot.backup(modified, col("ts_s"), fullDir)
+    val resolved = Snapshot.resolve(spark, deltaDir)
+    val full = Snapshot.resolve(spark, fullDir)
+    assert(resolved.exceptAll(full).isEmpty && full.exceptAll(resolved).isEmpty,
+      "base+delta must reproduce the full backup exactly")
+
+    // chains resolve: an unchanged re-backup on top of the delta writes
+    // zero data partitions and still resolves through both layers
+    val delta2Dir = Files.createTempDirectory("graft-incr-delta2").toString
+    val (changed2, total2) = Snapshot.backupIncremental(modified, col("ts_s"), deltaDir, delta2Dir)
+    assert(changed2 == 0 && total2 == total)
+    val resolved2 = Snapshot.resolve(spark, delta2Dir)
+    assert(resolved2.exceptAll(full).isEmpty && full.exceptAll(resolved2).isEmpty)
+  }
+
+  test("incremental backup fails fast on a manifest-less base") {
+    val src = Relational.eventsSec(spark, sf).select("event_id", "ts_s")
+    val bare = Files.createTempDirectory("graft-incr-bare").toString
+    Retention.writeSnapshot(src, col("ts_s"), bare) // data, no manifest
+    intercept[IllegalArgumentException] {
+      Snapshot.backupIncremental(src, col("ts_s"), bare,
+        Files.createTempDirectory("graft-incr-nope").toString)
+    }
   }
 
   test("snapshot round-trips losslessly through every supported format") {

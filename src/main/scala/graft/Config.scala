@@ -107,4 +107,44 @@ object Config {
       errs => throw new IllegalArgumentException(
         s"invalid graft configuration:\n  ${errs.mkString("\n  ")}"),
       identity)
+
+  /** Database connection settings — the reference's client env surface
+    * (Dockerfile:13–19: host, native port 9000, user `default`,
+    * password required past the sentinel; applied at backup.sh:38–44).
+    * Consumed by [[operators.Sources.jdbc]], the connector boundary.
+    */
+  final case class Connection(host: String, port: Int, user: String, password: String) {
+    /** JDBC url for a given subprotocol (`clickhouse`, `postgresql`, …). */
+    def url(subprotocol: String): String = s"jdbc:$subprotocol://$host:$port"
+  }
+
+  /** Parse + validate the connection env (`GRAFT_HOST`, `GRAFT_PORT`,
+    * `GRAFT_USER`, `GRAFT_PASSWORD`), collecting every failure like
+    * [[fromEnv]]. Host and password are required (password may not be
+    * the sentinel — the reference aborts at boot on an unconfigured
+    * password); port defaults to 9000 and user to `default`, the
+    * reference's shipped defaults.
+    */
+  def connectionFromEnv(env: Map[String, String]): Either[Seq[String], Connection] = {
+    val errs = Seq.newBuilder[String]
+    def required(key: String): Option[String] = env.get(key) match {
+      case None => errs += s"$key is required"; None
+      case Some(Sentinel) => errs += s"$key is still the $Sentinel placeholder"; None
+      case Some(v) if v.trim.isEmpty => errs += s"$key is empty"; None
+      case Some(v) => Some(v)
+    }
+    val host = required("GRAFT_HOST")
+    val port = env.get("GRAFT_PORT") match {
+      case None | Some(Sentinel) => 9000
+      case Some(v) => v.toIntOption match {
+        case Some(p) if p > 0 && p <= 65535 => p
+        case _ => errs += s"GRAFT_PORT must be a port number, got '$v'"; 9000
+      }
+    }
+    val user = env.get("GRAFT_USER").filterNot(_ == Sentinel).getOrElse("default")
+    val password = required("GRAFT_PASSWORD")
+    val collected = errs.result()
+    if (collected.nonEmpty) Left(collected)
+    else Right(Connection(host.get, port, user, password.get))
+  }
 }

@@ -87,6 +87,56 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
+  /** The IVF index build, made literal: the corpus written partitioned
+    * by `cluster_id`, with the per-vector norm precomputed — once per
+    * corpus snapshot, like the quantizer fit. [[annTopKIndexed]] then
+    * turns probe-pruning into PARTITION pruning: un-probed cells are
+    * never read, where [[annTopK]] (the index-less form) still scans
+    * every row to assign its cell before filtering.
+    */
+  def buildIvfIndex(s: SparkSession, dir: String, indexDir: String): KMeans.Model = {
+    val emb = Tables(s, dir, "embeddings")
+    val model = fittedModel(emb, dir)
+    emb.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("c_nrm"),
+        model.assignCol(col("embedding")).as("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(indexDir)
+    model
+  }
+
+  /** ANN over the materialized index. The probed cell set is collected
+    * to the driver — |queries| × nProbe cell ids, model scale — and
+    * applied as a LITERAL `cluster_id IN (…)` predicate, so pruning is
+    * static at planning time: the scan lists only the probed partition
+    * directories (PlanSpec pins this). Everything after the scan is
+    * identical to [[annTopK]], and with every cell probed the results
+    * coincide.
+    */
+  def annTopKIndexed(s: SparkSession, dir: String, indexDir: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val model = fittedModel(emb, dir)
+    val cents = model.toDf(emb)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cluster_id").asc)
+    val probes = querySide(emb).join(broadcast(cents))
+      .withColumn("c_sim", round(Vectors.cosine(col("q_emb"), col("centroid")), 6))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cluster_id"))
+    val probedCells = probes.select("cluster_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scored = s.read.parquet(indexDir)
+      .filter(col("cluster_id").isin(probedCells.map(Integer.valueOf): _*))
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosScore)
+    rankTopK(scored, k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("cluster_id").cast("long").as("cell"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH-bucketed ANN (the non-learned alternative to [[annTopK]]'s
     * IVF): every vector gets 64 sign-random-projection bits (native
     * `rp_bits`), carved into `LshTables` bucket keys of `LshBits`

@@ -17,18 +17,36 @@ import scala.collection.mutable.ArrayBuffer
   * deliberately small and spec-checked against the declarative batch
   * form for exact agreement on closed sessions.
   *
-  * Scale shape: state is keyed by user and O(1) per user (start, last,
-  * count — no event buffering); a shuffle on the key partitions state
-  * across executors; the event-time timeout closes sessions as the
-  * watermark passes `last + gap`, so state size is bounded by the
-  * number of concurrently-active users, not history.
+  * Scale shape: state is keyed by user and bounded at `MaxOpen` open
+  * sessions × O(1) each (start, last, count — no event buffering); a
+  * shuffle on the key partitions state across executors; the event-time
+  * timeout closes sessions as the watermark passes `last + gap`, so
+  * state size is bounded by the number of concurrently-active users,
+  * not history.
+  *
+  * Late-data semantics (bounded merge-on-late): sessions stay open in
+  * the buffer until the WATERMARK passes `last + gap` — not until a
+  * later event arrives — so any event landing within the gap of an
+  * open session extends or MERGES it, including stragglers that arrive
+  * batches apart and events that bridge two open sessions into one.
+  * The single remaining approximation is the buffer bound: beyond
+  * `MaxOpen` concurrently-open sessions per key, the oldest closes
+  * eagerly, and a subsequent straggler for an evicted session opens a
+  * new one instead of merging (exact handling would require unbounded
+  * evicted history — the trade every bounded-state sessionizer makes).
   */
 object Sessionize {
 
   final case class Event(user_id: Long, ts: Timestamp)
 
-  /** O(1) per-key state: epoch-second bounds + count. */
+  /** One open session: epoch-second bounds + count. O(1). */
   final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Per-key state: the open sessions, pairwise more than a gap apart
+    * (merging on arrival maintains the invariant), bounded at
+    * [[MaxOpen]].
+    */
+  final case class SessionBuffer(open: Seq[SessionState])
 
   final case class Session(
       user_id: Long,
@@ -36,10 +54,15 @@ object Sessionize {
       session_end: Timestamp,
       n_events: Long)
 
+  /** Open-session buffer bound per key. 8 spans: a user would need 9+
+    * sessions all inside the watermark delay for eviction to bite.
+    */
+  val MaxOpen = 8
+
   /** Closed sessions for an event stream, `gapSec` inactivity gap.
-    * Emits a session when the event-time watermark passes its last
-    * event + gap (timeout) or when a later in-stream event of the same
-    * user opens the next session.
+    * A session is emitted when the event-time watermark passes its
+    * last event + gap (timeout), or eagerly if the per-key buffer
+    * exceeds [[MaxOpen]].
     */
   def sessions(
       events: Dataset[Event],
@@ -49,51 +72,56 @@ object Sessionize {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        (user: Long, it: Iterator[Event], state: GroupState[SessionBuffer]) =>
           if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(close(user, s))
+            val wmSec = state.getCurrentWatermarkMs / 1000
+            val (expired, live) = state.get.open.partition(_.last + gapSec < wmSec)
+            if (live.isEmpty) state.remove()
+            else { state.update(SessionBuffer(live)); arm(state, live, gapSec) }
+            expired.sortBy(_.start).iterator.map(close(user, _))
           } else {
             // batch arrival order is arbitrary; equal-ts ties cannot
             // change session membership (gap 0 <= gapSec)
             val sorted = it.toArray.sortBy(_.ts.getTime)
             val out = ArrayBuffer.empty[Session]
-            var cur = state.getOption
+            var open = state.getOption.map(_.open).getOrElse(Seq.empty)
             sorted.foreach { e =>
               val t = e.ts.getTime / 1000
-              cur match {
-                case Some(s) if t - s.last > gapSec =>
-                  out += close(user, s)
-                  cur = Some(SessionState(t, t, 1))
-                case Some(s) if s.start - t > gapSec =>
-                  // late arrival more than a gap BEFORE the open session:
-                  // its own (already-closed) earlier session. Approximation:
-                  // multiple such stragglers arriving in different batches
-                  // each close separately instead of merging — exact
-                  // handling would require buffering evicted history.
-                  out += Session(user, e.ts, e.ts, 1)
-                case Some(s) =>
-                  // in-gap arrival, possibly late: extend BOTH bounds so a
-                  // late-but-in-window event moves session_start back, as
-                  // the declarative batch form would
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+              // an event within the gap of any open session joins it;
+              // touching two (possible only for an in-between arrival —
+              // open sessions are pairwise > gap apart) bridges them
+              val (touched, rest) = open.partition(
+                s => t >= s.start - gapSec && t <= s.last + gapSec)
+              val merged = touched.foldLeft(SessionState(t, t, 1)) { (a, b) =>
+                SessionState(math.min(a.start, b.start), math.max(a.last, b.last), a.n + b.n)
+              }
+              open = merged +: rest
+              if (open.size > MaxOpen) {
+                // bounded buffer: evict the stalest span eagerly (the
+                // one the watermark would close first)
+                val oldest = open.minBy(_.last)
+                out += close(user, oldest)
+                open = open.filterNot(_ == oldest)
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // must be strictly ahead of the current watermark
-              state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs + 1, (s.last + gapSec) * 1000 + 1))
-            }
+            if (open.isEmpty) state.remove()
+            else { state.update(SessionBuffer(open)); arm(state, open, gapSec) }
             out.iterator
           }
       }
   }
+
+  /** Next timeout: the earliest open session's `last + gap`, clamped
+    * strictly ahead of the current watermark (a timeout at-or-behind
+    * the watermark is rejected by the state API).
+    */
+  private def arm(state: GroupState[SessionBuffer], open: Seq[SessionState],
+      gapSec: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs + 1,
+        (open.map(_.last).min + gapSec) * 1000 + 1))
 
   private def close(user: Long, s: SessionState): Session =
     Session(user, new Timestamp(s.start * 1000), new Timestamp(s.last * 1000), s.n)

@@ -72,6 +72,44 @@ class PlanSpec extends SparkSpec {
       "unprojected customer columns must not reach the scan")
   }
 
+  test("indexed ANN scans only the probed cluster partitions") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    pipeline.Similarity.buildIvfIndex(spark, sf, indexDir)
+    val nProbe = 2
+    val df = pipeline.Similarity.annTopKIndexed(spark, sf, indexDir, nProbe, k = 5)
+    df.collect()
+    // descend through the AQE wrappers (AdaptiveSparkPlanExec + query
+    // stages are opaque leaf nodes from the outside) to the real scans
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val exec = allScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("graft-ivf")))
+    assert(exec.nonEmpty, "no FileSourceScanExec over the index found")
+    // the scan of the index must carry a cluster_id partition filter
+    assert(exec.head.toString.contains("PartitionFilters")
+        && exec.head.metadata.get("PartitionFilters").exists(_.contains("cluster_id")),
+      s"index scan must prune on cluster_id:\n${exec.head}")
+    val scanned = exec.head.metrics("numPartitions").value
+    assert(scanned > 0 && scanned <= nProbe * 10,
+      s"scan read $scanned partitions; probing $nProbe cells for 10 queries must prune the rest")
+    assert(scanned < pipeline.Similarity.AnnCells,
+      s"scan read $scanned of ${pipeline.Similarity.AnnCells} partitions — nothing was pruned")
+    // with every cell probed, the indexed path reproduces the exact
+    // in-line ANN (same memoized quantizer model)
+    val full = pipeline.Similarity.annTopKIndexed(
+      spark, sf, indexDir, pipeline.Similarity.AnnCells, k = 5)
+    val inline = pipeline.Similarity.annTopK(
+      spark, sf, nProbe = pipeline.Similarity.AnnCells, k = 5)
+    assert(full.exceptAll(inline).isEmpty && inline.exceptAll(full).isEmpty,
+      "all-cells indexed search must equal the index-less form")
+  }
+
   test("hot relational shapes stay inside whole-stage codegen") {
     Seq("q_agg_hash", "q_join_hash", "q_win_rank", "q_dedup_docs").foreach { name =>
       // codegen stages render as `*(n) Operator` in the final AQE plan

@@ -143,6 +143,103 @@ class StreamingSpec extends SparkSpec {
       (2L, "12:00", "12:00", 1L)), s"got $got")
   }
 
+  test("sessionizer merges stragglers across batches and bridges open sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[streaming.Sessionize.Event]
+    val q = streaming.Sessionize.sessions(mem.toDS(), gapSec = 1800, watermarkDelay = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("sess_merge").start()
+    try {
+      mem.addData(Seq(streaming.Sessionize.Event(1L, ts("2024-01-01 12:00:00"))))
+      q.processAllAvailable()
+      // straggler well before the open session: opens its own session
+      mem.addData(Seq(streaming.Sessionize.Event(1L, ts("2024-01-01 08:00:00"))))
+      q.processAllAvailable()
+      // second straggler in a LATER batch, in-gap of the first: must
+      // merge with it, not close as another singleton
+      mem.addData(Seq(streaming.Sessionize.Event(1L, ts("2024-01-01 08:10:00"))))
+      q.processAllAvailable()
+      // bridge: 08:30 is within the gap of [08:00,08:10] AND of a new
+      // 08:55 arrival in the same batch — one fused session
+      mem.addData(Seq(
+        streaming.Sessionize.Event(1L, ts("2024-01-01 08:55:00")),
+        streaming.Sessionize.Event(1L, ts("2024-01-01 08:30:00"))))
+      q.processAllAvailable()
+      // sentinel rounds: advance the watermark, then fire the timeouts
+      mem.addData(Seq(streaming.Sessionize.Event(-1L, ts("2024-01-05 00:00:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq(streaming.Sessionize.Event(-1L, ts("2024-01-09 00:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_merge").filter(col("user_id") > 0)
+      .select(date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("08:00", "08:55", 4L), // stragglers + bridge all fused
+      ("12:00", "12:00", 1L)), s"got $got")
+  }
+
+  test("webhook publisher retries transient failures and delivers") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pub = new streaming.WebhookPublisher(
+      transport = { _ =>
+        if (calls.incrementAndGet() <= 2) sys.error("transient 503")
+      },
+      backoffMillis = 1)
+    val ok = pub.publish(SnapshotStream.HookEvent("post-backup", ""))
+    assert(ok && calls.get() == 3, s"expected success on attempt 3, calls=${calls.get()}")
+    assert(pub.payload(SnapshotStream.HookEvent("pre-backup", "x"))
+      == """{"status": "pre-backup"}""")
+  }
+
+  test("webhook publisher gives up after the reference's retry budget") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gaveUp = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val pub = new streaming.WebhookPublisher(
+      transport = { _ => calls.incrementAndGet(); sys.error("down") },
+      retries = 5, backoffMillis = 1,
+      onGiveUp = (e, t) => gaveUp.set(s"${e.status}:${t.getMessage}"))
+    val ok = pub.publish(SnapshotStream.HookEvent("error", "boom"))
+    assert(!ok && calls.get() == 6, s"curl --retry 5 = 6 attempts, got ${calls.get()}")
+    assert(gaveUp.get() == "error:down")
+  }
+
+  test("query failure reaches the webhook error channel through a flaky transport") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // every event's FIRST delivery attempt fails — only retry gets it out
+    val delivered = mutable.ArrayBuffer[String]()
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val pub = new streaming.WebhookPublisher(
+      transport = { body =>
+        if (failedOnce.add(body)) sys.error("first attempt always fails")
+        delivered.synchronized { delivered += body }
+      },
+      backoffMillis = 1)
+    val listener = pub.listener
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Int]
+    mem.addData(1, 2, 3)
+    val q = mem.toDF().writeStream.outputMode("append")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        sys.error("batch exploded") // backup.sh:7–11 trap ERR analog
+      }.start()
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000); ()
+    } finally spark.streams.removeListener(listener)
+    // listener delivery is async — poll briefly for the error event
+    val deadline = System.currentTimeMillis() + 15000
+    def got = delivered.synchronized { delivered.toList }
+    while (!got.contains("""{"status": "error"}""")
+        && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(got.contains("""{"status": "error"}"""),
+      s"error event must survive the flaky transport via retry, delivered=$got")
+    assert(got.contains("""{"status": "pre-backup"}"""))
+  }
+
   test("batch and streaming tumbling aggregations agree on closed windows") {
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
       .filter(col("day") < "2024-01-29") // watermark-closed region

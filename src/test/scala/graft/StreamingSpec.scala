@@ -240,6 +240,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains("""{"status": "pre-backup"}"""))
   }
 
+  test("health endpoint serves ok, flips to 503 on the error channel, and recovers") {
+    val (health, listener) = streaming.Health.withListener(spark, port = 0)
+    try {
+      def probe(): (Int, String) = {
+        val conn = new java.net.URI(s"http://localhost:${health.port}/health")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = new String(stream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        (code, body)
+      }
+      val (okCode, okBody) = probe()
+      assert(okCode == 200 && okBody.contains("\"status\": \"ok\""), s"$okCode $okBody")
+      // the error channel (what the listener forwards) fails the probe —
+      // the HEALTHCHECK `curl --fail` contract
+      assert(listener != null) // wiring exists; drive the state directly
+      health.reportError("backup exploded")
+      val (errCode, errBody) = probe()
+      assert(errCode == 503 && errBody.contains("\"status\": \"error\""), s"$errCode $errBody")
+      health.clearError()
+      assert(probe()._1 == 200)
+    } finally health.stop()
+  }
+
   test("batch and streaming tumbling aggregations agree on closed windows") {
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
       .filter(col("day") < "2024-01-29") // watermark-closed region

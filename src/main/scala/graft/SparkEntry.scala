@@ -20,6 +20,7 @@ object SparkEntry {
     functions.Scalars,
     streaming.Shapes,
     pipeline.TextOps,
+    pipeline.QualityOps,
     pipeline.Curate,
     pipeline.Dedup,
     pipeline.Similarity,

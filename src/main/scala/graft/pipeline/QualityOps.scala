@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators a large-scale training-data pipeline runs
+  * between ingestion and dedup (the training-data mandate, extending
+  * [[TextOps]]): PII redaction, corpus vocabulary, unigram-LM document
+  * scoring, and Gopher-style repetition signals (Rae et al. 2021,
+  * "Scaling Language Models" §A1.1 — the repetition filters).
+  *
+  * All four are oracle-checked. The fixture text is synthetic word
+  * soup with no real PII, so `q_pii_scrub` INJECTS deterministic
+  * entities (from `doc_id`) identically on both engines — what the
+  * hash check then verifies is exactly the part that can diverge: the
+  * regex dialect semantics (Java regex vs RE2) over the same bytes.
+  */
+object QualityOps extends QueryModule {
+
+  /** Redaction patterns, restricted to the dialect intersection of
+    * Java regex and RE2 (character classes + bounded repetition; no
+    * lookaround, no backreferences) so Spark and DuckDB agree
+    * byte-for-byte.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+[0-9]+(-[0-9]+)+"
+  private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // PII scrubbing: inject a deterministic email/phone/SSN per doc,
+    // count and redact each class. Narrow codegen'd projection — the
+    // 100 TB shape is a zero-shuffle map over the corpus, exactly like
+    // q_fingerprint.
+    "q_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), pii.as("pii_text"))
+          .select(col("doc_id"),
+            regexp_count(col("pii_text"), lit(EmailRe)).cast("long").as("n_emails"),
+            regexp_count(col("pii_text"), lit(PhoneRe)).cast("long").as("n_phones"),
+            regexp_count(col("pii_text"), lit(SsnRe)).cast("long").as("n_ssns"),
+            regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+              EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), SsnRe, "<SSN>").as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(pii_text, '\\+[0-9]+(-[0-9]+)+')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(pii_text, '$SsnRe')) AS BIGINT) AS n_ssns,
+             |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+             |    '$EmailRe', '<EMAIL>', 'g'),
+             |    '\\+[0-9]+(-[0-9]+)+', '<PHONE>', 'g'),
+             |    '$SsnRe', '<SSN>', 'g') AS scrubbed
+             |FROM (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-01' ||
+             |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             |    ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus vocabulary: global top-50 tokens. Explode → hash-agg on
+    // the word key (map-side partials absorb the heavy hitters) →
+    // TakeOrderedAndProject. No global sort of the vocabulary.
+    "q_vocab_topk" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(explode(TextFns.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(50),
+      Some("""SELECT w, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin)),
+
+    // Unigram-LM document scoring: bits/token of each document under
+    // the corpus's own unigram distribution — the classic perplexity
+    // quality signal (high = off-distribution / junk). Two shuffles
+    // (vocab count on word; token↔prob join on word) + one doc-keyed
+    // aggregate; the corpus total is a broadcast 1-row join.
+    "q_doc_lm_score" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+        val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = wc.agg(sum("c").as("t"))
+        toks.join(wc, Seq("w")).join(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            round(avg(-log2(col("c").cast("double") / col("t"))), 4).as("bits_per_token"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+             |tot AS (SELECT sum(c) AS t FROM wc)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       round(avg(-log2(CAST(c AS DOUBLE) / t)), 4) AS bits_per_token
+             |FROM toks JOIN wc USING (w) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals: duplicate-word fraction, top
+    // word's frequency share, duplicate-2-gram fraction, and the keep
+    // decision at the paper's thresholds-in-spirit. 2-grams come from a
+    // window `lead` over the positional explode — fully codegen'd,
+    // where the per-row `transform(sequence, element_at)` HOF build is
+    // an interpreted lambda and measured 5× slower on the same data.
+    // Everything shuffles on the doc key only. (The oracle builds its
+    // gram list with DuckDB's list_transform — different construction,
+    // identical grams, which IS the point of the hash check.)
+    "q_repetition" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFns.words(col("text"))).as(Seq("pos", "w")))
+        val wordStats = toks
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_words"), max("c").as("top_c"), count(lit(1)).as("n_distinct"))
+        val nextW = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val gramStats = toks
+          // concat (not concat_ws) so the final position's missing lead
+          // nulls the gram out instead of truncating it to one word
+          .select(col("doc_id"),
+            concat(col("w"), lit(" "), lead("w", 1).over(nextW)).as("g"))
+          .filter(col("g").isNotNull)
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_grams"), count(lit(1)).as("n_distinct_grams"))
+        wordStats.join(gramStats, Seq("doc_id"))
+          .select(col("doc_id"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+              .as("dup_word_frac"),
+            round(col("top_c").cast("double") / col("n_words"), 4).as("top_word_frac"),
+            round(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"), 4)
+              .as("dup_2gram_frac"),
+            (col("top_c").cast("double") / col("n_words") <= 0.2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws,
+             |         list_transform(range(1, len(string_split(text, ' '))),
+             |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS gs
+             |  FROM documents),
+             |wstats AS (
+             |  SELECT doc_id, sum(c) AS n_words, max(c) AS top_c, count(*) AS n_distinct
+             |  FROM (SELECT doc_id, w, count(*) AS c
+             |        FROM (SELECT doc_id, unnest(ws) AS w FROM docs) GROUP BY doc_id, w)
+             |  GROUP BY doc_id),
+             |gstats AS (
+             |  SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct_grams
+             |  FROM (SELECT doc_id, g, count(*) AS c
+             |        FROM (SELECT doc_id, unnest(gs) AS g FROM docs) GROUP BY doc_id, g)
+             |  GROUP BY doc_id)
+             |SELECT doc_id,
+             |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+             |  round(CAST(top_c AS DOUBLE) / n_words, 4) AS top_word_frac,
+             |  round(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 4) AS dup_2gram_frac,
+             |  CAST(top_c AS DOUBLE) / n_words <= 0.2 AS keep
+             |FROM wstats JOIN gstats USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

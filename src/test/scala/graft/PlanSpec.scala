@@ -28,10 +28,11 @@ class PlanSpec extends SparkSpec {
     * an intentionally unconditioned join against a broadcast side that
     * is O(1)-sized BY CONSTRUCTION at any scale factor —
     * q_sim_topk/q_sim_ann fan a ≤10-row query/probe set across the
-    * corpus, q_retention_filter joins the 1-row GC cutoff aggregate.
+    * corpus, q_retention_filter joins the 1-row GC cutoff aggregate,
+    * q_doc_lm_score the 1-row corpus-total aggregate.
     */
   private val intendedNestedLoop =
-    Set("q_sim_topk", "q_sim_ann", "q_retention_filter")
+    Set("q_sim_topk", "q_sim_ann", "q_retention_filter", "q_doc_lm_score")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -244,6 +244,67 @@ object Aggregates extends QueryModule {
              |  LEFT JOIN u3 ON u1.user_id = u3.user_id)
              |GROUP BY level ORDER BY level""".stripMargin)),
 
+    // sequenceMatch('(?1).*(?2).*(?3)') — ClickHouse event-pattern
+    // matching: per user, did signup → click → purchase occur in time
+    // order (no window bound — that's what distinguishes it from
+    // windowFunnel above). The per-user event string (one char per
+    // event, ordered by (ts, event_id)) is matched by the regex engine
+    // itself, which IS the ClickHouse semantics: the pattern is a
+    // regex over the event alphabet. Scale note: the per-user string
+    // is bounded by per-user activity; for unbounded activity the
+    // funnel's min-ts-chain shape is the streaming-safe form of the
+    // same predicate — this form exists for arbitrary patterns.
+    "q_seq_match" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_s"),
+            substring(col("event_type"), 1, 1).as("ch")) // s c p e v — initials unique
+        e.groupBy("user_id")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts_s"), col("event_id"), col("ch")))),
+              x => x.getField("ch")), "").as("seq"))
+          .select(col("user_id"),
+            col("seq").rlike("s.*c.*p").as("matched"),
+            length(col("seq")).cast("long").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  regexp_matches(seq, 's.*c.*p') AS matched,
+             |  CAST(length(seq) AS BIGINT) AS n_events
+             |FROM (SELECT user_id,
+             |        string_agg(substr(event_type, 1, 1), ''
+             |          ORDER BY date_trunc('second', ts), event_id) AS seq
+             |      FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // AggregatingMergeTree analog: mergeable per-day partial states
+    // (sum/count per (event_type, day)) re-aggregated into per-type
+    // totals, with avg DERIVED from the merged sums — the
+    // partial-merge identity the ClickHouse engine family is built on.
+    // At 100 TB this is the incremental materialized-view shape: new
+    // days append partial rows; the merge never re-reads history, and
+    // both levels are map-side-combined hash aggregates.
+    "q_merge_partials" -> QueryDef(
+      (s, dir) => {
+        val partials = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"), Retention.bucketDay(col("ts_s")).as("day"))
+          .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
+        partials.groupBy("event_type")
+          .agg(round(sum(col("s")), 4).as("sum_value"),
+            sum(col("c")).cast("long").as("n"),
+            round(sum(col("s")) / sum(col("c")), 4).as("avg_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, round(sum(s), 4) AS sum_value,
+             |  CAST(sum(c) AS BIGINT) AS n,
+             |  round(sum(s) / sum(c), 4) AS avg_value
+             |FROM (SELECT event_type,
+             |        strftime(date_trunc('second', ts), '%Y%m%d') AS day,
+             |        sum(value) AS s, count(*) AS c
+             |      FROM events GROUP BY 1, 2)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Pivot: rows-to-columns restructuring (the OLAP cross-tab).
     // Values are declared explicitly — with an inferred value set the
     // plan needs a distinct-collect to the driver BEFORE planning,

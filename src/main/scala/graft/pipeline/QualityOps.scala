@@ -104,6 +104,85 @@ object QualityOps extends QueryModule {
              |FROM toks JOIN wc USING (w) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination: flag training documents sharing word
+    // 5-grams with a held-out benchmark slice (doc_id % 97 == 0 — a
+    // deterministic stand-in for an eval set). The canonical
+    // train-on-test guard every serious pretraining pipeline runs.
+    // Shape: 5-grams from one window pass (4 leads over the positional
+    // explode, codegen'd), benchmark grams deduplicated, one equi-join
+    // on the gram string keyed by gram — at real scale the benchmark
+    // side is small and broadcasts; nothing is quadratic.
+    "q_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFns.words(col("text"))).as(Seq("pos", "w")))
+        val nw = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val grams = toks.select(col("doc_id"),
+            concat(col("w"),
+              lit(" "), lead("w", 1).over(nw), lit(" "), lead("w", 2).over(nw),
+              lit(" "), lead("w", 3).over(nw), lit(" "), lead("w", 4).over(nw)).as("g"))
+          .filter(col("g").isNotNull)
+        val bench = grams.filter(col("doc_id") % 97 === 0)
+          .select("g").distinct().withColumn("hit", lit(1L))
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(bench, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_grams"), 4).as("overlap_frac"),
+            (col("n_hit").cast("double") / col("n_grams") >= 0.05).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+             |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+             |         ws[i+3] || ' ' || ws[i+4])) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+             |SELECT t.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  round(CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+             |        count(*), 4) AS overlap_frac,
+             |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+             |        count(*) >= 0.05 AS contaminated
+             |FROM grams t LEFT JOIN bench b USING (g)
+             |WHERE t.doc_id % 97 <> 0
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // Sequence packing: assign documents to fixed token-budget bins
+    // (2048 tokens), greedy in doc_id order per source — the layout
+    // step between curation and tokenization that turns a corpus into
+    // training sequences. One window pass per source key; bin_id is a
+    // pure function of the running total, so the packing is
+    // deterministic at any parallelism.
+    "q_pack_sequences" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / 2048.0).cast("long").as("bin_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_tokens,
+             |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+             |FROM (SELECT doc_id, source,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |        CAST(sum(len(string_split(text, ' '))) OVER (
+             |          PARTITION BY source ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition signals: duplicate-word fraction, top
     // word's frequency share, duplicate-2-gram fraction, and the keep
     // decision at the paper's thresholds-in-spirit. 2-grams come from a

@@ -78,6 +78,21 @@ object QualityOps extends QueryModule {
              |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
              |GROUP BY w ORDER BY n DESC, w ASC LIMIT 50""".stripMargin)),
 
+    // topK(k) — the sketch form of q_vocab_topk (ClickHouse's topK
+    // aggregate): SpaceSaving heavy hitters with a bounded counter
+    // table, map-side-combined, so the shuffle carries
+    // partitions × capacity counters however large the vocabulary.
+    // Approximate by nature ⇒ no oracle; the spec checks exact
+    // agreement with q_vocab_topk where the guarantee applies.
+    "q_topk_sketch" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(explode(TextFns.words(col("text"))).as("w"))
+        .agg(graft.functions.TopKAgg(col("w"), 10).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("w"), col("t.count").as("n"), col("t.err").as("err"))
+        .orderBy(col("n").desc, col("w").asc),
+      None),
+
     // Unigram-LM document scoring: bits/token of each document under
     // the corpus's own unigram distribution — the classic perplexity
     // quality signal (high = off-distribution / junk). Two shuffles

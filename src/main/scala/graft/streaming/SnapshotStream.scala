@@ -67,6 +67,31 @@ object SnapshotStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("win.start").as("day_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases enriched with the same
+    * user's clicks from the preceding hour (the attribution join every
+    * event pipeline runs). Both sides carry watermarks and the join
+    * condition is time-bounded, which is exactly what lets Spark evict
+    * buffered join state once the watermark passes `ts + interval` —
+    * state is bounded by arrival rate × (delay + 1 h), not history.
+    * Works identically on a batch DataFrame (same code path, no state),
+    * which is what the integration spec compares against.
+    */
+  def purchaseAttribution(events: DataFrame,
+      watermarkDelay: String = "1 day"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts")
+  }
+
   /** Start the snapshot pipeline: aggregate → foreachBatch snapshot
     * write (one parquet dataset, day-partitioned; tiers are views).
     * `AvailableNow` = drain-everything-then-stop (the BACKUP_ON_START

@@ -224,6 +224,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("topK sketch equals the exact vocabulary top-k when capacity covers the vocab") {
+    val sketch = SparkEntry.queries("q_topk_sketch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = SparkEntry.queries("q_vocab_topk")(spark, sf)
+      .limit(10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sketch.map(t => (t._1, t._2)).toSeq == exact.toSeq,
+      "with capacity >= |vocab| the sketch must be exact")
+    assert(sketch.forall(_._3 == 0L), "no eviction => zero error bounds")
+  }
+
+  test("topK sketch eviction keeps heavy hitters with honest error bounds") {
+    import spark.implicits._
+    // 1000 hot + 50 singletons through a capacity-8 sketch: the hot
+    // item's true count (1000) far exceeds N/m (1050/8), so SpaceSaving
+    // guarantees it survives; counts may only overestimate, by <= err
+    val rows = (Seq.fill(1000)("hot") ++ (1 to 50).map(i => s"cold$i")).toDF("w")
+      .repartition(8) // force cross-partition buffer merges
+    val top = rows.agg(graft.functions.TopKAgg(col("w"), 3, capacity = 8).as("t"))
+      .select(explode(col("t")).as("t"))
+      .select(col("t.item"), col("t.count"), col("t.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hot = top.find(_._1 == "hot")
+    assert(hot.isDefined, s"heavy hitter evicted: $top")
+    val (_, c, e) = hot.get
+    assert(c >= 1000 && c - e <= 1000,
+      s"count must overestimate by at most err: count=$c err=$e")
+  }
+
   test("simhash of identical word multisets is identical") {
     val docs = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here"))
     val df = spark.createDataFrame(docs).toDF("doc_id", "text")

@@ -240,6 +240,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains("""{"status": "pre-backup"}"""))
   }
 
+  test("stream-stream interval join matches the identical batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = operators.Relational.eventsSec(spark, sf)
+      .select(col("ts_s").as("ts"), col("event_id"), col("user_id"), col("event_type"))
+    val rows = batch.as[(Timestamp, Long, Long, String)].collect().toSeq
+    val mem = MemoryStream[(Timestamp, Long, Long, String)]
+    val q = SnapshotStream.purchaseAttribution(
+        mem.toDF().toDF("ts", "event_id", "user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out")
+    val want = SnapshotStream.purchaseAttribution(batch)
+    assert(want.count() > 0, "fixture must produce attribution pairs")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming interval join must equal its batch form")
+  }
+
   test("health endpoint serves ok, flips to 503 on the error channel, and recovers") {
     val (health, listener) = streaming.Health.withListener(spark, port = 0)
     try {

@@ -43,11 +43,16 @@ object Curate extends QueryModule {
             size(ws).cast("long").as("n_tokens"),
             round(quality, 4).as("quality"),
             predLang.as("pred_lang"))
-        // dedup: lowest doc_id survives its duplicate group (one
-        // shuffle on the fingerprint; min_by avoids a second pass)
-        val survivors = scored.groupBy("norm_fp")
-          .agg(min(col("doc_id")).as("doc_id"))
-        scored.join(survivors, Seq("norm_fp", "doc_id"), "left_semi")
+        // dedup: lowest doc_id survives its duplicate group. A window
+        // rank-1 on the fingerprint, NOT a groupBy + semi-join: the
+        // join form consumes the scored subtree twice, so every per-row
+        // regex (fingerprint normalization, 3 language probes, quality
+        // cleanup) runs twice — measured ~2× the whole query. Same
+        // single shuffle on the fingerprint either way.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("norm_fp").orderBy("doc_id")
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
           .filter(col("quality") >= 0.5 && col("pred_lang") =!= "unk" &&
             col("n_tokens").between(5, 1000))
           .select("doc_id", "lang", "pred_lang", "n_tokens", "quality")

@@ -154,18 +154,25 @@ object Dedup extends QueryModule {
     // Approximate/custom-hash ⇒ no oracle.
     "q_dedup_winnow" -> QueryDef(
       (s, dir) => {
-        // materialized: referenced three times (hot-fp filter + both
-        // join sides) — same reuse + cleanup rationale as signatures()
+        // One pass, one shuffle to the bucket: collect each
+        // fingerprint's doc list (bounded — the BucketCap filter runs
+        // BEFORE any pair exists) and expand ordered pairs in-row.
+        // This replaces the earlier census-groupBy + filter-join +
+        // self-join formulation: same result, three fewer exchanges
+        // and no materialization to reuse (so no checkpoint either).
+        // The in-row expansion is ≤ BucketCap²/2 per bucket — O(1) by
+        // construction, which is what makes it safe where an uncapped
+        // HOF pair blow-up would not be.
         val fps = Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFns.winnowFingerprints(col("text"), 16, 8)).as("fp"))
-          .localCheckpoint()
-        val keep = fps.groupBy("fp").agg(count(lit(1)).as("fn"))
-          .filter(col("fn") > 1 && col("fn") <= BucketCap)
-        val inBucket = fps.join(keep.select("fp"), Seq("fp"))
-        inBucket.select(col("fp"), col("doc_id").as("doc_a"))
-          .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
-          .filter(col("doc_a") < col("doc_b"))
+        fps.groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
+          .select(explode(expr(
+            """flatten(transform(ids, (a, i) ->
+              |  transform(slice(ids, i + 2, size(ids) - i - 1),
+              |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy("doc_a", "doc_b")
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 5)

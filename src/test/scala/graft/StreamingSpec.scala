@@ -207,8 +207,12 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("query failure reaches the webhook error channel through a flaky transport") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
+    // isolated session: the shared session's listener bus also carries
+    // every OTHER suite's query events when suites run in parallel,
+    // which can starve/flood this listener — hermetic by construction
+    val session = spark.newSession()
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
     // every event's FIRST delivery attempt fails — only retry gets it out
     val delivered = mutable.ArrayBuffer[String]()
     val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -219,7 +223,7 @@ class StreamingSpec extends SparkSpec {
       },
       backoffMillis = 1)
     val listener = pub.listener
-    spark.streams.addListener(listener)
+    session.streams.addListener(listener)
     val mem = MemoryStream[Int]
     mem.addData(1, 2, 3)
     val q = mem.toDF().writeStream.outputMode("append")
@@ -227,10 +231,10 @@ class StreamingSpec extends SparkSpec {
         sys.error("batch exploded") // backup.sh:7–11 trap ERR analog
       }.start()
     try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination(60000); ()
-    } finally spark.streams.removeListener(listener)
-    // listener delivery is async — poll briefly for the error event
-    val deadline = System.currentTimeMillis() + 15000
+      q.awaitTermination(120000); ()
+    } finally session.streams.removeListener(listener)
+    // listener delivery is async — poll for the error event
+    val deadline = System.currentTimeMillis() + 60000
     def got = delivered.synchronized { delivered.toList }
     while (!got.contains("""{"status": "error"}""")
         && System.currentTimeMillis() < deadline)

@@ -45,21 +45,32 @@ object Dedup extends QueryModule {
     */
   private[graft] val BucketCap = 64
 
-  /** The (chunk, chunk_val)-keyed rows that enter the SimHash candidate
-    * self-join: only buckets with 2..BucketCap members survive the
-    * census. Package-private so PipelineSpec can assert the cap on the
-    * exact production plan, not a replica.
+  /** The (chunk, chunk_val) buckets that feed the SimHash candidate
+    * expansion: each bucket's (doc_id, sh) members collected sorted,
+    * kept only at 2..BucketCap members. Package-private so
+    * PipelineSpec can assert the cap on the exact production plan, not
+    * a replica. One shuffle; the cap bounds every downstream in-row
+    * pair expansion at BucketCap²/2.
     */
-  private[graft] def simhashInBucket(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(s, dir, "documents")
+  private[graft] def simhashBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .select(col("doc_id"), TextFns.simhash(col("text")).as("sh"))
-      .localCheckpoint() // referenced by both join sides + the census — see signatures()
       .select(col("doc_id"), col("sh"),
         posexplode(expr(TextFns.simhashChunksExpr)).as(Seq("chunk", "chunk_val")))
-    val small = sh.groupBy("chunk", "chunk_val").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= BucketCap)
-    sh.join(small.select("chunk", "chunk_val"), Seq("chunk", "chunk_val"))
-  }
+      .groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= BucketCap)
+
+  /** In-row ordered-pair expansion of a collected bucket — the shared
+    * kernel of the capped dedup family: `ms` is size-bounded by
+    * BucketCap BEFORE any pair exists, so the quadratic step is O(1)
+    * per bucket by construction (an uncapped HOF blow-up would not be
+    * safe). Sorted input ⇒ every emitted pair has a < b.
+    */
+  private def pairExpansion(fields: String): String =
+    s"""flatten(transform(ms, (a, i) ->
+       |  transform(slice(ms, i + 2, size(ms) - i - 1),
+       |    b -> struct($fields))))""".stripMargin
 
   def entries: Map[String, QueryDef] = Map(
 
@@ -88,19 +99,23 @@ object Dedup extends QueryModule {
     "q_dedup_minhash" -> QueryDef(
       (s, dir) => {
         val sigs = signatures(s, dir)
-        // ids-only through the bucket join: the 16-long signatures are
-        // re-attached once per surviving pair, not dragged through the
-        // (potentially skewed) bucket explosion.
-        val b = sigs.select(col("doc_id"),
-          posexplode(TextFns.bandKeys(col("sig"), 4, 4)).as(Seq("band", "band_key")))
-        val small = b.groupBy("band", "band_key").agg(count(lit(1)).as("bn"))
-          .filter(col("bn") > 1 && col("bn") <= BucketCap)
-        val inBucket = b.join(small.select("band", "band_key"), Seq("band", "band_key"))
-        val pairs = inBucket.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-          .join(inBucket.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
-            Seq("band", "band_key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
+        // ids-only through the bucket expansion: the 16-long signatures
+        // are re-attached once per surviving pair, not dragged through
+        // the (potentially skewed) bucket explosion. Pairs come from
+        // one collect-per-bucket pass + in-row expansion (capped at
+        // BucketCap before any pair exists) — the census-join +
+        // self-join formulation this replaces cost three more
+        // exchanges for the same result.
+        val pairs = sigs.select(col("doc_id"),
+            posexplode(TextFns.bandKeys(col("sig"), 4, 4)).as(Seq("band", "band_key")))
+          .groupBy("band", "band_key")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
+          .select(explode(expr(
+            """flatten(transform(ids, (a, i) ->
+              |  transform(slice(ids, i + 2, size(ids) - i - 1),
+              |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+          .select("p.doc_a", "p.doc_b").distinct()
         pairs
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -118,28 +133,25 @@ object Dedup extends QueryModule {
     // distance for candidates under 16. No oracle (approx).
     //
     // The chunk key space is only 2^16, so at corpus scale EVERY chunk
-    // bucket fills (~N/65536 docs) and an uncapped self-join is
-    // quadratic within each — the same non-discriminative-bucket
-    // problem minhash/winnow already guard against. Same mitigation:
-    // drop buckets above BucketCap before the join (oversized chunk
+    // bucket fills (~N/65536 docs) and an uncapped pairing is quadratic
+    // within each — the same non-discriminative-bucket problem
+    // minhash/winnow already guard against. Same mitigation: drop
+    // buckets above BucketCap before any pair exists (oversized chunk
     // buckets are near-zero-entropy chunks — boilerplate — whose pairs
     // the other three chunks still recover for genuinely similar docs;
-    // dropping them is the standard recall/cost trade).
+    // dropping them is the standard recall/cost trade). Each bucket
+    // carries its members' (doc_id, sh) structs, so the Hamming
+    // distance is computed in-row during expansion — no join-backs, no
+    // checkpoint, ONE shuffle end-to-end.
     "q_dedup_simhash" -> QueryDef(
-      (s, dir) => {
-        val inBucket = simhashInBucket(s, dir)
-        val l = inBucket.select(col("chunk"), col("chunk_val"),
-          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val r = inBucket.select(col("chunk"), col("chunk_val"),
-          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        l.join(r, Seq("chunk", "chunk_val"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-          .filter(col("hamming") < 16)
-          .dropDuplicates("doc_a", "doc_b")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => simhashBuckets(s, dir)
+        .select(explode(expr(pairExpansion(
+          "a.doc_id AS doc_a, a.sh AS sh_a, b.doc_id AS doc_b, b.sh AS sh_b"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") < 16)
+        .dropDuplicates("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
       None),
 
     // Winnowing fingerprints (rolling-hash document fingerprinting):

@@ -205,14 +205,14 @@ class PipelineSpec extends SparkSpec {
     assert(lshRows.size == lsh.size, "a candidate pair must be scored exactly once")
   }
 
-  test("simhash candidate join admits no bucket above BucketCap") {
-    // the exact production input to the self-join (not a replica)
-    val census = pipeline.Dedup.simhashInBucket(spark, sf)
-      .groupBy("chunk", "chunk_val").count()
+  test("simhash candidate expansion admits no bucket above BucketCap") {
+    // the exact production input to the pair expansion (not a replica)
+    val census = pipeline.Dedup.simhashBuckets(spark, sf)
+      .select(size(col("ms")).as("count"))
     assert(census.filter(col("count") > pipeline.Dedup.BucketCap).isEmpty,
-      "an oversized bucket entered the simhash self-join")
+      "an oversized bucket entered the simhash pair expansion")
     assert(census.filter(col("count") < 2).isEmpty,
-      "singleton buckets must be dropped before the join (they yield no pairs)")
+      "singleton buckets must be dropped before expansion (they yield no pairs)")
   }
 
   test("dedup queries leave the session CacheManager empty (no persist leak)") {

@@ -23,6 +23,8 @@ object SparkEntry {
     pipeline.QualityOps,
     pipeline.Curate,
     pipeline.Dedup,
+    pipeline.Cluster,
+    pipeline.Mixing,
     pipeline.Similarity,
     pipeline.Multimodal)
 

@@ -1,0 +1,223 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution and shared-passage detection — the two
+  * steps a training-data pipeline runs AFTER candidate generation:
+  * every dedup variant (exact/MinHash/SimHash/winnow) emits PAIRS, but
+  * a curation run needs disjoint clusters with one survivor each, and
+  * substring-level contamination needs the actual duplicated passages,
+  * not just "these two docs overlap somewhere".
+  *
+  * Both are deterministic (fingerprint equality, exact n-gram runs), so
+  * unlike the approximate candidate generators they are fully
+  * DuckDB-expressible and hash-checked against the oracle.
+  */
+object Cluster extends QueryModule {
+
+  /** Prefix/suffix fingerprint width. Fixture docs are ≥ 10 words at
+    * every SF, so a 10-word slice never clamps (a clamped slice would
+    * diverge from the oracle's `list_slice` semantics on short docs).
+    */
+  private val EdgeKeyWords = 10
+
+  private val GramN = 8
+
+  /** Same oversized-bucket rationale as [[Dedup.BucketCap]]: an 8-gram
+    * shared by hundreds of documents is boilerplate, and pairing it is
+    * quadratic; passages that matter still chain through their other,
+    * discriminative grams.
+    */
+  private[graft] val GramBucketCap = 64
+
+  /** A run must span ≥ MinRunGrams consecutive shared grams, i.e.
+    * ≥ GramN - 1 + MinRunGrams = 12 shared tokens, before it is
+    * reported as a duplicated passage.
+    */
+  private val MinRunGrams = 5
+
+  private val ConvergenceFuse = 50
+
+  /** Star edges for one fingerprint family: every bucket member links
+    * to the bucket minimum. A star preserves the bucket's connectivity
+    * with |bucket|-1 edges instead of the clique's |bucket|²/2 — the
+    * edge list stays LINEAR in the corpus no matter how large a
+    * duplicate group grows, which is what makes the component step safe
+    * at 100 TB (no BucketCap needed here, unlike the pairwise dedup
+    * variants, because nothing quadratic ever exists).
+    */
+  private def starEdges(keyed: DataFrame, key: String): DataFrame =
+    keyed.groupBy(key)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), x -> struct(ids[0] AS s, x AS d))")).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+
+  /** The (doc_id, pos, gram) table: md5 of each 8-token window, built
+    * with window `lead` over `posexplode` (the HOF transform/slice form
+    * is ~5× slower — interpreted lambda per gram). Positions are
+    * 0-based longs to match the oracle's `generate_series`.
+    */
+  private def grams(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TextFns.words(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = Seq(col("doc_id"), col("pos").cast("long").as("pos")) ++
+      (0 until GramN).map(i => (if (i == 0) col("w") else lead("w", i).over(byDoc)).as(s"w$i"))
+    toks.select(leads: _*)
+      .filter(col(s"w${GramN - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (0 until GramN).map(i => col(s"w$i")): _*)).as("gram"))
+  }
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Connected components over the duplicate graph: docs sharing a
+    // 10-word prefix OR suffix fingerprint are edges; the cluster label
+    // is the component's minimum doc_id and the keeper is the label
+    // doc. Clique families OVERLAP (A~B by prefix, B~C by suffix ⇒
+    // {A,B,C}), so real transitive closure is required — a groupBy on
+    // either key alone is wrong.
+    //
+    // Algorithm: hash-to-min label propagation. Each iteration is ONE
+    // shuffle (union + groupBy min); labels converge in O(component
+    // diameter) rounds — near-dup clusters have tiny diameters, and the
+    // star edges (see starEdges) bound each round's traffic linearly.
+    // `localCheckpoint` per round truncates lineage so the plan doesn't
+    // grow with the iteration count; the only driver-side values are
+    // the per-round emptiness probe of the changed-label set (an
+    // aggregate, not data). This is the standard Spark CC shape
+    // (hash-to-min; large-star/small-star would cut rounds to
+    // O(log diameter) on adversarial graphs but costs 2 shuffles/round
+    // — the wrong trade for shallow dup clusters).
+    "q_dedup_cluster" -> QueryDef(
+      (s, dir) => {
+        val sp = TextFns.words(col("text"))
+        val keyed = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(sp, 1, EdgeKeyWords))).as("pre"),
+            md5(concat_ws(" ", slice(sp, -EdgeKeyWords, EdgeKeyWords))).as("suf"))
+          .localCheckpoint() // read once; feeds 2 edge families + the node set
+        val star = starEdges(keyed, "pre").union(starEdges(keyed, "suf"))
+        val edges = star
+          .union(star.select(col("d").as("s"), col("s").as("d")))
+          .distinct()
+          .localCheckpoint() // re-joined every iteration
+        var labels = keyed.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+        // Propagation only ever LOWERS labels, so Σcomp strictly
+        // decreases until fixpoint — an O(1)-row aggregate per round
+        // detects convergence without a previous-vs-next join.
+        var checksum = Long.MaxValue
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < ConvergenceFuse) {
+          val prop = edges.join(labels, edges("s") === labels("id"))
+            .select(col("d").as("id"), col("comp"))
+          labels = labels.union(prop)
+            .groupBy("id").agg(min("comp").as("comp"))
+            .localCheckpoint()
+          val next = labels.agg(sum("comp")).head.getLong(0)
+          converged = next == checksum
+          checksum = next
+          rounds += 1
+        }
+        require(converged, s"label propagation did not converge in $ConvergenceFuse rounds")
+        labels
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+          .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+              |k AS (
+              |  SELECT doc_id,
+              |         md5(array_to_string(list_slice(sp, 1, $EdgeKeyWords), ' ')) AS pre,
+              |         md5(array_to_string(list_slice(sp, len(sp) - ${EdgeKeyWords - 1}, len(sp)), ' ')) AS suf
+              |  FROM t),
+              |e AS (
+              |  SELECT a.doc_id AS s, b.doc_id AS d
+              |  FROM k a JOIN k b ON a.pre = b.pre AND a.doc_id <> b.doc_id
+              |  UNION
+              |  SELECT a.doc_id, b.doc_id
+              |  FROM k a JOIN k b ON a.suf = b.suf AND a.doc_id <> b.doc_id),
+              |w(id, comp) AS (
+              |  SELECT doc_id, doc_id FROM k
+              |  UNION
+              |  SELECT e.d, w.comp FROM w JOIN e ON e.s = w.id),
+              |lab AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM w GROUP BY id)
+              |SELECT doc_id, cluster_id,
+              |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              |       doc_id = cluster_id AS is_keeper
+              |FROM lab
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Exact duplicated-passage detection (substring-level dedup à la
+    // "Deduplicating Training Data Makes Language Models Better":
+    // suffix-array duplicate substrings, re-expressed relationally):
+    // positional 8-gram match join, then consecutive matches on the
+    // same diagonal (pos_a - pos_b) consolidate into maximal runs via
+    // the islands trick (pos - row_number is constant within a run).
+    // Output is (doc pair, start offsets, token length ≥ 12) — the
+    // actionable "cut this passage" record, not just a doc-level flag.
+    //
+    // Scale shape: grams → capped collect-per-bucket (one shuffle) →
+    // in-row pair expansion (bounded by GramBucketCap before any pair
+    // exists) → one groupBy over (pair, diagonal, island). Nothing
+    // quadratic in the corpus; hot boilerplate grams are dropped by the
+    // cap exactly like the MinHash/SimHash candidate buckets.
+    "q_dup_passages" -> QueryDef(
+      (s, dir) => {
+        val pairs = grams(s, dir)
+          .groupBy("gram")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ms"))
+          .filter(size(col("ms")) > 1 && size(col("ms")) <= GramBucketCap)
+          .select(explode(expr(Dedup.pairExpansion(
+            "a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b"))).as("p"))
+          .select("p.*")
+          .filter(col("doc_a") < col("doc_b"))
+        val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+        pairs
+          .withColumn("diag", col("pos_a") - col("pos_b"))
+          .withColumn("grp", col("pos_a") - row_number().over(byDiag))
+          .groupBy("doc_a", "doc_b", "diag", "grp")
+          .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+            (count(lit(1)) + (GramN - 1)).cast("long").as("len_tokens"))
+          .filter(col("len_tokens") >= GramN - 1 + MinRunGrams)
+          .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+          .orderBy("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+              |g0 AS (
+              |  SELECT doc_id, sp,
+              |         unnest(generate_series(0, len(sp) - $GramN)) AS pos
+              |  FROM t),
+              |g AS (
+              |  SELECT doc_id, pos,
+              |         md5(array_to_string(list_slice(sp, pos + 1, pos + $GramN), ' ')) AS gram
+              |  FROM g0),
+              |census AS (
+              |  SELECT gram FROM g GROUP BY gram
+              |  HAVING count(*) BETWEEN 2 AND $GramBucketCap),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+              |  FROM g a JOIN census USING (gram) JOIN g b USING (gram)
+              |  WHERE a.doc_id < b.doc_id),
+              |r AS (
+              |  SELECT *, pos_a - pos_b AS diag,
+              |         pos_a - row_number() OVER (
+              |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+              |  FROM p)
+              |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+              |       CAST(count(*) + ${GramN - 1} AS BIGINT) AS len_tokens
+              |FROM r
+              |GROUP BY doc_a, doc_b, diag, grp
+              |HAVING count(*) >= $MinRunGrams
+              |ORDER BY doc_a, doc_b, start_a, start_b, len_tokens""".stripMargin)))
+}

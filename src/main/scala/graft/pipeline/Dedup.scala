@@ -67,7 +67,7 @@ object Dedup extends QueryModule {
     * per bucket by construction (an uncapped HOF blow-up would not be
     * safe). Sorted input ⇒ every emitted pair has a < b.
     */
-  private def pairExpansion(fields: String): String =
+  private[pipeline] def pairExpansion(fields: String): String =
     s"""flatten(transform(ms, (a, i) ->
        |  transform(slice(ms, i + 2, size(ms) - i - 1),
        |    b -> struct($fields))))""".stripMargin

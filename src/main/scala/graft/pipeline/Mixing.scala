@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly — the operations between "curated documents" and
+  * "tensors on a trainer": stratified downsampling to a target language
+  * mix, weighted epoch repetition per source (data mixing), and the
+  * deterministic global shuffle into training shards.
+  *
+  * All three are pure functions of stored keys (md5 — the one keyed
+  * hash Spark and DuckDB share bit-for-bit, same rationale as
+  * `q_sample`), so every run, every engine, and every retry of a failed
+  * shard produces the identical corpus — reproducibility is the whole
+  * point of hash-based sampling over `rand()`.
+  */
+object Mixing extends QueryModule {
+
+  /** Per-language keep rates as hex thresholds on the first two md5
+    * nibbles (256ths): en 25/256 ≈ 10 %, zh 51/256 ≈ 20 %, es 76/256 ≈
+    * 30 %, de 128/256 = 50 %, fr 204/256 ≈ 80 % — the shape of a
+    * rebalancing pass that downsamples an English-heavy crawl.
+    */
+  private val LangThresholds: Seq[(String, String)] =
+    Seq("en" -> "19", "zh" -> "33", "es" -> "4c", "de" -> "80", "fr" -> "cc")
+
+  /** Epoch repeat factor per source: sources cycle through weights
+    * 1..4 (substr of the source id keeps the oracle trivially
+    * expressible; a real run would join a curated weights table).
+    */
+  private val MixCycle = 4
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // Stratified consistent-hash sampling: each language keeps a
+    // different deterministic fraction. At 100 TB this is a SCAN-SIDE
+    // residual filter — no shuffle, no per-group pass, no driver state;
+    // and because membership is a pure function of doc_id, two tables
+    // sampled with the same key still join (rand()/TABLESAMPLE cannot
+    // give either property).
+    "q_sample_stratified" -> QueryDef(
+      (s, dir) => {
+        val thr = LangThresholds.tail
+          .foldLeft(when(col("lang") === LangThresholds.head._1, LangThresholds.head._2)) {
+            case (acc, (l, t)) => acc.when(col("lang") === l, t)
+          }.otherwise("00")
+        Tables(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source
+              |FROM documents
+              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              |      CASE lang ${LangThresholds.map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")} ELSE '00' END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Weighted data mixing: repeat each document `weight` times
+    // (epochs 1..weight), the standard up-sampling of high-quality
+    // sources in a training mix. A generator flat-map — row-local, no
+    // shuffle, output size = Σ weights; at 100 TB the repeat factor is
+    // metadata (epoch column), not copied bytes, until the final
+    // materialization.
+    "q_mix_weighted" -> QueryDef(
+      (s, dir) => {
+        val w = substring(col("source"), 4, 4).cast("long") % MixCycle + 1
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(1L), w)).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some(s"""SELECT doc_id, source,
+              |       unnest(generate_series(1, CAST(substr(source, 4) AS BIGINT) % $MixCycle + 1)) AS epoch
+              |FROM documents
+              |ORDER BY doc_id, epoch""".stripMargin)),
+
+    // Deterministic global shuffle + shard assignment: training order
+    // is ORDER BY md5(doc_id) — a reproducible pseudo-random
+    // permutation — and the shard is the hash's first nibble range (8
+    // shards here), so a failed shard re-derives exactly. Scale shape:
+    // the permutation is NEVER a global sort — each shard is one window
+    // partition (shuffle on shard, sort within), and production sizes
+    // the shard count to the corpus (e.g. ~1 shard/GB), so partitions
+    // stay bounded as data grows; a global row_number would serialize
+    // on one task.
+    "q_shard_assign" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("shard", expr(
+          "CAST(floor((instr('0123456789abcdef', substring(h, 1, 1)) - 1) / 2.0) AS BIGINT)"))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |a AS (
+             |  SELECT doc_id, h,
+             |         CAST(floor((instr('0123456789abcdef', substr(h, 1, 1)) - 1) / 2.0) AS BIGINT) AS shard
+             |  FROM s)
+             |SELECT doc_id, shard,
+             |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM a
+             |ORDER BY shard, pos""".stripMargin)))
+}

@@ -1,0 +1,38 @@
+package graft
+
+/** Partitioning-invariance: a distributed engine's results must be a
+  * pure function of the DATA, never of the physical layout — shuffle
+  * fan-out, input split sizes, or task scheduling order. This is the
+  * local-mode proxy for "same answer on a 1000-executor cluster": the
+  * queries most at risk are the ones built on hashes, windows,
+  * iterative convergence, and greedy packing, so each runs under a
+  * deliberately hostile sibling session (prime shuffle fan-out, input
+  * files split into ~64 KB chunks) and must reproduce the default
+  * session's rows exactly.
+  *
+  * `newSession()` shares the SparkContext but takes its own SQL conf,
+  * so both layouts run in the one test JVM.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val sensitive = Seq(
+    "q_shard_assign",    // md5 permutation + per-shard window row_number
+    "q_dedup_cluster",   // iterative label propagation to fixpoint
+    "q_pack_sequences",  // greedy cumsum bin packing
+    "q_dedup_minhash",   // capped-bucket pair expansion over collect_list
+    "q_dedup_simhash",   // same kernel, hash payload carried in-row
+    "q_topk_per_group",  // rank-window ties
+    "q_sample")          // consistent-hash membership
+
+  test("layout-hostile session reproduces every hash/window/iterative query") {
+    val hostile = spark.newSession()
+    hostile.conf.set("spark.sql.shuffle.partitions", "7")
+    hostile.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    hostile.conf.set("spark.sql.files.openCostInBytes", "0")
+    for (q <- sensitive) {
+      val expect = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).toSeq
+      val got = SparkEntry.queries(q)(hostile, sf).collect().map(_.toString).toSeq
+      assert(got == expect, s"$q changed under a different physical layout")
+    }
+  }
+}

@@ -289,6 +289,47 @@ class StreamingSpec extends SparkSpec {
     } finally health.stop()
   }
 
+  test("streaming LSH near-dup candidates equal the batch star edges; state survives batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), t0, r.getString(1))).toSeq
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = streaming.StreamDedup.nearDupCandidates(
+        mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    try {
+      mem.addData(docs)
+      q.processAllAvailable()
+      // batch 2: a byte-identical copy of an existing doc under a new
+      // id — the bucket representatives retained in state must pair it
+      mem.addData(Seq((1000000L, t0, docs.head._3)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("neardup_out").distinct()
+    // expected for batch 1: every band bucket's members pair with the
+    // bucket minimum (equal ts ⇒ admission order is doc_id order)
+    val bands = functions.TextFns.bandKeys(
+      functions.TextFns.minhashSignature(col("text"), 3, 16), 4, 4)
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(bands).as("band_key"))
+      .groupBy("band_key").agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), x -> struct(x AS doc_id, ids[0] AS dup_of))")).as("p"))
+      .select("p.*").distinct()
+    val gotB1 = got.filter(col("doc_id") =!= 1000000L)
+    assert(gotB1.exceptAll(want).isEmpty && want.exceptAll(gotB1).isEmpty,
+      "streaming candidates must equal the batch bucket-star pairs")
+    // the cross-batch duplicate collided with retained representatives
+    assert(got.filter(col("doc_id") === 1000000L).count() > 0,
+      "a later-batch duplicate must pair with a representative kept in state")
+  }
+
   test("batch and streaming tumbling aggregations agree on closed windows") {
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
       .filter(col("day") < "2024-01-29") // watermark-closed region

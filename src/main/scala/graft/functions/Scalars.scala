@@ -130,14 +130,17 @@ object Scalars extends QueryModule {
       (s, dir) => Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
+          // + 0.0 canonicalizes IEEE negative zero (−0.0 + 0.0 = +0.0):
+          // one sf0.1 vector rounds to zero from below and the engines
+          // disagree on the sign of the result
+          (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0).as("first_elem"),
           round(sqrt(aggregate(
             transform(col("embedding"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"))
         .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  CAST(len(embedding) AS BIGINT) AS dim,
-             |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+             |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_elem,
              |  round(sqrt(list_sum(list_transform(embedding,
              |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
              |FROM embeddings ORDER BY vec_id""".stripMargin)),

@@ -52,6 +52,50 @@ object Aggregates extends QueryModule {
              |       CAST(count(*) AS BIGINT) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ClickHouse argMax/argMin: the value of one column at the extremum
+    // of another, as a single hash aggregate (no self-join, no window).
+    // Extremum ties are real in the data (two orders share a price
+    // within a priority), so the ordering key is a zero-padded
+    // fixed-width composite string — (price, orderkey) lexicographic —
+    // making the winner deterministic on any engine at any
+    // parallelism; a bare max_by(key, price) would be free to return
+    // either tied row.
+    "q_agg_argmax" -> QueryDef(
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"),
+            format_string("%020.4f|%020d", col("o_totalprice"), col("o_orderkey")))
+            .as("max_price_order"),
+          min_by(col("o_orderkey"),
+            format_string("%020.4f|%020d", col("o_totalprice"), col("o_orderkey")))
+            .as("min_price_order"),
+          round(max(col("o_totalprice")), 4).as("max_price"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  arg_max(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS max_price_order,
+             |  arg_min(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS min_price_order,
+             |  round(max(o_totalprice), 4) AS max_price
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ClickHouse groupUniqArray: the group's distinct values AS an
+    // array column (sorted ⇒ deterministic). collect_set is
+    // map-side-combined; array size is bounded by the domain (market
+    // segments), not the row count, so the state stays O(1) per group
+    // at any scale.
+    "q_agg_group_array" -> QueryDef(
+      (s, dir) => Tables(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey,
+             |  array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+             |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+             |FROM customer GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // HLL sketch cardinality — approx ⇒ declared without oracle
     // (SURVEY.md §5.3.4); driver records a rows-only check.
     "q_agg_approx_distinct" -> QueryDef(

@@ -28,11 +28,15 @@ object Curate extends QueryModule {
       (s, dir) => {
         val ws = TextFns.words(col("text"))
         val nWords = size(ws).cast("double")
+        // + 1e-9 before rounding — same boundary nudge as
+        // q_quality_score (hazard H1): the 3-term sum can differ from
+        // DuckDB by 1 ulp, which flips the 4th decimal exactly on a
+        // round-half boundary (observed at sf0.1)
         val quality =
           least(nWords / 100.0, lit(1.0)) * 0.4 +
             (size(array_distinct(ws)).cast("double") / nWords) * 0.3 +
             (length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("double") /
-              length(col("text")).cast("double")) * 0.3
+              length(col("text")).cast("double")) * 0.3 + 1e-9
         val predLang = when(col("text").rlike("(^| )(the|a|of|and)( |$)"), "en")
           .when(col("text").rlike("(^| )(el|la|de|que)( |$)"), "es")
           .when(col("text").rlike("(^| )(le|la|et|les)( |$)"), "fr")
@@ -67,7 +71,7 @@ object Curate extends QueryModule {
              |          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
              |            len(string_split(text, ' ')) * 0.3 +
              |          CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) /
-             |            length(text) * 0.3, 4) AS quality,
+             |            length(text) * 0.3 + 1e-9, 4) AS quality,
              |    CASE WHEN regexp_matches(text, '(^| )(the|a|of|and)( |$)') THEN 'en'
              |         WHEN regexp_matches(text, '(^| )(el|la|de|que)( |$)') THEN 'es'
              |         WHEN regexp_matches(text, '(^| )(le|la|et|les)( |$)') THEN 'fr'

@@ -76,8 +76,15 @@ object TextOps extends QueryModule {
             round(least(nWords / 100.0, lit(1.0)), 4).as("len_score"),
             round(uniqRatio, 4).as("uniq_ratio"),
             round(cleanRatio, 4).as("clean_ratio"),
-            round(least(nWords / 100.0, lit(1.0)) * 0.4 + uniqRatio * 0.3 + cleanRatio * 0.3, 4)
-              .as("quality"))
+            // + 1e-9 before rounding: the three-term weighted sum can
+            // differ from DuckDB's by 1 ulp (re-association), and at
+            // sf0.1 five docs land exactly on a round-half boundary
+            // where that ulp flips the 4th decimal (hazard H1). The
+            // shared nudge is 10⁷× an ulp and 10⁻⁵× the rounding grid,
+            // so it moves both engines to the same side of the
+            // boundary and nothing else.
+            round(least(nWords / 100.0, lit(1.0)) * 0.4 + uniqRatio * 0.3 + cleanRatio * 0.3
+              + 1e-9, 4).as("quality"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -90,7 +97,7 @@ object TextOps extends QueryModule {
              |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
              |          len(string_split(text, ' ')) * 0.3 +
              |        CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) /
-             |          length(text) * 0.3, 4) AS quality
+             |          length(text) * 0.3 + 1e-9, 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Content fingerprints: raw and normalized md5 (identical hex in

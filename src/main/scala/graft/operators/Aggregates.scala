@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.D — aggregations. [R] seed: retention arithmetic
@@ -51,6 +52,85 @@ object Aggregates extends QueryModule {
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
              |       CAST(count(*) AS BIGINT) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ClickHouse -If combinators (sumIf/countIf/avgIf): conditional
+    // aggregation without a pre-filter, so one pass computes every
+    // branch. `agg(when(cond, x))` compiles to the same partial+final
+    // hash aggregate as the unconditional form — the condition is a
+    // row-local projection, no extra scan or shuffle per branch.
+    "q_agg_conditional" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 4)
+            .as("sum_discounted"),
+          count(when(col("l_tax") > 0.04, lit(1))).as("n_taxed"),
+          round(avg(when(col("l_quantity") < 10, col("l_extendedprice"))), 4)
+            .as("avg_small"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS sum_discounted,
+             |  CAST(count(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS n_taxed,
+             |  round(avg(l_extendedprice) FILTER (WHERE l_quantity < 10), 4) AS avg_small
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ClickHouse uniqUpTo(N): exact distinct count saturating at N+1 —
+    // "more than N" without paying for exactness beyond the threshold.
+    // Spark's exact distinct is already two-phase; the saturation is a
+    // post-aggregation projection (a production variant would cap the
+    // per-group state too, like TopKAgg does).
+    "q_agg_uniq_upto" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .groupBy("event_type")
+        .agg(least(countDistinct(col("user_id")), lit(101L)).as("uniq_upto_100"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(least(count(DISTINCT user_id), 101) AS BIGINT) AS uniq_upto_100
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ClickHouse quantileExactWeighted(0.5): the weight-aware median
+    // Spark has no built-in for. Two windows over one sort: cumulative
+    // weight (RANGE frame ⇒ ties share a cumsum on every engine) and
+    // the group total, then the first value whose cumulative weight
+    // crosses half the total. One shuffle on the group key; the sort
+    // rides the window, no second pass.
+    "q_agg_weighted_median" -> QueryDef(
+      (s, dir) => {
+        val byVal = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val all = Window.partitionBy("l_returnflag")
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            sum(col("l_quantity")).over(byVal).as("cumw"),
+            sum(col("l_quantity")).over(all).as("tot"))
+          .filter(col("cumw") >= col("tot") * 0.5)
+          .groupBy("l_returnflag")
+          .agg(round(min(col("l_extendedprice")), 4).as("weighted_median"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_extendedprice,
+             |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice) AS cumw,
+             |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM lineitem)
+             |SELECT l_returnflag, round(min(l_extendedprice), 4) AS weighted_median
+             |FROM c WHERE cumw >= tot * 0.5
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Fixed-bin histogram (the deterministic core of ClickHouse
+    // `histogram`): bin id is a pure row-local function of the value,
+    // so the whole thing is one hash aggregate — at 100 TB the bins
+    // arrive pre-reduced from every executor (map-side combine).
+    "q_agg_histogram" -> QueryDef(
+      (s, dir) => Tables(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 60000.0).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT) AS bin,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM orders GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // ClickHouse argMax/argMin: the value of one column at the extremum
     // of another, as a single hash aggregate (no self-join, no window).

@@ -28,6 +28,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-scan memo, keyed by the exact session instance: a real
+    * catalog resolves a table once per session, not once per query —
+    * `spark.read.parquet` re-lists the directory and re-reads footers
+    * for schema inference on every call, pure fixed overhead across a
+    * many-query workload. Keying by session (not just path) matters
+    * for correctness: split-size confs (`files.maxPartitionBytes`) are
+    * captured per session, and a sibling session with different ones
+    * must resolve its own scan (DeterminismSpec relies on this). The
+    * plan is immutable and the fixture dirs are read-only, so reuse is
+    * safe; entries die with their session reference.
+    */
+  private val resolved = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
 }

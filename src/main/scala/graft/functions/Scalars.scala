@@ -124,6 +124,38 @@ object Scalars extends QueryModule {
       Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ClickHouse URL family (domain / path / extractURLParameter): the
+    // fixtures carry no URLs, so — same trick as q_pii_scrub — a URL
+    // is synthesized deterministically from event fields on BOTH
+    // engines, then parsed back with identical regexes (Java ∩ RE2
+    // dialect). Row-local codegen'd projection, zero shuffle.
+    "q_url_funcs" -> QueryDef(
+      (s, dir) => {
+        val url = concat(
+          lit("https://shop"), pmod(col("user_id"), lit(10L)).cast("string"),
+          lit(".example.com/"), col("event_type"),
+          lit("/p"), pmod(col("event_id"), lit(100L)).cast("string"),
+          lit("?ref=r"), pmod(col("event_id"), lit(7L)).cast("string"))
+        Relational.eventsSec(s, dir)
+          .select(col("event_id"), url.as("url"))
+          .select(col("event_id"),
+            regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+            regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1).as("path"),
+            regexp_extract(col("url"), "ref=([^&]+)", 1).as("ref"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id,
+             |    'https://shop' || CAST(user_id % 10 AS VARCHAR) || '.example.com/' ||
+             |    event_type || '/p' || CAST(event_id % 100 AS VARCHAR) ||
+             |    '?ref=r' || CAST(event_id % 7 AS VARCHAR) AS url
+             |  FROM events)
+             |SELECT event_id,
+             |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+             |  regexp_extract(url, 'ref=([^&]+)', 1) AS ref
+             |FROM u ORDER BY event_id""".stripMargin)),
+
     // Array surface over the 64-dim embeddings: size / element access /
     // L2 norm via higher-order fold (no UDF — stays in codegen).
     "q_array_funcs" -> QueryDef(

@@ -53,6 +53,33 @@ object Aggregates extends QueryModule {
              |       CAST(count(*) AS BIGINT) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ClickHouse `retention(cond1, …, condN)`: per user, flag i is
+    // cond_i AND cond_1; the summed flags give the classic
+    // did-X-after-entering funnel counts. Two stacked hash aggregates
+    // — per-user bool flags (map-side-combined on user_id), then a
+    // single-row global sum; no window, no join, no ordering
+    // dependence.
+    "q_retention_flags" -> QueryDef(
+      (s, dir) => {
+        def did(t: String) = max(when(col("event_type") === t, 1L).otherwise(0L))
+        Relational.eventsSec(s, dir)
+          .groupBy("user_id")
+          .agg(did("signup").as("c1"), did("view").as("c2"), did("purchase").as("c3"))
+          .agg(sum(col("c1")).as("n_entered"),
+            sum(col("c1") * col("c2")).as("n_viewed"),
+            sum(col("c1") * col("c3")).as("n_purchased"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+             |  FROM events GROUP BY user_id)
+             |SELECT CAST(sum(c1) AS BIGINT) AS n_entered,
+             |       CAST(sum(c1 * c2) AS BIGINT) AS n_viewed,
+             |       CAST(sum(c1 * c3) AS BIGINT) AS n_purchased
+             |FROM u""".stripMargin)),
+
     // ClickHouse -If combinators (sumIf/countIf/avgIf): conditional
     // aggregation without a pre-filter, so one pass computes every
     // branch. `agg(when(cond, x))` compiles to the same partial+final

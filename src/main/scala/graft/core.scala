@@ -35,13 +35,24 @@ object Tables {
     * many-query workload. Keying by session (not just path) matters
     * for correctness: split-size confs (`files.maxPartitionBytes`) are
     * captured per session, and a sibling session with different ones
-    * must resolve its own scan (DeterminismSpec relies on this). The
-    * plan is immutable and the fixture dirs are read-only, so reuse is
-    * safe; entries die with their session reference.
+    * must resolve its own scan (DeterminismSpec relies on this).
+    *
+    * Bounded LRU, NOT a weak map: a cached DataFrame strongly
+    * references its session, so weak session keys would never be
+    * collectible (the value-refers-to-key pitfall) — a hard bound on
+    * retained sessions is the honest lifecycle. The plan is immutable
+    * and the fixture dirs are read-only, so reuse is safe.
     */
+  private val MaxSessions = 8
   private val resolved = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+    new java.util.LinkedHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]](
+        MaxSessions, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            scala.collection.concurrent.TrieMap[(String, String), DataFrame]]): Boolean =
+        size() > MaxSessions
+    })
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved

@@ -68,6 +68,9 @@ object Aggregates extends QueryModule {
           .agg(sum(col("c1")).as("n_entered"),
             sum(col("c1") * col("c2")).as("n_viewed"),
             sum(col("c1") * col("c3")).as("n_purchased"))
+          // single row, but every declared query ends ordered (README
+          // invariant; generic tooling may rely on it)
+          .orderBy("n_entered")
       },
       Some("""WITH u AS (
              |  SELECT user_id,
@@ -78,7 +81,7 @@ object Aggregates extends QueryModule {
              |SELECT CAST(sum(c1) AS BIGINT) AS n_entered,
              |       CAST(sum(c1 * c2) AS BIGINT) AS n_viewed,
              |       CAST(sum(c1 * c3) AS BIGINT) AS n_purchased
-             |FROM u""".stripMargin)),
+             |FROM u ORDER BY n_entered""".stripMargin)),
 
     // ClickHouse -If combinators (sumIf/countIf/avgIf): conditional
     // aggregation without a pre-filter, so one pass computes every

@@ -178,7 +178,7 @@ object Cluster extends QueryModule {
           .groupBy("gram")
           .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ms"))
           .filter(size(col("ms")) > 1 && size(col("ms")) <= GramBucketCap)
-          .select(explode(expr(Dedup.pairExpansion(
+          .select(explode(expr(Dedup.pairExpansion("ms",
             "a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b"))).as("p"))
           .select("p.*")
           .filter(col("doc_a") < col("doc_b"))

@@ -62,14 +62,15 @@ object Dedup extends QueryModule {
       .filter(size(col("ms")) > 1 && size(col("ms")) <= BucketCap)
 
   /** In-row ordered-pair expansion of a collected bucket — the shared
-    * kernel of the capped dedup family: `ms` is size-bounded by
-    * BucketCap BEFORE any pair exists, so the quadratic step is O(1)
-    * per bucket by construction (an uncapped HOF blow-up would not be
-    * safe). Sorted input ⇒ every emitted pair has a < b.
+    * kernel of the capped dedup family: the array column `arr` is
+    * size-bounded by BucketCap BEFORE any pair exists, so the
+    * quadratic step is O(1) per bucket by construction (an uncapped
+    * HOF blow-up would not be safe). Sorted input ⇒ every emitted pair
+    * has a < b.
     */
-  private[pipeline] def pairExpansion(fields: String): String =
-    s"""flatten(transform(ms, (a, i) ->
-       |  transform(slice(ms, i + 2, size(ms) - i - 1),
+  private[pipeline] def pairExpansion(arr: String, fields: String): String =
+    s"""flatten(transform($arr, (a, i) ->
+       |  transform(slice($arr, i + 2, size($arr) - i - 1),
        |    b -> struct($fields))))""".stripMargin
 
   def entries: Map[String, QueryDef] = Map(
@@ -112,9 +113,7 @@ object Dedup extends QueryModule {
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
           .select(explode(expr(
-            """flatten(transform(ids, (a, i) ->
-              |  transform(slice(ids, i + 2, size(ids) - i - 1),
-              |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+            pairExpansion("ids", "a AS doc_a, b AS doc_b"))).as("p"))
           .select("p.doc_a", "p.doc_b").distinct()
         pairs
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -145,7 +144,7 @@ object Dedup extends QueryModule {
     // checkpoint, ONE shuffle end-to-end.
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => simhashBuckets(s, dir)
-        .select(explode(expr(pairExpansion(
+        .select(explode(expr(pairExpansion("ms",
           "a.doc_id AS doc_a, a.sh AS sh_a, b.doc_id AS doc_b, b.sh AS sh_b"))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
           bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long").as("hamming"))
@@ -181,9 +180,7 @@ object Dedup extends QueryModule {
         fps.groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
           .select(explode(expr(
-            """flatten(transform(ids, (a, i) ->
-              |  transform(slice(ids, i + 2, size(ids) - i - 1),
-              |    b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+            pairExpansion("ids", "a AS doc_a, b AS doc_b"))).as("p"))
           .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy("doc_a", "doc_b")
           .agg(count(lit(1)).as("n_shared"))

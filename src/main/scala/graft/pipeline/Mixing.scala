@@ -64,7 +64,10 @@ object Mixing extends QueryModule {
     // materialization.
     "q_mix_weighted" -> QueryDef(
       (s, dir) => {
-        val w = substring(col("source"), 4, 4).cast("long") % MixCycle + 1
+        // 2-arg substring (the whole suffix) — the 3-arg form would
+        // silently truncate a >4-digit source id where the oracle's
+        // substr(source, 4) would not
+        val w = expr("substring(source, 4)").cast("long") % MixCycle + 1
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             explode(sequence(lit(1L), w)).as("epoch"))

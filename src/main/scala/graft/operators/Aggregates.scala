@@ -148,6 +148,38 @@ object Aggregates extends QueryModule {
              |FROM c WHERE cumw >= tot * 0.5
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ClickHouse statistical moments (stddevPop/varPop/corr/covarPop/
+    // skewPop/kurtPop): one-pass mergeable moment states — the shuffle
+    // carries O(1) moments per group, never rows. Kurtosis pairs with
+    // DuckDB's kurtosis_pop (Spark's is the population excess form);
+    // DuckDB's skewness is the sample-corrected g1, but the correction
+    // is ~1e-7 absolute at these group sizes — invisible on the
+    // 4-decimal oracle grid. The shared 1e-9 nudge keeps the multi-op
+    // moment arithmetic off round-half boundaries (hazard H1).
+    "q_agg_stats" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_pop(col("l_discount")) + 1e-9, 4).as("sd_disc"),
+          round(var_pop(col("l_discount")) + 1e-9, 4).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")) + 1e-9, 4).as("corr_qty_price"),
+          // + 0.0 after the round: the near-zero covariance rounds to
+          // IEEE -0.0 on one engine only (same as q_array_funcs)
+          (round(covar_pop(col("l_discount"), col("l_tax")) + 1e-9, 4) + 0.0)
+            .as("covar_disc_tax"),
+          round(skewness(col("l_discount")) + 1e-9, 4).as("skew_disc"),
+          round(kurtosis(col("l_discount")) + 1e-9, 4).as("kurt_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_pop(l_discount) + 1e-9, 4) AS sd_disc,
+             |  round(var_pop(l_discount) + 1e-9, 4) AS var_disc,
+             |  round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr_qty_price,
+             |  round(covar_pop(l_discount, l_tax) + 1e-9, 4) + 0.0 AS covar_disc_tax,
+             |  round(skewness(l_discount) + 1e-9, 4) AS skew_disc,
+             |  round(kurtosis_pop(l_discount) + 1e-9, 4) AS kurt_disc
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Fixed-bin histogram (the deterministic core of ClickHouse
     // `histogram`): bin id is a pure row-local function of the value,
     // so the whole thing is one hash aggregate — at 100 TB the bins

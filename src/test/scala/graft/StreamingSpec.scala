@@ -330,6 +330,39 @@ class StreamingSpec extends SparkSpec {
       "a later-batch duplicate must pair with a representative kept in state")
   }
 
+  test("streaming near-dup state is evicted at the horizon: a post-eviction copy finds no rep") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    // tight 1-minute watermark delay and horizon so sentinels can push
+    // the watermark past every bucket's eviction timeout
+    val q = streaming.StreamDedup.nearDupCandidates(
+        mem.toDF().toDF("doc_id", "ts", "text"),
+        watermarkDelay = "1 minute", horizonMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_ttl").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-01-01 00:00:00"), text)))
+      q.processAllAvailable()
+      // sentinel advances the watermark far past 00:00 + horizon; the
+      // second batch fires the timeouts that drop doc 1's bucket reps
+      mem.addData(Seq((50L, ts("2024-01-02 00:00:00"), "unrelated filler words only here")))
+      q.processAllAvailable()
+      mem.addData(Seq((51L, ts("2024-01-02 00:00:30"), "other unrelated filler text rows")))
+      q.processAllAvailable()
+      // an exact copy of doc 1, arriving after eviction: no surviving
+      // representative, so it must be ADMITTED silently (becomes the
+      // new rep), not paired — bounded state trades exactly this recall
+      mem.addData(Seq((2L, ts("2024-01-02 00:01:00"), text)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup_ttl").select("doc_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(_._1 == 2L),
+      s"doc 2 paired with an evicted representative — state was not dropped: $got")
+  }
+
   test("batch and streaming tumbling aggregations agree on closed windows") {
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
       .filter(col("day") < "2024-01-29") // watermark-closed region

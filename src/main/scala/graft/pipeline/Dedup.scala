@@ -68,7 +68,7 @@ object Dedup extends QueryModule {
     * HOF blow-up would not be safe). Sorted input ⇒ every emitted pair
     * has a < b.
     */
-  private[pipeline] def pairExpansion(arr: String, fields: String): String =
+  private[graft] def pairExpansion(arr: String, fields: String): String =
     s"""flatten(transform($arr, (a, i) ->
        |  transform(slice($arr, i + 2, size($arr) - i - 1),
        |    b -> struct($fields))))""".stripMargin

@@ -90,6 +90,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pairExpansion emits exactly the ordered pairs of any array (property)") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // the shared kernel behind minhash/winnow/simhash/passages bucket
+    // expansion: for ANY sorted array it must emit each unordered pair
+    // exactly once, as (a, b) with a < b, and nothing else
+    val arrays = Gen.listOfN(30, Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 20L)).map(_.distinct.sorted))).sample.get
+    val df = arrays.zipWithIndex.map { case (a, i) => (i, a) }.toDF("row_id", "ids")
+    val got = df.select(col("row_id"), explode(expr(
+        pipeline.Dedup.pairExpansion("ids", "a AS x, b AS y"))).as("p"))
+      .select("row_id", "p.x", "p.y")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = arrays.zipWithIndex.flatMap { case (a, i) =>
+      for (j <- a.indices; k <- j + 1 until a.length) yield (i, a(j), a(k))
+    }.toSet
+    assert(got == want)
+  }
+
   test("native vec_dot matches the HOF formulation bit-for-bit") {
     val emb = Tables(spark, sf, "embeddings")
     val both = emb.join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),

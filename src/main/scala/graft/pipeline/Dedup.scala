@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.functions.{TextFns, Vectors}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` / `embeddings` (SURVEY.md
@@ -73,6 +73,61 @@ object Dedup extends QueryModule {
        |  transform(slice($arr, i + 2, size($arr) - i - 1),
        |    b -> struct($fields))))""".stripMargin
 
+  /** Materialize the MinHash signature index for a corpus snapshot —
+    * the expensive half of dedup (reading + hashing every document's
+    * text) done ONCE per snapshot, like `Similarity.buildIvfIndex`.
+    * Band keys are derived from the signature at query time (4
+    * xxhash64 calls over a 16-long array — noise next to re-minhashing
+    * the text).
+    */
+  def buildSigIndex(s: SparkSession, dir: String, indexDir: String): Unit =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** The daily-ingest dedup shape: near-dup pairs for documents with
+    * `doc_id >= newMinId` (the day's batch) against the indexed
+    * standing corpus AND each other — never corpus × corpus. Bucket
+    * construction (banding, census, cap, expansion) is identical to
+    * `q_dedup_minhash` over the full union, so the result is exactly
+    * that query's output restricted to pairs whose newer side is in
+    * the batch (doc_a < doc_b ⇒ doc_b ≥ newMinId) — IncrementalSpec
+    * pins the equality. What the index buys at 100 TB: the corpus
+    * side's text is never re-read or re-hashed, so the daily cost is
+    * O(|batch| text) + one bucket shuffle, not O(|corpus| text).
+    */
+  def incrementalCandidates(
+      s: SparkSession, dir: String, indexDir: String, newMinId: Long): DataFrame = {
+    val standing = s.read.parquet(indexDir).filter(col("doc_id") < newMinId)
+    val batch = Tables(s, dir, "documents")
+      .filter(col("doc_id") >= newMinId)
+      .select(col("doc_id"), TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
+    val sigs = standing.union(batch).localCheckpoint()
+    val pairs = sigs.select(col("doc_id"),
+        posexplode(TextFns.bandKeys(col("sig"), 4, 4)).as(Seq("band", "band_key")))
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
+      .select(explode(expr(
+        pairExpansion("ids", "a AS doc_a, b AS doc_b"))).as("p"))
+      .select("p.doc_a", "p.doc_b").distinct()
+      .filter(col("doc_b") >= newMinId)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Jaccard estimate from two k=16 MinHash signatures: matching-slot
+    * fraction (the standard unbiased estimator).
+    */
+  private def estJaccard(a: Column, b: Column): Column =
+    round(aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / 16.0, 4)
+
   def entries: Map[String, QueryDef] = Map(
 
     // Exact doc-level dedup on the normalized-content fingerprint: one
@@ -119,9 +174,7 @@ object Dedup extends QueryModule {
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            round(aggregate(
-              zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-              lit(0.0), (acc, x) => acc + x) / 16.0, 4).as("est_jaccard"))
+            estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
           .orderBy("doc_a", "doc_b")
       },
       None),

@@ -101,6 +101,40 @@ object Joins extends QueryModule {
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // FULL OUTER join: customers with their order rollup, keeping
+    // customers who never ordered AND any orphan orders (the fixture
+    // has the former; the operator handles both). Null-extension
+    // happens inside the same shuffled hash join — no extra pass; the
+    // small pre-aggregated side still partitions on the key. At scale
+    // the hazard is the null-extended rows all carrying a null key —
+    // they are ALREADY partitioned by the surviving side's key here,
+    // so no null-key hotspot forms.
+    "q_join_outer" -> QueryDef(
+      (s, dir) => {
+        val perCust = Tables(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("spend"))
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_mktsegment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0)).as("spend"))
+          .orderBy("custkey")
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |         round(sum(o_totalprice), 4) AS spend
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+             |       coalesce(n_orders, 0) AS n_orders,
+             |       coalesce(spend, 0.0) AS spend
+             |FROM customer FULL OUTER JOIN pc ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
     // Interval join, banded: lineitems shipped within [o_orderdate,
     // o_orderdate + 3 days). Two scale tricks compose here:
     //  1. band the interval into day buckets so the theta predicate

@@ -118,6 +118,36 @@ object Windows extends QueryModule {
              |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
              |ORDER BY event_type, event_id""".stripMargin)),
 
+    // Distribution window family (ntile / percent_rank / cume_dist /
+    // first_value / nth_value) — the quartile-bucketing and
+    // rank-normalizing surface. The (value, event_id) ordering is
+    // tie-free, so every function is deterministic and
+    // engine-identical; percent_rank and cume_dist are single integer
+    // divisions (bit-identical doubles on both engines). One shuffle,
+    // one sort, all five functions share the frame.
+    "q_win_distribution" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Relational.eventsSec(s, dir)
+          .select(col("event_type"), col("event_id"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cum_dist"),
+            first_value(col("event_id")).over(w).as("smallest_id"),
+            nth_value(col("event_id"), 3).over(w).as("third_id"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |       round(percent_rank() OVER w, 4) AS pct_rank,
+             |       round(cume_dist() OVER w, 4) AS cum_dist,
+             |       first_value(event_id) OVER w AS smallest_id,
+             |       nth_value(event_id, 3) OVER w AS third_id
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_type, event_id""".stripMargin)),
+
     // Global top-k by recency (keep-K-newest, backup.sh:119–122 view).
     // TakeOrderedAndProject: no global sort, O(k) per partition.
     "q_topk" -> QueryDef(

@@ -167,7 +167,9 @@ object Aggregates extends QueryModule {
           // IEEE -0.0 on one engine only (same as q_array_funcs)
           (round(covar_pop(col("l_discount"), col("l_tax")) + 1e-9, 4) + 0.0)
             .as("covar_disc_tax"),
-          round(skewness(col("l_discount")) + 1e-9, 4).as("skew_disc"),
+          // + 0.0: skewness of the uniform discount hovers near zero —
+          // same -0.0 exposure as the covariance
+          (round(skewness(col("l_discount")) + 1e-9, 4) + 0.0).as("skew_disc"),
           round(kurtosis(col("l_discount")) + 1e-9, 4).as("kurt_disc"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
@@ -175,7 +177,7 @@ object Aggregates extends QueryModule {
              |  round(var_pop(l_discount) + 1e-9, 4) AS var_disc,
              |  round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr_qty_price,
              |  round(covar_pop(l_discount, l_tax) + 1e-9, 4) + 0.0 AS covar_disc_tax,
-             |  round(skewness(l_discount) + 1e-9, 4) AS skew_disc,
+             |  round(skewness(l_discount) + 1e-9, 4) + 0.0 AS skew_disc,
              |  round(kurtosis_pop(l_discount) + 1e-9, 4) AS kurt_disc
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),

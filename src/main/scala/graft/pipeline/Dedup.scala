@@ -102,16 +102,36 @@ object Dedup extends QueryModule {
     val batch = Tables(s, dir, "documents")
       .filter(col("doc_id") >= newMinId)
       .select(col("doc_id"), TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
-    val sigs = standing.union(batch).localCheckpoint()
+    // the two prunes make the daily cost honest: a standing-only
+    // bucket (sorted ids ⇒ max is last) can emit no new-side pair, so
+    // it is dropped BEFORE the quadratic expansion; old×old pairs from
+    // mixed buckets are dropped before the distinct shuffle
+    candidatePairs(standing.union(batch).localCheckpoint(),
+      bucketKeep = element_at(col("ids"), -1) >= newMinId,
+      pairKeep = col("doc_b") >= newMinId)
+  }
+
+  /** The one banded-LSH candidate pipeline — bucket census, cap,
+    * in-row pair expansion, signature join-backs, Jaccard estimate —
+    * shared by the batch query and the incremental path, so their
+    * restricted-equality contract is structural, not a convention
+    * maintained across two copies. `bucketKeep` sees the sorted `ids`
+    * array of each surviving bucket; `pairKeep` sees (doc_a, doc_b)
+    * BEFORE the distinct shuffle.
+    */
+  private def candidatePairs(
+      sigs: DataFrame, bucketKeep: Column, pairKeep: Column): DataFrame = {
     val pairs = sigs.select(col("doc_id"),
         posexplode(TextFns.bandKeys(col("sig"), 4, 4)).as(Seq("band", "band_key")))
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
+      .filter(bucketKeep)
       .select(explode(expr(
         pairExpansion("ids", "a AS doc_a, b AS doc_b"))).as("p"))
-      .select("p.doc_a", "p.doc_b").distinct()
-      .filter(col("doc_b") >= newMinId)
+      .select("p.doc_a", "p.doc_b")
+      .filter(pairKeep)
+      .distinct()
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -152,31 +172,16 @@ object Dedup extends QueryModule {
     // MinHash + LSH banding: candidate pairs = docs sharing ≥1 band
     // bucket; estimated Jaccard = matching signature fraction.
     // Approximate ⇒ no oracle (SURVEY.md §5.3.4).
+    // ids-only through the bucket expansion: the 16-long signatures
+    // are re-attached once per surviving pair, not dragged through the
+    // (potentially skewed) bucket explosion. Pairs come from one
+    // collect-per-bucket pass + in-row expansion (capped at BucketCap
+    // before any pair exists) — the census-join + self-join
+    // formulation this replaced cost three more exchanges for the same
+    // result. The whole pipeline lives in candidatePairs, shared with
+    // the incremental path.
     "q_dedup_minhash" -> QueryDef(
-      (s, dir) => {
-        val sigs = signatures(s, dir)
-        // ids-only through the bucket expansion: the 16-long signatures
-        // are re-attached once per surviving pair, not dragged through
-        // the (potentially skewed) bucket explosion. Pairs come from
-        // one collect-per-bucket pass + in-row expansion (capped at
-        // BucketCap before any pair exists) — the census-join +
-        // self-join formulation this replaces cost three more
-        // exchanges for the same result.
-        val pairs = sigs.select(col("doc_id"),
-            posexplode(TextFns.bandKeys(col("sig"), 4, 4)).as(Seq("band", "band_key")))
-          .groupBy("band", "band_key")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
-          .select(explode(expr(
-            pairExpansion("ids", "a AS doc_a, b AS doc_b"))).as("p"))
-          .select("p.doc_a", "p.doc_b").distinct()
-        pairs
-          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => candidatePairs(signatures(s, dir), lit(true), lit(true)),
       None),
 
     // SimHash near-dup: 64-bit sign-of-votes hash over word hashes;

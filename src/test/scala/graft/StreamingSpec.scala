@@ -230,18 +230,22 @@ class StreamingSpec extends SparkSpec {
       .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
         sys.error("batch exploded") // backup.sh:7–11 trap ERR analog
       }.start()
-    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination(120000); ()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000); ()
+      }
+      // listener delivery is async — poll for the error event WHILE
+      // the listener is still attached (removing it first races the
+      // bus delivering QueryTerminated and drops the event)
+      val deadline = System.currentTimeMillis() + 60000
+      def got = delivered.synchronized { delivered.toList }
+      while (!got.contains("""{"status": "error"}""")
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(got.contains("""{"status": "error"}"""),
+        s"error event must survive the flaky transport via retry, delivered=$got")
+      assert(got.contains("""{"status": "pre-backup"}"""))
     } finally session.streams.removeListener(listener)
-    // listener delivery is async — poll for the error event
-    val deadline = System.currentTimeMillis() + 60000
-    def got = delivered.synchronized { delivered.toList }
-    while (!got.contains("""{"status": "error"}""")
-        && System.currentTimeMillis() < deadline)
-      Thread.sleep(50)
-    assert(got.contains("""{"status": "error"}"""),
-      s"error event must survive the flaky transport via retry, delivered=$got")
-    assert(got.contains("""{"status": "pre-backup"}"""))
   }
 
   test("stream-stream interval join matches the identical batch join") {

@@ -22,6 +22,9 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_minhash",   // capped-bucket pair expansion over collect_list
     "q_dedup_simhash",   // same kernel, hash payload carried in-row
     "q_topk_per_group",  // rank-window ties
+    "q_agg_argmax",      // max_by reduction order (composite key makes it invariant)
+    "q_agg_weighted_median", // cumulative-weight window crossing
+    "q_dup_passages",    // capped-bucket expansion + islands windows
     "q_sample")          // consistent-hash membership
 
   test("layout-hostile session reproduces every hash/window/iterative query") {

@@ -120,19 +120,27 @@ object Aggregates extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ClickHouse quantileExactWeighted(0.5): the weight-aware median
-    // Spark has no built-in for. Two windows over one sort: cumulative
-    // weight (RANGE frame ⇒ ties share a cumsum on every engine) and
-    // the group total, then the first value whose cumulative weight
-    // crosses half the total. One shuffle on the group key; the sort
-    // rides the window, no second pass.
+    // Spark has no built-in for. The fact table is FIRST collapsed to
+    // the per-group distinct-value grid — a map-side-combined hash
+    // aggregate of sum(weight) by (group, value) — and only the grid
+    // flows into the cumulative window. The group key has cardinality
+    // 3, so a window over raw rows would funnel the whole fact table
+    // through 3 reducer partitions; over the grid the window input is
+    // the distinct-price set (bounded by the value domain, not the row
+    // count). Collapsing ties up front also makes the ROWS cumsum
+    // identical to the RANGE-frame one, so the crossing point — the
+    // first value whose cumulative weight reaches half the total — is
+    // unchanged.
     "q_agg_weighted_median" -> QueryDef(
       (s, dir) => {
         val byVal = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         val all = Window.partitionBy("l_returnflag")
         Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_extendedprice")
+          .agg(sum(col("l_quantity")).as("w"))
           .select(col("l_returnflag"), col("l_extendedprice"),
-            sum(col("l_quantity")).over(byVal).as("cumw"),
-            sum(col("l_quantity")).over(all).as("tot"))
+            sum(col("w")).over(byVal).as("cumw"),
+            sum(col("w")).over(all).as("tot"))
           .filter(col("cumw") >= col("tot") * 0.5)
           .groupBy("l_returnflag")
           .agg(round(min(col("l_extendedprice")), 4).as("weighted_median"))
@@ -227,15 +235,19 @@ object Aggregates extends QueryModule {
     // array column (sorted ⇒ deterministic). collect_set is
     // map-side-combined; array size is bounded by the domain (market
     // segments), not the row count, so the state stays O(1) per group
-    // at any scale.
+    // at any scale. The set is emitted as a canonical comma-joined
+    // string on both engines — the oracle's comparison layer can't
+    // hash array cells, and the join is lossless here (the domain has
+    // no commas).
     "q_agg_group_array" -> QueryDef(
       (s, dir) => Tables(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+            .as("segments"),
           countDistinct(col("c_mktsegment")).as("n_segments"))
         .orderBy("c_nationkey"),
       Some("""SELECT c_nationkey,
-             |  array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+             |  array_to_string(array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS segments,
              |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
              |FROM customer GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),

@@ -107,13 +107,14 @@ object Aggregates extends QueryModule {
 
     // ClickHouse uniqUpTo(N): exact distinct count saturating at N+1 —
     // "more than N" without paying for exactness beyond the threshold.
-    // Spark's exact distinct is already two-phase; the saturation is a
-    // post-aggregation projection (a production variant would cap the
-    // per-group state too, like TopKAgg does).
+    // The typed UniqUpToAgg aggregator caps the PER-GROUP STATE at N+1
+    // entries too (a bare least(countDistinct, N+1) shuffles the full
+    // distinct set of every group — unbounded state for a saturated
+    // answer); UniqUpToSpec pins value-equivalence with the exact form.
     "q_agg_uniq_upto" -> QueryDef(
       (s, dir) => Relational.eventsSec(s, dir)
         .groupBy("event_type")
-        .agg(least(countDistinct(col("user_id")), lit(101L)).as("uniq_upto_100"))
+        .agg(graft.functions.UniqUpToAgg(col("user_id"), 100).as("uniq_upto_100"))
         .orderBy("event_type"),
       Some("""SELECT event_type,
              |  CAST(least(count(DISTINCT user_id), 101) AS BIGINT) AS uniq_upto_100
@@ -235,22 +236,38 @@ object Aggregates extends QueryModule {
     // array column (sorted ⇒ deterministic). collect_set is
     // map-side-combined; array size is bounded by the domain (market
     // segments), not the row count, so the state stays O(1) per group
-    // at any scale. The set is emitted as a canonical comma-joined
-    // string on both engines — the oracle's comparison layer can't
-    // hash array cells, and the join is lossless here (the domain has
-    // no commas).
+    // at any scale. The set is emitted as a canonical joined string on
+    // both engines — the oracle's comparison layer can't hash array
+    // cells. The separator is the ASCII unit separator (0x1f), a
+    // control char no text domain carries, so the join can't alias two
+    // distinct sets the way a comma could if a value ever contained
+    // one; GroupArraySepSpec additionally pins the no-separator
+    // invariant on the live domain.
     "q_agg_group_array" -> QueryDef(
       (s, dir) => Tables(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), "\u001f")
             .as("segments"),
           countDistinct(col("c_mktsegment")).as("n_segments"))
         .orderBy("c_nationkey"),
       Some("""SELECT c_nationkey,
-             |  array_to_string(array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS segments,
+             |  array_to_string(array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment), chr(31)) AS segments,
              |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
              |FROM customer GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
+
+    // The array-typed twin of q_agg_group_array: the SAME distinct-set
+    // aggregate emitting the actual ARRAY column, kept so the suite
+    // exercises array-typed query output end-to-end (the driver's
+    // comparison layer can't hash array cells, so this one is declared
+    // rows-only; the stringified twin above carries the value check).
+    "q_agg_group_array_typed" -> QueryDef(
+      (s, dir) => Tables(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy("c_nationkey"),
+      None),
 
     // HLL sketch cardinality — approx ⇒ declared without oracle
     // (SURVEY.md §5.3.4); driver records a rows-only check.

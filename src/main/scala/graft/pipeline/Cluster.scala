@@ -42,6 +42,41 @@ object Cluster extends QueryModule {
 
   private val ConvergenceFuse = 50
 
+  /** Hash-to-min label propagation to fixpoint: `nodes` carries one
+    * `id` column; `edges` a symmetric, distinct (s, d) list (caller
+    * localCheckpoints it — it is re-joined every round). Returns
+    * (id, comp) with comp = the component's minimum id.
+    *
+    * Convergence detection: propagation only ever LOWERS labels, so
+    * Σcomp strictly decreases until fixpoint — an O(1)-row aggregate
+    * per round, no previous-vs-next join. The sum runs in
+    * decimal(38,0): with 64-bit ids a Long sum can overflow and alias
+    * a non-fixpoint onto the previous round's wrapped value, silently
+    * ending propagation early; 38 decimal digits hold ~10¹⁹ ids of
+    * magnitude 2⁶³ without wrapping, so the monotone-checksum argument
+    * is airtight (ClusterChainSpec drives this with near-Long.MaxValue
+    * ids).
+    */
+  private[graft] def propagateLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+    var checksum: java.math.BigDecimal = null
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < ConvergenceFuse) {
+      val prop = edges.join(labels, edges("s") === labels("id"))
+        .select(col("d").as("id"), col("comp"))
+      labels = labels.union(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val next = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = checksum != null && next.compareTo(checksum) == 0
+      checksum = next
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $ConvergenceFuse rounds")
+    labels
+  }
+
   /** Star edges for one fingerprint family: every bucket member links
     * to the bucket minimum. A star preserves the bucket's connectivity
     * with |bucket|-1 edges instead of the clique's |bucket|²/2 — the
@@ -108,26 +143,7 @@ object Cluster extends QueryModule {
           .union(star.select(col("d").as("s"), col("s").as("d")))
           .distinct()
           .localCheckpoint() // re-joined every iteration
-        var labels = keyed.select(col("doc_id").as("id"), col("doc_id").as("comp"))
-        // Propagation only ever LOWERS labels, so Σcomp strictly
-        // decreases until fixpoint — an O(1)-row aggregate per round
-        // detects convergence without a previous-vs-next join.
-        var checksum = Long.MaxValue
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < ConvergenceFuse) {
-          val prop = edges.join(labels, edges("s") === labels("id"))
-            .select(col("d").as("id"), col("comp"))
-          labels = labels.union(prop)
-            .groupBy("id").agg(min("comp").as("comp"))
-            .localCheckpoint()
-          val next = labels.agg(sum("comp")).head.getLong(0)
-          converged = next == checksum
-          checksum = next
-          rounds += 1
-        }
-        require(converged, s"label propagation did not converge in $ConvergenceFuse rounds")
-        labels
+        propagateLabels(keyed.select(col("doc_id").as("id")), edges)
           .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")))

@@ -41,4 +41,22 @@ class ClusterChainSpec extends SparkSpec {
     assert(got.find(_._1 == 100L).contains((100L, 100L, 1L, true)),
       "an unconnected doc must be its own singleton cluster")
   }
+
+  test("convergence checksum cannot alias under near-Long.MaxValue ids") {
+    import spark.implicits._
+    // Three ids at the top of the Long range: their plain Long sum
+    // (~2.7 × 10¹⁹) wraps 64-bit arithmetic on the very first round, so
+    // a Long-typed checksum could equal a later wrapped sum and stop
+    // propagation at a non-fixpoint. The decimal(38,0) checksum must
+    // instead converge to the true labels.
+    val m = Long.MaxValue
+    val ids = Seq(m, m - 1, m - 2, m - 10) // chain of 3 + 1 isolated
+    val nodes = ids.toDF("id")
+    val chain = Seq((m, m - 1), (m - 1, m - 2))
+    val edges = (chain ++ chain.map(_.swap)).toDF("s", "d").localCheckpoint()
+    val got = pipeline.Cluster.propagateLabels(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(m -> (m - 2), (m - 1) -> (m - 2), (m - 2) -> (m - 2),
+      (m - 10) -> (m - 10)))
+  }
 }

@@ -139,6 +139,64 @@ object Snapshot {
           .unionByName(fromBase)
     }
 
+  /** Per-day outcome of a [[gc]] run. */
+  final case class GcReport(deletedDays: Seq[String], keptDays: Seq[String])
+
+  /** Physical retention GC — the `find … -exec rm -rvf` that ends the
+    * reference's backup loop (backup.sh:119–122), completing what
+    * [[Retention.gcCandidates]] only computes: day partitions strictly
+    * older than `max(day) − keepDays` are DELETED from the snapshot
+    * directory and the manifest is rewritten without them, so restores,
+    * tier views, and incremental chains all exclude the expired days
+    * from then on. The cutoff anchors to the newest day in the
+    * manifest, not wall-clock, mirroring gcCandidates' deterministic
+    * `max(ts) − keep` predicate — and guaranteeing the newest day
+    * always survives (GC can never empty a snapshot, the reference's
+    * keep-at-least-latest invariant).
+    *
+    * Scale shape: pure metadata — the decision reads only the manifest
+    * (one row per day), the deletes are O(expired days) directory
+    * removals, and the rewrite is the one-row-per-day manifest. No data
+    * file is ever read.
+    *
+    * On an incremental snapshot, expired days sourced from the base
+    * have no local `bucket_day=` directory — they leave the manifest
+    * here (excluding them from resolution) and their bytes are
+    * reclaimed when gc runs on the base snapshot itself, exactly like
+    * the reference GC'ing each retention tier's own directory.
+    */
+  def gc(spark: SparkSession, dest: String, keepDays: Int): GcReport = {
+    require(keepDays >= 0, s"keepDays must be non-negative, got $keepDays")
+    val (base, rows) = readManifest(spark, dest).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot at $dest has no manifest — re-run Snapshot.backup on it"))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val cutoff = java.time.LocalDate.parse(rows.map(_._1).max, fmt).minusDays(keepDays)
+    val (expired, kept) =
+      rows.partition(r => java.time.LocalDate.parse(r._1, fmt).isBefore(cutoff))
+    if (expired.nonEmpty) {
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+      expired.foreach { case (day, _, _, _, source) =>
+        if (source != "base")
+          fs.delete(new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day"), true)
+      }
+      writeManifest(spark, dest, kept.map { case (day, n, x, s, src) =>
+        (day, n, x, s, src, base.orNull)
+      })
+      // fail-fast consistency: the surviving local partition dirs must
+      // be exactly the kept locally-sourced days (metadata-scale listing)
+      val remaining = fs.listStatus(destPath).map(_.getPath.getName)
+        .collect { case p if p.startsWith("bucket_day=") => p.stripPrefix("bucket_day=") }
+        .sorted.toSeq
+      val wantLocal = kept.collect { case (day, _, _, _, src) if src != "base" => day }
+        .sorted
+      require(remaining == wantLocal,
+        s"gc left inconsistent partitions at $dest: have $remaining, want $wantLocal")
+    }
+    GcReport(expired.map(_._1).sorted, kept.map(_._1).sorted)
+  }
+
   private def writeManifest(spark: SparkSession, dest: String,
       rows: Seq[(String, Long, Long, String, String, String)]): Unit = {
     import spark.implicits._

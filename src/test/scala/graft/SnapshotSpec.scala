@@ -94,6 +94,72 @@ class SnapshotSpec extends SparkSpec {
     assert(resolved2.exceptAll(full).isEmpty && full.exceptAll(resolved2).isEmpty)
   }
 
+  test("gc physically deletes expired day partitions; restores exclude them") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_s")
+    val dest = Files.createTempDirectory("graft-gc").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    assert(days.length >= 3, "fixture must span several days")
+
+    val report = Snapshot.gc(spark, dest, keepDays = 1)
+    val wantKept = days.takeRight(2) // cutoff = max − 1: strictly-older expires
+    assert(report.keptDays == wantKept && report.deletedDays == days.dropRight(2))
+    // physically gone, not just filtered
+    report.deletedDays.foreach { d =>
+      assert(!new java.io.File(s"$dest/bucket_day=$d").exists(), s"dir for $d survived gc")
+    }
+    // restore sees only the kept days, with their rows untouched
+    val back = Snapshot.restore(spark, dest)
+    assert(back.select("bucket_day").distinct().orderBy("bucket_day")
+      .collect().map(_.getString(0)).toSeq == wantKept)
+    val want = src.filter(Retention.bucketDay(col("ts_s")).isin(wantKept: _*))
+    val got = back.drop("bucket_day")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "gc must not perturb surviving partitions")
+
+    // idempotent: a second run with the same window deletes nothing
+    assert(Snapshot.gc(spark, dest, keepDays = 1).deletedDays.isEmpty)
+    // keepDays=0 keeps exactly the newest day — gc can never empty a snapshot
+    assert(Snapshot.gc(spark, dest, keepDays = 0).keptDays == Seq(days.last))
+    assert(Snapshot.restore(spark, dest).select("bucket_day").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq(days.last))
+
+    // a bare dataset without a manifest is refused, like backupIncremental
+    val bare = Files.createTempDirectory("graft-gc-bare").toString
+    Retention.writeSnapshot(src, col("ts_s"), bare)
+    intercept[IllegalArgumentException] { Snapshot.gc(spark, bare, 1) }
+  }
+
+  test("incremental chains still resolve after gc expires the delta's days") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val baseDir = Files.createTempDirectory("graft-gc-base").toString
+    Snapshot.backup(src, col("ts_s"), baseDir)
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    val first = days.head
+    // bump the EARLIEST day so the delta's only local partition is the
+    // one gc will expire
+    val modified = src.withColumn("value",
+      when(Retention.bucketDay(col("ts_s")) === first, col("value") + 1)
+        .otherwise(col("value")))
+    val deltaDir = Files.createTempDirectory("graft-gc-delta").toString
+    val (changed, _) = Snapshot.backupIncremental(modified, col("ts_s"), baseDir, deltaDir)
+    assert(changed == 1)
+
+    val report = Snapshot.gc(spark, deltaDir, keepDays = 0)
+    assert(report.keptDays == Seq(days.last) && report.deletedDays.contains(first))
+    // the expired delta partition is physically reclaimed
+    assert(!new java.io.File(s"$deltaDir/bucket_day=$first").exists())
+    // the chain still resolves — now entirely through the base
+    val resolved = Snapshot.resolve(spark, deltaDir).drop("bucket_day")
+    val want = src.filter(Retention.bucketDay(col("ts_s")) === days.last)
+    assert(resolved.exceptAll(want).isEmpty && want.exceptAll(resolved).isEmpty,
+      "post-gc resolution must serve the kept days from the base")
+  }
+
   test("incremental backup fails fast on a manifest-less base") {
     val src = Relational.eventsSec(spark, sf).select("event_id", "ts_s")
     val bare = Files.createTempDirectory("graft-incr-bare").toString

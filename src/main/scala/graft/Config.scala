@@ -38,7 +38,66 @@ object Config {
       keepWeeksAsDays: Int,
       keepMonthsAsDays: Int,
       backupOnStart: Boolean,
-      latestType: operators.Retention.LatestMode)
+      latestType: operators.Retention.LatestMode,
+      schedule: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(24L * 3600 * 1000))
+
+  /** `SCHEDULE` string → micro-batch trigger, mapping the reference's
+    * go-cron config surface (Dockerfile:20 `SCHEDULE="@daily"`,
+    * init.sh:14) onto Structured Streaming's `ProcessingTime`:
+    *
+    *  - `@hourly | @daily | @midnight | @weekly | @monthly` — the
+    *    go-cron descriptors; `@monthly` uses the reference's own
+    *    months→days `*31` convention (env.sh:29);
+    *  - `@every <dur>` with a Go-style duration (`90s`, `10m`,
+    *    `1h30m`);
+    *  - a 5-field cron line WHEN it denotes a fixed cadence: a
+    *    minute step (every N minutes), all-star (every minute), a
+    *    fixed minute (hourly), fixed minute + hour (daily), or a
+    *    fixed minute + hour step (every N hours).
+    *
+    * `ProcessingTime` is a fixed-interval tick, so the calendar PHASE
+    * of a cron line (the "at minute 30" of an hourly line) is not
+    * preserved — only its cadence; cron lines that are not a fixed
+    * cadence at all (day-of-month/month/day-of-week constraints,
+    * value lists/ranges) are rejected rather than silently
+    * approximated.
+    */
+  def parseSchedule(s: String): Either[String, org.apache.spark.sql.streaming.Trigger] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val GoDur = """@every\s+(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?""".r
+    def fixed(ms: Long) = Right(Trigger.ProcessingTime(ms))
+    s.trim match {
+      case "@hourly" => fixed(3600L * 1000)
+      case "@daily" | "@midnight" => fixed(24L * 3600 * 1000)
+      case "@weekly" => fixed(7L * 24 * 3600 * 1000)
+      case "@monthly" => fixed(31L * 24 * 3600 * 1000) // env.sh:29 convention
+      case GoDur(h, m, sec) if h != null || m != null || sec != null =>
+        def n(v: String) = Option(v).map(_.toLong).getOrElse(0L)
+        val ms = ((n(h) * 60 + n(m)) * 60 + n(sec)) * 1000
+        if (ms > 0) fixed(ms) else Left(s"schedule '@every' duration must be positive: '$s'")
+      case cron =>
+        val Minute = """(\d{1,2})""".r
+        val MinuteStep = """\*/(\d{1,2})""".r
+        val HourStep = """\*/(\d{1,2})""".r
+        cron.split("""\s+""") match {
+          case Array(min, hour, "*", "*", "*") => (min, hour) match {
+            case (MinuteStep(n), "*") if n.toInt > 0 && n.toInt <= 59 =>
+              fixed(n.toLong * 60 * 1000)
+            case ("*", "*") => fixed(60L * 1000)
+            case (Minute(m), "*") if m.toInt <= 59 => fixed(3600L * 1000)
+            case (Minute(m), HourStep(n)) if m.toInt <= 59 && n.toInt > 0 && n.toInt <= 23 =>
+              fixed(n.toLong * 3600 * 1000)
+            case (Minute(m), Minute(h)) if m.toInt <= 59 && h.toInt <= 23 =>
+              fixed(24L * 3600 * 1000)
+            case _ => Left(s"cron schedule is not a fixed cadence: '$s'")
+          }
+          case Array(_, _, _, _, _) =>
+            Left(s"cron day/month/weekday constraints are not a fixed cadence: '$s'")
+          case _ => Left(s"unrecognized schedule '$s' (expected @daily-style, @every <dur>, or 5-field cron)")
+        }
+    }
+  }
 
   /** Parse + validate, collecting every failure. Keys mirror the
     * reference's env surface (Dockerfile:13–28) with the engine's
@@ -77,6 +136,11 @@ object Config {
     val keepMonths = intWithDefault("GRAFT_KEEP_MONTHS", 6)
     val onStart = env.getOrElse("GRAFT_BACKUP_ON_START", "FALSE")
       .equalsIgnoreCase("TRUE")
+    // SCHEDULE (Dockerfile:20): @daily is the shipped default
+    val schedule = parseSchedule(env.getOrElse("GRAFT_SCHEDULE", "@daily"))
+      .fold(e => { errs += s"GRAFT_SCHEDULE: $e"
+                   org.apache.spark.sql.streaming.Trigger.ProcessingTime(24L * 3600 * 1000) },
+        identity)
     // BACKUP_LATEST_TYPE (Dockerfile:24): symlink | hardlink | none,
     // symlink being the shipped default
     val latestType = operators.Retention.LatestMode
@@ -95,7 +159,8 @@ object Config {
       keepWeeksAsDays = keepWeeks * 7 + 1,   // env.sh:28
       keepMonthsAsDays = keepMonths * 31 + 1, // env.sh:29
       backupOnStart = onStart,
-      latestType = latestType))
+      latestType = latestType,
+      schedule = schedule))
   }
 
   /** The exit-1 form (init.sh behavior): throw with every problem

@@ -115,4 +115,25 @@ object SnapshotStream {
       }
       .start()
   }
+
+  /** The reference's full boot sequence (init.sh:10–14) under a parsed
+    * [[graft.Config.Settings]]: when `BACKUP_ON_START` is set, first
+    * drain everything already available in ONE immediate run
+    * (`AvailableNow`, blocking — init.sh runs the on-start backup to
+    * completion BEFORE handing off to cron), then hand off to the
+    * configured `SCHEDULE` cadence. Both phases share the checkpoint,
+    * so the scheduled query resumes exactly where the drain stopped —
+    * no event is double-snapshotted and none is skipped.
+    */
+  def startScheduled(
+      spark: SparkSession,
+      events: DataFrame,
+      destDir: String,
+      checkpoint: String,
+      settings: graft.Config.Settings): StreamingQuery = {
+    if (settings.backupOnStart)
+      start(spark, events, destDir, Trigger.AvailableNow(), checkpoint)
+        .awaitTermination()
+    start(spark, events, destDir, settings.schedule, checkpoint)
+  }
 }

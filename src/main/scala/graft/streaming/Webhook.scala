@@ -61,3 +61,42 @@ final class WebhookPublisher(
   def listener: SnapshotStream.HookListener =
     new SnapshotStream.HookListener(e => { publish(e); () })
 }
+
+object WebhookPublisher {
+
+  /** The production transport: a JDK `HttpClient` POST of the JSON
+    * payload to `url` with `Content-Type: application/json` — the
+    * `curl -X POST -H 'Content-Type: application/json' -d "$payload"`
+    * of 00-webhook:10–13. Any connect/read failure or non-2xx response
+    * throws, which is what signals the publisher's retry loop
+    * (curl's `--fail` semantics: an HTTP error IS a delivery failure).
+    *
+    * One shared client per transport (connection reuse across retries
+    * and events); per-request timeout bounds a single attempt so the
+    * publisher's overall `maxTimeMillis` budget stays in charge of the
+    * total.
+    */
+  def httpTransport(url: String,
+      attemptTimeoutMillis: Long = 2000L): String => Unit = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(attemptTimeoutMillis))
+      .build()
+    val uri = java.net.URI.create(url)
+    body => {
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofMillis(attemptTimeoutMillis))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"webhook POST to $url returned HTTP ${resp.statusCode()}")
+    }
+  }
+
+  /** A ready-to-attach publisher over [[httpTransport]] with the
+    * reference's shipped retry/budget defaults (00-webhook:14–15).
+    */
+  def http(url: String): WebhookPublisher =
+    new WebhookPublisher(httpTransport(url))
+}

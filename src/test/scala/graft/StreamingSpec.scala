@@ -248,6 +248,64 @@ class StreamingSpec extends SparkSpec {
     } finally session.streams.removeListener(listener)
   }
 
+  test("default HTTP transport delivers over a real socket, retrying through 503s") {
+    import com.sun.net.httpserver.HttpServer
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bodies = mutable.ArrayBuffer[(String, String)]() // (content-type, body)
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/hook", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      bodies.synchronized {
+        bodies += ((ex.getRequestHeaders.getFirst("Content-type"), body))
+      }
+      // fail twice, then accept — the retry path over a live socket
+      val code = if (calls.incrementAndGet() <= 2) 503 else 200
+      ex.sendResponseHeaders(code, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val pub = new streaming.WebhookPublisher(
+        streaming.WebhookPublisher.httpTransport(
+          s"http://localhost:${server.getAddress.getPort}/hook"),
+        backoffMillis = 1)
+      val ok = pub.publish(SnapshotStream.HookEvent("post-backup", ""))
+      assert(ok && calls.get() == 3,
+        s"two 503s then success should cost 3 attempts, got ${calls.get()}")
+      bodies.synchronized {
+        assert(bodies.forall(_._1 == "application/json"))
+        assert(bodies.forall(_._2 == """{"status": "post-backup"}"""))
+      }
+    } finally server.stop(0)
+  }
+
+  test("startScheduled drains on start, then hands off to the configured cadence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select(col("ts_s").as("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(rows)
+    val dest = Files.createTempDirectory("graft-sched").toString
+    val ckpt = Files.createTempDirectory("graft-sched-ckpt").toString
+    val settings = Config.fromEnvOrThrow(Map(
+      "GRAFT_DBS" -> "events",
+      "GRAFT_SNAPSHOT_DIR" -> dest,
+      "GRAFT_BACKUP_ON_START" -> "TRUE", // init.sh:10–12
+      "GRAFT_SCHEDULE" -> "@every 1s"))
+    val q = SnapshotStream.startScheduled(spark,
+      mem.toDF().toDF("ts", "event_type", "value"), dest, ckpt, settings)
+    try {
+      // the blocking on-start drain already snapshotted before the
+      // scheduled query came up — init.sh's backup-then-cron ordering
+      val snap = spark.read.parquet(s"$dest/snapshots")
+      assert(snap.count() > 0, "on-start drain must have written the snapshot")
+      assert(q.isActive, "the scheduled query must keep running after the drain")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the identical batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

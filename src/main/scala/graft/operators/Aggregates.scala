@@ -205,6 +205,23 @@ object Aggregates extends QueryModule {
              |       CAST(count(*) AS BIGINT) AS n
              |FROM orders GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // ClickHouse histogram(n) proper: ADAPTIVE variable-width bins via
+    // the mergeable Ben-Haim–Tom-Tov streaming histogram (see
+    // HistogramAgg) — bounded state per partial, map-side combined,
+    // exactly n bins out. Bin boundaries depend on merge order ⇒
+    // rows-only (the fixed-bin form above is the oracle-checked
+    // reference; HistogramSpec pins cluster recovery + weight
+    // conservation).
+    "q_agg_histogram_adaptive" -> QueryDef(
+      (s, dir) => Tables(s, dir, "orders")
+        .agg(graft.functions.HistogramAgg(col("o_totalprice"), 10).as("bins"))
+        .select(explode(col("bins")).as("b"))
+        .select(round(col("b.lower"), 4).as("bin_lower"),
+          round(col("b.upper"), 4).as("bin_upper"),
+          col("b.count").as("n"))
+        .orderBy("bin_lower"),
+      None),
+
     // ClickHouse argMax/argMin: the value of one column at the extremum
     // of another, as a single hash aggregate (no self-join, no window).
     // Extremum ties are real in the data (two orders share a price

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.HistogramAgg
+import org.apache.spark.sql.functions._
+
+/** The adaptive histogram against its exact reference: on data whose
+  * modes are well separated, the n-bin adaptive result must recover
+  * each mode's exact count and bounds (the fixed-bin groupBy is the
+  * ground truth), conserve total weight, and do so under any
+  * partitioning of the input.
+  */
+class HistogramSpec extends SparkSpec {
+
+  test("recovers well-separated clusters exactly, under any partitioning") {
+    import spark.implicits._
+    // three tight clusters around 10, 500, 9000 — gaps far exceed
+    // intra-cluster spread, so compaction can only merge within modes
+    val vals = (1 to 40).map(i => 10.0 + (i % 5) * 0.1) ++
+      (1 to 25).map(i => 500.0 + (i % 7) * 0.2) ++
+      (1 to 35).map(i => 9000.0 + (i % 3) * 0.5)
+    val want = Map( // exact per-cluster (count, lo, hi)
+      0 -> ((40L, 10.0, 10.4)),
+      1 -> ((25L, 500.0, 501.2)),
+      2 -> ((35L, 9000.0, 9001.0)))
+    for (parts <- Seq(1, 8)) {
+      val bins = vals.toDF("v").repartition(parts)
+        .agg(HistogramAgg(col("v"), 3).as("bins"))
+        .select(explode(col("bins")).as("b"))
+        .select("b.lower", "b.upper", "b.count")
+        .orderBy("lower")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      assert(bins.length == 3, s"parts=$parts: ${bins.toSeq}")
+      want.foreach { case (i, (n, lo, hi)) =>
+        assert(bins(i)._3 == n && bins(i)._1 == lo && bins(i)._2 == hi,
+          s"parts=$parts bin $i: got ${bins(i)}, want ($lo,$hi,$n)")
+      }
+    }
+  }
+
+  test("conserves total weight and emits exactly n bins on the live fixture") {
+    val orders = Tables(spark, sf, "orders")
+    val total = orders.count()
+    val bins = SparkEntry.queries("q_agg_histogram_adaptive")(spark, sf).collect()
+    assert(bins.length == 10)
+    assert(bins.map(_.getLong(2)).sum == total, "merges must never lose weight")
+    // bins are ordered and non-overlapping on their means' order
+    val lowers = bins.map(_.getDouble(0))
+    assert(lowers.sameElements(lowers.sorted))
+  }
+
+  test("agrees with the exact fixed-bin histogram when modes sit in distinct fixed bins") {
+    import spark.implicits._
+    // clusters inside fixed bins [0,100) and [300,400): the adaptive
+    // 2-bin result must reproduce the exact fixed-bin counts
+    val vals = (1 to 30).map(i => 40.0 + i % 3) ++ (1 to 50).map(i => 350.0 + i % 4)
+    val df = vals.toDF("v")
+    val exact = df.select(floor(col("v") / 100.0).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin").collect().map(_.getLong(1))
+    val adaptive = df.agg(HistogramAgg(col("v"), 2).as("bins"))
+      .select(explode(col("bins")).as("b")).select("b.count")
+      .collect().map(_.getLong(0))
+    assert(adaptive.sameElements(exact), s"adaptive ${adaptive.toSeq} vs exact ${exact.toSeq}")
+  }
+}

@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // >1 ⇒ repeat the timed loop and report per-query MEDIANS — the
+    // regression-tracking mode (host noise is ±10%; a single run can't
+    // tell a regression from a noisy neighbor). Default 1 keeps the
+    // driver's per-round invocation unchanged.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     val spark = Graft.builder("graft-bench", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -20,16 +25,36 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every
     // computed column (a projection-heavy query would "run" in the
     // time of a row count); noop materializes the full result.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    def timedLoop(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val perRun = (1 to runs).map(_ => timedLoop())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val results = perRun.head.keys.map { name =>
+      name -> median(perRun.map(_(name)))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmtQ(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"runs":$runs,"queries":${fmtQ(results)},"sf":"$sfDir"}"""
+    println(line)
+    // machine-readable medians file (SPARK_GRAFT_BENCH_OUT): the
+    // regression baseline the next round diffs against — per-query
+    // medians plus every raw run for outlier forensics
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      val runsJson = perRun.map(fmtQ).mkString("[", ",", "]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}""")
+    }
     spark.stop()
   }
 }

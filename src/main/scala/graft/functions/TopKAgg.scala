@@ -71,9 +71,35 @@ object TopKAgg {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopItem]]()
   }
 
+  /** ClickHouse `topKWeighted(k)`: each occurrence contributes its
+    * weight instead of 1 — "top items by summed weight" with the same
+    * bounded SpaceSaving table. `reduce` adds the row's weight where
+    * the unweighted form adds 1; eviction and merge are unchanged
+    * (the invariants hold for any non-negative increments), so the
+    * bound/guarantee carries over with N = total weight.
+    */
+  final class TopKWeighted(k: Int, capacity: Int)
+      extends Aggregator[(String, Long), Buf, Seq[TopItem]] {
+    require(capacity >= k, "sketch capacity must be at least k")
+    private val inner = new TopK(k, capacity)
+
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, in: (String, Long)): Buf =
+      Buf(evictingAdd(b.items, in._1, in._2, 0L, capacity))
+    override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+    override def finish(b: Buf): Seq[TopItem] = inner.finish(b)
+    override def bufferEncoder: Encoder[Buf] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Seq[TopItem]] = inner.outputEncoder
+  }
+
   /** `df.agg(TopKAgg(col("word"), k = 10))` — capacity defaults to 8×k,
     * the usual overprovisioning that keeps the guarantee comfortable.
     */
   def apply(item: Column, k: Int, capacity: Int = 0): Column =
     udaf(new TopK(k, if (capacity > 0) capacity else 8 * k)).apply(item)
+
+  /** `TopKAgg.weighted(col("w"), col("n"), k = 10)`. */
+  def weighted(item: Column, weight: Column, k: Int, capacity: Int = 0): Column =
+    udaf(new TopKWeighted(k, if (capacity > 0) capacity else 8 * k))
+      .apply(item, weight)
 }

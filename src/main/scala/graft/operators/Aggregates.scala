@@ -191,6 +191,31 @@ object Aggregates extends QueryModule {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ClickHouse `entropy()`: Shannon entropy of each user's event-type
+    // distribution. Algebraic identity −Σ(c/T)·log₂(c/T) =
+    // log₂T − (Σ c·log₂c)/T turns it into two stacked hash aggregates
+    // over the (user, type) count grid — no per-group value buffering,
+    // O(1) merge state, map-side combined; the identical formula runs
+    // on both engines (engine-native entropy() aggregates differ in
+    // log base and sample correction across engines — the explicit
+    // form is the portable one).
+    "q_agg_entropy" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).cast("long").as("n_events"),
+          round(log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c")) + 1e-9, 4)
+            .as("entropy"))
+        .orderBy("user_id"),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS c
+             |  FROM events GROUP BY user_id, event_type)
+             |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c) + 1e-9, 4) AS entropy
+             |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Fixed-bin histogram (the deterministic core of ClickHouse
     // `histogram`): bin id is a pure row-local function of the value,
     // so the whole thing is one hash aggregate — at 100 TB the bins
@@ -538,6 +563,28 @@ object Aggregates extends QueryModule {
              |        sum(value) AS s, count(*) AS c
              |      FROM events GROUP BY 1, 2)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // The sketch-state twin of q_merge_partials — ClickHouse's
+    // `uniqState`/`uniqMerge` over AggregatingMergeTree: per-day HLL
+    // sketches of the user set (Spark's native Apache DataSketches
+    // HllSketch aggregate), merged across days per event type. THE
+    // materialized-view shape for distinct counts at 100 TB: a day's
+    // partial is O(sketch) bytes however many users it saw, history is
+    // never re-read (new days append sketch rows; the union re-merges
+    // sketches, not users), and unlike exact distinct the merge state
+    // never grows with cardinality. Approx ⇒ rows-only; SketchAggSpec
+    // pins the estimate within HLL error of the exact distinct.
+    "q_agg_hll_merge" -> QueryDef(
+      (s, dir) => {
+        val partials = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"), Retention.bucketDay(col("ts_s")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        partials.groupBy("event_type")
+          .agg(count(lit(1)).as("n_day_partials"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+          .orderBy("event_type")
+      },
+      None),
 
     // Pivot: rows-to-columns restructuring (the OLAP cross-tab).
     // Values are declared explicitly — with an inferred value set the

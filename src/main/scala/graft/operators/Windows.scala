@@ -148,6 +148,41 @@ object Windows extends QueryModule {
              |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
              |ORDER BY event_type, event_id""".stripMargin)),
 
+    // ClickHouse `ORDER BY … WITH FILL` — time-series gap filling:
+    // densify each event type's daily counts over its own [min, max]
+    // day span, missing days as explicit zero rows. Shape: the count
+    // aggregate (one shuffle on (type, day)), a per-type span aggregate
+    // whose OUTPUT is O(types) rows, a generator explode of the spans
+    // into the calendar dimension (row-local — the dimension is
+    // types × span-days, metadata-scale next to the fact table), and a
+    // left join back on (type, day) against the ALREADY-AGGREGATED
+    // counts. Nothing joins or explodes raw events.
+    "q_gap_fill" -> QueryDef(
+      (s, dir) => {
+        val c = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"), date_trunc("day", col("ts_s")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val days = c.groupBy("event_type")
+          .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+        days.join(c, Seq("event_type", "day"), "left")
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, date_trunc('day', date_trunc('second', ts)) AS day
+             |  FROM events),
+             |c AS (SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM c GROUP BY 1),
+             |d AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+             |      FROM b)
+             |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+             |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+             |FROM d LEFT JOIN c ON d.event_type = c.event_type AND d.day = c.day
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Global top-k by recency (keep-K-newest, backup.sh:119–122 view).
     // TakeOrderedAndProject: no global sort, O(k) per partition.
     "q_topk" -> QueryDef(

@@ -93,6 +93,22 @@ object QualityOps extends QueryModule {
         .orderBy(col("n").desc, col("w").asc),
       None),
 
+    // topKWeighted(k) — which sources contribute the most BYTES (the
+    // curation question behind training-mix decisions): each document
+    // adds its char count, not 1, to its source's counter. Same
+    // bounded SpaceSaving table and shuffle shape as q_topk_sketch;
+    // approx ⇒ rows-only, SketchAggSpec pins exact agreement with the
+    // groupBy-sum top-k while capacity covers the source domain.
+    "q_topk_weighted" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .agg(graft.functions.TopKAgg.weighted(
+          col("source"), col("n_chars").cast("long"), 5).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("source"), col("t.count").as("total_chars"),
+          col("t.err").as("err"))
+        .orderBy(col("total_chars").desc, col("source").asc),
+      None),
+
     // Unigram-LM document scoring: bits/token of each document under
     // the corpus's own unigram distribution — the classic perplexity
     // quality signal (high = off-distribution / junk). Two shuffles

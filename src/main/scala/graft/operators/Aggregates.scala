@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +18,68 @@ import org.apache.spark.sql.functions._
   * DuckDB order NULLs differently.
   */
 object Aggregates extends QueryModule {
+
+  /** Coarse bucket width for the weighted-median crossing search —
+    * price-scaled so the fixture's ~100 k-wide price domain yields
+    * ~100 buckets; the two window inputs are then O(100) and
+    * O(grid/100) rows per group.
+    */
+  private val MedianBucketWidth = 1000.0
+
+  /** Exact weighted median, two-phase (see the q_agg_weighted_median
+    * comment). Phase 1 windows over bucket subtotals, phase 2 over the
+    * crossing bucket's grid rows only; the crossing row is identical
+    * to the one-window form because weights are integral (exact double
+    * sums) and bucket subtotal order ≡ price order.
+    */
+  private[graft] def weightedMedianTwoPhase(lineitem: DataFrame): DataFrame = {
+    val grid = lineitem
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum(col("l_quantity")).as("w"))
+      .withColumn("bkt", floor(col("l_extendedprice") / MedianBucketWidth))
+    val byBkt = Window.partitionBy("l_returnflag").orderBy("bkt")
+    val allB = Window.partitionBy("l_returnflag")
+    val coarse = grid.groupBy("l_returnflag", "bkt")
+      .agg(sum(col("w")).as("wb"))
+      .select(col("l_returnflag"), col("bkt"), col("wb"),
+        sum(col("wb")).over(byBkt).as("cumb"),
+        sum(col("wb")).over(allB).as("tot"))
+    // the crossing bucket per group, with the cumulative weight carried
+    // into it (min(struct) picks the lowest bucket's row atomically)
+    val star = coarse.filter(col("cumb") >= col("tot") * 0.5)
+      .groupBy("l_returnflag")
+      .agg(min(struct(col("bkt"), (col("cumb") - col("wb")).as("carry"),
+        col("tot"))).as("s"))
+      .select(col("l_returnflag"), col("s.bkt").as("bstar"),
+        col("s.carry").as("carry"), col("s.tot").as("tot"))
+    val byVal = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    grid.join(broadcast(star), Seq("l_returnflag"))
+      .filter(col("bkt") === col("bstar"))
+      .withColumn("cum", sum(col("w")).over(byVal))
+      .filter(col("carry") + col("cum") >= col("tot") * 0.5)
+      .groupBy("l_returnflag")
+      .agg(round(min(col("l_extendedprice")), 4).as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The one-window reference form of the weighted median — the
+    * direct transcription of the oracle SQL; WeightedMedianSpec pins
+    * the two-phase rewrite against it.
+    */
+  private[graft] def weightedMedianOneWindow(lineitem: DataFrame): DataFrame = {
+    val byVal = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val all = Window.partitionBy("l_returnflag")
+    lineitem
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum(col("l_quantity")).as("w"))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        sum(col("w")).over(byVal).as("cumw"),
+        sum(col("w")).over(all).as("tot"))
+      .filter(col("cumw") >= col("tot") * 0.5)
+      .groupBy("l_returnflag")
+      .agg(round(min(col("l_extendedprice")), 4).as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
 
   def entries: Map[String, QueryDef] = Map(
 
@@ -121,32 +184,27 @@ object Aggregates extends QueryModule {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ClickHouse quantileExactWeighted(0.5): the weight-aware median
-    // Spark has no built-in for. The fact table is FIRST collapsed to
-    // the per-group distinct-value grid — a map-side-combined hash
-    // aggregate of sum(weight) by (group, value) — and only the grid
-    // flows into the cumulative window. The group key has cardinality
-    // 3, so a window over raw rows would funnel the whole fact table
-    // through 3 reducer partitions; over the grid the window input is
-    // the distinct-price set (bounded by the value domain, not the row
-    // count). Collapsing ties up front also makes the ROWS cumsum
-    // identical to the RANGE-frame one, so the crossing point — the
-    // first value whose cumulative weight reaches half the total — is
-    // unchanged.
+    // Spark has no built-in for. Two-phase exact crossing search — the
+    // group key has cardinality 3, so ANY per-group cumulative window
+    // funnels its whole input through 3 reducer sorts; the fix is to
+    // keep that input tiny twice over:
+    //  1. collapse the fact table to the (group, value) weight grid
+    //     (map-side-combined hash aggregate — ties collapse, so ROWS
+    //     ≡ RANGE cumsum), then to a COARSE grid of value buckets;
+    //     the per-group cumulative window runs over O(buckets) rows
+    //     and finds each group's crossing bucket + the cumulative
+    //     weight carried into it;
+    //  2. re-filter the grid to the crossing bucket only (a 3-row
+    //     broadcast join) and run the fine cumulative window over
+    //     those few rows: carry + in-bucket cumsum crosses tot/2 at
+    //     exactly the price the single global window would find.
+    // The windows now sort O(buckets) + O(grid/buckets) rows instead
+    // of the full grid — no executor-sized sort at any scale. Weights
+    // are integral quantities, so every cumsum is exact in double and
+    // the two-phase split cannot move the crossing (WeightedMedianSpec
+    // pins ≡ the one-window reference form).
     "q_agg_weighted_median" -> QueryDef(
-      (s, dir) => {
-        val byVal = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        val all = Window.partitionBy("l_returnflag")
-        Tables(s, dir, "lineitem")
-          .groupBy("l_returnflag", "l_extendedprice")
-          .agg(sum(col("l_quantity")).as("w"))
-          .select(col("l_returnflag"), col("l_extendedprice"),
-            sum(col("w")).over(byVal).as("cumw"),
-            sum(col("w")).over(all).as("tot"))
-          .filter(col("cumw") >= col("tot") * 0.5)
-          .groupBy("l_returnflag")
-          .agg(round(min(col("l_extendedprice")), 4).as("weighted_median"))
-          .orderBy("l_returnflag")
-      },
+      (s, dir) => weightedMedianTwoPhase(Tables(s, dir, "lineitem")),
       Some("""WITH c AS (
              |  SELECT l_returnflag, l_extendedprice,
              |    sum(l_quantity) OVER (PARTITION BY l_returnflag

@@ -62,6 +62,21 @@ object Aggregates extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Per-user time-ordered event-initial string (s c p e v — initials
+    * are unique in the fixture's event alphabet), shared by the
+    * sequenceMatch/sequenceCount pair. Ordered by (ts, event_id) so
+    * the string is deterministic under ties on any engine.
+    */
+  private def userEventSeq(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Relational.eventsSec(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_s"), col("event_id"), col("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+
   /** The one-window reference form of the weighted median — the
     * direct transcription of the oracle SQL; WeightedMedianSpec pins
     * the two-phase rewrite against it.
@@ -572,22 +587,34 @@ object Aggregates extends QueryModule {
     // funnel's min-ts-chain shape is the streaming-safe form of the
     // same predicate — this form exists for arbitrary patterns.
     "q_seq_match" -> QueryDef(
-      (s, dir) => {
-        val e = Relational.eventsSec(s, dir)
-          .select(col("user_id"), col("event_id"), col("ts_s"),
-            substring(col("event_type"), 1, 1).as("ch")) // s c p e v — initials unique
-        e.groupBy("user_id")
-          .agg(array_join(
-            transform(
-              array_sort(collect_list(struct(col("ts_s"), col("event_id"), col("ch")))),
-              x => x.getField("ch")), "").as("seq"))
-          .select(col("user_id"),
-            col("seq").rlike("s.*c.*p").as("matched"),
-            length(col("seq")).cast("long").as("n_events"))
-          .orderBy("user_id")
-      },
+      (s, dir) => userEventSeq(s, dir)
+        .select(col("user_id"),
+          col("seq").rlike("s.*c.*p").as("matched"),
+          length(col("seq")).cast("long").as("n_events"))
+        .orderBy("user_id"),
       Some("""SELECT user_id,
              |  regexp_matches(seq, 's.*c.*p') AS matched,
+             |  CAST(length(seq) AS BIGINT) AS n_events
+             |FROM (SELECT user_id,
+             |        string_agg(substr(event_type, 1, 1), ''
+             |          ORDER BY date_trunc('second', ts), event_id) AS seq
+             |      FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // sequenceCount — the counting twin of sequenceMatch: how many
+    // NON-OVERLAPPING signup → click → purchase chains each user
+    // completed. Lazy quantifiers make the regex engine's
+    // leftmost-shortest scan exactly the greedy chain-consumption
+    // semantics, and both engines (Java regex, RE2) agree on
+    // leftmost non-overlapping counting with lazy patterns.
+    "q_seq_count" -> QueryDef(
+      (s, dir) => userEventSeq(s, dir)
+        .select(col("user_id"),
+          regexp_count(col("seq"), lit("s.*?c.*?p")).cast("long").as("n_chains"),
+          length(col("seq")).cast("long").as("n_events"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  CAST(len(regexp_extract_all(seq, 's.*?c.*?p')) AS BIGINT) AS n_chains,
              |  CAST(length(seq) AS BIGINT) AS n_events
              |FROM (SELECT user_id,
              |        string_agg(substr(event_type, 1, 1), ''

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,33 @@ object Retention {
     */
   def weeksToDays(weeks: Column): Column = weeks * 7 + 1
   def monthsToDays(months: Column): Column = months * 31 + 1
+
+  /** Directory-name GC for manifest-less day-partitioned snapshots —
+    * the streaming sink's form of [[Snapshot.gc]]: the day IS the
+    * partition directory name, so expiry needs no manifest at all.
+    * Deletes `bucket_day=` directories strictly older than
+    * `max(day) − keepDays` (wall-clock-free, newest day always
+    * survives) and returns the deleted days. Pure metadata: one
+    * directory listing + O(expired) deletes, no data file reads —
+    * cheap enough to run after every micro-batch, which is exactly
+    * the reference's backup-then-gc tick (backup.sh:45 → 119–122).
+    */
+  def gcDirs(spark: SparkSession, dest: String, keepDays: Int): Seq[String] = {
+    require(keepDays >= 0, s"keepDays must be non-negative, got $keepDays")
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(destPath)) return Nil
+    val days = fs.listStatus(destPath).map(_.getPath.getName)
+      .collect { case n if n.startsWith("bucket_day=") => n.stripPrefix("bucket_day=") }
+    if (days.isEmpty) return Nil
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    val cutoff = java.time.LocalDate.parse(days.max, fmt).minusDays(keepDays)
+    val expired = days.filter(d => java.time.LocalDate.parse(d, fmt).isBefore(cutoff))
+      .sorted.toSeq
+    expired.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$d"), true))
+    expired
+  }
 
   /** Snapshot writer (the `BACKUP DATABASE … TO Disk` analog,
     * backup.sh:45): one physical copy, partitioned by day bucket so the

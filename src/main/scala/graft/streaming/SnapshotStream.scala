@@ -102,7 +102,8 @@ object SnapshotStream {
       events: DataFrame,
       destDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      gcKeepDays: Option[Int] = None): StreamingQuery = {
     dailyCounts(events).writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -111,6 +112,10 @@ object SnapshotStream {
         // Atomic-swap analog (backup.sh:71–89): partition overwrite.
         if (!batch.isEmpty)
           Retention.writeSnapshot(batch, col("day_start"), s"$destDir/snapshots")
+        // the reference's per-tick GC (backup.sh:119–122 runs right
+        // after every backup): directory-name expiry, metadata-only
+        gcKeepDays.foreach(k =>
+          Retention.gcDirs(spark, s"$destDir/snapshots", k))
         ()
       }
       .start()
@@ -123,7 +128,9 @@ object SnapshotStream {
     * completion BEFORE handing off to cron), then hand off to the
     * configured `SCHEDULE` cadence. Both phases share the checkpoint,
     * so the scheduled query resumes exactly where the drain stopped —
-    * no event is double-snapshotted and none is skipped.
+    * no event is double-snapshotted and none is skipped. Every tick
+    * ends with the daily-tier retention GC (`keepDays`), completing
+    * the reference's backup→gc loop.
     */
   def startScheduled(
       spark: SparkSession,
@@ -131,9 +138,10 @@ object SnapshotStream {
       destDir: String,
       checkpoint: String,
       settings: graft.Config.Settings): StreamingQuery = {
+    val keep = Some(settings.keepDays)
     if (settings.backupOnStart)
-      start(spark, events, destDir, Trigger.AvailableNow(), checkpoint)
+      start(spark, events, destDir, Trigger.AvailableNow(), checkpoint, keep)
         .awaitTermination()
-    start(spark, events, destDir, settings.schedule, checkpoint)
+    start(spark, events, destDir, settings.schedule, checkpoint, keep)
   }
 }

@@ -100,4 +100,23 @@ class RetentionSpec extends SparkSpec {
       !col("f_daily").startsWith(concat(col("event_type"), lit("-"), col("bucket_day"))))
     assert(bad.isEmpty)
   }
+
+  test("gcDirs expires day directories by name; newest survives; missing dir is a no-op") {
+    val src = Relational.eventsSec(spark, sf).select("event_id", "ts_s")
+    val dest = java.nio.file.Files.createTempDirectory("graft-gcdirs").toString
+    Retention.writeSnapshot(src, col("ts_s"), dest)
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    assert(days.length >= 3)
+    val deleted = Retention.gcDirs(spark, dest, keepDays = 1)
+    assert(deleted == days.dropRight(2))
+    deleted.foreach(d => assert(!new java.io.File(s"$dest/bucket_day=$d").exists()))
+    val back = operators.Snapshot.restore(spark, dest)
+      .select("bucket_day").distinct().orderBy("bucket_day")
+      .collect().map(_.getString(0)).toSeq
+    assert(back == days.takeRight(2))
+    // keepDays=0 can never delete the newest day
+    assert(Retention.gcDirs(spark, dest, 0) == days.slice(days.length - 2, days.length - 1))
+    assert(Retention.gcDirs(spark, "/tmp/graft-no-such-dir", 1).isEmpty)
+  }
 }

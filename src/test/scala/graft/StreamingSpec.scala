@@ -306,6 +306,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-tick GC expires old snapshot day partitions as batches land") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select(col("ts_s").as("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(rows)
+    val dest = Files.createTempDirectory("graft-tickgc").toString
+    val ckpt = Files.createTempDirectory("graft-tickgc-ckpt").toString
+    val q = SnapshotStream.start(spark,
+      mem.toDF().toDF("ts", "event_type", "value"),
+      dest, Trigger.AvailableNow(), ckpt, gcKeepDays = Some(2))
+    try q.awaitTermination(120000) finally q.stop()
+    val days = operators.Snapshot.restore(spark, s"$dest/snapshots")
+      .select("bucket_day").distinct().collect().map(_.getString(0)).sorted
+    assert(days.length <= 3, // max day + 2 kept
+      s"per-tick gc must bound the snapshot to keepDays+1 days, got ${days.toSeq}")
+    assert(days.nonEmpty, "the newest days must survive")
+  }
+
   test("stream-stream interval join matches the identical batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -9,6 +9,7 @@ object Bench {
     // tell a regression from a noisy neighbor). Default 1 keeps the
     // driver's per-round invocation unchanged.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val spark = Graft.builder("graft-bench", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

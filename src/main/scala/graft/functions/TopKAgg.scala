@@ -84,8 +84,13 @@ object TopKAgg {
     private val inner = new TopK(k, capacity)
 
     override def zero: Buf = inner.zero
-    override def reduce(b: Buf, in: (String, Long)): Buf =
+    override def reduce(b: Buf, in: (String, Long)): Buf = {
+      // the SpaceSaving overestimate invariant only holds for
+      // non-negative increments — fail fast rather than return a
+      // confidently wrong top-k on delta-like weight columns
+      require(in._2 >= 0, s"topKWeighted weight must be non-negative, got ${in._2}")
       Buf(evictingAdd(b.items, in._1, in._2, 0L, capacity))
+    }
     override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
     override def finish(b: Buf): Seq[TopItem] = inner.finish(b)
     override def bufferEncoder: Encoder[Buf] = inner.bufferEncoder

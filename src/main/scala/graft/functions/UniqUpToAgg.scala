@@ -29,15 +29,22 @@ object UniqUpToAgg {
   /** Distinct values seen so far, ≤ n+1 entries (saturation point). */
   final case class Buf(items: Seq[Long])
 
-  final class UniqUpTo(n: Int) extends Aggregator[Long, Buf, Long] {
+  final class UniqUpTo(n: Int) extends Aggregator[java.lang.Long, Buf, Long] {
     require(n > 0, "uniqUpTo threshold must be positive")
     private val cap = n + 1
 
     override def zero: Buf = Buf(Vector.empty)
 
-    override def reduce(b: Buf, v: Long): Buf =
-      if (b.items.length >= cap || b.items.contains(v)) b
-      else Buf(b.items :+ v)
+    // boxed input + null skip: SQL distinct aggregates ignore NULLs
+    // (count(DISTINCT x) in both engines), and a primitive Long input
+    // would silently deserialize a null row as a phantom 0
+    override def reduce(b: Buf, boxed: java.lang.Long): Buf =
+      if (boxed == null) b
+      else {
+        val v = boxed.longValue()
+        if (b.items.length >= cap || b.items.contains(v)) b
+        else Buf(b.items :+ v)
+      }
 
     override def merge(a: Buf, b: Buf): Buf = {
       val (big, small) =

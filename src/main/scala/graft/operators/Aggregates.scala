@@ -309,15 +309,19 @@ object Aggregates extends QueryModule {
     // exactly n bins out. Bin boundaries depend on merge order ⇒
     // rows-only (the fixed-bin form above is the oracle-checked
     // reference; HistogramSpec pins cluster recovery + weight
-    // conservation).
+    // conservation). Rows are keyed/ordered by the bin INDEX (bins are
+    // mean-ordered by construction); [lo, hi] spans of adjacent bins
+    // may overlap — BHTT bounds are honest per-bin min/max, not a
+    // partition of the axis — so bin_lower is not a sort key.
     "q_agg_histogram_adaptive" -> QueryDef(
       (s, dir) => Tables(s, dir, "orders")
         .agg(graft.functions.HistogramAgg(col("o_totalprice"), 10).as("bins"))
-        .select(explode(col("bins")).as("b"))
-        .select(round(col("b.lower"), 4).as("bin_lower"),
+        .select(posexplode(col("bins")).as(Seq("bin_idx", "b")))
+        .select(col("bin_idx").cast("long").as("bin_idx"),
+          round(col("b.lower"), 4).as("bin_lower"),
           round(col("b.upper"), 4).as("bin_upper"),
           col("b.count").as("n"))
-        .orderBy("bin_lower"),
+        .orderBy("bin_idx"),
       None),
 
     // ClickHouse argMax/argMin: the value of one column at the extremum

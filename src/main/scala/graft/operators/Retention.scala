@@ -132,28 +132,45 @@ object Retention {
   def weeksToDays(weeks: Column): Column = weeks * 7 + 1
   def monthsToDays(months: Column): Column = months * 31 + 1
 
+  /** THE expiry rule, shared by every GC form ([[gcDirs]] here and the
+    * manifest-aware [[Snapshot.gc]] — one copy so they cannot drift):
+    * a day expires iff it is strictly older than `max(day) − keepDays`
+    * (wall-clock-free; the newest day always survives). Days are
+    * `yyyyMMdd` strings; anything unparseable is treated as KEPT (and
+    * excluded from the anchor) — a stray `__HIVE_DEFAULT_PARTITION__`
+    * directory must neither win the max nor crash the GC tick.
+    * Returns (expired, kept), both sorted.
+    */
+  private[graft] def expireDays(days: Seq[String], keepDays: Int)
+      : (Seq[String], Seq[String]) = {
+    require(keepDays >= 0, s"keepDays must be non-negative, got $keepDays")
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    def parse(d: String): Option[java.time.LocalDate] =
+      try Some(java.time.LocalDate.parse(d, fmt)) catch { case _: Exception => None }
+    val dated = days.flatMap(d => parse(d).map(d -> _))
+    if (dated.isEmpty) return (Nil, days.sorted)
+    val cutoff = dated.map(_._2).max.minusDays(keepDays)
+    val (exp, kept) = dated.partition(_._2.isBefore(cutoff))
+    (exp.map(_._1).sorted,
+      (kept.map(_._1) ++ days.filter(d => parse(d).isEmpty)).sorted)
+  }
+
   /** Directory-name GC for manifest-less day-partitioned snapshots —
     * the streaming sink's form of [[Snapshot.gc]]: the day IS the
     * partition directory name, so expiry needs no manifest at all.
-    * Deletes `bucket_day=` directories strictly older than
-    * `max(day) − keepDays` (wall-clock-free, newest day always
-    * survives) and returns the deleted days. Pure metadata: one
-    * directory listing + O(expired) deletes, no data file reads —
-    * cheap enough to run after every micro-batch, which is exactly
-    * the reference's backup-then-gc tick (backup.sh:45 → 119–122).
+    * Deletes `bucket_day=` directories per [[expireDays]] and returns
+    * the deleted days. Pure metadata: one directory listing +
+    * O(expired) deletes, no data file reads — cheap enough to run
+    * after every micro-batch, which is exactly the reference's
+    * backup-then-gc tick (backup.sh:45 → 119–122).
     */
   def gcDirs(spark: SparkSession, dest: String, keepDays: Int): Seq[String] = {
-    require(keepDays >= 0, s"keepDays must be non-negative, got $keepDays")
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(destPath)) return Nil
     val days = fs.listStatus(destPath).map(_.getPath.getName)
       .collect { case n if n.startsWith("bucket_day=") => n.stripPrefix("bucket_day=") }
-    if (days.isEmpty) return Nil
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-    val cutoff = java.time.LocalDate.parse(days.max, fmt).minusDays(keepDays)
-    val expired = days.filter(d => java.time.LocalDate.parse(d, fmt).isBefore(cutoff))
-      .sorted.toSeq
+    val (expired, _) = expireDays(days.toSeq, keepDays)
     expired.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$d"), true))
     expired
@@ -161,12 +178,23 @@ object Retention {
 
   /** Snapshot writer (the `BACKUP DATABASE … TO Disk` analog,
     * backup.sh:45): one physical copy, partitioned by day bucket so the
-    * tier views and GC prune partitions instead of scanning. Overwrite
-    * per-partition = the reference's atomic `mv` swap (backup.sh:71–89).
+    * tier views and GC prune partitions instead of scanning.
+    *
+    * `dynamicPartitions` selects the overwrite semantics: `false`
+    * (default) is a FULL replace — the whole snapshot is this
+    * DataFrame, the batch-backup contract; `true` replaces ONLY the
+    * partitions present in the batch, leaving earlier days in place —
+    * the reference's atomic per-tier `mv` swap (backup.sh:71–89) and
+    * the required mode for the streaming sink, whose append batches
+    * carry only newly closed days (a full replace there would truncate
+    * every previously snapshotted day on each tick).
     */
-  def writeSnapshot(df: DataFrame, ts: Column, dest: String): Unit =
-    df.withColumn("bucket_day", bucketDay(ts))
+  def writeSnapshot(df: DataFrame, ts: Column, dest: String,
+      dynamicPartitions: Boolean = false): Unit = {
+    val w = df.withColumn("bucket_day", bucketDay(ts))
       .write.mode("overwrite")
+    (if (dynamicPartitions) w.option("partitionOverwriteMode", "dynamic") else w)
       .partitionBy("bucket_day")
       .parquet(dest)
+  }
 }

@@ -131,6 +131,18 @@ object Snapshot {
       case Some((Some(base), rows)) =>
         val deltaDays = rows.collect { case (d, _, _, _, "delta") => d }
         val baseDays = rows.collect { case (d, _, _, _, "base") => d }
+        // fail-fast on a broken chain (manifest-only, no data reads):
+        // if the base was GC'd past days this delta still attributes to
+        // it, a silent filter would return a "successful" restore
+        // missing those days
+        readManifest(spark, base).foreach { case (_, baseRows) =>
+          val have = baseRows.map(_._1).toSet
+          val missing = baseDays.filterNot(have)
+          require(missing.isEmpty,
+            s"incremental chain broken: base $base no longer holds day(s) " +
+              s"${missing.mkString(", ")} that $dest attributes to it " +
+              "(base GC'd after the delta was taken?)")
+        }
         val fromBase = resolve(spark, base)
           .filter(col("bucket_day").isin(baseDays: _*))
         if (deltaDays.isEmpty) fromBase // nothing changed: no delta footers exist
@@ -164,16 +176,20 @@ object Snapshot {
     * here (excluding them from resolution) and their bytes are
     * reclaimed when gc runs on the base snapshot itself, exactly like
     * the reference GC'ing each retention tier's own directory.
+    * Conversely, GC'ing a snapshot that still serves as a chain's BASE
+    * orphans the days its dependents attribute to it — [[resolve]]
+    * fails fast on such a chain rather than silently restoring less
+    * data (run gc root-first with windows no tighter than the
+    * dependents').
     */
   def gc(spark: SparkSession, dest: String, keepDays: Int): GcReport = {
-    require(keepDays >= 0, s"keepDays must be non-negative, got $keepDays")
     val (base, rows) = readManifest(spark, dest).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot at $dest has no manifest — re-run Snapshot.backup on it"))
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
-    val cutoff = java.time.LocalDate.parse(rows.map(_._1).max, fmt).minusDays(keepDays)
-    val (expired, kept) =
-      rows.partition(r => java.time.LocalDate.parse(r._1, fmt).isBefore(cutoff))
+    // one shared expiry rule with the directory GC (Retention.expireDays)
+    val (expiredDays, _) = Retention.expireDays(rows.map(_._1), keepDays)
+    val expiredSet = expiredDays.toSet
+    val (expired, kept) = rows.partition(r => expiredSet(r._1))
     if (expired.nonEmpty) {
       val destPath = new org.apache.hadoop.fs.Path(dest)
       val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())

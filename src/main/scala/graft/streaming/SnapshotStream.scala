@@ -109,9 +109,14 @@ object SnapshotStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Atomic-swap analog (backup.sh:71–89): partition overwrite.
+        // Atomic-swap analog (backup.sh:71–89): DYNAMIC partition
+        // overwrite — append batches carry only newly closed windows,
+        // so each tick must replace exactly its own day partitions and
+        // leave every previously snapshotted day in place (static
+        // overwrite would truncate the whole snapshot per tick).
         if (!batch.isEmpty)
-          Retention.writeSnapshot(batch, col("day_start"), s"$destDir/snapshots")
+          Retention.writeSnapshot(batch, col("day_start"), s"$destDir/snapshots",
+            dynamicPartitions = true)
         // the reference's per-tick GC (backup.sh:119–122 runs right
         // after every backup): directory-name expiry, metadata-only
         gcKeepDays.foreach(k =>

@@ -42,10 +42,15 @@ class HistogramSpec extends SparkSpec {
     val total = orders.count()
     val bins = SparkEntry.queries("q_agg_histogram_adaptive")(spark, sf).collect()
     assert(bins.length == 10)
-    assert(bins.map(_.getLong(2)).sum == total, "merges must never lose weight")
-    // bins are ordered and non-overlapping on their means' order
-    val lowers = bins.map(_.getDouble(0))
-    assert(lowers.sameElements(lowers.sorted))
+    assert(bins.map(_.getLong(3)).sum == total, "merges must never lose weight")
+    // rows come out in bin-index order (mean order by construction);
+    // [lo, hi] spans of adjacent bins may legitimately overlap, so the
+    // index — not bin_lower — is the ordering contract
+    assert(bins.map(_.getLong(0)).sameElements(0L until 10L))
+    // every bound sits inside the global value range
+    val (mn, mx) = (bins.map(_.getDouble(1)).min, bins.map(_.getDouble(2)).max)
+    val range = orders.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    assert(mn >= range.getDouble(0) - 1e-4 && mx <= range.getDouble(1) + 1e-4)
   }
 
   test("agrees with the exact fixed-bin histogram when modes sit in distinct fixed bins") {

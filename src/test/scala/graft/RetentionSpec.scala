@@ -108,15 +108,31 @@ class RetentionSpec extends SparkSpec {
     val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
       .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
     assert(days.length >= 3)
+    // expectations from the cutoff DATE predicate, not day positions —
+    // a fixture with calendar gaps must not flip them
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    def ld(s: String) = java.time.LocalDate.parse(s, fmt)
+    val cutoff = ld(days.max).minusDays(1)
+    val wantExpired = days.filter(d => ld(d).isBefore(cutoff))
+    val wantKept = days.filterNot(d => ld(d).isBefore(cutoff))
     val deleted = Retention.gcDirs(spark, dest, keepDays = 1)
-    assert(deleted == days.dropRight(2))
+    assert(deleted == wantExpired)
     deleted.foreach(d => assert(!new java.io.File(s"$dest/bucket_day=$d").exists()))
     val back = operators.Snapshot.restore(spark, dest)
       .select("bucket_day").distinct().orderBy("bucket_day")
       .collect().map(_.getString(0)).toSeq
-    assert(back == days.takeRight(2))
+    assert(back == wantKept)
     // keepDays=0 can never delete the newest day
-    assert(Retention.gcDirs(spark, dest, 0) == days.slice(days.length - 2, days.length - 1))
+    assert(Retention.gcDirs(spark, dest, 0) == wantKept.filterNot(_ == days.max))
     assert(Retention.gcDirs(spark, "/tmp/graft-no-such-dir", 1).isEmpty)
+  }
+
+  test("expireDays never anchors on or deletes an unparseable day name") {
+    val (exp, kept) = Retention.expireDays(
+      Seq("20240101", "20240301", "__HIVE_DEFAULT_PARTITION__"), 1)
+    assert(exp == Seq("20240101"), "anchor must be the max PARSEABLE day")
+    assert(kept == Seq("20240301", "__HIVE_DEFAULT_PARTITION__"))
+    assert(Retention.expireDays(Seq("junk"), 0) == (Nil, Seq("junk")))
+    assert(Retention.expireDays(Nil, 3) == (Nil, Nil))
   }
 }

@@ -104,8 +104,14 @@ class SnapshotSpec extends SparkSpec {
     assert(days.length >= 3, "fixture must span several days")
 
     val report = Snapshot.gc(spark, dest, keepDays = 1)
-    val wantKept = days.takeRight(2) // cutoff = max − 1: strictly-older expires
-    assert(report.keptDays == wantKept && report.deletedDays == days.dropRight(2))
+    // expectation from the cutoff DATE predicate (strictly older than
+    // max − 1 expires), robust to calendar gaps in the fixture days
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    def ld(s: String) = java.time.LocalDate.parse(s, fmt)
+    val cutoff = ld(days.max).minusDays(1)
+    val wantKept = days.filterNot(d => ld(d).isBefore(cutoff))
+    assert(report.keptDays == wantKept &&
+      report.deletedDays == days.filter(d => ld(d).isBefore(cutoff)))
     // physically gone, not just filtered
     report.deletedDays.foreach { d =>
       assert(!new java.io.File(s"$dest/bucket_day=$d").exists(), s"dir for $d survived gc")

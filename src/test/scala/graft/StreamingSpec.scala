@@ -306,6 +306,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("later ticks preserve earlier snapshot days (dynamic partition overwrite)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = operators.Relational.eventsSec(spark, sf)
+      .select(col("ts_s").as("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq.sortBy(_._1.getTime)
+    val (early, late) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val dest = Files.createTempDirectory("graft-ticks").toString
+    val ckpt = Files.createTempDirectory("graft-ticks-ckpt").toString
+    def tick(rows: Seq[(Timestamp, String, Double)]): Unit = {
+      mem.addData(rows)
+      val q = SnapshotStream.start(spark,
+        mem.toDF().toDF("ts", "event_type", "value"),
+        dest, Trigger.AvailableNow(), ckpt)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def snapDays(): Set[String] = operators.Snapshot.restore(spark, s"$dest/snapshots")
+      .select("bucket_day").distinct().collect().map(_.getString(0)).toSet
+    tick(early)
+    val afterFirst = snapDays()
+    assert(afterFirst.nonEmpty)
+    tick(late) // second run, same checkpoint — the cron tick
+    val afterSecond = snapDays()
+    // the second tick's batch carries only newly closed windows; its
+    // write must NOT truncate the days the first tick snapshotted
+    assert(afterFirst.subsetOf(afterSecond),
+      s"tick 2 lost tick 1's days: ${afterFirst.diff(afterSecond)}")
+    assert(afterSecond.size > afterFirst.size, "tick 2 must add its own days")
+  }
+
   test("per-tick GC expires old snapshot day partitions as batches land") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -57,4 +57,27 @@ object Sources {
         .option("upperBound", upperBound.toString)
         .option("numPartitions", numPartitions.toString)
     ) { case (r, (k, v)) => r.option(k, v) }.load()
+
+  /** Bucketed catalog table — the co-located-join lever at 100 TB:
+    * when two fact tables are bucketed on their join key with the
+    * same bucket count, their join runs with ZERO exchanges; the
+    * shuffle is paid once at write time and amortized over every
+    * subsequent join/agg on that key (the MergeTree ORDER BY analog: ClickHouse's pre-sorted
+    * parts play exactly this role for its local joins). The input is
+    * pre-partitioned on the key so each bucket lands as ONE file
+    * (bucketed writes otherwise emit one file per task per bucket —
+    * a small-file explosion at fleet scale). In-bucket `sortBy` keeps
+    * files merge-friendly; the in-join sorts themselves remain (a
+    * sorted-bucket scan stopped advertising its ordering in Spark 3,
+    * and re-sorting within a bucket is spill-free) — the expensive
+    * thing the buckets remove is the exchange, which SourcesSpec
+    * pins. Bucket metadata lives in the table catalog, not parquet
+    * footers — hence `saveAsTable`, not `parquet(path)`.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.repartition(buckets, df(key))
+      .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
 }

@@ -25,7 +25,13 @@ class DeterminismSpec extends SparkSpec {
     "q_agg_argmax",      // max_by reduction order (composite key makes it invariant)
     "q_agg_weighted_median", // cumulative-weight window crossing
     "q_dup_passages",    // capped-bucket expansion + islands windows
-    "q_sample")          // consistent-hash membership
+    "q_sample",          // consistent-hash membership
+    "q_seq_count",       // collect_list order neutralized by array_sort
+    "q_gap_fill",        // span explode + left join
+    "q_agg_entropy",     // multi-term float sum under rounding
+    "q_agg_uniq_upto",   // capped distinct set: saturation is merge-order-free
+    "q_agg_hll_merge",   // HLL union commutes exactly
+    "q_topk_weighted")   // exact while capacity covers the domain
 
   test("layout-hostile session reproduces every hash/window/iterative query") {
     val hostile = spark.newSession()

@@ -64,6 +64,37 @@ class SourcesSpec extends SparkSpec {
     assert(errs.exists(_.contains("GRAFT_PORT")))
   }
 
+  test("bucketed tables join with zero exchanges") {
+    // hermetic session: broadcast off so the join would otherwise be a
+    // shuffled sort-merge join — the bucket metadata must remove both
+    // the exchanges and the sorts
+    val session = spark.newSession()
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val orders = Tables(session, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables(session, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Sources.writeBucketed(orders, "b_orders", "o_orderkey", buckets = 8)
+    Sources.writeBucketed(li, "b_lineitem", "o_orderkey", buckets = 8)
+    try {
+      val joined = session.table("b_orders").join(session.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the expensive thing buckets remove is the exchange (in-join
+      // sorts remain: Spark 3 bucketed scans don't advertise ordering)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, plan was:\n$plan")
+      assert(plan.contains("Bucketed: true"), "scan must actually use the buckets")
+      // and it is the same answer as the plain parquet join
+      val want = orders.join(li, "o_orderkey")
+      assert(joined.count() == want.count())
+      assert(joined.exceptAll(want).isEmpty && want.exceptAll(joined).isEmpty)
+    } finally {
+      session.sql("DROP TABLE IF EXISTS b_orders")
+      session.sql("DROP TABLE IF EXISTS b_lineitem")
+      ()
+    }
+  }
+
   test("config-wired jdbc overload passes credentials through") {
     // Derby's embedded driver ignores credentials by default, so the
     // wired overload exercises the option-plumbing path end-to-end

@@ -216,6 +216,39 @@ object Similarity extends QueryModule {
 
   def entries: Map[String, QueryDef] = Map(
 
+    // Per-label centroid — the distributed vector mean behind every
+    // IVF/k-means build, surfaced as a query. VecMeanAgg keeps ONE
+    // (sums, count) state per label per partition (the shuffle carries
+    // labels × (dim+1) doubles however large the corpus; a
+    // posexplode→avg plan would push dim rows per vector through the
+    // exchange instead). The oracle unnests per-dimension — output is
+    // (label, n_vecs, pos, mean) rows, doubles rounded on the shared
+    // 4-decimal grid with the 1e-9 nudge (float-sum ordering, hazard
+    // H1).
+    "q_embed_centroid" -> QueryDef(
+      (s, dir) => graft.Tables(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(graft.functions.VecMeanAgg(col("embedding")).as("c"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label").cast("long").as("label"), col("n_vecs"),
+          posexplode(col("c")).as(Seq("pos", "v")))
+        .select(col("label"), col("n_vecs"),
+          (col("pos") + 1).cast("long").as("pos"),
+          round(col("v") + 1e-9, 4).as("mv"))
+        .orderBy("label", "pos"),
+      Some("""WITH e AS (
+             |  SELECT label, unnest(embedding) AS v,
+             |         unnest(generate_series(1, len(embedding))) AS pos
+             |  FROM embeddings),
+             |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+             |SELECT CAST(e.label AS BIGINT) AS label,
+             |       CAST(n.n_vecs AS BIGINT) AS n_vecs,
+             |       CAST(pos AS BIGINT) AS pos,
+             |       round(avg(CAST(v AS DOUBLE)) + 1e-9, 4) AS mv
+             |FROM e JOIN n USING (label)
+             |GROUP BY e.label, n.n_vecs, pos
+             |ORDER BY label, pos""".stripMargin)),
+
     // Exact brute-force cosine top-5 for 10 query vectors. The query
     // side is tiny → Spark broadcasts it; the corpus is scanned once,
     // scored in codegen, and reduced via per-group top-k (window +

@@ -148,6 +148,31 @@ object Windows extends QueryModule {
              |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
              |ORDER BY event_type, event_id""".stripMargin)),
 
+    // ClickHouse groupArrayMovingAvg/MovingSum — the sliding ROWS
+    // frame (last-k-rows smoothing), complementing q_win_frame_range's
+    // RANGE frame: one shuffle on the partition key, one sort, both
+    // measures share the frame. Deterministic because the (ts, id)
+    // ordering key is unique.
+    "q_win_moving" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts_s", "event_id")
+          .rowsBetween(-4, Window.currentRow)
+        Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("event_id"),
+            round(avg(col("value")).over(w) + 1e-9, 4).as("mavg_5"),
+            round(sum(col("value")).over(w) + 1e-9, 4).as("msum_5"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  round(avg(value) OVER w + 1e-9, 4) AS mavg_5,
+             |  round(sum(value) OVER w + 1e-9, 4) AS msum_5
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY date_trunc('second', ts), event_id
+             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ClickHouse `ORDER BY … WITH FILL` — time-series gap filling:
     // densify each event type's daily counts over its own [min, max]
     // day span, missing days as explicit zero rows. Shape: the count

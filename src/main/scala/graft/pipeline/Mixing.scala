@@ -78,6 +78,45 @@ object Mixing extends QueryModule {
               |FROM documents
               |ORDER BY doc_id, epoch""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): per source, keep the k docs with the largest
+    // ln(u)/weight where u is a DETERMINISTIC md5-derived uniform —
+    // the length-weighted pick every curation pass runs ("sample k
+    // docs per source, longer docs proportionally more likely"),
+    // reproducible across runs/engines/retries like every sampler
+    // here (rand() gives none of that). The first 13 md5 hex digits
+    // are 52 bits — exact in a double on both engines — and ties are
+    // broken on doc_id, so the ranking is engine-stable. Scale shape:
+    // a scan-side key projection + the per-source top-k window
+    // (q_topk_per_group's shape) — no global sort, no driver state.
+    "q_sample_weighted" -> QueryDef(
+      (s, dir) => {
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("double") + 0.5) / pow(lit(2.0), lit(52))
+        val w = Window.partitionBy("source")
+          .orderBy(col("es_key").desc, col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (log(u) / col("n_chars")).as("es_key"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("source"), col("rank"), col("doc_id"),
+            round(col("es_key") + lit(1e-9), 6).as("es_key"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, source, n_chars,
+             |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+             |       / power(2, 52)) / n_chars AS es_key
+             |  FROM documents)
+             |SELECT source, rank, doc_id, round(es_key + 1e-9, 6) AS es_key
+             |FROM (SELECT source, doc_id, es_key,
+             |        CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
+             |      FROM k)
+             |WHERE rank <= 3
+             |ORDER BY source, rank""".stripMargin)),
+
     // Deterministic global shuffle + shard assignment: training order
     // is ORDER BY md5(doc_id) — a reproducible pseudo-random
     // permutation — and the shard is the hash's first nibble range (8

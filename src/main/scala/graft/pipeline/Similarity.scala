@@ -234,7 +234,9 @@ object Similarity extends QueryModule {
           posexplode(col("c")).as(Seq("pos", "v")))
         .select(col("label"), col("n_vecs"),
           (col("pos") + 1).cast("long").as("pos"),
-          round(col("v") + 1e-9, 4).as("mv"))
+          // + 0.0 after the round: near-zero means round to IEEE -0.0
+          // on one engine only (hazard H1, same as q_agg_stats)
+          (round(col("v") + 1e-9, 4) + 0.0).as("mv"))
         .orderBy("label", "pos"),
       Some("""WITH e AS (
              |  SELECT label, unnest(embedding) AS v,
@@ -244,7 +246,7 @@ object Similarity extends QueryModule {
              |SELECT CAST(e.label AS BIGINT) AS label,
              |       CAST(n.n_vecs AS BIGINT) AS n_vecs,
              |       CAST(pos AS BIGINT) AS pos,
-             |       round(avg(CAST(v AS DOUBLE)) + 1e-9, 4) AS mv
+             |       round(avg(CAST(v AS DOUBLE)) + 1e-9, 4) + 0.0 AS mv
              |FROM e JOIN n USING (label)
              |GROUP BY e.label, n.n_vecs, pos
              |ORDER BY label, pos""".stripMargin)),

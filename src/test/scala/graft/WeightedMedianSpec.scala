@@ -18,6 +18,14 @@ class WeightedMedianSpec extends SparkSpec {
     assert(got.sameElements(want), s"got ${got.toSeq}, want ${want.toSeq}")
   }
 
+  test("the refinement join broadcasts the 3-row crossing side") {
+    val plan = operators.Aggregates
+      .weightedMedianTwoPhase(Tables(spark, sf, "lineitem"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the crossing-bucket side must broadcast, plan was:\n$plan")
+  }
+
   test("bucket-boundary and tie cases cannot move the crossing") {
     import spark.implicits._
     // group A: crossing lands exactly on a bucket boundary value

@@ -399,20 +399,25 @@ object Aggregates extends QueryModule {
 
     // Quantiles — the ClickHouse-staple aggregate ([CH]). Exact
     // `percentile` (linear interpolation, same semantics as DuckDB's
-    // quantile_cont) so the query is oracle-checkable; it buffers each
-    // group's values, so at 100 TB the production form is
-    // `approx_percentile` (Greenwald–Khanna summary, mergeable
-    // map-side) — the exact form here doubles as its correctness
-    // reference.
-    // One percentile call with the quantile ARRAY, not one aggregate
-    // per quantile: each exact-percentile aggregate builds its own
-    // value buffer per group, so 3 separate calls triple the dominant
-    // cost (measured 3× on sf0.1).
+    // quantile_cont) so the query is oracle-checkable.
+    // Two state-shrinking moves, same exact answer:
+    //  - ONE percentile call with the quantile ARRAY (each aggregate
+    //    builds its own per-group buffer; 3 separate calls measured 3×
+    //    on sf0.1);
+    //  - the FREQUENCY form over the collapsed (group, value) grid —
+    //    percentile(value, q, count) expands counts arithmetically, so
+    //    the per-group buffer is the distinct-value set, not the rows
+    //    (the quantileExactWeighted trick, here with weight = count).
+    // At 100 TB the production form is still `approx_percentile`
+    // (mergeable Greenwald–Khanna, O(1/accuracy) state) — this exact
+    // form doubles as its correctness reference.
     "q_agg_percentile" -> QueryDef(
       (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("c"))
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), c)").as("ps"),
           round(min(col("l_extendedprice")), 4).as("p_min"),
           round(max(col("l_extendedprice")), 4).as("p_max"))
         .select(col("l_returnflag"),

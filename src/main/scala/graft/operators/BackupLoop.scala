@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Config
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's main loop, composed end-to-end (backup.sh:21–130 —
+  * EP1): for each configured database, snapshot → validate → latest
+  * pointer per configured mode → retention GC. Every step is the
+  * already-tested primitive ([[Snapshot.backup]], [[Retention]],
+  * [[Snapshot.gc]]); this object is only the composition the
+  * container's cron tick runs, parameterized by a `source` resolver so
+  * the same loop drives a JDBC pull ([[Sources.jdbc]]), a catalog
+  * table, or a parquet fixture.
+  *
+  * Scale shape: per database, one full read (the backup itself), the
+  * metadata-scale digest/validation pass inside `backup`, a
+  * partition-listing max for the latest day, and a manifest-only GC.
+  * Databases are independent — a cluster deployment can run them as
+  * parallel jobs; the loop keeps the reference's serial semantics
+  * (backup.sh:24 iterates `$BACKUP_DATABASES` in order).
+  */
+object BackupLoop {
+
+  /** Per-database outcome of one tick. */
+  final case class DbReport(
+      db: String,
+      rows: Long,
+      latestDay: String,
+      deletedDays: Seq[String],
+      keptDays: Seq[String])
+
+  private val LatestDir = "_graft_latest"
+
+  /** One full tick over every configured database. `source` resolves a
+    * database name to its current rows; `tsCol` is the event-time
+    * column the day buckets derive from.
+    */
+  def backupAll(
+      spark: SparkSession,
+      settings: Config.Settings,
+      source: (SparkSession, String) => DataFrame,
+      tsCol: String): Seq[DbReport] =
+    settings.dbs.map { db =>
+      val dest = s"${settings.snapshotDir}/$db"
+      val df = source(spark, db)
+      val rows = Snapshot.backup(df, col(tsCol), dest)
+      val snap = Snapshot.restore(spark, dest)
+      // partition-column max: a listing-scale aggregate, no data read
+      val latestDay = snap.agg(max(col("bucket_day"))).head.getString(0)
+      writeLatest(snap, dest, latestDay, settings.latestType)
+      val gc = Snapshot.gc(spark, dest, settings.keepDays)
+      DbReport(db, rows, latestDay, gc.deletedDays, gc.keptDays)
+    }
+
+  /** The `BACKUP_LATEST_TYPE` materialization (backup.sh:99–115),
+    * snapshot-level: `hardlink` copies the latest day's rows into a
+    * `_graft_latest` dataset that survives GC of the original
+    * partition; `symlink` records only the day pointer (one row —
+    * dereferenced against the snapshot at read time, dangling once GC
+    * passes it, exactly like the filesystem symlink); `none` writes
+    * nothing.
+    */
+  private def writeLatest(snap: DataFrame, dest: String, latestDay: String,
+      mode: Retention.LatestMode): Unit = mode match {
+    case Retention.LatestMode.Off => ()
+    case Retention.LatestMode.Hardlink =>
+      Snapshot.dayView(snap, latestDay)
+        .write.mode("overwrite").parquet(s"$dest/$LatestDir")
+    case Retention.LatestMode.Symlink =>
+      val spark = snap.sparkSession
+      import spark.implicits._
+      Seq(latestDay).toDF("bucket_day")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dest/$LatestDir")
+  }
+
+  /** Read the latest pointer back: the materialized copy under
+    * `hardlink`; the dereferenced day view under `symlink` (throws on
+    * a dangling pointer — the day was GC'd — like a broken symlink).
+    */
+  def readLatest(spark: SparkSession, dest: String,
+      mode: Retention.LatestMode): Option[DataFrame] = mode match {
+    case Retention.LatestMode.Off => None
+    case Retention.LatestMode.Hardlink =>
+      Some(spark.read.parquet(s"$dest/$LatestDir"))
+    case Retention.LatestMode.Symlink =>
+      val day = spark.read.parquet(s"$dest/$LatestDir").head.getString(0)
+      val view = Snapshot.dayView(Snapshot.restore(spark, dest), day)
+      require(view.limit(1).count() > 0,
+        s"dangling latest pointer at $dest: day $day was GC'd")
+      Some(view)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{BackupLoop, Relational, Retention, Snapshot}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The composed EP1 tick (backup.sh:21–130): multi-database snapshot →
+  * validate → latest pointer → GC, against fixture-backed "databases".
+  */
+class BackupLoopSpec extends SparkSpec {
+
+  private def source(s: org.apache.spark.sql.SparkSession, db: String) = db match {
+    case "events" => Relational.eventsSec(s, sf)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_s").as("ts"))
+    case "orders" => Tables(s, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+  }
+
+  private def settings(dir: String, extra: (String, String)*) =
+    Config.fromEnvOrThrow(Map(
+      "GRAFT_DBS" -> "events,orders",
+      "GRAFT_SNAPSHOT_DIR" -> dir) ++ extra)
+
+  test("a tick snapshots every configured db, writes pointers, and GCs") {
+    val dir = Files.createTempDirectory("graft-loop").toString
+    val reports = BackupLoop.backupAll(spark, settings(dir), source _, "ts")
+    assert(reports.map(_.db) == Seq("events", "orders"), "reference's serial db order")
+    reports.foreach { r =>
+      assert(r.rows > 0 && r.keptDays.nonEmpty)
+      assert(r.latestDay == r.keptDays.max, "the latest day always survives GC")
+      // default keepDays=7 on a ~29-day fixture must actually reclaim
+      assert(r.deletedDays.nonEmpty, s"${r.db}: expected expired days")
+      val days = Snapshot.restore(spark, s"$dir/${r.db}")
+        .select("bucket_day").distinct().collect().map(_.getString(0)).toSeq.sorted
+      assert(days == r.keptDays, s"${r.db}: restore must see exactly the kept days")
+      // default symlink pointer dereferences to the latest day's rows
+      val latest = BackupLoop.readLatest(spark, s"$dir/${r.db}",
+        Retention.LatestMode.Symlink).get
+      assert(latest.count() ==
+        Snapshot.restore(spark, s"$dir/${r.db}")
+          .filter(col("bucket_day") === r.latestDay).count())
+    }
+  }
+
+  test("hardlink mode materializes the latest day; off mode writes nothing") {
+    val dir = Files.createTempDirectory("graft-loop-hard").toString
+    val reports = BackupLoop.backupAll(spark,
+      settings(dir, "GRAFT_LATEST_TYPE" -> "hardlink", "GRAFT_DBS" -> "events"),
+      source _, "ts")
+    val r = reports.head
+    val copy = BackupLoop.readLatest(spark, s"$dir/events",
+      Retention.LatestMode.Hardlink).get
+    val want = Snapshot.dayView(Snapshot.restore(spark, s"$dir/events"), r.latestDay)
+    assert(copy.count() == want.count() && copy.count() > 0)
+    assert(copy.drop("bucket_day").exceptAll(want.drop("bucket_day")).isEmpty)
+
+    val dirOff = Files.createTempDirectory("graft-loop-off").toString
+    BackupLoop.backupAll(spark,
+      settings(dirOff, "GRAFT_LATEST_TYPE" -> "none", "GRAFT_DBS" -> "events"),
+      source _, "ts")
+    assert(BackupLoop.readLatest(spark, s"$dirOff/events",
+      Retention.LatestMode.Off).isEmpty)
+    assert(!new java.io.File(s"$dirOff/events/_graft_latest").exists())
+  }
+}

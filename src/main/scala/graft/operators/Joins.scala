@@ -189,6 +189,32 @@ object Joins extends QueryModule {
              |                 ORDER BY date_trunc('second', ts), event_id
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
              |  FROM events)
-             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // Correlated LATERAL join (SQL-only surface, like
+    // q_agg_grouping_sets): per outer row, a dependent subquery — here
+    // each nation's top-2 customers by balance. Catalyst DECORRELATES
+    // the per-row subquery: the plan is WindowGroupLimit (partial+final
+    // per-group top-k, map-side pruned before the exchange) feeding a
+    // broadcast join with the outer side — NOT a nested loop per
+    // nation, which is what a naive lateral executor would run and
+    // what would never survive 100 TB.
+    "q_join_lateral" -> QueryDef(
+      (s, dir) => {
+        Tables(s, dir, "nation").createOrReplaceTempView("nation_lat")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer_lat")
+        s.sql("""SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 4) AS acctbal
+                |FROM nation_lat n,
+                |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat
+                |         WHERE c_nationkey = n.n_nationkey
+                |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+                |ORDER BY n_name, c_custkey""".stripMargin)
+      },
+      Some("""SELECT n.n_name, c.c_custkey, round(c.c_acctbal, 4) AS acctbal
+             |FROM nation n,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             |         WHERE c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+             |ORDER BY n_name, c_custkey""".stripMargin))
   )
 }

@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Relational,
     operators.Joins,
     operators.Aggregates,
+    operators.Analytics,
     operators.Windows,
     operators.SetOps,
     functions.Scalars,

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.L — round-4 analytics depth: ClickHouse statistical
+  * aggregates and table-engine collapse semantics, all [CH] capability
+  * of the engine the reference backs up (Dockerfile:2 pins ClickHouse
+  * 24.8; `BACKUP DATABASE` at backup.sh:45 snapshots tables of any
+  * engine, including Collapsing/VersionedCollapsingMergeTree, and any
+  * aggregate state).
+  *
+  * Scale shapes: every query here is one or two stacked map-side-
+  * combined hash aggregates over a bounded group space — the shuffle
+  * carries O(groups) rows (statuses, segments × nations, users ×
+  * event types), never the fact rows. The only join (`q_str_distance`)
+  * broadcasts a 25-row dimension. Nothing windows over an unbounded
+  * partition: the single-partition windows in the t-test/Cramér's-V
+  * finals run over the already-collapsed grid (≤ a few hundred rows by
+  * construction — the domain, not the data).
+  */
+object Analytics extends QueryModule {
+
+  /** Welch's t-statistic pieces from (mean, sample-variance, count)
+    * pairs — the same arithmetic both engines run, so the oracle is a
+    * formula-level check, not a library call.
+    */
+  private def welch(m1: Column, v1: Column, n1: Column,
+      m2: Column, v2: Column, n2: Column): (Column, Column) = {
+    val se1 = v1 / n1
+    val se2 = v2 / n2
+    val t = (m1 - m2) / sqrt(se1 + se2)
+    val dof = pow(se1 + se2, 2) /
+      (pow(se1, 2) / (n1 - 1) + pow(se2, 2) / (n2 - 1))
+    (t, dof)
+  }
+
+  /** CollapsingMergeTree FINAL over (key, sign, value) rows: one hash
+    * aggregate to the per-key net state, then the net>0 survivors.
+    * Shared by q_collapse_sign and AnalyticsSpec's crafted cases.
+    */
+  private[graft] def collapse(rows: DataFrame, key: String, sign: Column,
+      value: Column): DataFrame =
+    rows
+      .select(col(key), sign.as("sign"), value.as("v"))
+      .groupBy(key)
+      .agg(sum(col("sign")).as("net"),
+        round(sum(col("sign") * col("v")), 4).as("net_value"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("net") > 0)
+
+  /** Welch's unequal-variance t-test between the rows where `inA` and
+    * the rows where `inB`, over `x` — one conditional-moment pass.
+    */
+  private[graft] def welchTTest(df: DataFrame, inA: Column, inB: Column,
+      x: Column): DataFrame = {
+    val a = when(inA, x)
+    val b = when(inB, x)
+    val agg = df.agg(avg(a).as("m1"), var_samp(a).as("v1"), count(a).as("n1"),
+      avg(b).as("m2"), var_samp(b).as("v2"), count(b).as("n2"))
+    val (t, dof) = welch(col("m1"), col("v1"), col("n1").cast("double"),
+      col("m2"), col("v2"), col("n2").cast("double"))
+    agg.select(round(t, 4).as("t_stat"), round(dof, 4).as("dof"),
+      col("n1"), col("n2"))
+  }
+
+  /** Cramér's V between two categorical columns via the observed-cells
+    * χ² identity (see q_agg_cramers_v). Output: one row
+    * (chi2, cramers_v, n_a, n_b).
+    */
+  private[graft] def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(a, b).agg(count(lit(1)).cast("double").as("nij"))
+    cells
+      .withColumn("ri", sum(col("nij")).over(Window.partitionBy(a)))
+      .withColumn("cj", sum(col("nij")).over(Window.partitionBy(b)))
+      .agg(sum(col("nij")).as("n"),
+        sum(col("nij") * col("nij") / (col("ri") * col("cj"))).as("srat"),
+        countDistinct(col(a)).cast("double").as("r"),
+        countDistinct(col(b)).cast("double").as("c"))
+      .select(
+        round(col("n") * (col("srat") - 1), 4).as("chi2"),
+        round(sqrt((col("srat") - 1) / least(col("r") - 1, col("c") - 1)), 4)
+          .as("cramers_v"),
+        col("r").cast("long").as("n_a"),
+        col("c").cast("long").as("n_b"))
+  }
+
+  /** sumMap canonical form over (key, mapKey, value) rows: two stacked
+    * hash aggregates to a sorted `mapKey:scaled-int` string per key.
+    */
+  private[graft] def sumMap(df: DataFrame, key: String, mapKey: String,
+      value: String): DataFrame =
+    df.groupBy(key, mapKey)
+      .agg(sum(col(value)).as("v"))
+      .groupBy(key)
+      .agg(
+        array_join(sort_array(collect_list(
+          concat(col(mapKey), lit(":"),
+            round(col("v") * 10000, 0).cast("long").cast("string")))), "\u001f")
+          .as("value_map"),
+        count(lit(1)).as("n_keys"))
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // CollapsingMergeTree FINAL semantics ([CH]): every row carries a
+    // sign (+1 insert / −1 cancel); the collapsed state of a key is the
+    // sign-weighted net of its rows, and keys whose inserts and cancels
+    // annul (net ≤ 0) vanish. Here `error` events cancel a unit of the
+    // user's activity, everything else inserts one — the collapse is a
+    // single map-side-combined hash aggregate on user_id (sign and the
+    // weighted measures are row-local projections), then the net>0
+    // residual filter. Shuffle = one row per user, however many events.
+    "q_collapse_sign" -> QueryDef(
+      (s, dir) => collapse(Tables(s, dir, "events"), "user_id",
+          when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)),
+          col("value"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT) AS net,
+             |  round(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END * value), 4) AS net_value,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM events GROUP BY user_id
+             |HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
+             |ORDER BY user_id""".stripMargin)),
+
+    // ClickHouse groupBitAnd/groupBitOr/groupBitXor ([CH]): bitwise
+    // fold of an integer column per group. One hash aggregate; the
+    // fold state is a single 64-bit word per group per partition —
+    // the cheapest possible mergeable aggregate at any scale.
+    "q_agg_bitwise" -> QueryDef(
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("bit_and(o_orderkey)").as("keys_and"),
+          expr("bit_or(o_orderkey)").as("keys_or"),
+          expr("bit_xor(o_orderkey)").as("keys_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(bit_and(o_orderkey) AS BIGINT) AS keys_and,
+             |  CAST(bit_or(o_orderkey) AS BIGINT) AS keys_or,
+             |  CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_xor,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ClickHouse welchTTest ([CH]): unequal-variance two-sample t-test
+    // — finished (F) vs open (O) order values. Built from conditional
+    // moment aggregates (avg/var_samp/count over CASE projections), so
+    // ONE pass over the fact table feeds both samples; the t and
+    // Welch–Satterthwaite dof are row-local arithmetic on the 1-row
+    // aggregate. Both engines run the identical formula — the oracle
+    // checks the math, not a library.
+    "q_agg_ttest" -> QueryDef(
+      (s, dir) => welchTTest(Tables(s, dir, "orders"),
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        col("o_totalprice")),
+      Some("""WITH m AS (
+             |  SELECT
+             |    avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS m1,
+             |    var_samp(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS v1,
+             |    CAST(count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS DOUBLE) AS n1,
+             |    avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS m2,
+             |    var_samp(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS v2,
+             |    CAST(count(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS DOUBLE) AS n2
+             |  FROM orders)
+             |SELECT
+             |  round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_stat,
+             |  round(pow(v1/n1 + v2/n2, 2)
+             |    / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)), 4) AS dof,
+             |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+             |FROM m""".stripMargin)),
+
+    // ClickHouse cramersV ([CH]): association strength between two
+    // categorical columns (market segment × nation). χ² is computed by
+    // the observed-cells-only identity χ² = n·(Σ nᵢⱼ²/(rᵢ·cⱼ) − 1) —
+    // zero cells contribute nothing to the sum and are accounted for
+    // by the −1, so no dense cell grid is ever materialized. Plan:
+    // one hash aggregate to the contingency cells (≤ segments ×
+    // nations rows), two window sums over that bounded grid for the
+    // margins, one global fold. Nothing touches the fact rows twice.
+    "q_agg_cramers_v" -> QueryDef(
+      (s, dir) => cramersV(Tables(s, dir, "customer"),
+          "c_mktsegment", "c_nationkey")
+        .withColumnRenamed("n_a", "n_segments")
+        .withColumnRenamed("n_b", "n_nations"),
+      Some("""WITH cells AS (
+             |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS DOUBLE) AS nij
+             |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+             |marg AS (
+             |  SELECT nij,
+             |    sum(nij) OVER (PARTITION BY c_mktsegment) AS ri,
+             |    sum(nij) OVER (PARTITION BY c_nationkey) AS cj,
+             |    c_mktsegment, c_nationkey
+             |  FROM cells),
+             |agg AS (
+             |  SELECT sum(nij) AS n, sum(nij*nij/(ri*cj)) AS srat,
+             |    CAST(count(DISTINCT c_mktsegment) AS DOUBLE) AS r,
+             |    CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS c
+             |  FROM marg)
+             |SELECT round(n * (srat - 1), 4) AS chi2,
+             |  round(sqrt((srat - 1) / least(r - 1, c - 1)), 4) AS cramers_v,
+             |  CAST(r AS BIGINT) AS n_segments,
+             |  CAST(c AS BIGINT) AS n_nations
+             |FROM agg""".stripMargin)),
+
+    // ClickHouse sumMap ([CH]): per-group map of key → summed value.
+    // Two stacked hash aggregates — (user, type) sums collapse the
+    // events first, then the per-user map assembles from the collapsed
+    // grid, so the collect state is bounded by the event-type domain
+    // (5 keys), not the user's event count. Sums are emitted as
+    // 1e-4-scaled BIGINTs inside the canonical string: integer
+    // rendering is identical on both engines, where double→string
+    // formatting is not. Separator = ASCII unit separator, as in
+    // q_agg_group_array (no text domain carries 0x1f).
+    "q_agg_sum_map" -> QueryDef(
+      (s, dir) => sumMap(Tables(s, dir, "events"),
+          "user_id", "event_type", "value")
+        .orderBy("user_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type, sum(value) AS v
+             |  FROM events GROUP BY user_id, event_type)
+             |SELECT user_id,
+             |  string_agg(event_type || ':' || CAST(CAST(round(v * 10000, 0) AS BIGINT) AS VARCHAR),
+             |    chr(31) ORDER BY event_type) AS value_map,
+             |  CAST(count(*) AS BIGINT) AS n_keys
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ClickHouse editDistance/stringDistance family ([CH]): classic
+    // Levenshtein between each customer's name and its nation's name,
+    // plus the length-normalized similarity. The 25-row nation
+    // dimension broadcasts (dictGet shape); the distance itself is a
+    // row-local codegen'd function — zero shuffle beyond the
+    // broadcast exchange.
+    "q_str_distance" -> QueryDef(
+      (s, dir) => {
+        val nation = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), upper(col("n_name")).as("nname"))
+        Tables(s, dir, "customer")
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"),
+            levenshtein(upper(col("c_name")), col("nname")).cast("long").as("lev"),
+            round(lit(1.0) - levenshtein(upper(col("c_name")), col("nname")) /
+              greatest(length(col("c_name")), length(col("nname"))).cast("double"), 4)
+              .as("name_sim"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CAST(levenshtein(upper(c_name), upper(n_name)) AS BIGINT) AS lev,
+             |  round(1.0 - levenshtein(upper(c_name), upper(n_name))
+             |    / CAST(greatest(length(c_name), length(n_name)) AS DOUBLE), 4) AS name_sim
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY c_custkey""".stripMargin)))
+}

@@ -215,6 +215,33 @@ object Joins extends QueryModule {
              |LATERAL (SELECT c_custkey, c_acctbal FROM customer
              |         WHERE c_nationkey = n.n_nationkey
              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
-             |ORDER BY n_name, c_custkey""".stripMargin))
+             |ORDER BY n_name, c_custkey""".stripMargin)),
+
+    // Salted skew join ([NS] 100 TB posture, SURVEY.md §4): the
+    // orders⋈customer join run through Skew.saltedJoin — the big side
+    // spread over 8 deterministic sub-keys, the small side replicated
+    // once per salt — then aggregated per segment. Salting is
+    // semantics-neutral (SnapshotSpec pins salted ≡ unsalted row-for-
+    // row), so the oracle is the PLAIN join: the query verifies the
+    // mitigation changes nothing but the partitioning. This is the
+    // manual fallback for skew AQE can't fix — e.g. when the hot key
+    // also feeds a same-key groupBy, where pre-salting fixes the join
+    // AND the partial aggregate together.
+    "q_join_skew" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        Skew.saltedJoin(Tables(s, dir, "orders"), cust,
+            key = "o_custkey", idCol = "o_orderkey", salts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sum(o_totalprice), 4) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -31,6 +31,13 @@ object Mixing extends QueryModule {
     */
   private val MixCycle = 4
 
+  /** Temperature exponent for q_mix_temperature (α = 1/T; 0.5 ≈ the
+    * mT5 paper's α=0.3–0.7 band) and the fixed sampling budget the
+    * per-language targets are sized out of.
+    */
+  private val MixAlpha = 0.5
+  private val MixBudget = 100000
+
   def entries: Map[String, QueryDef] = Map(
 
     // Stratified consistent-hash sampling: each language keeps a
@@ -144,5 +151,36 @@ object Mixing extends QueryModule {
              |SELECT doc_id, shard,
              |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
              |FROM a
-             |ORDER BY shard, pos""".stripMargin)))
+             |ORDER BY shard, pos""".stripMargin)),
+
+    // Temperature-scaled source mixing (the multilingual-LM sampling
+    // rule, e.g. mT5's α-scaling): raise each language's share to the
+    // power α < 1, renormalize, and size each language's target draw
+    // out of a fixed budget — up-weighting tail languages without
+    // flattening the head. Scale shape: the fact table collapses to
+    // the per-language count grid FIRST (one map-side-combined hash
+    // aggregate); the normalization window runs over that grid, whose
+    // size is the language domain (dozens), not the corpus — a
+    // single-partition window over bounded metadata, not data.
+    "q_mix_temperature" -> QueryDef(
+      (s, dir) => {
+        val wAll = Window.partitionBy()
+        Tables(s, dir, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", pow(col("n_docs").cast("double"), MixAlpha))
+          .withColumn("p", col("w") / sum(col("w")).over(wAll))
+          .select(col("lang"), col("n_docs"),
+            round(col("p"), 4).as("p"),
+            round(col("p") * MixBudget, 0).cast("long").as("target_docs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |         pow(CAST(count(*) AS DOUBLE), $MixAlpha) AS w
+              |  FROM documents GROUP BY lang)
+              |SELECT lang, n_docs,
+              |  round(w / sum(w) OVER (), 4) AS p,
+              |  CAST(round(w / sum(w) OVER () * $MixBudget, 0) AS BIGINT) AS target_docs
+              |FROM g ORDER BY lang""".stripMargin)))
 }

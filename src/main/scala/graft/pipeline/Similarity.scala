@@ -296,6 +296,47 @@ object Similarity extends QueryModule {
     // in every table is lost) ⇒ no oracle; the ScalaTest spec checks
     // a recall floor against exact brute force and key determinism.
     "q_sim_lsh" -> QueryDef(
-      (s, dir) => lshTopK(s, dir, k = 5), None)
+      (s, dir) => lshTopK(s, dir, k = 5), None),
+
+    // Embedding L2-normalization + symmetric int8 quantization — the
+    // storage-side half of every vector index (a quantized corpus is
+    // 4× smaller on the wire and in cache; IVF/LSH probes re-rank the
+    // int8 codes and only fetch floats for survivors). Row-local
+    // higher-order functions end to end: zero shuffle, scales as a
+    // pure scan. Per-vector outputs (norm + code-vector summary stats)
+    // keep the oracle row count at one per vector instead of one per
+    // dimension; all math in double on both engines (hazard H1), and
+    // the quantized codes are exact integers so their sum/extrema
+    // compare without rounding grids.
+    "q_embed_normalize" -> QueryDef(
+      (s, dir) => {
+        val sq = aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), sqrt(sq).as("nrm"))
+          .withColumn("q", transform(col("embedding"),
+            x => round(x.cast("double") * 127.0 / col("nrm"), 0).cast("long")))
+          .select(col("vec_id"), round(col("nrm"), 4).as("l2_norm"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, nrm,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm, 0) AS BIGINT)) AS qv
+             |  FROM n)
+             |SELECT vec_id, round(nrm, 4) AS l2_norm,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(list_min(qv) AS BIGINT) AS q_min,
+             |  CAST(list_max(qv) AS BIGINT) AS q_max
+             |FROM q ORDER BY vec_id""".stripMargin))
   )
 }

@@ -103,4 +103,122 @@ class AnalyticsSpec extends SparkSpec {
     assert(li.nonEmpty && li.subsetOf(a),
       "lineitem sampled on the same key must align with the orders sample")
   }
+
+  // ---- round-4 analytics kernels (operators.Analytics) ----
+
+  test("collapse drops fully-cancelled keys and nets the survivors") {
+    val rows = Seq(
+      // k1: 2 inserts + 1 cancel -> survives with net 1
+      (1L, 1L, 10.0), (1L, 1L, 20.0), (1L, -1L, 10.0),
+      // k2: insert + cancel annul -> vanishes
+      (2L, 1L, 5.0), (2L, -1L, 5.0),
+      // k3: cancel only (late cancel of a compacted insert) -> net<0, vanishes
+      (3L, -1L, 7.0))
+    val df = spark.createDataFrame(rows).toDF("k", "sign", "v")
+    val got = operators.Analytics.collapse(df, "k", col("sign"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((1L, 1L, 20.0)), s"got $got")
+  }
+
+  test("welch t-test: identical samples give t=0; known case matches hand math") {
+    val same = Seq(("a", 1.0), ("b", 1.0), ("a", 2.0), ("b", 2.0),
+      ("a", 3.0), ("b", 3.0))
+    val df = spark.createDataFrame(same).toDF("g", "x")
+    val r0 = operators.Analytics.welchTTest(df,
+      col("g") === "a", col("g") === "b", col("x")).collect()(0)
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(2) == 3 && r0.getLong(3) == 3)
+
+    // A = {1,2,3,4,5} (m=3, v=2.5), B = {2,4,6} (m=4, v=4):
+    // se = 2.5/5 + 4/3; t = -1/sqrt(11/6); dof via Welch–Satterthwaite
+    val ab = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0))
+    val r = operators.Analytics.welchTTest(
+      spark.createDataFrame(ab).toDF("g", "x"),
+      col("g") === "a", col("g") === "b", col("x")).collect()(0)
+    val se = 2.5 / 5 + 4.0 / 3
+    val expT = BigDecimal(-1.0 / math.sqrt(se))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expDof = BigDecimal(se * se /
+        (math.pow(0.5, 2) / 4 + math.pow(4.0 / 3, 2) / 2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(0) == expT, s"t: got ${r.getDouble(0)}, want $expT")
+    assert(r.getDouble(1) == expDof, s"dof: got ${r.getDouble(1)}, want $expDof")
+  }
+
+  test("cramers V: 1 for perfect association, 0 for exact independence") {
+    // perfect: b is a bijection of a
+    val perfect = spark.createDataFrame(
+      Seq(("x", "p"), ("y", "q"), ("z", "r"), ("x", "p"), ("y", "q")))
+      .toDF("a", "b")
+    val vp = operators.Analytics.cramersV(perfect, "a", "b").collect()(0)
+    assert(vp.getDouble(1) == 1.0, s"perfect association must give V=1, got $vp")
+
+    // exact independence: uniform 2x2 grid -> chi2 = 0
+    val indep = spark.createDataFrame(
+      for { a <- Seq("x", "y"); b <- Seq("p", "q") } yield (a, b))
+      .toDF("a", "b")
+    val vi = operators.Analytics.cramersV(indep, "a", "b").collect()(0)
+    assert(vi.getDouble(0) == 0.0 && vi.getDouble(1) == 0.0,
+      s"uniform grid must give chi2=V=0, got $vi")
+  }
+
+  test("sumMap nets per-key sums into the sorted canonical string") {
+    val rows = Seq((1L, "b", 0.25), (1L, "a", 1.0), (1L, "b", 0.25),
+      (2L, "a", -0.5))
+    val df = spark.createDataFrame(rows).toDF("k", "mk", "v")
+    val got = operators.Analytics.sumMap(df, "k", "mk", "v")
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List(
+      (1L, "a:10000\u001fb:5000", 2L), (2L, "a:-5000", 1L)), s"got $got")
+  }
+
+  test("bitwise aggregates fold as and/or/xor") {
+    val df = spark.createDataFrame(Seq(("g", 6L), ("g", 7L), ("g", 12L)))
+      .toDF("g", "x")
+    val r = df.groupBy("g").agg(
+      expr("bit_and(x)").as("a"), expr("bit_or(x)").as("o"),
+      expr("bit_xor(x)").as("x")).collect()(0)
+    assert(r.getLong(1) == (6L & 7L & 12L) &&
+      r.getLong(2) == (6L | 7L | 12L) &&
+      r.getLong(3) == (6L ^ 7L ^ 12L))
+  }
+
+  test("embed_normalize quantizes into the int8 range") {
+    val rows = SparkEntry.queries("q_embed_normalize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nrm, qMin, qMax) = (r.getDouble(1), r.getLong(3), r.getLong(4))
+      assert(nrm > 0, s"vec ${r.getLong(0)}: norm must be positive")
+      assert(qMin >= -127 && qMax <= 127,
+        s"vec ${r.getLong(0)}: codes [$qMin,$qMax] outside int8 range")
+    }
+  }
+
+  test("temperature mix: probabilities normalize and up-weight the tail") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val pSum = rows.map(_._3).sum
+    assert(math.abs(pSum - 1.0) <= 0.001, s"p must sum to ~1, got $pSum")
+    // alpha < 1 compresses the range: every p is closer to uniform than
+    // the raw share is (tail langs up-weighted, head langs down-weighted)
+    val n = rows.map(_._2).sum.toDouble
+    val uniform = 1.0 / rows.length
+    rows.foreach { case (lang, nd, p) =>
+      val raw = nd / n
+      assert(math.abs(p - uniform) <= math.abs(raw - uniform) + 1e-9,
+        s"$lang: alpha-scaled p=$p must sit between raw=$raw and uniform")
+    }
+  }
+
+  test("salted skew join aggregates exactly like the plain join") {
+    val plain = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SparkEntry.queries("q_join_skew")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
 }

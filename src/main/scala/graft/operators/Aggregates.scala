@@ -680,6 +680,69 @@ object Aggregates extends QueryModule {
       },
       None),
 
+    // ClickHouse uniqTheta + set algebra ([CH]): theta sketches are
+    // the one cardinality sketch closed under INTERSECTION and
+    // DIFFERENCE, so "users who signed up AND purchased but never
+    // errored" is computable from three mergeable per-segment states
+    // without ever shuffling user ids to one place — the per-type
+    // sketches build in ONE conditional-aggregate pass over events
+    // (map-side-combined; the exchange carries 3 sketches, not rows),
+    // and the set algebra runs on the 1-row result. Approximate above
+    // the sketch's exact-mode threshold ⇒ no oracle; SketchAggSpec
+    // pins estimates ≡ exact set counts at spec scale (theta is exact
+    // below 2^lgK uniques) and the intersect ≤ min ≤ union sandwich.
+    "q_agg_theta_sets" -> QueryDef(
+      (s, dir) => Tables(s, dir, "events")
+        .agg(
+          expr("theta_sketch_agg(CASE WHEN event_type = 'signup' THEN user_id END)")
+            .as("sk_s"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
+            .as("sk_p"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'error' THEN user_id END)")
+            .as("sk_e"))
+        .select(
+          expr("theta_sketch_estimate(sk_s)").cast("long").as("signup_users"),
+          expr("theta_sketch_estimate(sk_p)").cast("long").as("purchase_users"),
+          expr("theta_sketch_estimate(theta_intersection(sk_s, sk_p))")
+            .cast("long").as("both_users"),
+          expr("theta_sketch_estimate(theta_difference(theta_intersection(sk_s, sk_p), sk_e))")
+            .cast("long").as("both_no_error_users")),
+      None),
+
+    // ClickHouse quantileTDigest's MV shape ([CH]): mergeable quantile
+    // sketch partials — per-day KLL states re-merged to per-type
+    // quantiles, mirroring q_agg_hll_merge for ORDER statistics. Each
+    // day holds O(sketch) state however many rows it saw; history is
+    // never re-read when a day closes — the incremental-quantile
+    // pattern a 100 TB daily pipeline actually runs. Approximate ⇒ no
+    // oracle; SketchAggSpec pins merged-quantile rank error vs the
+    // exact percentile and partial-merge ≡ single-pass sketch.
+    "q_agg_kll_merge" -> QueryDef(
+      (s, dir) => {
+        val partials = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"), Retention.bucketDay(col("ts_s")).as("day"))
+          .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+        // kll_sketch_merge_double is a BINARY merge (unlike
+        // hll_union_agg there is no aggregate form), so the per-day
+        // partials fold through the `aggregate` higher-order function
+        // — the collected list is bounded by the day count per type
+        // (metadata scale), not by rows.
+        partials.groupBy("event_type")
+          .agg(count(lit(1)).as("n_day_partials"),
+            collect_list(col("sk")).as("sks"))
+          .select(col("event_type"), col("n_day_partials"),
+            expr("""kll_sketch_get_quantile_double(
+                      aggregate(slice(sks, 2, size(sks)), element_at(sks, 1),
+                                (acc, x) -> kll_sketch_merge_double(acc, x)),
+                      0.5D)""").as("p50_approx"),
+            expr("""kll_sketch_get_quantile_double(
+                      aggregate(slice(sks, 2, size(sks)), element_at(sks, 1),
+                                (acc, x) -> kll_sketch_merge_double(acc, x)),
+                      0.9D)""").as("p90_approx"))
+          .orderBy("event_type")
+      },
+      None),
+
     // Pivot: rows-to-columns restructuring (the OLAP cross-tab).
     // Values are declared explicitly — with an inferred value set the
     // plan needs a distinct-collect to the driver BEFORE planning,

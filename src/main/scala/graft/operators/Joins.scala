@@ -242,6 +242,33 @@ object Joins extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_orders,
              |  round(sum(o_totalprice), 4) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Correlated scalar subquery ([CH] SQL surface): customers above
+    // their own nation's average balance, with that average projected.
+    // Catalyst DECORRELATES both subqueries into one per-nation
+    // aggregate joined back to the outer side — the nation-average
+    // grid is 25 rows, so the join broadcasts; nothing evaluates a
+    // subquery per row (the naive interpretation that would never
+    // survive scale). Same decorrelation story as q_join_lateral, for
+    // the scalar-subquery shape instead of the LIMIT-k one.
+    "q_subquery_scalar" -> QueryDef(
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer_sq")
+        s.sql("""SELECT c_custkey, round(c_acctbal, 4) AS acctbal,
+                |  round((SELECT avg(c2.c_acctbal) FROM customer_sq c2
+                |         WHERE c2.c_nationkey = c.c_nationkey), 4) AS nation_avg
+                |FROM customer_sq c
+                |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq c2
+                |                   WHERE c2.c_nationkey = c.c_nationkey)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, round(c_acctbal, 4) AS acctbal,
+             |  round((SELECT avg(c2.c_acctbal) FROM customer c2
+             |         WHERE c2.c_nationkey = c.c_nationkey), 4) AS nation_avg
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -173,6 +173,48 @@ object Windows extends QueryModule {
              |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ClickHouse exponentialMovingAverage — recency-weighted smoothing
+    // over the last 8 rows per user: weights (1−α)^(rows-back),
+    // normalized over the frame. The EMA recursion is unrolled into an
+    // explicit weighted sum over the frame's value list (collect_list
+    // respects frame order), so the whole computation is ONE window
+    // pass (shuffle on user, one sort — same exchange q_win_moving
+    // uses) + row-local higher-order functions; the 8-row frame bounds
+    // the per-row list, so state is O(1) regardless of user activity.
+    // Deterministic: the (ts, id) ordering key is unique, and both
+    // engines fold the list left-to-right in frame order.
+    "q_win_ema" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts_s", "event_id")
+          .rowsBetween(-7, Window.currentRow)
+        val decay = lit(0.7)
+        val n = size(col("vs"))
+        val wsum = aggregate(
+          transform(col("vs"), (x, i) => x * pow(decay, (n - 1 - i).cast("double"))),
+          lit(0.0), (acc, x) => acc + x)
+        val norm = aggregate(
+          transform(col("vs"), (_, i) => pow(decay, (n - 1 - i).cast("double"))),
+          lit(0.0), (acc, x) => acc + x)
+        Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("event_id"),
+            collect_list(col("value")).over(w).as("vs"))
+          .select(col("user_id"), col("event_id"),
+            round(wsum / norm + 1e-9, 4).as("ema_8"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id,
+             |    list(value) OVER (PARTITION BY user_id
+             |      ORDER BY date_trunc('second', ts), event_id
+             |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  round(list_sum(list_transform(vs, (x, i) -> x * pow(0.7, len(vs) - i)))
+             |    / list_sum(list_transform(vs, (x, i) -> pow(0.7, len(vs) - i)))
+             |    + 1e-9, 4) AS ema_8
+             |FROM f ORDER BY user_id, event_id""".stripMargin)),
+
     // ClickHouse `ORDER BY … WITH FILL` — time-series gap filling:
     // densify each event type's daily counts over its own [min, max]
     // day span, missing days as explicit zero rows. Shape: the count

@@ -64,6 +64,32 @@ class PlanSpec extends SparkSpec {
       "o_totalprice threshold must push into the orders scan")
   }
 
+  test("round-4 shapes: broadcasts, zero-shuffle scans, single-exchange collapses") {
+    // string distance: the 25-row nation dim must broadcast (dictGet shape)
+    assert(formatted("q_str_distance").contains("BroadcastHashJoin"),
+      "nation dim must broadcast in q_str_distance")
+    // correlated scalar subquery: Catalyst must decorrelate to an
+    // aggregate + broadcast join, never a per-row subquery
+    val sq = formatted("q_subquery_scalar")
+    assert(sq.contains("BroadcastHashJoin") || sq.contains("SortMergeJoin"),
+      "scalar subquery must decorrelate into a join")
+    // embedding normalize/quantize is a pure scan: the ONLY exchange
+    // is the deterministic-output ORDER BY (range partitioning); no
+    // hash shuffle anywhere
+    assert(!formatted("q_embed_normalize").contains("hashpartitioning("),
+      "q_embed_normalize must stay a zero-hash-shuffle projection")
+    // collapse: one hash-agg exchange (+ the output sort), nothing else
+    val collapse = formatted("q_collapse_sign")
+    assert("hashpartitioning\\(".r.findAllIn(collapse).size == 1,
+      "q_collapse_sign must hash-shuffle exactly once (the per-key aggregate)")
+    // theta set algebra: one conditional-aggregate pass to a single
+    // row — one single-partition exchange, no hash shuffle
+    val theta = formatted("q_agg_theta_sets")
+    assert(!theta.contains("hashpartitioning(") &&
+      "Exchange".r.findAllIn(theta).size <= 2,
+      "q_agg_theta_sets must build all three sketches in one pass")
+  }
+
   test("scans prune columns to the projection") {
     val s = formatted("q_snapshot_scan")
     // 5 of customer's 7 columns are projected; the scan must not read

@@ -49,4 +49,39 @@ class SketchAggSpec extends SparkSpec {
     assert(viaPartials == onePass,
       "merging day partials must give the same estimate as one global sketch")
   }
+
+  test("theta set algebra equals exact set counts below the exact-mode threshold") {
+    // theta sketches are exact below 2^lgK uniques (default lgK=12 =
+    // 4096); the sf0.001 user domain is far under that, so estimates
+    // must EQUAL the exact intersection/difference counts.
+    val e = Tables(spark, sf, "events")
+    def users(t: String): Set[Long] =
+      e.filter(col("event_type") === t).select("user_id")
+        .collect().map(_.getLong(0)).toSet
+    val (s, p, err) = (users("signup"), users("purchase"), users("error"))
+    val got = SparkEntry.queries("q_agg_theta_sets")(spark, sf).collect()(0)
+    assert(got.getLong(0) == s.size && got.getLong(1) == p.size)
+    assert(got.getLong(2) == (s & p).size,
+      s"intersection: got ${got.getLong(2)}, want ${(s & p).size}")
+    assert(got.getLong(3) == ((s & p) -- err).size,
+      s"difference: got ${got.getLong(3)}, want ${((s & p) -- err).size}")
+  }
+
+  test("KLL day-partial merge lands within rank error of the exact quantiles") {
+    val got = SparkEntry.queries("q_agg_kll_merge")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toList
+    val exact = operators.Relational.eventsSec(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.35D, 0.65D, 0.85D, 0.95D))").as("ps"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, p50, p90) =>
+      // KLL default k gives ~1.7% rank error at 99% confidence — the
+      // p50 estimate must sit far inside the exact [p35, p65] band, and
+      // p90 inside [p85, p95].
+      val Seq(p35, p65, p85, p95) = exact(t)
+      assert(p50 >= p35 && p50 <= p65, s"$t: p50 $p50 outside [$p35, $p65]")
+      assert(p90 >= p85 && p90 <= p95, s"$t: p90 $p90 outside [$p85, $p95]")
+    }
+  }
 }

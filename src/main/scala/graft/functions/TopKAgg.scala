@@ -29,7 +29,10 @@ object TopKAgg {
 
   final case class TopItem(item: String, count: Long, err: Long)
 
-  private def evictingAdd(m: Map[String, (Long, Long)], item: String,
+  /** Shared with streaming.StreamTopK — the streaming heavy-hitter
+    * keeps exactly this batch kernel as its per-key state transition.
+    */
+  private[graft] def evictingAdd(m: Map[String, (Long, Long)], item: String,
       c: Long, e: Long, capacity: Int): Map[String, (Long, Long)] =
     m.get(item) match {
       case Some((c0, e0)) => m.updated(item, (c0 + c, e0 + e))

@@ -489,4 +489,73 @@ class StreamingSpec extends SparkSpec {
     // dailyCounts on a batch DF computes the same aggregation sans state
     assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty)
   }
+
+  test("streaming heavy hitters equal the batch topK sketch while capacity covers the domain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables(spark, sf, "events")
+      .select(col("event_type"), concat(lit("u"), col("user_id")).as("item"))
+      .as[(String, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    // latest leaderboard per group — update-mode output replaces, so
+    // keep only each group's most recent emission
+    val latest = scala.collection.mutable.Map.empty[String, Set[(String, Long, Long)]]
+    val mem = MemoryStream[(String, String)]
+    val q = streaming.StreamTopK.heavyHitters(
+        mem.toDF().toDF("group", "item"), k = 5, capacity = 1000)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[streaming.StreamTopK.TopRow], _: Long) =>
+        df.collect().groupBy(_.group).foreach { case (g, ts) =>
+          latest(g) = ts.map(t => (t.item, t.count, t.err)).toSet
+        }
+      }
+      .start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val want = Tables(spark, sf, "events")
+      .select(col("event_type"), concat(lit("u"), col("user_id")).as("item"))
+      .groupBy("event_type")
+      .agg(functions.TopKAgg(col("item"), 5, 1000).as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("t"))
+      .select(col("event_type"), col("t.item"), col("t.count"), col("t.err"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) =>
+        g -> rs.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      }
+    assert(latest.toMap == want,
+      s"stream leaderboard ${latest.toMap} must equal batch sketch $want")
+    // capacity covered the domain -> counts are exact, zero error
+    assert(latest.values.flatten.forall(_._3 == 0L))
+  }
+
+  test("streaming heavy hitters keep the dominant item once the table saturates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 30 occurrences of "hot" interleaved with 15 one-off items, table
+    // capacity 4: SpaceSaving must retain "hot" with count >= 30
+    val noise = (1 to 15).map(i => ("g", s"cold_$i"))
+    val data = (1 to 30).map(_ => ("g", "hot")) ++ noise
+    val mem = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val q = streaming.StreamTopK.heavyHitters(
+        mem.toDF().toDF("group", "item"), k = 2, capacity = 4)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[streaming.StreamTopK.TopRow], _: Long) =>
+        got.clear()
+        df.collect().foreach(t => got(t.item) = (t.count, t.err))
+      }
+      .start()
+    try {
+      data.grouped(15).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.contains("hot"), s"dominant item evicted: $got")
+    val (c, e) = got("hot")
+    assert(c >= 30 && c - e <= 30,
+      s"count $c (err $e) must overestimate the true 30 by at most err")
+  }
 }

@@ -41,18 +41,27 @@ object Bench {
     val results = perRun.head.keys.map { name =>
       name -> median(perRun.map(_(name)))
     }.toMap
-    def fmtQ(m: Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+    // ms precision on the printed line: the driver captures only the
+    // tail of our stdout, and at 100+ queries a full-double-precision
+    // map overflows that window and truncates the line's head (the r03
+    // BENCH file parsed to null). 3 decimals keeps the whole line
+    // inside the capture window; the BENCH_OUT file below keeps full
+    // precision for regression forensics.
+    def fmtQ(m: Map[String, Double], prec: Int = 17): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP).bigDecimal.stripTrailingZeros.toPlainString
+      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"runs":$runs,"queries":${fmtQ(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"queries":${fmtQ(results, 3)},"sf":"$sfDir"}"""
     println(line)
     // machine-readable medians file (SPARK_GRAFT_BENCH_OUT): the
     // regression baseline the next round diffs against — per-query
     // medians plus every raw run for outlier forensics
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      val runsJson = perRun.map(fmtQ).mkString("[", ",", "]")
+      val runsJson = perRun.map(m => fmtQ(m)).mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}""")
     }

@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Joins,
     operators.Aggregates,
     operators.Analytics,
+    operators.TimeSeries,
     operators.Windows,
     operators.SetOps,
     functions.Scalars,

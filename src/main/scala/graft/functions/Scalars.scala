@@ -192,6 +192,140 @@ object Scalars extends QueryModule {
           try_element_at(col("props_map"), lit("k")).as("k_value"),
           size(col("props_map")).cast("long").as("n_keys"))
         .orderBy("event_id"),
-      None)
+      None),
+
+    // ClickHouse IPv4NumToString/IPv4StringToNum/range-prefix family
+    // ([CH] — ClickHouse ships ~20 IP functions; the backed-up tables
+    // routinely carry packed IPv4 columns). The fixtures have no IP
+    // column, so a deterministic packed address derives from the event
+    // keys row-locally; the query then exercises the full round trip:
+    // num → dotted-quad string → num, plus the /16 network prefix.
+    // Pure codegen'd integer/string projection — zero shuffle.
+    "q_ip_funcs" -> QueryDef(
+      (s, dir) => {
+        val src = Relational.eventsSec(s, dir)
+          .select(col("event_id"),
+            (lit(167772160L) + (col("user_id") % 256) * 65536
+              + ((col("event_id") / 256).cast("long") % 256) * 256
+              + col("event_id") % 256).as("ipnum"))
+        val withStr = src.withColumn("ipstr", concat_ws(".",
+          expr("ipnum div 16777216"),
+          expr("(ipnum div 65536) % 256"),
+          expr("(ipnum div 256) % 256"),
+          col("ipnum") % 256))
+        withStr.select(
+          col("event_id"), col("ipnum").cast("long").as("ipnum"), col("ipstr"),
+          (split(col("ipstr"), "\\.").getItem(0).cast("long") * 16777216
+            + split(col("ipstr"), "\\.").getItem(1).cast("long") * 65536
+            + split(col("ipstr"), "\\.").getItem(2).cast("long") * 256
+            + split(col("ipstr"), "\\.").getItem(3).cast("long")).as("rt"),
+          expr("CAST(ipnum div 65536 AS BIGINT)").as("net16"))
+          .orderBy("event_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT event_id,
+             |    167772160 + (user_id % 256) * 65536
+             |      + ((event_id // 256) % 256) * 256 + event_id % 256 AS ipnum
+             |  FROM events),
+             |s AS (
+             |  SELECT event_id, ipnum,
+             |    CAST(ipnum // 16777216 AS VARCHAR) || '.' ||
+             |    CAST((ipnum // 65536) % 256 AS VARCHAR) || '.' ||
+             |    CAST((ipnum // 256) % 256 AS VARCHAR) || '.' ||
+             |    CAST(ipnum % 256 AS VARCHAR) AS ipstr
+             |  FROM src)
+             |SELECT event_id, CAST(ipnum AS BIGINT) AS ipnum, ipstr,
+             |  CAST(split_part(ipstr,'.',1) AS BIGINT)*16777216
+             |    + CAST(split_part(ipstr,'.',2) AS BIGINT)*65536
+             |    + CAST(split_part(ipstr,'.',3) AS BIGINT)*256
+             |    + CAST(split_part(ipstr,'.',4) AS BIGINT) AS rt,
+             |  CAST(ipnum // 65536 AS BIGINT) AS net16
+             |FROM s ORDER BY event_id""".stripMargin)),
+
+    // ClickHouse greatCircleDistance ([CH] geo family): haversine
+    // distance in km between each supplier's synthetic coordinates and
+    // its nation's anchor point (the fixtures carry no lat/lon, so
+    // both derive deterministically from the keys — the formula under
+    // test is the spherical trig, identical on both engines). The
+    // 25-row nation dimension broadcasts; the trig itself is a
+    // row-local codegen'd projection.
+    "q_geo_funcs" -> QueryDef(
+      (s, dir) => {
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"),
+            ((col("s_suppkey") % 170).cast("double") - 85 + 0.5).as("lat1"),
+            (((col("s_suppkey") * 7) % 350).cast("double") - 175 + 0.5).as("lon1"))
+        val nat = Tables(s, dir, "nation")
+          .select(col("n_nationkey"),
+            ((col("n_nationkey") * 6).cast("double") - 72).as("lat2"),
+            ((col("n_nationkey") * 13).cast("double") - 160).as("lon2"))
+        sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"),
+            round(lit(2) * lit(6371000.0) * asin(sqrt(
+              pow(sin(radians(col("lat2") - col("lat1")) / 2), 2)
+                + cos(radians(col("lat1"))) * cos(radians(col("lat2")))
+                * pow(sin(radians(col("lon2") - col("lon1")) / 2), 2)))
+              / 1000, 4).as("dist_km"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH sup AS (
+             |  SELECT s_suppkey, s_nationkey,
+             |    CAST(s_suppkey % 170 AS DOUBLE) - 85 + 0.5 AS lat1,
+             |    CAST((s_suppkey * 7) % 350 AS DOUBLE) - 175 + 0.5 AS lon1
+             |  FROM supplier),
+             |nat AS (
+             |  SELECT n_nationkey,
+             |    CAST(n_nationkey * 6 AS DOUBLE) - 72 AS lat2,
+             |    CAST(n_nationkey * 13 AS DOUBLE) - 160 AS lon2
+             |  FROM nation)
+             |SELECT s_suppkey,
+             |  round(2 * 6371000 * asin(sqrt(
+             |    pow(sin(radians(lat2 - lat1)/2), 2)
+             |    + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1)/2), 2)
+             |  )) / 1000, 4) AS dist_km
+             |FROM sup JOIN nat ON s_nationkey = n_nationkey
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ClickHouse ngramDistance ([CH] string-similarity family):
+    // character-bigram Jaccard between each customer's name and the
+    // NEXT customer's (adjacent serial names share most of their
+    // digit bigrams — a non-degenerate similarity distribution with no
+    // synthetic pairing). The pairing is a key-shifted equi self-join
+    // (co-partitioned shuffle, no window over the whole table); the
+    // set algebra is row-local `array_intersect` on distinct-bigram
+    // arrays. CASE-guards the sub-2-char degenerate input (Spark's
+    // `sequence(1, 0)` would DESCEND, not return empty).
+    "q_str_ngram_sim" -> QueryDef(
+      (s, dir) => {
+        def bigrams(c: String): org.apache.spark.sql.Column =
+          expr(s"""CASE WHEN length($c) < 2 THEN CAST(array() AS ARRAY<STRING>)
+                  |ELSE array_distinct(transform(sequence(1, length($c) - 1),
+                  |  i -> substring($c, i, 2))) END""".stripMargin)
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), upper(col("c_name")).as("nm"))
+        val nxt = cust.select((col("c_custkey") - 1).as("k"), col("nm").as("nm2"))
+        cust.join(nxt, col("c_custkey") === col("k"))
+          .select(col("c_custkey"),
+            bigrams("nm").as("ga"), bigrams("nm2").as("gb"))
+          .select(col("c_custkey"),
+            size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_common"),
+            round(size(array_intersect(col("ga"), col("gb"))).cast("double")
+              / (size(col("ga")) + size(col("gb"))
+                - size(array_intersect(col("ga"), col("gb")))), 4).as("jaccard"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT x.c_custkey, upper(x.c_name) AS a, upper(y.c_name) AS b
+             |  FROM customer x JOIN customer y ON y.c_custkey = x.c_custkey + 1),
+             |sets AS (
+             |  SELECT c_custkey,
+             |    list_distinct(list_transform(range(1, length(a)), i -> substr(a, CAST(i AS INT), 2))) AS ga,
+             |    list_distinct(list_transform(range(1, length(b)), i -> substr(b, CAST(i AS INT), 2))) AS gb
+             |  FROM pairs)
+             |SELECT c_custkey,
+             |  CAST(len(list_intersect(ga, gb)) AS BIGINT) AS n_common,
+             |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+             |    / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+             |FROM sets ORDER BY c_custkey""".stripMargin))
   )
 }

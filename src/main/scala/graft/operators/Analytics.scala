@@ -102,6 +102,67 @@ object Analytics extends QueryModule {
           .as("value_map"),
         count(lit(1)).as("n_keys"))
 
+  /** Mann–Whitney U (tie-corrected normal approximation) between the
+    * rows where `inA` and the rows where `inB`, over `x` — value-grid
+    * ranking (see q_agg_mann_whitney). Output 1 row:
+    * (u1, u2, z, n_f, n_o).
+    */
+  private[graft] def mannWhitneyU(df: DataFrame, inA: Column, inB: Column,
+      x: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(inA || inB)
+      .groupBy(x.as("v"))
+      .agg(
+        count(when(inA, 1)).cast("double").as("n1v"),
+        count(when(inB, 1)).cast("double").as("n2v"))
+      .withColumn("tv", col("n1v") + col("n2v"))
+    val ranked = grid.withColumn("below",
+      sum("tv").over(Window.orderBy("v")) - col("tv"))
+    ranked.agg(
+        sum("n1v").as("n1"), sum("n2v").as("n2"), sum("tv").as("n"),
+        sum(col("n1v") * (col("below") + (col("tv") + 1) / 2)).as("r1"),
+        sum(col("tv") * col("tv") * col("tv") - col("tv")).as("ties"))
+      .select(
+        round(col("r1") - col("n1") * (col("n1") + 1) / 2, 4).as("u1"),
+        round(col("n1") * col("n2")
+          - (col("r1") - col("n1") * (col("n1") + 1) / 2), 4).as("u2"),
+        round((col("r1") - col("n1") * (col("n1") + 1) / 2
+            - col("n1") * col("n2") / 2)
+          / sqrt(col("n1") * col("n2") / 12
+            * ((col("n") + 1) - col("ties") / (col("n") * (col("n") - 1)))), 4)
+          .as("z"),
+        col("n1").cast("long").as("n_f"),
+        col("n2").cast("long").as("n_o"))
+  }
+
+  /** Theil's U (uncertainty coefficient), both directions, from the
+    * observed contingency cells of categorical columns `a` × `b`.
+    * Output 1 row: (u_a_given_b, u_b_given_a, h_a, h_b).
+    */
+  private[graft] def theilsU(df: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy(col(a).as("a"), col(b).as("b"))
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val m = cells
+      .withColumn("ri", sum("nij").over(Window.partitionBy("a")))
+      .withColumn("cj", sum("nij").over(Window.partitionBy("b")))
+      .withColumn("n", sum("nij").over(Window.partitionBy()))
+    val cond = m.agg(
+      (-sum((col("nij") / col("n")) * log(col("nij") / col("cj")))).as("hab"),
+      (-sum((col("nij") / col("n")) * log(col("nij") / col("ri")))).as("hba"))
+    val ha = m.select("a", "ri", "n").distinct()
+      .agg((-sum((col("ri") / col("n")) * log(col("ri") / col("n")))).as("ha"))
+    val hb = m.select("b", "cj", "n").distinct()
+      .agg((-sum((col("cj") / col("n")) * log(col("cj") / col("n")))).as("hb"))
+    cond.crossJoin(ha).crossJoin(hb).select(
+      round((col("ha") - col("hab")) / col("ha"), 4).as("u_a_given_b"),
+      round((col("hb") - col("hba")) / col("hb"), 4).as("u_b_given_a"),
+      round(col("ha"), 4).as("h_a"),
+      round(col("hb"), 4).as("h_b"))
+  }
+
   def entries: Map[String, QueryDef] = Map(
 
     // CollapsingMergeTree FINAL semantics ([CH]): every row carries a
@@ -226,6 +287,74 @@ object Analytics extends QueryModule {
              |    chr(31) ORDER BY event_type) AS value_map,
              |  CAST(count(*) AS BIGINT) AS n_keys
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ClickHouse mannWhitneyUTest ([CH]): rank-sum test between
+    // finished (F) and open (O) order values. Scale-safe ranking: the
+    // fact table collapses to the DISTINCT-VALUE grid with per-group
+    // counts first (one hash aggregate), average ranks come from a
+    // cumulative-count window over that grid, and U / the tie-corrected
+    // z are arithmetic on the 1-row fold. The sort input is the value
+    // domain, never the order rows — the same collapse that makes the
+    // weighted median scale.
+    "q_agg_mann_whitney" -> QueryDef(
+      (s, dir) => mannWhitneyU(Tables(s, dir, "orders"),
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        col("o_totalprice")),
+      Some("""WITH g AS (
+             |  SELECT o_totalprice AS v,
+             |    CAST(count(CASE WHEN o_orderstatus='F' THEN 1 END) AS DOUBLE) AS n1v,
+             |    CAST(count(CASE WHEN o_orderstatus='O' THEN 1 END) AS DOUBLE) AS n2v
+             |  FROM orders WHERE o_orderstatus IN ('F','O') GROUP BY v),
+             |r AS (
+             |  SELECT v, n1v, n2v, n1v + n2v AS tv,
+             |    sum(n1v + n2v) OVER (ORDER BY v) - (n1v + n2v) AS below
+             |  FROM g),
+             |s AS (
+             |  SELECT sum(n1v) AS n1, sum(n2v) AS n2, sum(tv) AS n,
+             |    sum(n1v * (below + (tv + 1) / 2)) AS r1,
+             |    sum(tv*tv*tv - tv) AS ties
+             |  FROM r)
+             |SELECT round(r1 - n1*(n1+1)/2, 4) AS u1,
+             |  round(n1*n2 - (r1 - n1*(n1+1)/2), 4) AS u2,
+             |  round((r1 - n1*(n1+1)/2 - n1*n2/2)
+             |    / sqrt(n1*n2/12 * ((n+1) - ties/(n*(n-1)))), 4) AS z,
+             |  CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o
+             |FROM s""".stripMargin)),
+
+    // ClickHouse theilsU ([CH]): entropy-based association, both
+    // directions (U(A|B) = (H(A)−H(A|B))/H(A) — unlike Cramér's V it
+    // is asymmetric). Everything derives from the same observed
+    // contingency cells as q_agg_cramers_v: one hash aggregate to the
+    // cell grid (≤ segments × nations), margin windows over the grid,
+    // two bounded distinct-margin folds. Zero cells never materialize
+    // (they contribute 0·log0 = 0 by convention and are simply
+    // absent).
+    "q_agg_theils_u" -> QueryDef(
+      (s, dir) => theilsU(Tables(s, dir, "customer"),
+        "c_mktsegment", "c_nationkey"),
+      Some("""WITH cells AS (
+             |  SELECT c_mktsegment AS a, c_nationkey AS b, CAST(count(*) AS DOUBLE) AS nij
+             |  FROM customer GROUP BY a, b),
+             |m AS (
+             |  SELECT a, b, nij,
+             |    sum(nij) OVER (PARTITION BY a) AS ri,
+             |    sum(nij) OVER (PARTITION BY b) AS cj,
+             |    sum(nij) OVER () AS n
+             |  FROM cells),
+             |cond AS (
+             |  SELECT -sum((nij/n) * ln(nij/cj)) AS hab,
+             |         -sum((nij/n) * ln(nij/ri)) AS hba
+             |  FROM m),
+             |ha_t AS (
+             |  SELECT -sum((ri/n) * ln(ri/n)) AS ha
+             |  FROM (SELECT DISTINCT a, ri, n FROM m) t),
+             |hb_t AS (
+             |  SELECT -sum((cj/n) * ln(cj/n)) AS hb
+             |  FROM (SELECT DISTINCT b, cj, n FROM m) t)
+             |SELECT round((ha - hab)/ha, 4) AS u_a_given_b,
+             |  round((hb - hba)/hb, 4) AS u_b_given_a,
+             |  round(ha, 4) AS h_a, round(hb, 4) AS h_b
+             |FROM cond, ha_t, hb_t""".stripMargin)),
 
     // ClickHouse editDistance/stringDistance family ([CH]): classic
     // Levenshtein between each customer's name and its nation's name,

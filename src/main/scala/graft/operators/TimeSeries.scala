@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.M — time-series / interval analytics: ClickHouse's
+  * counter and interval aggregate families ([CH] capability of the
+  * engine the reference snapshots — Dockerfile:2 pins ClickHouse 24.8;
+  * `BACKUP DATABASE` at backup.sh:45 includes any table feeding
+  * deltaSum / maxIntersections-style monitoring queries), plus the
+  * Pareto cumulative-share report every ops dashboard over backup
+  * sizes runs ([NS]).
+  *
+  * Scale shapes: the counter windows partition on the counter key
+  * (users — the natural parallelism of the data); the sweep-line and
+  * Pareto windows run over DOMAIN GRIDS (distinct dates, one row per
+  * customer) that a prior map-side-combined hash aggregate has already
+  * collapsed the fact rows into — the single-partition window input is
+  * bounded by the domain, never the data.
+  */
+object TimeSeries extends QueryModule {
+
+  /** Order intervals: [o_orderdate, o_orderdate + (o_orderkey%30 + 1)
+    * days). Deterministic synthetic duration — the fixtures carry no
+    * second date column (TESTDATA.md).
+    */
+  private def intervals(df: DataFrame): DataFrame =
+    df.select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").as("st"),
+      expr("timestampadd(DAY, CAST(o_orderkey % 30 AS INT) + 1, o_orderdate)")
+        .as("en"))
+
+  /** deltaSum kernel over rows (key, ord…, v): per-key sum of positive
+    * increments in (ord…) order. Shared by q_agg_delta_sum and
+    * TimeSeriesSpec's crafted counters.
+    */
+  private[graft] def deltaSum(df: DataFrame, key: String,
+      ord: Seq[String], v: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord.map(col): _*)
+    df.withColumn("dv", col(v) - lag(v, 1).over(w))
+      .filter(col("dv").isNotNull)
+      .groupBy(key)
+      .agg(
+        round(sum(when(col("dv") > 0, col("dv")).otherwise(lit(0.0))), 4)
+          .as("delta_sum"),
+        count(lit(1)).as("n_deltas"))
+  }
+
+  /** Sweep-line max-intersections kernel over rows (st, en): collapses
+    * interval endpoints to the distinct-instant delta grid, runs the
+    * running-sum window over that bounded grid, returns the 1-row
+    * (max_concurrent, at_ts = first instant the max is reached).
+    */
+  private[graft] def maxIntersections(iv: DataFrame): DataFrame = {
+    val deltas = iv
+      .select(explode(array(
+        struct(col("st").as("d"), lit(1L).as("x")),
+        struct(col("en").as("d"), lit(-1L).as("x")))).as("ev"))
+      .select(col("ev.d").as("d"), col("ev.x").as("x"))
+      .groupBy("d").agg(sum("x").as("dx"))
+    val run = deltas
+      .withColumn("conc", sum("dx").over(Window.orderBy("d")))
+    run
+      .join(broadcast(run.agg(max("conc").as("max_concurrent"))),
+        col("conc") === col("max_concurrent"))
+      .groupBy("max_concurrent")
+      .agg(min("d").as("at_ts"))
+  }
+
+  /** Gaps-and-islands kernel over rows (key, tie, st, en): merges each
+    * key's overlapping intervals, returns (key, n_islands,
+    * covered_days). `tie` deterministically orders equal (st, en)
+    * pairs in the running-max frame.
+    */
+  private[graft] def mergeIslands(iv: DataFrame, key: String,
+      tie: String): DataFrame = {
+    val wPrev = Window.partitionBy(key)
+      .orderBy("st", "en", tie)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIsl = Window.partitionBy(key).orderBy("st", "en")
+    iv
+      .withColumn("new_island",
+        when(col("st") > max("en").over(wPrev), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(wIsl))
+      .groupBy(key, "island")
+      .agg(min("st").as("ms"), max("en").as("me"))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n_islands"),
+        sum(datediff(col("me"), col("ms"))).cast("long").as("covered_days"))
+  }
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // ClickHouse deltaSum ([CH]): per-counter sum of positive
+    // increments in time order — the canonical monotone-counter rate
+    // aggregation (resets contribute nothing). One window partitioned
+    // by the counter key (lag needs the neighbor row), then a hash
+    // aggregate; parallelism = counters, state = one row behind.
+    // Tie-break on event_id: second-truncated timestamps collide.
+    "q_agg_delta_sum" -> QueryDef(
+      (s, dir) => deltaSum(
+          Relational.eventsSec(s, dir)
+            .select(col("user_id"), col("ts_s"), col("event_id"), col("value")),
+          "user_id", Seq("ts_s", "event_id"), "value")
+        .orderBy("user_id"),
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, value
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id,
+             |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS dv
+             |  FROM e)
+             |SELECT user_id,
+             |  round(sum(CASE WHEN dv > 0 THEN dv ELSE 0 END), 4) AS delta_sum,
+             |  CAST(count(*) AS BIGINT) AS n_deltas
+             |FROM d WHERE dv IS NOT NULL GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ClickHouse maxIntersections/maxIntersectionsPosition ([CH]): the
+    // maximum number of simultaneously-open intervals, and the first
+    // instant it is reached. Sweep-line: each interval contributes
+    // (+1 at start, −1 at end) — a row-local 2-element explode — then
+    // a hash aggregate collapses the deltas to the DISTINCT-DATE grid
+    // before the running-sum window. The global window therefore sees
+    // O(distinct dates) rows (the time domain), not O(orders): at any
+    // scale the sort input is a few thousand rows. The argmax is a
+    // broadcast of the 1-row max back onto the grid.
+    "q_agg_max_intersections" -> QueryDef(
+      (s, dir) => maxIntersections(intervals(Tables(s, dir, "orders"))),
+      Some("""WITH iv AS (
+             |  SELECT o_orderdate AS s,
+             |    o_orderdate + INTERVAL (CAST(o_orderkey % 30 AS INT) + 1) DAY AS e
+             |  FROM orders),
+             |deltas AS (
+             |  SELECT d, sum(x) AS dx FROM (
+             |    SELECT s AS d, 1 AS x FROM iv
+             |    UNION ALL
+             |    SELECT e AS d, -1 AS x FROM iv) u
+             |  GROUP BY d),
+             |run AS (
+             |  SELECT d, sum(dx) OVER (ORDER BY d) AS conc FROM deltas)
+             |SELECT CAST(max(conc) AS BIGINT) AS max_concurrent,
+             |  min(d) FILTER (WHERE conc = (SELECT max(conc) FROM run)) AS at_ts
+             |FROM run""".stripMargin)),
+
+    // Interval coalescing ([NS] — the islands problem): merge each
+    // customer's overlapping order intervals, report islands and
+    // covered days. Classic gaps-and-islands: a running max of prior
+    // interval ends (ROWS … 1 PRECEDING) flags island starts, a
+    // running sum numbers them, one hash aggregate merges. Both
+    // windows partition on the customer key — parallelism = customers,
+    // and a customer's interval list is activity-bounded. First row's
+    // flag: st > NULL is NULL → 0 on both engines (islands 0-based).
+    "q_interval_merge" -> QueryDef(
+      (s, dir) => mergeIslands(intervals(Tables(s, dir, "orders")),
+          "o_custkey", "o_orderkey")
+        .orderBy("o_custkey"),
+      Some("""WITH iv AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate AS s,
+             |    o_orderdate + INTERVAL (CAST(o_orderkey % 30 AS INT) + 1) DAY AS e
+             |  FROM orders),
+             |flag AS (
+             |  SELECT o_custkey, s, e,
+             |    CASE WHEN s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS new_island
+             |  FROM iv),
+             |isl AS (
+             |  SELECT o_custkey, s, e,
+             |    sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e) AS island
+             |  FROM flag),
+             |merged AS (
+             |  SELECT o_custkey, island, min(s) AS ms, max(e) AS me
+             |  FROM isl GROUP BY o_custkey, island)
+             |SELECT o_custkey,
+             |  CAST(count(*) AS BIGINT) AS n_islands,
+             |  CAST(sum(date_diff('day', ms, me)) AS BIGINT) AS covered_days
+             |FROM merged GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Pareto / ABC cumulative-share report ([NS]): customers ranked by
+    // revenue, bucketed by cumulative share (A: first 50 %, B: to
+    // 80 %, C: tail), reported per class. The fact table collapses to
+    // the one-row-per-customer revenue grid FIRST (map-side-combined
+    // hash aggregate); the running-share window sorts only that grid.
+    // Ties cannot occur in the cumulative sum's RANGE frame: the
+    // order key includes the unique customer key.
+    "q_win_cum_share" -> QueryDef(
+      (s, dir) => {
+        val rev = Tables(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val share = rev
+          .withColumn("cum",
+            sum("rev").over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+          .withColumn("tot",
+            sum("rev").over(Window.partitionBy()))
+          .withColumn("cls",
+            when(col("cum") / col("tot") <= 0.5, "A")
+              .when(col("cum") / col("tot") <= 0.8, "B")
+              .otherwise("C"))
+        share.groupBy("cls")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("rev"), 2).as("class_rev"))
+          .orderBy("cls")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |rk AS (
+             |  SELECT o_custkey, rev,
+             |    sum(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum,
+             |    sum(rev) OVER () AS tot
+             |  FROM rev)
+             |SELECT CASE WHEN cum/tot <= 0.5 THEN 'A'
+             |            WHEN cum/tot <= 0.8 THEN 'B' ELSE 'C' END AS cls,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  round(sum(rev), 2) AS class_rev
+             |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

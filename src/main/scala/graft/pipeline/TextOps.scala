@@ -112,6 +112,49 @@ object TextOps extends QueryModule {
              |  md5(text) AS raw_fp,
              |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
              |      ' +', ' ', 'g'))) AS norm_fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Zipf's-law fit over the corpus vocabulary ([NS] — the standard
+    // corpus-health diagnostic: natural text shows log(freq) ≈
+    // intercept + slope·log(rank) with slope ≈ −1; a collapsed or
+    // templated corpus bends away from it). One explode + hash
+    // aggregate collapses the corpus to the vocabulary grid; ranks are
+    // a row_number over the top-100 of that bounded grid (ties broken
+    // by token so both engines rank identically); the OLS fit is
+    // `regr_slope`/`regr_intercept` — population-moment formulas
+    // identical in Spark and DuckDB — over 100 rows. Nothing after
+    // the first aggregate ever touches a document again.
+    "q_zipf_fit" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok")
+          .agg(count(lit(1)).cast("double").as("c"))
+        val top = cnt
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+          .filter(col("rk") <= 100)
+        top.agg(
+          round(expr("regr_slope(ln(c), ln(CAST(rk AS DOUBLE)))"), 4)
+            .as("zipf_slope"),
+          round(expr("regr_intercept(ln(c), ln(CAST(rk AS DOUBLE)))"), 4)
+            .as("zipf_intercept"),
+          count(lit(1)).as("n_ranks"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT tok, CAST(count(*) AS DOUBLE) AS c
+             |  FROM toks WHERE tok <> '' GROUP BY tok),
+             |top AS (
+             |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+             |  FROM cnt QUALIFY rk <= 100)
+             |SELECT round(regr_slope(ln(c), ln(CAST(rk AS DOUBLE))), 4) AS zipf_slope,
+             |  round(regr_intercept(ln(c), ln(CAST(rk AS DOUBLE))), 4) AS zipf_intercept,
+             |  CAST(count(*) AS BIGINT) AS n_ranks
+             |FROM top""".stripMargin))
   )
 }

@@ -32,7 +32,11 @@ class PlanSpec extends SparkSpec {
     * q_doc_lm_score the 1-row corpus-total aggregate.
     */
   private val intendedNestedLoop =
-    Set("q_sim_topk", "q_sim_ann", "q_retention_filter", "q_doc_lm_score")
+    Set("q_sim_topk", "q_sim_ann", "q_retention_filter", "q_doc_lm_score",
+      // theils_u: two cross joins of 1-row aggregate results (the
+      // H(A)/H(B) entropy folds) onto the 1-row conditional-entropy
+      // fold — bounded by construction, broadcast on purpose
+      "q_agg_theils_u")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Semantic checks for the §2.M time-series / interval / rank-test
+  * kernels on hand-crafted inputs with known ground truth. The DuckDB
+  * oracle replays each query's relational shape; these pin the
+  * SEMANTICS — reset handling, open/closed interval edges, island
+  * boundaries, tie-corrected ranks, entropy identities.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("deltaSum counts only positive increments and ignores resets") {
+    import spark.implicits._
+    // counter A: 0→5→3(reset)→10: increments 5 + 7 = 12, 3 deltas
+    // counter B: monotone 1→2→4: increments 1 + 2 = 3, 2 deltas
+    val df = Seq(
+      ("a", 1, 0.0), ("a", 2, 5.0), ("a", 3, 3.0), ("a", 4, 10.0),
+      ("b", 1, 1.0), ("b", 2, 2.0), ("b", 3, 4.0))
+      .toDF("k", "t", "v")
+    val got = operators.TimeSeries.deltaSum(df, "k", Seq("t"), "v")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 12.0, 3L), ("b", 3.0, 2L)))
+  }
+
+  test("maxIntersections finds the peak and its first instant, ends exclusive") {
+    import spark.implicits._
+    // [1,5) [2,4) [3,6): all three overlap only on [3,4) -> max 3 at day 3.
+    // [5,7) starts exactly where [1,5) ends -> must NOT overlap it.
+    val iv = Seq(
+      (ts(1), ts(5)), (ts(2), ts(4)), (ts(3), ts(6)), (ts(5), ts(7)))
+      .toDF("st", "en")
+    val got = operators.TimeSeries.maxIntersections(iv).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 3L, s"peak concurrency: ${got.toSeq}")
+    assert(got(0).getTimestamp(1) == ts(3), s"first peak instant: ${got.toSeq}")
+  }
+
+  test("mergeIslands coalesces overlapping and touching-inside intervals per key") {
+    import spark.implicits._
+    val iv = Seq(
+      // k1: [1,3) + [2,5) overlap -> island [1,5); [7,8) separate
+      ("k1", 1L, ts(1), ts(3)), ("k1", 2L, ts(2), ts(5)), ("k1", 3L, ts(7), ts(8)),
+      // k2: [1,2) then [2,3): st == prior en -> NOT st > en -> same island
+      ("k2", 4L, ts(1), ts(2)), ("k2", 5L, ts(2), ts(3)))
+      .toDF("k", "tie", "st", "en")
+    val got = operators.TimeSeries.mergeIslands(iv, "k", "tie")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // k1: islands [1,5) (4 days) + [7,8) (1 day); k2: one island [1,3) (2 days)
+    assert(got.toSeq == Seq(("k1", 2L, 5L), ("k2", 1L, 2L)))
+  }
+
+  test("mannWhitneyU matches the hand-computed statistic with ties") {
+    import spark.implicits._
+    // A = {1, 2, 2}, B = {2, 3}: ranks 1, then 2/3/4 tie at avg 3, 5.
+    // R1 = 1 + 3 + 3 = 7 -> U1 = 7 - 3*4/2 = 1; U2 = n1*n2 - U1 = 5.
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+      .toDF("g", "x")
+    val got = operators.Analytics.mannWhitneyU(df,
+        col("g") === "A", col("g") === "B", col("x"))
+      .collect()(0)
+    assert(got.getDouble(0) == 1.0, s"u1: $got")
+    assert(got.getDouble(1) == 5.0, s"u2: $got")
+    assert(got.getLong(3) == 3L && got.getLong(4) == 2L)
+    // tie-corrected z: mu = 3, sigma = sqrt(6/12 * (6 - 24/20)) = sqrt(2.4)
+    val z = (1.0 - 3.0) / math.sqrt(6.0 / 12 * ((5 + 1) - 24.0 / (5 * 4)))
+    assert(math.abs(got.getDouble(2) - math.rint(z * 10000) / 10000) < 1e-9,
+      s"z: got $got want $z")
+  }
+
+  test("theilsU is 1 when A determines B, 0 when independent") {
+    import spark.implicits._
+    // B = f(A) exactly: knowing B removes all uncertainty about A only
+    // if the map is invertible; here it is (bijection) -> both U = 1.
+    val det = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2), ("z", 3))
+      .toDF("a", "b")
+    val g1 = operators.Analytics.theilsU(det, "a", "b").collect()(0)
+    assert(g1.getDouble(0) == 1.0 && g1.getDouble(1) == 1.0, s"bijection: $g1")
+    // independent uniform grid: every (a, b) cell equal -> U = 0 both ways
+    val ind = (for { a <- Seq("x", "y"); b <- Seq(1, 2); _ <- 1 to 3 }
+      yield (a, b)).toDF("a", "b")
+    val g2 = operators.Analytics.theilsU(ind, "a", "b").collect()(0)
+    assert(g2.getDouble(0) == 0.0 && g2.getDouble(1) == 0.0, s"independent: $g2")
+    // entropies: H(A) = ln 2, H(B) = ln 2 on the independent grid
+    assert(math.abs(g2.getDouble(2) - math.rint(math.log(2) * 10000) / 10000) < 1e-9)
+  }
+
+  test("zipf fit recovers the exact power-law slope from synthetic counts") {
+    import spark.implicits._
+    // corpus where token t_r appears round(1000 * r^-1) times -> the
+    // log-log regression over the full grid must come out at ~ -1
+    val toks = (1 to 20).flatMap { r =>
+      val n = math.round(1000.0 * math.pow(r, -1.0)).toInt
+      Seq.fill(n)(f"tok$r%02d")
+    }
+    val docs = toks.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = SparkEntry.queries("q_zipf_fit")(spark, sf)
+    // shape only from the fixture run (n_ranks bounded, slope negative)
+    val fx = got.collect()(0)
+    assert(fx.getLong(2) <= 100 && fx.getDouble(0) < 0)
+    // crafted corpus through the same token->count->rank->fit pipeline
+    val cnt = docs
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("tok"))))
+    val slope = cnt
+      .agg(expr("regr_slope(ln(c), ln(CAST(rk AS DOUBLE)))"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope should be ~ -1")
+  }
+}

@@ -163,6 +163,56 @@ object Analytics extends QueryModule {
       round(col("hb"), 4).as("h_b"))
   }
 
+  /** Spearman rank correlation between numeric columns `x` and `y` —
+    * midrank ties via cumulative-count windows over each column's
+    * distinct-value grid (see q_agg_rank_corr). Output 1 row:
+    * (spearman, n).
+    */
+  private[graft] def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranks(c: Column): DataFrame =
+      df.groupBy(c.as("v"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .withColumn("r",
+          sum("cnt").over(Window.orderBy("v")) - col("cnt")
+            + (col("cnt") + 1) / 2)
+    val rq = ranks(x).select(col("v").as("qv"), col("r").as("rq"))
+    val rd = ranks(y).select(col("v").as("dv"), col("r").as("rd"))
+    df.join(broadcast(rq), x === col("qv"))
+      .join(broadcast(rd), y === col("dv"))
+      .agg(round(corr(col("rq"), col("rd")), 4).as("spearman"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the rows where
+    * `inA` and the rows where `inB`, over `x` — empirical CDFs from
+    * one cumulative window over the distinct-value grid (see
+    * q_agg_ks_test). Output 1 row: (d_stat, ks_stat, n_f, n_o).
+    */
+  private[graft] def ksTest(df: DataFrame, inA: Column, inB: Column,
+      x: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(inA || inB)
+      .groupBy(x.as("v"))
+      .agg(
+        count(when(inA, 1)).cast("double").as("c1"),
+        count(when(inB, 1)).cast("double").as("c2"))
+    val cdf = grid.select(
+      sum("c1").over(Window.orderBy("v")).as("f1"),
+      sum("c2").over(Window.orderBy("v")).as("f2"),
+      sum("c1").over(Window.partitionBy()).as("n1"),
+      sum("c2").over(Window.partitionBy()).as("n2"))
+    cdf.agg(
+      round(max(abs(col("f1") / col("n1") - col("f2") / col("n2"))), 4)
+        .as("d_stat"),
+      round(sqrt(first("n1") * first("n2") / (first("n1") + first("n2")))
+        * max(abs(col("f1") / col("n1") - col("f2") / col("n2"))), 4)
+        .as("ks_stat"),
+      first("n1").cast("long").as("n_f"),
+      first("n2").cast("long").as("n_o"))
+  }
+
   def entries: Map[String, QueryDef] = Map(
 
     // CollapsingMergeTree FINAL semantics ([CH]): every row carries a
@@ -355,6 +405,58 @@ object Analytics extends QueryModule {
              |  round((hb - hba)/hb, 4) AS u_b_given_a,
              |  round(ha, 4) AS h_a, round(hb, 4) AS h_b
              |FROM cond, ha_t, hb_t""".stripMargin)),
+
+    // ClickHouse rankCorr ([CH]): Spearman rank correlation between
+    // two numeric columns. Average ranks (midrank ties) come from
+    // cumulative-count windows over each column's DISTINCT-VALUE grid
+    // — quantity has ~50 distinct values and discount ~11, so both
+    // rank tables are broadcast-sized at any corpus scale; the fact
+    // table joins them map-side and folds through one corr() pass.
+    // Spearman = Pearson on the midranks (the textbook definition
+    // with ties).
+    "q_agg_rank_corr" -> QueryDef(
+      (s, dir) => spearman(Tables(s, dir, "lineitem"),
+        col("l_quantity"), col("l_discount")),
+      Some("""WITH gq AS (
+             |  SELECT l_quantity AS v, CAST(count(*) AS DOUBLE) AS c FROM lineitem GROUP BY v),
+             |rq AS (
+             |  SELECT v, sum(c) OVER (ORDER BY v) - c + (c + 1)/2 AS r FROM gq),
+             |gd AS (
+             |  SELECT l_discount AS v, CAST(count(*) AS DOUBLE) AS c FROM lineitem GROUP BY v),
+             |rd AS (
+             |  SELECT v, sum(c) OVER (ORDER BY v) - c + (c + 1)/2 AS r FROM gd)
+             |SELECT round(corr(rq.r, rd.r), 4) AS spearman,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem l
+             |JOIN rq ON l.l_quantity = rq.v
+             |JOIN rd ON l.l_discount = rd.v""".stripMargin)),
+
+    // ClickHouse kolmogorovSmirnovTest ([CH]): two-sample KS between
+    // finished (F) and open (O) order values — D = sup |F̂₁ − F̂₂| plus
+    // the scaled statistic √(n₁n₂/(n₁+n₂))·D. Same value-grid
+    // collapse as the Mann–Whitney: one hash aggregate to distinct
+    // values with per-group counts, both empirical CDFs from ONE
+    // cumulative window over that grid, a 1-row max fold. The sort
+    // input is the value domain, never the order rows.
+    "q_agg_ks_test" -> QueryDef(
+      (s, dir) => ksTest(Tables(s, dir, "orders"),
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        col("o_totalprice")),
+      Some("""WITH g AS (
+             |  SELECT o_totalprice AS v,
+             |    CAST(count(CASE WHEN o_orderstatus='F' THEN 1 END) AS DOUBLE) AS c1,
+             |    CAST(count(CASE WHEN o_orderstatus='O' THEN 1 END) AS DOUBLE) AS c2
+             |  FROM orders WHERE o_orderstatus IN ('F','O') GROUP BY v),
+             |c AS (
+             |  SELECT sum(c1) OVER (ORDER BY v) AS f1, sum(c2) OVER (ORDER BY v) AS f2,
+             |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+             |  FROM g)
+             |SELECT round(max(abs(f1/n1 - f2/n2)), 4) AS d_stat,
+             |  round(sqrt(any_value(n1)*any_value(n2)/(any_value(n1)+any_value(n2)))
+             |    * max(abs(f1/n1 - f2/n2)), 4) AS ks_stat,
+             |  CAST(any_value(n1) AS BIGINT) AS n_f,
+             |  CAST(any_value(n2) AS BIGINT) AS n_o
+             |FROM c""".stripMargin)),
 
     // ClickHouse editDistance/stringDistance family ([CH]): classic
     // Levenshtein between each customer's name and its nation's name,

@@ -179,6 +179,91 @@ object TimeSeries extends QueryModule {
              |FROM merged GROUP BY o_custkey
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Largest-Triangle-Three-Buckets downsampling ([NS] — Steinarsson
+    // 2013, the standard time-series visual-decimation algorithm;
+    // ClickHouse ships it as largestTriangleThreeBuckets). This is the
+    // FIXED-ANCHOR variant: each middle bucket keeps the point whose
+    // triangle with the NEIGHBOR BUCKET AVERAGES is largest (canonical
+    // LTTB anchors on the previously-selected point — a sequential
+    // dependency no engine-parallel form can express; the fixed-anchor
+    // variant is deterministic, order-free, and SQL-expressible, so
+    // the oracle can replay it exactly). Series = daily event counts:
+    // the fact table collapses to the day grid first; every window /
+    // join after that runs over ≤ a few thousand grid rows (the time
+    // domain), and the 8-row anchor table broadcasts. x and y are
+    // integer-valued, so bucket averages are exact rationals —
+    // identical doubles on both engines, no rounding hazard in the
+    // argmax.
+    "q_win_lttb" -> QueryDef(
+      (s, dir) => {
+        val nb = 8
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(datediff(date_trunc("day", col("ts_s")),
+            to_date(lit("2024-01-01"))).cast("double").as("x"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val ext = ser.agg(min("x").as("x0"), max("x").as("x1"))
+        val bkt = ser.crossJoin(broadcast(ext))
+          .withColumn("b",
+            when(col("x") === col("x0") || col("x") === col("x1"), lit(-1))
+              .otherwise(least(
+                floor((col("x") - col("x0")) / ((col("x1") - col("x0")) / nb.toDouble)),
+                lit(nb - 1))).cast("int"))
+        val mids = bkt.filter(col("b") >= 0)
+        val ends = bkt.filter(col("b") === -1)
+        val anchors = mids.groupBy("b")
+          .agg(avg("x").as("ax"), avg("y").as("ay"))
+          .unionByName(ends.select(
+            when(col("x") === col("x0"), lit(-1)).otherwise(lit(nb)).as("b"),
+            col("x").as("ax"), col("y").as("ay")))
+        val prev = anchors.select((col("b") + 1).as("pb"), col("ax").as("px"), col("ay").as("py"))
+        val nxt = anchors.select((col("b") - 1).as("qb"), col("ax").as("qx"), col("ay").as("qy"))
+        val area = mids
+          .join(broadcast(prev), col("b") === col("pb"))
+          .join(broadcast(nxt), col("b") === col("qb"))
+          .withColumn("a",
+            abs((col("px") - col("qx")) * (col("y") - col("py"))
+              - (col("px") - col("x")) * (col("qy") - col("py"))) / 2)
+        val picked = area
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("b").orderBy(col("a").desc, col("x"))))
+          .filter(col("rn") === 1)
+          .select(col("b").cast("long").as("bucket"),
+            col("x").as("day_x"), col("y").as("n_events"))
+        picked
+          .unionByName(ends.select(lit(-1L).as("bucket"),
+            col("x").as("day_x"), col("y").as("n_events")))
+          .orderBy("day_x")
+      },
+      Some("""WITH ser AS (
+             |  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS DOUBLE) AS x,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1),
+             |ext AS (SELECT min(x) AS x0, max(x) AS x1 FROM ser),
+             |bkt AS (
+             |  SELECT x, y, x0, x1,
+             |    CASE WHEN x = x0 OR x = x1 THEN -1
+             |      ELSE least(CAST(floor((x - x0) / ((x1 - x0) / 8.0)) AS INT), 7) END AS b
+             |  FROM ser, ext),
+             |anchors AS (
+             |  SELECT b, avg(x) AS ax, avg(y) AS ay FROM bkt WHERE b >= 0 GROUP BY b
+             |  UNION ALL
+             |  SELECT CASE WHEN x = x0 THEN -1 ELSE 8 END, x, y FROM bkt WHERE b = -1),
+             |area AS (
+             |  SELECT k.b, k.x, k.y,
+             |    abs((p.ax - n.ax) * (k.y - p.ay) - (p.ax - k.x) * (n.ay - p.ay)) / 2 AS a
+             |  FROM bkt k
+             |  JOIN anchors p ON p.b = k.b - 1
+             |  JOIN anchors n ON n.b = k.b + 1
+             |  WHERE k.b >= 0),
+             |pick AS (
+             |  SELECT b, x, y, row_number() OVER (PARTITION BY b ORDER BY a DESC, x) AS rn
+             |  FROM area)
+             |SELECT CAST(b AS BIGINT) AS bucket, x AS day_x, y AS n_events
+             |FROM pick WHERE rn = 1
+             |UNION ALL
+             |SELECT -1, x, y FROM bkt WHERE b = -1
+             |ORDER BY day_x""".stripMargin)),
+
     // Pareto / ABC cumulative-share report ([NS]): customers ranked by
     // revenue, bucketed by cumulative share (A: first 50 %, B: to
     // 80 %, C: tail), reported per class. The fact table collapses to

@@ -36,7 +36,10 @@ class PlanSpec extends SparkSpec {
       // theils_u: two cross joins of 1-row aggregate results (the
       // H(A)/H(B) entropy folds) onto the 1-row conditional-entropy
       // fold — bounded by construction, broadcast on purpose
-      "q_agg_theils_u")
+      "q_agg_theils_u",
+      // lttb: the 1-row series extent (min/max day) broadcast onto
+      // the day grid for bucket assignment — bounded by construction
+      "q_win_lttb")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

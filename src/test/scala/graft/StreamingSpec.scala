@@ -533,6 +533,42 @@ class StreamingSpec extends SparkSpec {
     assert(latest.values.flatten.forall(_._3 == 0L))
   }
 
+  test("streaming collapse nets equal the batch CollapsingMergeTree FINAL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables(spark, sf, "events")
+      .select(concat(lit("u"), col("user_id")).as("key"),
+        when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)).as("sign"),
+        col("value").as("v"))
+      .as[(String, Long, Double)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    val latest = scala.collection.mutable.Map.empty[String, (Long, Double, Long)]
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = streaming.StreamCollapse.collapse(mem.toDF().toDF("key", "sign", "v"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[streaming.StreamCollapse.NetRow], _: Long) =>
+        df.collect().foreach(r => latest(r.key) = (r.net, r.net_value, r.n_rows))
+      }
+      .start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch FINAL over the same rows, through the SAME collapse kernel
+    val batch = operators.Analytics.collapse(
+        rows.toDF("key", "sign", "v"), "key", col("sign"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val streamFinal = latest.toMap
+      .filter { case (_, (net, _, _)) => net > 0 }
+      .map { case (k, (net, nv, c)) => k -> (net, math.rint(nv * 10000) / 10000, c) }
+    assert(streamFinal == batch,
+      s"stream FINAL ${streamFinal.size} keys must equal batch ${batch.size}")
+  }
+
   test("streaming heavy hitters keep the dominant item once the table saturates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

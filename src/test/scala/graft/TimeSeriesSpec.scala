@@ -94,6 +94,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(g2.getDouble(2) - math.rint(math.log(2) * 10000) / 10000) < 1e-9)
   }
 
+  test("spearman is ±1 on monotone data and uses midranks for ties") {
+    import spark.implicits._
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    val g1 = operators.Analytics.spearman(mono, col("x"), col("y")).collect()(0)
+    assert(g1.getDouble(0) == 1.0 && g1.getLong(1) == 3L, s"monotone up: $g1")
+    val anti = Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)).toDF("x", "y")
+    val g2 = operators.Analytics.spearman(anti, col("x"), col("y")).collect()(0)
+    assert(g2.getDouble(0) == -1.0, s"monotone down: $g2")
+    // ties: x = (1,2,2,3), y = (1,2,3,4). midranks x: 1, 2.5, 2.5, 4.
+    // Pearson of (1,2.5,2.5,4) vs (1,2,3,4): Σdxdy = 4.5, Σdx² = 4.5,
+    // Σdy² = 5 -> 4.5/sqrt(4.5*5) ≈ 0.9487
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val g3 = operators.Analytics.spearman(tied, col("x"), col("y")).collect()(0)
+    val want = 4.5 / math.sqrt(4.5 * 5.0)
+    assert(math.abs(g3.getDouble(0) - math.rint(want * 10000) / 10000) < 1e-9,
+      s"midrank ties: got $g3 want $want")
+  }
+
+  test("ksTest matches the hand-computed sup-CDF distance") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: CDF gaps 0.5 (at 1), 0.5 (at 2), 0 (at 3)
+    // -> D = 0.5, KS = sqrt(2*2/4) * 0.5 = 0.5
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)).toDF("g", "x")
+    val got = operators.Analytics.ksTest(df,
+      col("g") === "A", col("g") === "B", col("x")).collect()(0)
+    assert(got.getDouble(0) == 0.5 && got.getDouble(1) == 0.5, s"ks: $got")
+    assert(got.getLong(2) == 2L && got.getLong(3) == 2L)
+    // identical samples -> D = 0
+    val same = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)).toDF("g", "x")
+    val g0 = operators.Analytics.ksTest(same,
+      col("g") === "A", col("g") === "B", col("x")).collect()(0)
+    assert(g0.getDouble(0) == 0.0, s"identical samples: $g0")
+  }
+
+  test("lttb keeps both endpoints, one point per bucket, and the spike") {
+    val got = SparkEntry.queries("q_win_lttb")(spark, sf).collect()
+    val xs = got.map(_.getDouble(1))
+    assert(xs.sameElements(xs.sorted), "output must be in time order")
+    assert(got.count(_.getLong(0) == -1L) == 2, "exactly the two endpoints")
+    val mids = got.filter(_.getLong(0) >= 0L)
+    assert(mids.map(_.getLong(0)).distinct.length == mids.length,
+      "one survivor per bucket")
+    // downsample is a subset of the true series: re-derive the daily
+    // counts and check every kept (x, y) is a real point
+    val ser = operators.Relational.eventsSec(spark, sf)
+      .groupBy(datediff(date_trunc("day", col("ts_s")),
+        to_date(lit("2024-01-01"))).cast("double").as("x"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    got.foreach(r => assert(ser.contains((r.getDouble(1), r.getDouble(2))),
+      s"kept point ${r.toSeq} is not in the source series"))
+  }
+
   test("zipf fit recovers the exact power-law slope from synthetic counts") {
     import spark.implicits._
     // corpus where token t_r appears round(1000 * r^-1) times -> the

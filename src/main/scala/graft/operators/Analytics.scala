@@ -406,6 +406,146 @@ object Analytics extends QueryModule {
              |  round(ha, 4) AS h_a, round(hb, 4) AS h_b
              |FROM cond, ha_t, hb_t""".stripMargin)),
 
+    // ClickHouse avgWeighted ([CH]): Σwx/Σw per group — one map-side-
+    // combined hash aggregate, two running sums of state per group.
+    "q_agg_avg_weighted" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_quantity"))
+            / sum(col("l_quantity")), 4).as("wavg_price"),
+          round(sum(col("l_quantity")), 4).as("tot_w"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+             |  round(sum(l_quantity), 4) AS tot_w
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ClickHouse boundingRatio ([CH]): per-counter (max y − min y) /
+    // (max x − min x) — the coarse average rate of a time series.
+    // min/max pairs are O(1) mergeable state; single-point counters
+    // yield NULL via the nullif guard (identical on both engines).
+    "q_agg_bounding_ratio" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .groupBy("user_id")
+        .agg(
+          round((max(col("value")) - min(col("value")))
+            / expr("nullif(CAST(unix_timestamp(max(ts_s)) - unix_timestamp(min(ts_s)) AS DOUBLE), 0.0)"),
+            8).as("brate"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  round((max(value) - min(value)) /
+             |    nullif(CAST(date_diff('second', min(date_trunc('second', ts)),
+             |      max(date_trunc('second', ts))) AS DOUBLE), 0), 8) AS brate,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ClickHouse corrMatrix ([CH] 23.x): all pairwise Pearson
+    // correlations of four measures in ONE fact-table pass — six
+    // corr() states side by side, each O(1) mergeable moments.
+    "q_agg_corr_matrix" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("c_qty_price"),
+          round(corr(col("l_quantity"), col("l_discount")), 4).as("c_qty_disc"),
+          round(corr(col("l_quantity"), col("l_tax")), 4).as("c_qty_tax"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 4).as("c_price_disc"),
+          round(corr(col("l_extendedprice"), col("l_tax")), 4).as("c_price_tax"),
+          round(corr(col("l_discount"), col("l_tax")), 4).as("c_disc_tax")),
+      Some("""SELECT
+             |  round(corr(l_quantity, l_extendedprice), 4) AS c_qty_price,
+             |  round(corr(l_quantity, l_discount), 4) AS c_qty_disc,
+             |  round(corr(l_quantity, l_tax), 4) AS c_qty_tax,
+             |  round(corr(l_extendedprice, l_discount), 4) AS c_price_disc,
+             |  round(corr(l_extendedprice, l_tax), 4) AS c_price_tax,
+             |  round(corr(l_discount, l_tax), 4) AS c_disc_tax
+             |FROM lineitem""".stripMargin)),
+
+    // ClickHouse studentTTest ([CH]): pooled-variance two-sample t —
+    // the equal-variance companion of q_agg_ttest (Welch). Same
+    // one-pass conditional-moment shape; dof is exact (n1+n2−2).
+    "q_agg_student_ttest" -> QueryDef(
+      (s, dir) => {
+        val agg = Tables(s, dir, "orders").agg(
+          avg(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("m1"),
+          var_samp(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("v1"),
+          count(when(col("o_orderstatus") === "F", col("o_totalprice")))
+            .cast("double").as("n1"),
+          avg(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("m2"),
+          var_samp(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("v2"),
+          count(when(col("o_orderstatus") === "O", col("o_totalprice")))
+            .cast("double").as("n2"))
+        agg.select(
+          round((col("m1") - col("m2"))
+            / sqrt(((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2"))
+              / (col("n1") + col("n2") - 2)
+              * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 4).as("t_stat"),
+          (col("n1") + col("n2") - 2).cast("long").as("dof"))
+      },
+      Some("""WITH m AS (
+             |  SELECT
+             |    avg(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS m1,
+             |    var_samp(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS v1,
+             |    CAST(count(CASE WHEN o_orderstatus='F' THEN o_totalprice END) AS DOUBLE) AS n1,
+             |    avg(CASE WHEN o_orderstatus='O' THEN o_totalprice END) AS m2,
+             |    var_samp(CASE WHEN o_orderstatus='O' THEN o_totalprice END) AS v2,
+             |    CAST(count(CASE WHEN o_orderstatus='O' THEN o_totalprice END) AS DOUBLE) AS n2
+             |  FROM orders)
+             |SELECT round((m1-m2)/sqrt(((n1-1)*v1+(n2-1)*v2)/(n1+n2-2)*(1/n1+1/n2)), 4) AS t_stat,
+             |  CAST(n1+n2-2 AS BIGINT) AS dof FROM m""".stripMargin)),
+
+    // ClickHouse minMap/maxMap ([CH]): per-group map of key →
+    // min/max value. Same two-stacked-aggregate shape as sumMap —
+    // collect state bounded by the key domain, canonical 0x1f-joined
+    // `k:min:max` scaled-int string on both engines.
+    "q_agg_minmax_map" -> QueryDef(
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .groupBy("user_id")
+        .agg(
+          array_join(sort_array(collect_list(
+            concat(col("event_type"), lit(":"),
+              round(col("mn") * 10000, 0).cast("long").cast("string"), lit(":"),
+              round(col("mx") * 10000, 0).cast("long").cast("string")))), "")
+            .as("minmax_map"),
+          count(lit(1)).as("n_keys"))
+        .orderBy("user_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type, min(value) AS mn, max(value) AS mx
+             |  FROM events GROUP BY user_id, event_type)
+             |SELECT user_id,
+             |  string_agg(event_type || ':'
+             |      || CAST(CAST(round(mn*10000,0) AS BIGINT) AS VARCHAR) || ':'
+             |      || CAST(CAST(round(mx*10000,0) AS BIGINT) AS VARCHAR),
+             |    chr(31) ORDER BY event_type) AS minmax_map,
+             |  CAST(count(*) AS BIGINT) AS n_keys
+             |FROM g GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ClickHouse simpleLinearRegression ([CH]): per-group OLS of price
+    // on quantity — slope/intercept/R² from one pass of mergeable
+    // moment state per group (regr_* are covariance-moment folds).
+    "q_agg_linreg_group" -> QueryDef(
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ClickHouse rankCorr ([CH]): Spearman rank correlation between
     // two numeric columns. Average ranks (midrank ties) come from
     // cumulative-count windows over each column's DISTINCT-VALUE grid

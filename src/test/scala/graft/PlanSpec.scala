@@ -144,6 +144,40 @@ class PlanSpec extends SparkSpec {
       "all-cells indexed search must equal the index-less form")
   }
 
+  test("snapshot day joins prune partitions dynamically") {
+    // the 100 TB access path for "restore/analyze a few days via a
+    // dimension": the day-partitioned snapshot scan must receive a
+    // DYNAMIC partition filter from the dim side's selective predicate
+    // (Spark's DPP), so a 2-day join never reads the other N−2 day
+    // directories
+    import org.apache.spark.sql.functions.{col, round, sum}
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppdim").toString
+    try {
+      val e = operators.Relational.eventsSec(spark, sf)
+      operators.Retention.writeSnapshot(e, col("ts_s"), dest)
+      val snap = spark.read.parquet(dest)
+      val days = snap.select("bucket_day").distinct().orderBy("bucket_day")
+        .limit(3).as[String].collect().toSeq
+      days.zipWithIndex.map { case (d, i) => (d, i.toLong) }
+        .toDF("d_day", "d_rank").write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir)
+      val q = snap.join(dim.filter(col("d_rank") < 2),
+          col("bucket_day") === col("d_day"))
+        .groupBy("bucket_day").agg(round(sum("value"), 4).as("v"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"snapshot day join must plan a dynamic partition filter:\n$plan")
+      assert(q.count() == 2, "only the two selected days survive")
+    } finally {
+      Seq(dest, dimDir).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("hot relational shapes stay inside whole-stage codegen") {
     Seq("q_agg_hash", "q_join_hash", "q_win_rank", "q_dedup_docs").foreach { name =>
       // codegen stages render as `*(n) Operator` in the final AQE plan

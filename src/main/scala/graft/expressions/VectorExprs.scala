@@ -281,6 +281,10 @@ object VectorExprs {
   * `vec_dot(a, b)` callable from SQL text as well as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     (VectorExprs.functions ++ TextExprs.functions).foreach(e.injectFunction)
+    // ClickHouse-projection auto-substitution (plans.Projections): a
+    // no-op until a projection is registered for a base path
+    e.injectOptimizerRule(s => new graft.plans.ProjectionRewrite(s))
+  }
 }

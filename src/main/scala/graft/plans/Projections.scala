@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse projections, Spark-first — `ALTER TABLE t ADD PROJECTION
+  * p (SELECT keys…, aggs… GROUP BY keys…)` (reference engine
+  * capability: Dockerfile:2 pins ClickHouse 24.8, whose MergeTree
+  * parts carry aggregate projections that the planner substitutes
+  * automatically; `BACKUP DATABASE` at backup.sh:45 snapshots them
+  * with the table).
+  *
+  * Architecture: the projection is a pre-aggregated parquet of
+  * MERGEABLE partial states (count / per-measure sum, min, max,
+  * non-null count) per key combination, and a `Rule[LogicalPlan]`
+  * injected through `SparkSessionExtensions` rewrites any matching
+  * `Aggregate` over the base scan into a re-aggregation of those
+  * partials — sums of sums, mins of mins — over the projection scan.
+  * The query itself never changes; registration is the only opt-in.
+  *
+  * Scale shape: this is THE pre-aggregation play at 100 TB — a
+  * dashboard query that groups a fact table by low-cardinality keys
+  * re-aggregates a key-domain-sized parquet instead of re-scanning
+  * the corpus. Rewrites are sound for any key SUBSET of the
+  * projection keys because every stored aggregate is mergeable;
+  * non-decomposable aggregates (avg, distinct, percentiles) simply
+  * don't match and fall through to the base scan untouched.
+  */
+object Projections {
+
+  final case class ProjectionMeta(projPath: String, keys: Seq[String],
+      measures: Seq[String])
+
+  /** Registered projections: normalized base path → meta. Session-
+    * global on purpose (the rule consults it on every optimization);
+    * empty ⇒ the rule is a guaranteed no-op.
+    */
+  private val catalog =
+    scala.collection.concurrent.TrieMap.empty[String, ProjectionMeta]
+
+  private def normalize(p: String): String = {
+    val u = new java.net.URI(p)
+    val path = if (u.getScheme == null) p else u.getPath
+    path.stripSuffix("/")
+  }
+
+  def register(basePath: String, meta: ProjectionMeta): Unit =
+    catalog.put(normalize(basePath), meta)
+
+  def unregister(basePath: String): Unit = catalog.remove(normalize(basePath))
+
+  private[plans] def lookup(paths: Seq[String]): Option[ProjectionMeta] =
+    paths.iterator.map(normalize).flatMap(catalog.get).nextOption()
+
+  /** Build + write the projection parquet for `base`: one row per key
+    * combination carrying every mergeable partial the rewrite can
+    * serve. Call `register` afterwards to activate it.
+    */
+  def materialize(base: DataFrame, keys: Seq[String], measures: Seq[String],
+      dest: String): Unit = {
+    val aggs = count(lit(1)).as("_cnt") +: measures.flatMap { m =>
+      Seq(sum(col(m)).as(s"_sum_$m"), min(col(m)).as(s"_min_$m"),
+        max(col(m)).as(s"_max_$m"), count(col(m)).as(s"_cnt_$m"))
+    }
+    base.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(dest)
+  }
+}
+
+/** The auto-substitution rule. Matches
+  * `Aggregate(groupKeys ⊆ projection keys, decomposable aggs over
+  * projected measures, scan(base))` and swaps the child for the
+  * projection scan with each aggregate re-expressed over the partial
+  * columns. Output attribute ids are preserved via aliases, so parent
+  * operators resolve unchanged; if the rewritten schema would differ
+  * in any way, the rule backs off to the original plan.
+  */
+class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import Projections._
+
+  private def scanPaths(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      Some(fs.location.rootPaths.map(_.toString))
+    // column pruning interleaves attribute-only Projects between the
+    // aggregate and the scan within the same fixed-point batch —
+    // they don't change which table is being aggregated
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project
+        if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanPaths(p.child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case agg @ Aggregate(grouping, aggExprs, child, _)
+          if scanPaths(child).exists(p => lookup(p).isDefined) =>
+        val meta = lookup(scanPaths(child).get).get
+        rewrite(agg, grouping, aggExprs, meta).getOrElse(agg)
+    }
+
+  private def rewrite(agg: Aggregate, grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression], meta: ProjectionMeta): Option[LogicalPlan] = {
+    // grouping must be plain columns, all of them projection keys
+    val groupNames = grouping.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (!groupNames.forall(meta.keys.contains)) return None
+
+    // fresh attribute ids per rewrite — reusing one analyzed plan
+    // across two rewrites in a single query would collide ids
+    val projPlan = spark.read.parquet(meta.projPath).queryExecution.analyzed
+    val byName = projPlan.output.map(a => a.name -> a).toMap
+
+    def measureCol(prefix: String, a: Attribute): Option[Attribute] =
+      if (meta.measures.contains(a.name)) byName.get(s"${prefix}_${a.name}")
+      else None
+
+    val rewritten = aggExprs.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if groupNames.contains(a.name) =>
+        Alias(byName(a.name), name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
+        val merged: Option[AggregateFunction] = fn match {
+          case Sum(a: AttributeReference, _) => measureCol("_sum", a).map(Sum(_))
+          case Min(a: AttributeReference) => measureCol("_min", a).map(Min(_))
+          case Max(a: AttributeReference) => measureCol("_max", a).map(Max(_))
+          case Count(children) if children.forall(_.foldable) =>
+            byName.get("_cnt").map(c => Sum(c))
+          case Count(Seq(a: AttributeReference)) =>
+            measureCol("_cnt", a).map(c => Sum(c))
+          case _ => None
+        }
+        merged match {
+          case Some(m) =>
+            Alias(AggregateExpression(m, Complete, isDistinct = false), name)(
+              exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+
+    val newGrouping = groupNames.map(byName(_))
+    val out = Aggregate(newGrouping, rewritten, projPlan)
+    // schema must be IDENTICAL (names, types, nullability can widen on
+    // sums of partials — back off on any mismatch)
+    if (out.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+        agg.schema.fields.map(f => (f.name, f.dataType)))) Some(out)
+    else None
+  }
+}

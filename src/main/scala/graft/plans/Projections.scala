@@ -85,28 +85,46 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import Projections._
 
-  private def scanPaths(plan: LogicalPlan): Option[Seq[String]] = plan match {
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some(fs.location.rootPaths.map(_.toString))
-    // column pruning interleaves attribute-only Projects between the
-    // aggregate and the scan within the same fixed-point batch —
-    // they don't change which table is being aggregated
-    case p: org.apache.spark.sql.catalyst.plans.logical.Project
-        if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      scanPaths(p.child)
-    case _ => None
-  }
+  /** Peels attribute-only Projects (column pruning interleaves them
+    * within the same fixed-point batch) and collects deterministic
+    * Filters down to the scan. Returns (combined filter condition,
+    * scan root paths).
+    */
+  private def destructure(plan: LogicalPlan): Option[(Option[Expression], Seq[String])] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((None, fs.location.rootPaths.map(_.toString)))
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        destructure(p.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.deterministic =>
+        destructure(f.child).map { case (cond, paths) =>
+          val merged = cond
+            .map(c => org.apache.spark.sql.catalyst.expressions.And(c, f.condition))
+            .getOrElse(f.condition)
+          (Some(merged), paths)
+        }
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case agg @ Aggregate(grouping, aggExprs, child, _)
-          if scanPaths(child).exists(p => lookup(p).isDefined) =>
-        val meta = lookup(scanPaths(child).get).get
-        rewrite(agg, grouping, aggExprs, meta).getOrElse(agg)
+      case agg @ Aggregate(grouping, aggExprs, child, _) =>
+        (for {
+          (cond, paths) <- destructure(child)
+          meta <- lookup(paths)
+          // a filter is sound iff it references only projection KEYS —
+          // key predicates commute with the pre-aggregation (every
+          // base row of a key combination satisfies or fails together)
+          if cond.forall(_.references.forall(a => meta.keys.contains(a.name)))
+          out <- rewrite(agg, grouping, aggExprs, cond, meta)
+        } yield out).getOrElse(agg)
     }
 
   private def rewrite(agg: Aggregate, grouping: Seq[Expression],
-      aggExprs: Seq[NamedExpression], meta: ProjectionMeta): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], keyFilter: Option[Expression],
+      meta: ProjectionMeta): Option[LogicalPlan] = {
     // grouping must be plain columns, all of them projection keys
     val groupNames = grouping.map {
       case a: AttributeReference => a.name
@@ -129,27 +147,50 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(a: AttributeReference, name) if groupNames.contains(a.name) =>
         Alias(byName(a.name), name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-        val merged: Option[AggregateFunction] = fn match {
-          case Sum(a: AttributeReference, _) => measureCol("_sum", a).map(Sum(_))
-          case Min(a: AttributeReference) => measureCol("_min", a).map(Min(_))
-          case Max(a: AttributeReference) => measureCol("_max", a).map(Max(_))
+        def complete(m: AggregateFunction): Expression =
+          AggregateExpression(m, Complete, isDistinct = false)
+        val merged: Option[Expression] = fn match {
+          case Sum(a: AttributeReference, _) =>
+            measureCol("_sum", a).map(c => complete(Sum(c)))
+          case Min(a: AttributeReference) =>
+            measureCol("_min", a).map(c => complete(Min(c)))
+          case Max(a: AttributeReference) =>
+            measureCol("_max", a).map(c => complete(Max(c)))
           case Count(children) if children.forall(_.foldable) =>
-            byName.get("_cnt").map(c => Sum(c))
+            byName.get("_cnt").map(c => complete(Sum(c)))
           case Count(Seq(a: AttributeReference)) =>
-            measureCol("_cnt", a).map(c => Sum(c))
+            measureCol("_cnt", a).map(c => complete(Sum(c)))
+          // avg = Σ(partial sums) / Σ(partial non-null counts) — the
+          // textbook mergeable decomposition
+          case Average(a: AttributeReference, _) =>
+            for {
+              s <- measureCol("_sum", a)
+              c <- measureCol("_cnt", a)
+            } yield org.apache.spark.sql.catalyst.expressions.Divide(
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                complete(Sum(s)), org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                complete(Sum(c)), org.apache.spark.sql.types.DoubleType))
           case _ => None
         }
         merged match {
-          case Some(m) =>
-            Alias(AggregateExpression(m, Complete, isDistinct = false), name)(
-              exprId = al.exprId)
+          case Some(m) => Alias(m, name)(exprId = al.exprId)
           case None => return None
         }
       case _ => return None
     }
 
     val newGrouping = groupNames.map(byName(_))
-    val out = Aggregate(newGrouping, rewritten, projPlan)
+    val newChild = keyFilter match {
+      case Some(cond) =>
+        // remap the key attributes in the predicate to the projection's
+        val remapped = cond.transform {
+          case a: AttributeReference => byName.getOrElse(a.name, return None)
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, projPlan)
+      case None => projPlan
+    }
+    val out = Aggregate(newGrouping, rewritten, newChild)
     // schema must be IDENTICAL (names, types, nullability can widen on
     // sums of partials — back off on any mismatch)
     if (out.schema.fields.map(f => (f.name, f.dataType)).sameElements(

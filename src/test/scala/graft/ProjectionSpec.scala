@@ -75,13 +75,52 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
-  test("non-decomposable or non-covered queries fall through to the base scan") {
-    withProjection(Seq("l_returnflag"), Seq("l_quantity")) { dest =>
-      // avg is not stored as a partial -> no rewrite
+  test("avg and key-filtered aggregates are served from the partials") {
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val wantAvg = spark.read.parquet(liPath)
+      .groupBy("l_returnflag").agg(avg("l_quantity").as("a"))
+      .orderBy("l_returnflag").collect().toSeq
+    val wantFiltered = spark.read.parquet(liPath)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      .orderBy("l_returnflag").collect().toSeq
+    withProjection(keys, Seq("l_quantity")) { dest =>
+      // avg = Σ(partial sums)/Σ(partial non-null counts)
       val avgQ = spark.read.parquet(liPath)
         .groupBy("l_returnflag").agg(avg("l_quantity").as("a"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(avgQ).exists(_.contains(dest)),
+        "avg over a projected measure must be served by the projection")
+      assert(avgQ.collect().toSeq == wantAvg)
+      // a filter on projection KEYS commutes with the pre-aggregation
+      val filteredQ = spark.read.parquet(liPath)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(filteredQ).exists(_.contains(dest)),
+        "key-filtered aggregate must be served by the projection")
+      assert(filteredQ.collect().toSeq == wantFiltered)
+      // but a filter on a MEASURE must not be
+      val measureFiltered = spark.read.parquet(liPath)
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(!scanPaths(measureFiltered).exists(_.contains(dest)),
+        "measure-filtered aggregate must fall through to the base scan")
+    }
+  }
+
+  test("non-decomposable or non-covered queries fall through to the base scan") {
+    withProjection(Seq("l_returnflag"), Seq("l_quantity")) { dest =>
+      // avg over an UNPROJECTED measure -> no rewrite
+      val avgQ = spark.read.parquet(liPath)
+        .groupBy("l_returnflag").agg(avg("l_tax").as("a"))
       assert(!scanPaths(avgQ).exists(_.contains(dest)),
-        "avg must not be served by the projection")
+        "avg over an unprojected measure must not be served")
+      // count(DISTINCT …) is not decomposable from these partials
+      val dist = spark.read.parquet(liPath)
+        .groupBy("l_returnflag").agg(countDistinct(col("l_quantity")).as("d"))
+      assert(!scanPaths(dist).exists(_.contains(dest)),
+        "count distinct must not be served by the projection")
       // grouping key not in the projection -> no rewrite
       val otherKey = spark.read.parquet(liPath)
         .groupBy("l_linestatus").agg(sum("l_quantity").as("s"))

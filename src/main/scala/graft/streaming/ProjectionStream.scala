@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming maintenance of an aggregate projection — the
+  * AggregatingMergeTree materialized-view loop (ClickHouse keeps
+  * `ADD PROJECTION` pre-aggregates fresh on every insert; the
+  * reference backs the result up wholesale, backup.sh:45). Each
+  * micro-batch folds its rows into the SAME mergeable partial states
+  * `plans.Projections.materialize` writes (count / per-measure sum,
+  * min, max, non-null count), then merges them into the standing
+  * projection parquet: sums add, mins/maxes fold — every stored state
+  * is a commutative monoid, so batch boundaries can't change the
+  * result.
+  *
+  * Scale shape: the merge re-aggregates ONLY (standing keys ∪ batch
+  * keys) partial rows — the key domain, never the history of raw
+  * rows. The swap is write-new-then-rename (single-FS atomic enough
+  * for the local runtime; at cluster scale the same loop writes day
+  * partitions or a table format with atomic commit — the partials
+  * and the merge are unchanged).
+  *
+  * A projection maintained here is immediately servable by
+  * `plans.ProjectionRewrite` — register the dest path and batch
+  * queries over the base table silently re-aggregate the partials
+  * (ProjectionStreamSpec drives exactly that end-to-end).
+  */
+object ProjectionStream {
+
+  /** Partial-state aggregate columns for `measures` — shared shape
+    * with `plans.Projections.materialize` (kept in lockstep by spec).
+    */
+  private def partialAggs(measures: Seq[String]) =
+    count(lit(1)).as("_cnt") +: measures.flatMap { m =>
+      Seq(sum(col(m)).as(s"_sum_$m"), min(col(m)).as(s"_min_$m"),
+        max(col(m)).as(s"_max_$m"), count(col(m)).as(s"_cnt_$m"))
+    }
+
+  /** Merge-aggregate columns over unioned partial rows. */
+  private def mergeAggs(measures: Seq[String]) =
+    sum(col("_cnt")).as("_cnt") +: measures.flatMap { m =>
+      Seq(sum(col(s"_sum_$m")).as(s"_sum_$m"),
+        min(col(s"_min_$m")).as(s"_min_$m"),
+        max(col(s"_max_$m")).as(s"_max_$m"),
+        sum(col(s"_cnt_$m")).as(s"_cnt_$m"))
+    }
+
+  /** Fold one batch of RAW rows into the standing projection at
+    * `dest` (creates it on first call). Exposed for the spec and for
+    * batch backfills; `maintain` wires it into foreachBatch.
+    */
+  def mergeBatch(batch: DataFrame, keys: Seq[String], measures: Seq[String],
+      dest: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.groupBy(keys.map(col): _*)
+      .agg(partialAggs(measures).head, partialAggs(measures).tail: _*)
+    val standingDir = new java.io.File(dest)
+    val merged =
+      if (standingDir.exists()) {
+        val standing = spark.read.parquet(dest)
+        standing.unionByName(fresh)
+          .groupBy(keys.map(col): _*)
+          .agg(mergeAggs(measures).head, mergeAggs(measures).tail: _*)
+      } else fresh
+    // write-new-then-rename: never leave a half-written projection
+    val tmp = dest + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(standingDir)
+    if (!new java.io.File(tmp).renameTo(standingDir))
+      throw new java.io.IOException(s"projection swap failed: $tmp -> $dest")
+  }
+
+  /** foreachBatch writer maintaining the projection at `dest` from a
+    * stream of raw rows. Caller picks the trigger/checkpoint.
+    */
+  def maintain(stream: DataFrame, keys: Seq[String], measures: Seq[String],
+      dest: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, keys, measures, dest)
+      }
+}

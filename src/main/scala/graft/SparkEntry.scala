@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Analytics,
     operators.TimeSeries,
     operators.Windows,
+    plans.ProjectionQueries,
     operators.SetOps,
     functions.Scalars,
     streaming.Shapes,

@@ -141,39 +141,54 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if (meta.measures.contains(a.name)) byName.get(s"${prefix}_${a.name}")
       else None
 
+    def complete(m: AggregateFunction): Expression =
+      AggregateExpression(m, Complete, isDistinct = false)
+
+    def mergedFor(fn: AggregateFunction): Option[Expression] = fn match {
+      case Sum(a: AttributeReference, _) =>
+        measureCol("_sum", a).map(c => complete(Sum(c)))
+      case Min(a: AttributeReference) =>
+        measureCol("_min", a).map(c => complete(Min(c)))
+      case Max(a: AttributeReference) =>
+        measureCol("_max", a).map(c => complete(Max(c)))
+      case Count(children) if children.forall(_.foldable) =>
+        byName.get("_cnt").map(c => complete(Sum(c)))
+      case Count(Seq(a: AttributeReference)) =>
+        measureCol("_cnt", a).map(c => complete(Sum(c)))
+      // avg = Σ(partial sums) / Σ(partial non-null counts) — the
+      // textbook mergeable decomposition
+      case Average(a: AttributeReference, _) =>
+        for {
+          s <- measureCol("_sum", a)
+          c <- measureCol("_cnt", a)
+        } yield org.apache.spark.sql.catalyst.expressions.Divide(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            complete(Sum(s)), org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            complete(Sum(c)), org.apache.spark.sql.types.DoubleType))
+      case _ => None
+    }
+
+    // map an output expression TREE: aggregates swap for their merged
+    // forms without descending into their (base-attr) children; bare
+    // attributes outside aggregates must be group keys; everything
+    // else (round, arithmetic, casts over aggregates) maps child-wise
+    def mapExpr(e: Expression): Option[Expression] = e match {
+      case AggregateExpression(fn, _, false, None, _) => mergedFor(fn)
+      case a: AttributeReference if groupNames.contains(a.name) => byName.get(a.name)
+      case _: AttributeReference => None
+      case _: AggregateExpression => None // distinct / filtered
+      case other =>
+        val kids = other.children.map(mapExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
     val rewritten = aggExprs.map {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Alias(byName(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(a: AttributeReference, name) if groupNames.contains(a.name) =>
-        Alias(byName(a.name), name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(fn, _, false, None, _), name) =>
-        def complete(m: AggregateFunction): Expression =
-          AggregateExpression(m, Complete, isDistinct = false)
-        val merged: Option[Expression] = fn match {
-          case Sum(a: AttributeReference, _) =>
-            measureCol("_sum", a).map(c => complete(Sum(c)))
-          case Min(a: AttributeReference) =>
-            measureCol("_min", a).map(c => complete(Min(c)))
-          case Max(a: AttributeReference) =>
-            measureCol("_max", a).map(c => complete(Max(c)))
-          case Count(children) if children.forall(_.foldable) =>
-            byName.get("_cnt").map(c => complete(Sum(c)))
-          case Count(Seq(a: AttributeReference)) =>
-            measureCol("_cnt", a).map(c => complete(Sum(c)))
-          // avg = Σ(partial sums) / Σ(partial non-null counts) — the
-          // textbook mergeable decomposition
-          case Average(a: AttributeReference, _) =>
-            for {
-              s <- measureCol("_sum", a)
-              c <- measureCol("_cnt", a)
-            } yield org.apache.spark.sql.catalyst.expressions.Divide(
-              org.apache.spark.sql.catalyst.expressions.Cast(
-                complete(Sum(s)), org.apache.spark.sql.types.DoubleType),
-              org.apache.spark.sql.catalyst.expressions.Cast(
-                complete(Sum(c)), org.apache.spark.sql.types.DoubleType))
-          case _ => None
-        }
-        merged match {
+      case al @ Alias(e, name) =>
+        mapExpr(e) match {
           case Some(m) => Alias(m, name)(exprId = al.exprId)
           case None => return None
         }

@@ -109,6 +109,14 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("q_projection_agg is served from its partials, not the base copy") {
+    val q = SparkEntry.queries("q_projection_agg")(spark, sf)
+    val paths = scanPaths(q)
+    assert(paths.nonEmpty && paths.forall(_.contains("_partials")),
+      s"the declared projection query must scan the partials: $paths")
+    assert(q.count() > 0)
+  }
+
   test("non-decomposable or non-covered queries fall through to the base scan") {
     withProjection(Seq("l_returnflag"), Seq("l_quantity")) { dest =>
       // avg over an UNPROJECTED measure -> no rewrite

@@ -213,6 +213,51 @@ object Snapshot {
     GcReport(expired.map(_._1).sorted, kept.map(_._1).sorted)
   }
 
+  final case class CompactReport(daysCompacted: Seq[String],
+      filesBefore: Long, filesAfter: Long)
+
+  /** ClickHouse `OPTIMIZE TABLE … FINAL` analog for the snapshot's
+    * file layout: rewrite every local day partition that has
+    * accumulated multiple part files into one file. Content (and
+    * therefore the manifest digests) is unchanged — this is purely
+    * the small-files defense: a snapshot written by a 1000-task job,
+    * or grown by many incremental ticks, otherwise fragments into
+    * task-count × days files and every restore/scan pays the
+    * per-file open cost. Runs day-at-a-time (write-new-then-rename,
+    * same swap discipline as the streaming projection) so a crash
+    * leaves every partition either old or new, never half.
+    */
+  def compact(spark: SparkSession, dest: String): CompactReport = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dayDirs = fs.listStatus(destPath).map(_.getPath)
+      .filter(_.getName.startsWith("bucket_day="))
+    var before = 0L
+    var after = 0L
+    val compacted = Seq.newBuilder[String]
+    dayDirs.sortBy(_.getName).foreach { dir =>
+      val parts = fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") || p.getName.startsWith("part-"))
+      before += parts.length
+      if (parts.length > 1) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          destPath, "_compact_tmp_" + dir.getName)
+        spark.read.parquet(dir.toString).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // keep only data files in the swapped-in dir (drop _SUCCESS)
+        fs.listStatus(tmp).map(_.getPath)
+          .filterNot(p => p.getName.endsWith(".parquet") || p.getName.startsWith("part-"))
+          .foreach(p => fs.delete(p, false))
+        fs.delete(dir, true)
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"compaction swap failed for $dir")
+        compacted += dir.getName.stripPrefix("bucket_day=")
+        after += 1
+      } else after += parts.length
+    }
+    CompactReport(compacted.result(), before, after)
+  }
+
   private def writeManifest(spark: SparkSession, dest: String,
       rows: Seq[(String, Long, Long, String, String, String)]): Unit = {
     import spark.implicits._

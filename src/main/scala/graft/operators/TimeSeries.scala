@@ -179,6 +179,57 @@ object TimeSeries extends QueryModule {
              |FROM merged GROUP BY o_custkey
              |ORDER BY o_custkey""".stripMargin)),
 
+    // ClickHouse `TTL … GROUP BY` ([CH]): age-based rollup — rows
+    // older than the TTL collapse into per-(key, day) aggregates while
+    // recent rows stay raw, in one dataset. The cutoff anchors on
+    // max(ts) (deterministic from the data, the q_retention_filter
+    // pattern) and broadcasts; the old side is one map-side-combined
+    // hash aggregate; the recent side is a filter — at 100 TB this is
+    // THE storage-bend: history shrinks to the key×day domain without
+    // losing recent-row fidelity.
+    "q_ttl_rollup" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_s"),
+            col("event_id"), col("value"))
+        val mx = e.agg(max("ts_s").as("m"))
+        val withM = e.crossJoin(broadcast(mx))
+        val recent = withM
+          .filter(col("ts_s") > col("m") - expr("INTERVAL 7 DAYS"))
+          .select(lit("raw").as("kind"), col("user_id"), col("event_type"),
+            date_trunc("day", col("ts_s")).as("bucket_day"),
+            col("event_id"), lit(1L).as("n_rows"),
+            round(col("value"), 4).as("sum_value"))
+        val rolled = withM
+          .filter(col("ts_s") <= col("m") - expr("INTERVAL 7 DAYS"))
+          .groupBy(col("user_id"), col("event_type"),
+            date_trunc("day", col("ts_s")).as("bucket_day"))
+          .agg(count(lit(1)).as("n_rows"), round(sum("value"), 4).as("sum_value"))
+          .select(lit("rolled").as("kind"), col("user_id"), col("event_type"),
+            col("bucket_day"), lit(null).cast("long").as("event_id"),
+            col("n_rows"), col("sum_value"))
+        recent.unionByName(rolled)
+          .orderBy("kind", "user_id", "event_type", "bucket_day", "event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s, event_id, value
+             |  FROM events),
+             |mx AS (SELECT max(ts_s) AS m FROM e),
+             |recent AS (
+             |  SELECT 'raw' AS kind, user_id, event_type,
+             |    CAST(date_trunc('day', ts_s) AS TIMESTAMP) AS bucket_day,
+             |    event_id, CAST(1 AS BIGINT) AS n_rows, round(value, 4) AS sum_value
+             |  FROM e, mx WHERE ts_s > m - INTERVAL 7 DAY),
+             |old AS (
+             |  SELECT 'rolled' AS kind, user_id, event_type,
+             |    CAST(date_trunc('day', ts_s) AS TIMESTAMP) AS bucket_day,
+             |    CAST(NULL AS BIGINT) AS event_id, CAST(count(*) AS BIGINT) AS n_rows,
+             |    round(sum(value), 4) AS sum_value
+             |  FROM e, mx WHERE ts_s <= m - INTERVAL 7 DAY
+             |  GROUP BY user_id, event_type, date_trunc('day', ts_s))
+             |SELECT * FROM recent UNION ALL SELECT * FROM old
+             |ORDER BY kind, user_id, event_type, bucket_day, event_id""".stripMargin)),
+
     // Largest-Triangle-Three-Buckets downsampling ([NS] — Steinarsson
     // 2013, the standard time-series visual-decimation algorithm;
     // ClickHouse ships it as largestTriangleThreeBuckets). This is the

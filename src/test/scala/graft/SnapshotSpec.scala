@@ -21,6 +21,34 @@ class SnapshotSpec extends SparkSpec {
       "restore must reproduce the backed-up rows exactly")
   }
 
+  test("compaction collapses day partitions to one file without changing content") {
+    // repartition(8) fragments each day dir into multiple part files —
+    // the layout a many-task writer or incremental ticks produce
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_s", "value")
+      .repartition(8)
+    val dest = Files.createTempDirectory("graft-compact").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val beforeRows = Snapshot.restore(spark, dest).drop("bucket_day").collect().toSet
+    val report = Snapshot.compact(spark, dest)
+    assert(report.filesBefore > report.filesAfter,
+      s"fragmented layout must shrink: $report")
+    assert(report.daysCompacted.nonEmpty)
+    // one file per day dir afterwards
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(dest)).map(_.getPath)
+      .filter(_.getName.startsWith("bucket_day=")).foreach { d =>
+        val parts = fs.listStatus(d).count(_.getPath.getName.startsWith("part-"))
+        assert(parts == 1, s"$d still has $parts part files")
+      }
+    // content and manifest-backed GC survive the rewrite
+    val afterRows = Snapshot.restore(spark, dest).drop("bucket_day").collect().toSet
+    assert(afterRows == beforeRows, "compaction must not change content")
+    val gcReport = Snapshot.gc(spark, dest, keepDays = 10000)
+    assert(gcReport.deletedDays.isEmpty, "manifest must still be readable after compaction")
+  }
+
   test("empty snapshot fails validation like the reference's exit 1") {
     val src = Relational.eventsSec(spark, sf).filter(lit(false))
       .select("event_id", "ts_s")

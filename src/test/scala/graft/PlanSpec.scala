@@ -39,7 +39,10 @@ class PlanSpec extends SparkSpec {
       "q_agg_theils_u",
       // lttb: the 1-row series extent (min/max day) broadcast onto
       // the day grid for bucket assignment — bounded by construction
-      "q_win_lttb")
+      "q_win_lttb",
+      // ttl_rollup: the 1-row max(ts) cutoff broadcast onto the fact
+      // rows (the q_retention_filter anchor pattern)
+      "q_ttl_rollup")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -117,6 +117,63 @@ class ProjectionSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("property: served answers equal base answers across random tables and query shapes") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rowGen = Gen.listOfN(200, for {
+      k1 <- Gen.oneOf("a", "b", "c")
+      k2 <- Gen.oneOf("x", "y")
+      v1 <- Gen.choose(-50, 50)
+      v2 <- Gen.oneOf(Gen.const(Option.empty[Double]),
+        Gen.choose(-10.0, 10.0).map(Some(_)))
+    } yield (k1, k2, v1.toLong, v2))
+    (1 to 5).foreach { trial =>
+      val rows = rowGen.apply(org.scalacheck.Gen.Parameters.default
+        .withSize(200), org.scalacheck.rng.Seed(trial.toLong)).get
+      val baseDir = java.nio.file.Files.createTempDirectory(s"graft_prop$trial").toString + "/t"
+      val projDir = baseDir + "_p"
+      try {
+        rows.toDF("k1", "k2", "v1", "v2").write.parquet(baseDir)
+        plans.Projections.materialize(spark.read.parquet(baseDir),
+          Seq("k1", "k2"), Seq("v1", "v2"), projDir)
+        // ground truth computed from the raw rows in Scala
+        def query() = spark.read.parquet(baseDir)
+          .groupBy("k1")
+          .agg(sum("v1").as("s1"), count(lit(1)).as("n"), avg("v2").as("a2"),
+            min("v1").as("m1"), max("v2").as("x2"), count(col("v2")).as("n2"))
+          .orderBy("k1")
+        val want = query().collect().toSeq
+        plans.Projections.register(baseDir,
+          plans.Projections.ProjectionMeta(projDir, Seq("k1", "k2"), Seq("v1", "v2")))
+        val served = query()
+        assert(scanPaths(served).exists(_.contains(projDir)),
+          s"trial $trial must be served from the projection")
+        val got = served.collect().toSeq
+        // avg of doubles reassociates across partials — compare with tolerance
+        want.zip(got).foreach { case (w, g) =>
+          assert(w.getString(0) == g.getString(0))
+          assert(w.getLong(1) == g.getLong(1) && w.getLong(2) == g.getLong(2))
+          assert(w.getLong(4) == g.getLong(4) && w.getLong(6) == g.getLong(6))
+          (Option(w.get(3)), Option(g.get(3))) match {
+            case (Some(a), Some(b)) =>
+              assert(math.abs(a.asInstanceOf[Double] - b.asInstanceOf[Double]) < 1e-9,
+                s"trial $trial avg: $a vs $b")
+            case (a, b) => assert(a == b, s"trial $trial avg nullness: $a vs $b")
+          }
+          (Option(w.get(5)), Option(g.get(5))) match {
+            case (Some(a), Some(b)) => assert(a == b)
+            case (a, b) => assert(a == b)
+          }
+        }
+      } finally {
+        plans.Projections.unregister(baseDir)
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(baseDir).getParentFile)
+      }
+    }
+  }
+
   test("non-decomposable or non-covered queries fall through to the base scan") {
     withProjection(Seq("l_returnflag"), Seq("l_quantity")) { dest =>
       // avg over an UNPROJECTED measure -> no rewrite

@@ -31,7 +31,15 @@ class DeterminismSpec extends SparkSpec {
     "q_agg_entropy",     // multi-term float sum under rounding
     "q_agg_uniq_upto",   // capped distinct set: saturation is merge-order-free
     "q_agg_hll_merge",   // HLL union commutes exactly
-    "q_topk_weighted")   // exact while capacity covers the domain
+    "q_topk_weighted",   // exact while capacity covers the domain
+    "q_agg_delta_sum",   // lag window under second-truncated ts ties
+    "q_interval_merge",  // islands: running-max frame under (st,en) ties
+    "q_win_cum_share",   // running revenue share: cumsum of doubles
+    "q_win_lttb",        // fp-area argmax per bucket, tie-broken on x
+    "q_agg_mann_whitney", // value-grid cumulative ranks
+    "q_agg_ks_test",     // value-grid CDF sup-distance
+    "q_zipf_fit",        // top-100 rank ties broken by token
+    "q_ttl_rollup")      // per-(key,day) double sums under rounding
 
   test("layout-hostile session reproduces every hash/window/iterative query") {
     val hostile = spark.newSession()

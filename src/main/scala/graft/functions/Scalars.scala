@@ -194,6 +194,51 @@ object Scalars extends QueryModule {
         .orderBy("event_id"),
       None),
 
+    // ClickHouse arrayCumSum / arrayDifference + multi-array ARRAY
+    // JOIN ([CH]): each user's time-ordered value array is built once
+    // (array_sort over the collected (ts, id, value) structs — order
+    // deterministic under ties), prefix sums and first differences
+    // are computed ROW-LOCALLY by codegen'd higher-order folds
+    // (aggregate / zip_with — the sequential fold adds in exactly the
+    // oracle's window order, so the doubles are bit-identical), and
+    // the three parallel arrays explode back in lockstep
+    // (posexplode ∘ arrays_zip — ClickHouse's multi-column ARRAY
+    // JOIN). One shuffle on the user key; everything after is
+    // per-row.
+    "q_array_cumsum" -> QueryDef(
+      (s, dir) => {
+        val arr = Relational.eventsSec(s, dir)
+          .groupBy("user_id")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(ts_s, event_id, value))), x -> x.value)")
+            .as("v"))
+        arr
+          .withColumn("cum", expr(
+            """aggregate(v, CAST(array() AS ARRAY<DOUBLE>),
+              |  (acc, x) -> array_append(acc, coalesce(try_element_at(acc, -1), 0D) + x))"""
+              .stripMargin))
+          .withColumn("diff", expr(
+            "zip_with(v, concat(array(0D), slice(v, 1, size(v) - 1)), (a, b) -> a - b)"))
+          .select(col("user_id"), expr("posexplode(arrays_zip(v, cum, diff))"))
+          .select(col("user_id"), (col("pos") + 1).cast("long").as("idx"),
+            round(col("col.v"), 4).as("v"),
+            round(col("col.cum"), 4).as("cum"),
+            round(col("col.diff"), 4).as("diff"))
+          .orderBy("user_id", "idx")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, value
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT) AS idx,
+             |    round(value, 4) AS v,
+             |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum,
+             |    round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id), 0), 4) AS diff
+             |  FROM e)
+             |SELECT * FROM w ORDER BY user_id, idx""".stripMargin)),
+
     // ClickHouse IPv4NumToString/IPv4StringToNum/range-prefix family
     // ([CH] — ClickHouse ships ~20 IP functions; the backed-up tables
     // routinely carry packed IPv4 columns). The fixtures have no IP

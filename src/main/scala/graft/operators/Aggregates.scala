@@ -595,6 +595,50 @@ object Aggregates extends QueryModule {
     // is bounded by per-user activity; for unbounded activity the
     // funnel's min-ts-chain shape is the streaming-safe form of the
     // same predicate — this form exists for arbitrary patterns.
+    // ClickHouse sequenceNextNode ([CH]): the event that FOLLOWS each
+    // user's first anchor event (head direction, first_match base) —
+    // "what do users do right after signing up". Two ranked windows,
+    // both partitioned on the user key: the first-signup anchor per
+    // user, then the first event strictly after it ((ts, id)
+    // lexicographic — deterministic under second-truncated ties).
+    // The anchor table is one row per user and joins back on the
+    // user key (co-partitioned with the window shuffle).
+    "q_seq_next_node" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("ts_s"), col("event_id"), col("event_type"))
+        val wU = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        val anchor = e.filter(col("event_type") === "signup")
+          .withColumn("rn", row_number().over(wU))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts_s").as("a_ts"), col("event_id").as("a_id"))
+        e.join(anchor, Seq("user_id"))
+          .filter(col("ts_s") > col("a_ts")
+            || (col("ts_s") === col("a_ts") && col("event_id") > col("a_id")))
+          .withColumn("rn", row_number().over(wU))
+          .withColumn("n_after", count(lit(1)).over(Window.partitionBy("user_id")))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("next_type"),
+            col("n_after").cast("long").as("n_after"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
+             |  FROM events),
+             |a AS (
+             |  SELECT user_id, ts_s AS a_ts, event_id AS a_id FROM (
+             |    SELECT user_id, ts_s, event_id,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS rn
+             |    FROM e WHERE event_type = 'signup') t WHERE rn = 1),
+             |nxt AS (
+             |  SELECT e.user_id, e.event_type, e.ts_s, e.event_id,
+             |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_s, e.event_id) AS rn,
+             |    count(*) OVER (PARTITION BY e.user_id) AS n_after
+             |  FROM e JOIN a ON e.user_id = a.user_id
+             |  WHERE e.ts_s > a.a_ts OR (e.ts_s = a.a_ts AND e.event_id > a.a_id))
+             |SELECT user_id, event_type AS next_type, CAST(n_after AS BIGINT) AS n_after
+             |FROM nxt WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     "q_seq_match" -> QueryDef(
       (s, dir) => userEventSeq(s, dir)
         .select(col("user_id"),

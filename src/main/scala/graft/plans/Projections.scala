@@ -175,9 +175,25 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // else (round, arithmetic, casts over aggregates) maps child-wise
     def mapExpr(e: Expression): Option[Expression] = e match {
       case AggregateExpression(fn, _, false, None, _) => mergedFor(fn)
+      // DISTINCT over projection KEYS is exact: every key combination
+      // appears exactly once in the partials, so count(DISTINCT k) /
+      // sum(DISTINCT k) re-run unchanged over the projection rows
+      case AggregateExpression(fn, _, true, None, _)
+          if fn.references.nonEmpty
+            && fn.references.forall(a => meta.keys.contains(a.name)) =>
+        var ok = true
+        val remapped = fn.transformUp {
+          case a: AttributeReference =>
+            byName.get(a.name) match {
+              case Some(p) => p
+              case None => ok = false; a
+            }
+        }.asInstanceOf[AggregateFunction]
+        if (ok) Some(AggregateExpression(remapped, Complete, isDistinct = true))
+        else None
       case a: AttributeReference if groupNames.contains(a.name) => byName.get(a.name)
       case _: AttributeReference => None
-      case _: AggregateExpression => None // distinct / filtered
+      case _: AggregateExpression => None // distinct over measures / filtered
       case other =>
         val kids = other.children.map(mapExpr)
         if (kids.exists(_.isEmpty)) None

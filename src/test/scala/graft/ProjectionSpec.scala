@@ -67,11 +67,31 @@ class ProjectionSpec extends SparkSpec {
     val want = spark.read.parquet(liPath)
       .groupBy("l_linestatus").agg(sum("l_quantity").as("s"))
       .orderBy("l_linestatus").collect().toSeq
-    withProjection(Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")) { _ =>
+    val wantGlobal = spark.read.parquet(liPath)
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n")).collect().toSeq
+    val wantDistinct = spark.read.parquet(liPath)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("d"))
+      .orderBy("l_returnflag").collect().toSeq
+    withProjection(Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")) { dest =>
       val got = spark.read.parquet(liPath)
         .groupBy("l_linestatus").agg(sum("l_quantity").as("s"))
         .orderBy("l_linestatus")
       assert(got.collect().toSeq == want)
+      // empty grouping (global aggregate) re-merges too
+      val global = spark.read.parquet(liPath)
+        .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      assert(scanPaths(global).exists(_.contains(dest)),
+        "global aggregate must be served by the projection")
+      assert(global.collect().toSeq == wantGlobal)
+      // DISTINCT over projection KEYS is exact on the partials
+      val dist = spark.read.parquet(liPath)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_linestatus")).as("d"))
+        .orderBy("l_returnflag")
+      assert(scanPaths(dist).exists(_.contains(dest)),
+        "count distinct over keys must be served by the projection")
+      assert(dist.collect().toSeq == wantDistinct)
     }
   }
 

@@ -835,6 +835,39 @@ object Aggregates extends QueryModule {
              |         CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey < 100)
              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
 
+    // Recursive CTE ([CH] 24.4+ `WITH RECURSIVE`; Spark 4 UnionLoop):
+    // hierarchy walk — every supplier's chain to the root under the
+    // deterministic parent function ⌊id/2⌋, reporting depth, chain
+    // length, and the chain's id sum. The recursion is a LINEAR
+    // self-union (each step joins only the frontier, O(log id) steps
+    // here) — Spark executes it as an iterative UnionLoop, exactly
+    // the hash-to-min CC iteration shape q_dedup_cluster hand-rolls;
+    // both engines run the IDENTICAL statement text.
+    "q_recursive_cte" -> QueryDef(
+      (s, dir) => {
+        Tables(s, dir, "supplier").createOrReplaceTempView("supplier_rc")
+        s.sql("""WITH RECURSIVE chain AS (
+                |  SELECT s_suppkey AS leaf, CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+                |  FROM supplier_rc
+                |  UNION ALL
+                |  SELECT leaf, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+                |  FROM chain WHERE node > 0)
+                |SELECT leaf, CAST(max(depth) AS BIGINT) AS depth_to_root,
+                |  CAST(count(*) AS BIGINT) AS chain_len,
+                |  CAST(sum(node) AS BIGINT) AS chain_sum
+                |FROM chain GROUP BY leaf ORDER BY leaf""".stripMargin)
+      },
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT s_suppkey AS leaf, CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+             |  FROM supplier
+             |  UNION ALL
+             |  SELECT leaf, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+             |  FROM chain WHERE node > 0)
+             |SELECT leaf, CAST(max(depth) AS BIGINT) AS depth_to_root,
+             |  CAST(count(*) AS BIGINT) AS chain_len,
+             |  CAST(sum(node) AS BIGINT) AS chain_sum
+             |FROM chain GROUP BY leaf ORDER BY leaf""".stripMargin)),
+
     // Explicit grouping sets — SQL-only surface, via spark.sql.
     "q_agg_grouping_sets" -> QueryDef(
       (s, dir) => {

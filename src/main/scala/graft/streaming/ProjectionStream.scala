@@ -48,12 +48,34 @@ object ProjectionStream {
         sum(col(s"_cnt_$m")).as(s"_cnt_$m"))
     }
 
+  private val MarkerFile = "_merged_batch"
+
+  /** Highest batch id already folded into the projection at `dest`,
+    * or -1. The marker travels INSIDE the projection directory, so
+    * the atomic swap commits data and watermark together.
+    */
+  private[graft] def mergedBatchId(dest: String): Long = {
+    val f = new java.io.File(dest, MarkerFile)
+    if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong else -1L
+  }
+
   /** Fold one batch of RAW rows into the standing projection at
     * `dest` (creates it on first call). Exposed for the spec and for
     * batch backfills; `maintain` wires it into foreachBatch.
+    *
+    * Exactly-once under replay: foreachBatch is at-least-once (a
+    * crash between sink commit and checkpoint advance replays the
+    * batch), and a re-merged batch would DOUBLE-COUNT — sums are not
+    * idempotent. `batchId` fences it: ids at or below the marker in
+    * the standing dir are no-ops, and the marker is written into the
+    * NEW directory before the rename, so the swap atomically commits
+    * the merged partials and the watermark together — a crash at any
+    * point leaves either (old data, old marker) or (new data, new
+    * marker), never a half state.
     */
   def mergeBatch(batch: DataFrame, keys: Seq[String], measures: Seq[String],
-      dest: String): Unit = {
+      dest: String, batchId: Long = Long.MinValue): Unit = {
+    if (batchId != Long.MinValue && batchId <= mergedBatchId(dest)) return
     val spark = batch.sparkSession
     val fresh = batch.groupBy(keys.map(col): _*)
       .agg(partialAggs(measures).head, partialAggs(measures).tail: _*)
@@ -68,6 +90,9 @@ object ProjectionStream {
     // write-new-then-rename: never leave a half-written projection
     val tmp = dest + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    if (batchId != Long.MinValue)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, MarkerFile).toPath, batchId.toString)
     org.apache.commons.io.FileUtils.deleteDirectory(standingDir)
     if (!new java.io.File(tmp).renameTo(standingDir))
       throw new java.io.IOException(s"projection swap failed: $tmp -> $dest")
@@ -80,7 +105,7 @@ object ProjectionStream {
       dest: String): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch, keys, measures, dest)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, keys, measures, dest, id)
       }
 }

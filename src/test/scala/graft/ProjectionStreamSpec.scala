@@ -13,6 +13,28 @@ class ProjectionStreamSpec extends SparkSpec {
   private val keys = Seq("l_returnflag", "l_linestatus")
   private val measures = Seq("l_quantity")
 
+  test("a replayed batch id is a no-op — sums never double-count") {
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_psr").toString + "/proj"
+    try {
+      val b1 = Seq(("A", "x", 1.0), ("A", "x", 2.0), ("B", "y", 3.0))
+        .toDF("l_returnflag", "l_linestatus", "l_quantity")
+      val b2 = Seq(("A", "x", 10.0)).toDF("l_returnflag", "l_linestatus", "l_quantity")
+      streaming.ProjectionStream.mergeBatch(b1, keys, measures, dest, batchId = 0)
+      streaming.ProjectionStream.mergeBatch(b1, keys, measures, dest, batchId = 0) // replay
+      streaming.ProjectionStream.mergeBatch(b2, keys, measures, dest, batchId = 1)
+      streaming.ProjectionStream.mergeBatch(b2, keys, measures, dest, batchId = 1) // replay
+      val got = spark.read.parquet(dest)
+        .select("l_returnflag", "_cnt", "_sum_l_quantity")
+        .orderBy("l_returnflag")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == Seq(("A", 3L, 13.0), ("B", 1L, 3.0)),
+        s"replays must not double-count: $got")
+      assert(streaming.ProjectionStream.mergedBatchId(dest) == 1L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dest).getParentFile)
+  }
+
   test("stream-maintained partials equal the one-shot materialization and serve queries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

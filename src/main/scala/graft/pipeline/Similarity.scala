@@ -214,7 +214,45 @@ object Similarity extends QueryModule {
       .filter(col("rank") <= k)
   }
 
+  /** One-pass covariance moments + deterministic driver-side power
+    * iteration → the corpus's top principal component (see
+    * q_embed_pca). Exposed for the spec.
+    */
+  /** The flat (n, d, μ, upper-triangle cov) moment vector — one
+    * aggregate pass over the corpus.
+    */
+  private[graft] def embedPcaMoments(s: SparkSession, dir: String): Seq[Double] =
+    Tables(s, dir, "embeddings")
+      .agg(graft.functions.CovAgg(col("embedding")).as("m"))
+      .collect()(0).getSeq[Double](0)
+
+  private[graft] def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CovAgg
+    val flat = embedPcaMoments(s, dir)
+    val (n, mean, cov) = CovAgg.covarianceOf(flat)
+    val (lambda, pc1) = CovAgg.topEigen(cov)
+    import s.implicits._
+    mean.indices.map(i => (i.toLong,
+        math.rint(mean(i) * 1e6) / 1e6,
+        math.rint(pc1(i) * 1e6) / 1e6,
+        math.rint(lambda * 1e4) / 1e4, n))
+      .toDF("dim", "mean", "pc1_loading", "top_eigenvalue", "n_vectors")
+      .orderBy("dim")
+  }
+
   def entries: Map[String, QueryDef] = Map(
+
+    // Embedding-corpus PCA ([NS] — drift monitoring / whitening / the
+    // quality screen before ANN indexing): per-dimension mean and the
+    // top principal component of the embedding distribution. ONE
+    // aggregate pass folds (Σv, upper-triangle Σv·vᵀ, n) via the
+    // mergeable CovAgg buffer — the shuffle carries d(d+3)/2+1
+    // doubles per partition, never a row multiplication — and the
+    // d×d eigen step is a deterministic driver-side power iteration
+    // (model-scale, the k-means-centroid collect budget). Rows-only:
+    // eigenvectors aren't SQL-expressible; SimilaritySpec pins
+    // Av = λv, unit norm, and a known-axis crafted corpus.
+    "q_embed_pca" -> QueryDef((s, dir) => embedPca(s, dir)),
 
     // Per-label centroid — the distributed vector mean behind every
     // IVF/k-means build, surfaced as a query. VecMeanAgg keeps ONE

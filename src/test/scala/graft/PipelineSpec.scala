@@ -292,6 +292,57 @@ class PipelineSpec extends SparkSpec {
     assert(r1.forall(x => x.payload.length <= orig(x.asset_id)))
   }
 
+  test("CovAgg moments equal the brute-force covariance") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(1.0f, 2.0f, 3.0f), Seq(2.0f, 1.0f, 5.0f),
+      Seq(0.0f, 4.0f, 1.0f), Seq(3.0f, 3.0f, 3.0f))
+    val flat = vecs.toDF("v")
+      .agg(functions.CovAgg(org.apache.spark.sql.functions.col("v")))
+      .collect()(0).getSeq[Double](0)
+    val (n, mean, cov) = functions.CovAgg.covarianceOf(flat)
+    assert(n == 4L)
+    val d = 3
+    val raw = vecs.map(_.map(_.toDouble))
+    (0 until d).foreach { i =>
+      val mi = raw.map(_(i)).sum / 4
+      assert(math.abs(mean(i) - mi) < 1e-12)
+      (0 until d).foreach { j =>
+        val mj = raw.map(_(j)).sum / 4
+        val cij = raw.map(r => (r(i) - mi) * (r(j) - mj)).sum / 4
+        assert(math.abs(cov(i)(j) - cij) < 1e-9, s"cov($i,$j)")
+      }
+    }
+  }
+
+  test("power iteration recovers a known principal axis; the fixture PCA is an eigenpair") {
+    // crafted: points spread along (0.6, 0.8) with small orthogonal noise
+    val axis = Array(0.6, 0.8)
+    val pts = (-10 to 10).map { t =>
+      val noise = (t % 3) * 0.01
+      Array(axis(0) * t + noise * axis(1), axis(1) * t - noise * axis(0))
+    }
+    val means = Array(0, 1).map(i => pts.map(_(i)).sum / pts.length)
+    val cov = Array.tabulate(2, 2)((i, j) =>
+      pts.map(p => (p(i) - means(i)) * (p(j) - means(j))).sum / pts.length)
+    val (lambda, v) = functions.CovAgg.topEigen(cov)
+    assert(math.abs(math.abs(v(0)) - 0.6) < 0.01 && math.abs(math.abs(v(1)) - 0.8) < 0.01,
+      s"axis: ${v.toSeq}")
+    assert(lambda > 0)
+    // fixture corpus: (λ, v) from the query must satisfy cov·v = λ·v
+    val rows = SparkEntry.queries("q_embed_pca")(spark, sf).collect()
+    assert(rows.length == 64 && rows.map(_.getLong(0)).toSeq == (0L until 64L))
+    val flat = pipeline.Similarity.embedPcaMoments(spark, sf)
+    val (_, _, fcov) = functions.CovAgg.covarianceOf(flat)
+    val pc = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    val lam = rows(0).getDouble(3)
+    assert(math.abs(math.sqrt(pc.map(x => x * x).sum) - 1.0) < 1e-3, "unit norm")
+    val av = fcov.map(row => row.zip(pc).map { case (a, b) => a * b }.sum)
+    av.zip(pc).foreach { case (a, p) =>
+      assert(math.abs(a - lam * p) < 1e-2, s"Av=λv violated: $a vs ${lam * p}")
+    }
+  }
+
   test("multimodal feature extraction is deterministic and total") {
     val f1 = pipeline.Multimodal.extractFeatures(
       pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)

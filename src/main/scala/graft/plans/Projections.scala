@@ -36,12 +36,15 @@ object Projections {
   final case class ProjectionMeta(projPath: String, keys: Seq[String],
       measures: Seq[String])
 
-  /** Registered projections: normalized base path → meta. Session-
+  /** Registered projections: normalized base path → metas. Session-
     * global on purpose (the rule consults it on every optimization);
-    * empty ⇒ the rule is a guaranteed no-op.
+    * empty ⇒ the rule is a guaranteed no-op. A base may carry several
+    * projections (ClickHouse tables routinely do); the rule tries the
+    * NARROWEST covering one first — fewer keys ⇒ fewer pre-aggregated
+    * rows to re-merge.
     */
   private val catalog =
-    scala.collection.concurrent.TrieMap.empty[String, ProjectionMeta]
+    scala.collection.concurrent.TrieMap.empty[String, List[ProjectionMeta]]
 
   private def normalize(p: String): String = {
     val u = new java.net.URI(p)
@@ -50,12 +53,16 @@ object Projections {
   }
 
   def register(basePath: String, meta: ProjectionMeta): Unit =
-    catalog.put(normalize(basePath), meta)
+    catalog.updateWith(normalize(basePath)) {
+      case Some(ms) => Some(meta :: ms.filterNot(_.projPath == meta.projPath))
+      case None => Some(List(meta))
+    }
 
   def unregister(basePath: String): Unit = catalog.remove(normalize(basePath))
 
-  private[plans] def lookup(paths: Seq[String]): Option[ProjectionMeta] =
-    paths.iterator.map(normalize).flatMap(catalog.get).nextOption()
+  private[plans] def lookup(paths: Seq[String]): Seq[ProjectionMeta] =
+    paths.iterator.map(normalize).flatMap(catalog.getOrElse(_, Nil))
+      .toSeq.sortBy(_.keys.size)
 
   /** Build + write the projection parquet for `base`: one row per key
     * combination carrying every mergeable partial the rewrite can
@@ -111,15 +118,18 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
-        (for {
-          (cond, paths) <- destructure(child)
-          meta <- lookup(paths)
-          // a filter is sound iff it references only projection KEYS —
-          // key predicates commute with the pre-aggregation (every
-          // base row of a key combination satisfies or fails together)
-          if cond.forall(_.references.forall(a => meta.keys.contains(a.name)))
-          out <- rewrite(agg, grouping, aggExprs, cond, meta)
-        } yield out).getOrElse(agg)
+        destructure(child).map { case (cond, paths) =>
+          // narrowest covering projection wins (lookup pre-sorts)
+          lookup(paths).iterator.flatMap { meta =>
+            // a filter is sound iff it references only projection KEYS
+            // — key predicates commute with the pre-aggregation (every
+            // base row of a key combination satisfies or fails
+            // together)
+            if (cond.forall(_.references.forall(a => meta.keys.contains(a.name))))
+              rewrite(agg, grouping, aggExprs, cond, meta)
+            else None
+          }.nextOption().getOrElse(agg)
+        }.getOrElse(agg)
     }
 
   private def rewrite(agg: Aggregate, grouping: Seq[Expression],

@@ -137,6 +137,39 @@ class ProjectionSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("with several projections registered, the narrowest covering one is chosen") {
+    val wide = java.nio.file.Files.createTempDirectory("graft_pw").toString
+    val narrow = java.nio.file.Files.createTempDirectory("graft_pn").toString
+    try {
+      plans.Projections.materialize(spark.read.parquet(liPath),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), wide)
+      plans.Projections.materialize(spark.read.parquet(liPath),
+        Seq("l_returnflag"), Seq("l_quantity"), narrow)
+      plans.Projections.register(liPath, plans.Projections.ProjectionMeta(
+        wide, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")))
+      plans.Projections.register(liPath, plans.Projections.ProjectionMeta(
+        narrow, Seq("l_returnflag"), Seq("l_quantity")))
+      // covered by both -> the 1-key projection must win
+      val q1 = spark.read.parquet(liPath)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      assert(scanPaths(q1).exists(_.contains(narrow)), s"narrow wins: ${scanPaths(q1)}")
+      // needs the status key -> only the wide one covers
+      val q2 = spark.read.parquet(liPath)
+        .groupBy("l_linestatus").agg(sum("l_quantity").as("s"))
+      assert(scanPaths(q2).exists(_.contains(wide)), s"wide covers: ${scanPaths(q2)}")
+      // results identical to base either way
+      val want = spark.read.parquet(liPath)
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+        .orderBy("l_returnflag")
+      plans.Projections.unregister(liPath)
+      assert(q1.orderBy("l_returnflag").collect().toSeq == want.collect().toSeq)
+    } finally {
+      plans.Projections.unregister(liPath)
+      Seq(wide, narrow).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("property: served answers equal base answers across random tables and query shapes") {
     import org.scalacheck.Gen
     import spark.implicits._

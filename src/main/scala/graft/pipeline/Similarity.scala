@@ -242,6 +242,43 @@ object Similarity extends QueryModule {
 
   def entries: Map[String, QueryDef] = Map(
 
+    // Embedding outlier screen ([NS] — the hygiene step before ANN
+    // indexing / near-dup: vectors whose per-dimension z-scores blow
+    // up are encoder failures or corrupt rows). Score = diagonal
+    // Mahalanobis Σ((xᵢ−μᵢ)/σᵢ)². μ/σ come from ONE CovAgg moment
+    // pass (no explode — the shuffle carries the moment buffer, not
+    // d rows per vector) and broadcast as literals; the score is a
+    // row-local codegen'd zip_with/aggregate fold; top-20 is a
+    // TakeOrdered, never a global sort. The oracle recomputes via
+    // explode + stddev_pop — same population formula.
+    "q_embed_outliers" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.CovAgg
+        val (_, mean, cov) = CovAgg.covarianceOf(embedPcaMoments(s, dir))
+        val muLit = array(mean.map(lit).toSeq: _*)
+        val sdLit = array(mean.indices.map(i => lit(math.sqrt(cov(i)(i)))): _*)
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            aggregate(
+              zip_with(
+                zip_with(col("embedding").cast("array<double>"), muLit, (a, b) => a - b),
+                sdLit, (c, sd) => pow(c / sd, 2)),
+              lit(0.0), (acc, x) => acc + x).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+          .select(col("vec_id"), round(col("score"), 4).as("m2"))
+      },
+      Some("""WITH flat AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+             |  FROM embeddings),
+             |stats AS (
+             |  SELECT dim, avg(v) AS mu, stddev_pop(v) AS sd FROM flat GROUP BY dim),
+             |scores AS (
+             |  SELECT vec_id, sum(pow((v - mu) / sd, 2)) AS score
+             |  FROM flat JOIN stats USING (dim) GROUP BY vec_id)
+             |SELECT vec_id, round(score, 4) AS m2
+             |FROM scores ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
+
     // Embedding-corpus PCA ([NS] — drift monitoring / whitening / the
     // quality screen before ANN indexing): per-dimension mean and the
     // top principal component of the embedding distribution. ONE

@@ -13,6 +13,41 @@ class ProjectionStreamSpec extends SparkSpec {
   private val keys = Seq("l_returnflag", "l_linestatus")
   private val measures = Seq("l_quantity")
 
+  test("stream-maintained covariance moments equal the one-shot pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dest = java.nio.file.Files.createTempDirectory("graft_mom").toString + "/m"
+    try {
+      val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("embedding").as[Seq[Float]].collect().toSeq
+      val (b1, b2) = vecs.splitAt(vecs.length / 2)
+      val mem = MemoryStream[Seq[Float]]
+      val q = streaming.MomentsStream.maintain(
+          mem.toDF().toDF("embedding"), dest).start()
+      try {
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        mem.addData(Seq.empty[Seq[Float]]); q.processAllAvailable() // empty batch no-op
+      } finally q.stop()
+      val got = streaming.MomentsStream.moments(spark, dest).get
+      val want = pipeline.Similarity.embedPcaMoments(spark, sf)
+      assert(got.length == want.length)
+      // merged raw moments reassociate across the batch split
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+          s"moment drifted: $g vs $w")
+      }
+      // the live principal axis from the stream matches the batch one
+      val (_, _, cg) = functions.CovAgg.covarianceOf(got)
+      val (_, _, cw) = functions.CovAgg.covarianceOf(want)
+      val (lg, vg) = functions.CovAgg.topEigen(cg)
+      val (lw, vw) = functions.CovAgg.topEigen(cw)
+      assert(math.abs(lg - lw) < 1e-6 * math.max(1.0, lw))
+      vg.zip(vw).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dest).getParentFile)
+  }
+
   test("a replayed batch id is a no-op — sums never double-count") {
     import spark.implicits._
     val dest = java.nio.file.Files.createTempDirectory("graft_psr").toString + "/proj"

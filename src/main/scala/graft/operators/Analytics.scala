@@ -291,6 +291,43 @@ object Analytics extends QueryModule {
     // one hash aggregate to the contingency cells (≤ segments ×
     // nations rows), two window sums over that bounded grid for the
     // margins, one global fold. Nothing touches the fact rows twice.
+    // ClickHouse contingency / theilsU siblings ([CH]): Pearson's
+    // contingency coefficient C = √(χ²/(χ²+n)) and Tschuprow's T =
+    // √(χ²/(n·√((r−1)(c−1)))) — same observed-cells χ² identity and
+    // the same bounded-grid plan as q_agg_cramers_v, different
+    // normalizations (the full ClickHouse association family:
+    // cramersV, contingency, theilsU, and T).
+    "q_agg_contingency" -> QueryDef(
+      (s, dir) => {
+        val n = Tables(s, dir, "customer").count().toDouble
+        cramersV(Tables(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+          .select(
+            round(sqrt(col("chi2") / (col("chi2") + n)), 4).as("contingency_c"),
+            round(sqrt(col("chi2")
+              / (lit(n) * sqrt((col("n_a") - 1) * (col("n_b") - 1)))), 4)
+              .as("tschuprow_t"),
+            col("n_a").as("n_segments"), col("n_b").as("n_nations"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS DOUBLE) AS nij
+             |  FROM customer GROUP BY c_mktsegment, c_nationkey),
+             |marg AS (
+             |  SELECT nij,
+             |    sum(nij) OVER (PARTITION BY c_mktsegment) AS ri,
+             |    sum(nij) OVER (PARTITION BY c_nationkey) AS cj
+             |  FROM cells),
+             |fix AS (
+             |  SELECT sum(nij) AS n, sum(nij*nij/(ri*cj)) AS srat FROM marg),
+             |dims AS (
+             |  SELECT CAST(count(DISTINCT c_mktsegment) AS DOUBLE) AS r,
+             |    CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS c FROM customer)
+             |SELECT
+             |  round(sqrt((n*(srat-1)) / (n*(srat-1) + n)), 4) AS contingency_c,
+             |  round(sqrt((n*(srat-1)) / (n * sqrt((r-1)*(c-1)))), 4) AS tschuprow_t,
+             |  CAST(r AS BIGINT) AS n_segments,
+             |  CAST(c AS BIGINT) AS n_nations
+             |FROM fix, dims""".stripMargin)),
+
     "q_agg_cramers_v" -> QueryDef(
       (s, dir) => cramersV(Tables(s, dir, "customer"),
           "c_mktsegment", "c_nationkey")

@@ -121,10 +121,14 @@ object CovAgg {
     */
   def topEigen(cov: Array[Array[Double]], iters: Int = 200): (Double, Array[Double]) = {
     val d = cov.length
-    var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble) * (if (i % 2 == 0) 1 else -1))
-    var lambda = 0.0
-    var it = 0
-    while (it < iters) {
+
+    def normalize(w: Array[Double]): Double = {
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0.0) { var k = 0; while (k < d) { w(k) /= norm; k += 1 } }
+      norm
+    }
+
+    def multiply(v: Array[Double]): Array[Double] = {
       val w = new Array[Double](d)
       var i = 0
       while (i < d) {
@@ -134,14 +138,44 @@ object CovAgg {
         w(i) = acc
         i += 1
       }
-      val norm = math.sqrt(w.map(x => x * x).sum)
-      if (norm == 0.0) return (0.0, v)
-      var k = 0
-      while (k < d) { w(k) /= norm; k += 1 }
-      lambda = norm
-      v = w
-      it += 1
+      w
     }
+
+    // start vectors with GENERIC loadings: sin(i+1) has no structural
+    // orthogonality to any natural eigenvector shape (an alternating
+    // ±1 start is exactly orthogonal to a constant-loading axis — a
+    // plausible dominant direction for embedding covariances). On a
+    // large Rayleigh residual, restart with a deterministically
+    // perturbed vector (cos-based) — still seed-free and reproducible.
+    def iterate(start: Array[Double]): (Double, Array[Double]) = {
+      var v = start
+      normalize(v)
+      var lambda = 0.0
+      var it = 0
+      while (it < iters) {
+        val w = multiply(v)
+        val norm = normalize(w)
+        if (norm == 0.0) return (0.0, v)
+        lambda = norm
+        v = w
+        it += 1
+      }
+      (lambda, v)
+    }
+
+    def residual(lambda: Double, v: Array[Double]): Double = {
+      val av = multiply(v)
+      math.sqrt(av.indices.map(i => { val r = av(i) - lambda * v(i); r * r }).sum)
+    }
+
+    val starts = Seq(
+      Array.tabulate(d)(i => math.sin((i + 1).toDouble)),
+      Array.tabulate(d)(i => math.cos((2 * i + 1).toDouble) + 0.5))
+    val scale = math.max(1.0, cov.indices.map(i => math.abs(cov(i)(i))).max)
+    val (lambda, v) = starts.iterator.map(iterate)
+      .find { case (l, vec) => residual(l, vec) <= 1e-8 * scale * d }
+      .getOrElse(iterate(starts.head))
+
     // canonical sign: first non-zero loading positive
     val sign = v.find(math.abs(_) > 1e-12).map(x => if (x < 0) -1.0 else 1.0).getOrElse(1.0)
     (lambda, v.map(_ * sign))

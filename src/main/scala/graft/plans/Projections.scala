@@ -47,10 +47,18 @@ object Projections {
     scala.collection.concurrent.TrieMap.empty[String, List[ProjectionMeta]]
 
   private def normalize(p: String): String = {
-    val u = new java.net.URI(p)
-    val path = if (u.getScheme == null) p else u.getPath
+    // raw Hadoop path strings are not guaranteed URI-legal (spaces,
+    // brackets); a parse failure must mean "no projection", never an
+    // optimizer-time exception
+    val path =
+      try {
+        val u = new org.apache.hadoop.fs.Path(p).toUri
+        if (u.getScheme == null) p else u.getPath
+      } catch { case _: Exception => p }
     path.stripSuffix("/")
   }
+
+  private[plans] def isEmpty: Boolean = catalog.isEmpty
 
   def register(basePath: String, meta: ProjectionMeta): Unit =
     catalog.updateWith(normalize(basePath)) {
@@ -60,9 +68,17 @@ object Projections {
 
   def unregister(basePath: String): Unit = catalog.remove(normalize(basePath))
 
-  private[plans] def lookup(paths: Seq[String]): Seq[ProjectionMeta] =
-    paths.iterator.map(normalize).flatMap(catalog.getOrElse(_, Nil))
-      .toSeq.sortBy(_.keys.size)
+  /** Projections covering ALL of `paths`. A multi-root scan (e.g.
+    * `spark.read.parquet(base, extra)`) may only substitute when every
+    * root normalizes to the SAME registered base — rewriting on a
+    * partial match would silently drop the unregistered roots' rows.
+    * In practice that means: single root, or duplicates of one root.
+    */
+  private[plans] def lookup(paths: Seq[String]): Seq[ProjectionMeta] = {
+    val bases = paths.map(normalize).distinct
+    if (bases.size != 1) Nil
+    else catalog.getOrElse(bases.head, Nil).sortBy(_.keys.size)
+  }
 
   /** Build + write the projection parquet for `base`: one row per key
     * combination carrying every mergeable partial the rewrite can
@@ -116,7 +132,8 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
+    if (Projections.isEmpty) plan // guaranteed no-op: don't touch any plan
+    else plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
         destructure(child).map { case (cond, paths) =>
           // narrowest covering projection wins (lookup pre-sorts)
@@ -161,7 +178,10 @@ class ProjectionRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         measureCol("_min", a).map(c => complete(Min(c)))
       case Max(a: AttributeReference) =>
         measureCol("_max", a).map(c => complete(Max(c)))
-      case Count(children) if children.forall(_.foldable) =>
+      // count(<non-null literal>) ≡ count(*) ≡ Σ _cnt; count(NULL
+      // literal) counts zero rows and must NOT take this arm
+      case Count(children)
+          if children.forall(c => c.foldable && c.eval() != null) =>
         byName.get("_cnt").map(c => complete(Sum(c)))
       case Count(Seq(a: AttributeReference)) =>
         measureCol("_cnt", a).map(c => complete(Sum(c)))

@@ -25,15 +25,18 @@ object MomentsStream {
   private val MarkerFile = "_merged_batch"
 
   private[graft] def mergedBatchId(dest: String): Long = {
+    graft.AtomicDir.recover(dest) // repair any half-finished swap first
     val f = new java.io.File(dest, MarkerFile)
     if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong else -1L
   }
 
   /** Standing flat moment vector at `dest`, if any. */
-  def moments(spark: org.apache.spark.sql.SparkSession, dest: String): Option[Seq[Double]] =
+  def moments(spark: org.apache.spark.sql.SparkSession, dest: String): Option[Seq[Double]] = {
+    graft.AtomicDir.recover(dest)
     if (new java.io.File(dest).exists())
       Some(spark.read.parquet(dest).collect()(0).getSeq[Double](0))
     else None
+  }
 
   /** Merge two flat (n, d, μ, ut-cov) vectors by reconstituting raw
     * moments (Σv = μ·n, Σvvᵀ = (cov + μμᵀ)·n), adding, and
@@ -71,6 +74,7 @@ object MomentsStream {
     */
   def mergeBatch(batch: DataFrame, dest: String,
       batchId: Long = Long.MinValue): Unit = {
+    graft.AtomicDir.recover(dest)
     if (batchId != Long.MinValue && batchId <= mergedBatchId(dest)) return
     val spark = batch.sparkSession
     import spark.implicits._
@@ -81,15 +85,12 @@ object MomentsStream {
       case Some(standing) => mergeFlat(standing, fresh)
       case None => fresh
     }
-    val tmp = dest + ".tmp"
+    val tmp = graft.AtomicDir.tmpPath(dest)
     Seq(merged).toDF("moments").coalesce(1).write.mode("overwrite").parquet(tmp)
     if (batchId != Long.MinValue)
       java.nio.file.Files.writeString(
         new java.io.File(tmp, MarkerFile).toPath, batchId.toString)
-    val standingDir = new java.io.File(dest)
-    org.apache.commons.io.FileUtils.deleteDirectory(standingDir)
-    if (!new java.io.File(tmp).renameTo(standingDir))
-      throw new java.io.IOException(s"moments swap failed: $tmp -> $dest")
+    graft.AtomicDir.swap(dest)
   }
 
   /** foreachBatch writer maintaining the moments at `dest` from a

@@ -55,6 +55,7 @@ object ProjectionStream {
     * the atomic swap commits data and watermark together.
     */
   private[graft] def mergedBatchId(dest: String): Long = {
+    graft.AtomicDir.recover(dest) // repair any half-finished swap first
     val f = new java.io.File(dest, MarkerFile)
     if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong else -1L
   }
@@ -75,6 +76,7 @@ object ProjectionStream {
     */
   def mergeBatch(batch: DataFrame, keys: Seq[String], measures: Seq[String],
       dest: String, batchId: Long = Long.MinValue): Unit = {
+    graft.AtomicDir.recover(dest)
     if (batchId != Long.MinValue && batchId <= mergedBatchId(dest)) return
     val spark = batch.sparkSession
     val fresh = batch.groupBy(keys.map(col): _*)
@@ -87,15 +89,15 @@ object ProjectionStream {
           .groupBy(keys.map(col): _*)
           .agg(mergeAggs(measures).head, mergeAggs(measures).tail: _*)
       } else fresh
-    // write-new-then-rename: never leave a half-written projection
-    val tmp = dest + ".tmp"
+    // write-new-then-swap via AtomicDir: the old state is renamed
+    // aside, never deleted, until the new one is live — a crash at any
+    // point leaves a recoverable standing directory (see AtomicDir)
+    val tmp = graft.AtomicDir.tmpPath(dest)
     merged.write.mode("overwrite").parquet(tmp)
     if (batchId != Long.MinValue)
       java.nio.file.Files.writeString(
         new java.io.File(tmp, MarkerFile).toPath, batchId.toString)
-    org.apache.commons.io.FileUtils.deleteDirectory(standingDir)
-    if (!new java.io.File(tmp).renameTo(standingDir))
-      throw new java.io.IOException(s"projection swap failed: $tmp -> $dest")
+    graft.AtomicDir.swap(dest)
   }
 
   /** foreachBatch writer maintaining the projection at `dest` from a

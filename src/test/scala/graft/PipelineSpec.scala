@@ -343,6 +343,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("power iteration finds a constant-loading dominant axis at even d") {
+    // cov = I + J: dominant eigenpair is (d+1, 1/√d·1) — a constant
+    // axis an alternating-sign start vector is exactly orthogonal to
+    // (the ±1 start is itself an eigenvector at λ=1, so a bad start
+    // never escapes it except by rounding noise)
+    val d = 4
+    val cov = Array.tabulate(d, d)((i, j) => if (i == j) 2.0 else 1.0)
+    val (lambda, v) = functions.CovAgg.topEigen(cov)
+    assert(math.abs(lambda - (d + 1.0)) < 1e-9, s"lambda: $lambda")
+    v.foreach(x => assert(math.abs(x - 1.0 / math.sqrt(d.toDouble)) < 1e-9,
+      s"constant loadings expected: ${v.toSeq}"))
+  }
+
   test("multimodal feature extraction is deterministic and total") {
     val f1 = pipeline.Multimodal.extractFeatures(
       pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)

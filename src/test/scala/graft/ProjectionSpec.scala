@@ -227,6 +227,53 @@ class ProjectionSpec extends SparkSpec {
     }
   }
 
+  test("a multi-root scan is never rewritten from one root's projection") {
+    import spark.implicits._
+    // second dataset with the same schema, NOT covered by the projection
+    val extra = java.nio.file.Files.createTempDirectory("graft_extra").toString + "/t"
+    try {
+      spark.read.parquet(liPath).limit(7).write.parquet(extra)
+      val want = spark.read.parquet(liPath, extra)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect().toSeq
+      withProjection(Seq("l_returnflag"), Seq("l_quantity")) { dest =>
+        val q = spark.read.parquet(liPath, extra)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+        assert(!scanPaths(q).exists(_.contains(dest)),
+          "a scan with an unregistered extra root must not substitute")
+        assert(q.collect().toSeq == want,
+          "the extra root's rows must be counted")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(extra).getParentFile)
+  }
+
+  test("URI-illegal paths and count(NULL) never break or mis-serve") {
+    import spark.implicits._
+    // a path with a space is not URI-parseable — the rule must not
+    // throw from inside the optimizer, registered or not
+    val spaced = java.nio.file.Files.createTempDirectory("graft sp").toString + "/a b"
+    try {
+      Seq(("k", 1L)).toDF("k", "v").write.parquet(spaced)
+      val n = spark.read.parquet(spaced).groupBy("k").agg(sum("v")).count()
+      assert(n == 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(spaced).getParentFile)
+    // count(<null literal>) counts ZERO rows — must not take the
+    // count(*) ≡ Σ _cnt arm
+    val want = spark.read.parquet(liPath)
+      .groupBy("l_returnflag").agg(count(lit(null)).as("n"))
+      .orderBy("l_returnflag").collect().toSeq
+    withProjection(Seq("l_returnflag"), Seq("l_quantity")) { dest =>
+      val q = spark.read.parquet(liPath)
+        .groupBy("l_returnflag").agg(count(lit(null)).as("n"))
+        .orderBy("l_returnflag")
+      assert(q.collect().toSeq == want, "count(null) must stay zero")
+      assert(want.forall(_.getLong(1) == 0L))
+    }
+  }
+
   test("non-decomposable or non-covered queries fall through to the base scan") {
     withProjection(Seq("l_returnflag"), Seq("l_quantity")) { dest =>
       // avg over an UNPROJECTED measure -> no rewrite

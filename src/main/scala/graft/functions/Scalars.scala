@@ -178,8 +178,11 @@ object Scalars extends QueryModule {
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // Map type support ([CH] nested types): build a map from the JSON
-    // props, then read keys/values back. No map in the DuckDB fixtures
-    // → rows-only check (SURVEY.md §2.H marks the oracle ✗).
+    // props, then read keys/values back. The map itself is emitted as
+    // a CANONICAL string — sorted key=value entries joined with the
+    // 0x1f unit separator (the q_agg_sum_map trick) — so the whole
+    // map, not just its first entry, is hash-checked against DuckDB's
+    // JSON surface.
     "q_map_funcs" -> QueryDef(
       (s, dir) => Relational.eventsSec(s, dir)
         .select(col("event_id"),
@@ -190,9 +193,19 @@ object Scalars extends QueryModule {
           map_keys(col("props_map")).getItem(0).as("first_key"),
           map_values(col("props_map")).getItem(0).as("first_value"),
           try_element_at(col("props_map"), lit("k")).as("k_value"),
-          size(col("props_map")).cast("long").as("n_keys"))
+          size(col("props_map")).cast("long").as("n_keys"),
+          array_join(sort_array(transform(map_entries(col("props_map")),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string")))), "\u001f").as("map_canon"))
         .orderBy("event_id"),
-      None),
+      Some("""SELECT event_id,
+             |  json_keys(props)[1] AS first_key,
+             |  CAST(json_extract_string(props, '$.' || json_keys(props)[1]) AS BIGINT) AS first_value,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+             |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             |  array_to_string(list_sort(list_transform(json_keys(props),
+             |    k -> k || '=' || json_extract_string(props, '$.' || k))), chr(31)) AS map_canon
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     // ClickHouse arrayCumSum / arrayDifference + multi-array ARRAY
     // JOIN ([CH]): each user's time-ordered value array is built once

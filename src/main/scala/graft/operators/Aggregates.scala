@@ -376,17 +376,27 @@ object Aggregates extends QueryModule {
              |ORDER BY c_nationkey""".stripMargin)),
 
     // The array-typed twin of q_agg_group_array: the SAME distinct-set
-    // aggregate emitting the actual ARRAY column, kept so the suite
-    // exercises array-typed query output end-to-end (the driver's
-    // comparison layer can't hash array cells, so this one is declared
-    // rows-only; the stringified twin above carries the value check).
+    // aggregate carrying the actual ARRAY column through the plan
+    // (GroupArraySepSpec pins the ArrayType inside the analyzed plan),
+    // with a FINAL projection to its JSON form — the driver's pandas
+    // comparison layer cannot sort/hash ndarray cells, so the emitted
+    // surface is the canonical `["a","b"]` string both engines agree
+    // on while the plan itself still exercises array-typed aggregation
+    // end-to-end.
     "q_agg_group_array_typed" -> QueryDef(
       (s, dir) => Tables(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments_arr"),
           countDistinct(col("c_mktsegment")).as("n_segments"))
+        .select(col("c_nationkey"),
+          to_json(col("segments_arr")).as("segments_json"),
+          col("n_segments"))
         .orderBy("c_nationkey"),
-      None),
+      Some("""SELECT c_nationkey,
+             |  CAST(to_json(list_sort(array_agg(DISTINCT c_mktsegment))) AS VARCHAR) AS segments_json,
+             |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+             |FROM customer GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
 
     // HLL sketch cardinality — approx ⇒ declared without oracle
     // (SURVEY.md §5.3.4); driver records a rows-only check.

@@ -23,9 +23,27 @@ class GroupArraySepSpec extends SparkSpec {
     val s = SparkEntry.queries("q_agg_group_array")(spark, sf)
       .select("c_nationkey", "segments")
       .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+    // the twin's emitted surface is JSON; parse it back to the array
     val t = SparkEntry.queries("q_agg_group_array_typed")(spark, sf)
-      .select(col("c_nationkey"), array_join(col("segments"), Sep).as("j"))
+      .select(col("c_nationkey"),
+        array_join(from_json(col("segments_json"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)), Sep).as("j"))
       .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
     assert(s.sameElements(t))
+  }
+
+  test("the typed twin still carries an ArrayType column inside its plan") {
+    val q = SparkEntry.queries("q_agg_group_array_typed")(spark, sf)
+    // the aggregate output (below the final JSON projection) must be a
+    // real array — the twin exists to exercise array-typed aggregation
+    val hasArray = q.queryExecution.analyzed.collectFirst {
+      case p if p.output.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) => p
+    }.isDefined
+    assert(hasArray, "the plan must aggregate into an ArrayType column")
+    // and the emitted surface must be scalar (driver-hashable)
+    assert(q.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
   }
 }

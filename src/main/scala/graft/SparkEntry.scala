@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Analytics,
     operators.TimeSeries,
     operators.Windows,
+    operators.Lifecycle,
     plans.ProjectionQueries,
     operators.SetOps,
     functions.Scalars,

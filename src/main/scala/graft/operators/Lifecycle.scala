@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Snapshot-lifecycle queries: the mutation surface (`ALTER TABLE …
+  * DELETE` over a day-partitioned snapshot, [[Snapshot.delete]]) and
+  * the export→import round trip ([[Snapshot.exportAs]] /
+  * [[Snapshot.importFrom]]) declared as oracle-checked queries — the
+  * driver's DuckDB compare proves the post-mutation snapshot and the
+  * re-imported export are row-identical to the predicate-filtered /
+  * original fixture tables.
+  *
+  * Both queries stage their snapshot ONCE per (tmpdir, sf) — the
+  * ProjectionQueries.ensure pattern — so repeated runs (bench medians)
+  * measure the read path, not the one-time backup.
+  */
+object Lifecycle extends QueryModule {
+
+  /** The mutation predicate, shared between the staged delete and the
+    * oracle's complement: first week of clicks is forgotten.
+    */
+  private val CutTs = "2024-01-08 00:00:00"
+
+  private def mutatedDest(s: SparkSession, dir: String): String = {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_mut_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists()) {
+      val e = Relational.eventsSec(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      Snapshot.backup(e, col("ts_s"), dest)
+      // day-granular rewrite: the predicate spans 7 of the 30 day
+      // partitions — delete() rewrites exactly those, leaves the other
+      // 23 untouched (digests and files), and re-verifies the manifest
+      val report = Snapshot.delete(s, dest,
+        col("event_type") === "click" && col("ts_s") < lit(CutTs).cast("timestamp"))
+      require(report.rowsAffected > 0, s"mutation fixture deleted nothing at $dest")
+    }
+    dest
+  }
+
+  private def roundtripDest(s: SparkSession, dir: String): String = {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_rt_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists())
+      // CSV is the LOSSIEST supported interchange format — strings,
+      // longs, and doubles must all survive text and come back typed
+      Snapshot.exportAs(Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        dest, "csv")
+    dest
+  }
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // ClickHouse `ALTER TABLE events DELETE WHERE …` ([CH] mutation,
+    // 24.8 — the version the reference pins): the snapshot is backed
+    // up day-partitioned, the first week of clicks is deleted in
+    // place (7 of 30 day partitions rewritten, manifest re-digested),
+    // and the query aggregates the RESOLVED post-mutation snapshot.
+    // The oracle aggregates the fixture under the predicate's
+    // complement — identical results prove the mutation removed
+    // exactly the matching rows and nothing else.
+    "q_mutation_delete" -> QueryDef(
+      (s, dir) => Snapshot.resolve(s, mutatedDest(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").cast("long").as("first_event"),
+          max("event_id").cast("long").as("last_event"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(event_id) AS BIGINT) AS first_event,
+             |  CAST(max(event_id) AS BIGINT) AS last_event,
+             |  round(sum(value), 4) AS sum_value
+             |FROM events
+             |WHERE NOT (event_type = 'click'
+             |           AND date_trunc('second', ts) < TIMESTAMP '$CutTs')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Export → import round trip as a declared query (RESTORE is the
+    // other half of the reference's contract): customer goes out as
+    // CSV (typed → text) and comes back through the schema-explicit
+    // import; the oracle reads the original fixture. Hash-identical
+    // results ARE the digest compare — every value survived the
+    // lossiest format.
+    "q_restore_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val schema = org.apache.spark.sql.types.StructType(
+          Tables(s, dir, "customer")
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+            .schema.fields)
+        Snapshot.importFrom(s, roundtripDest(s, dir), "csv", schema)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+  )
+}

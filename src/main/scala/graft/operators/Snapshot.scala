@@ -230,6 +230,24 @@ object Snapshot {
   def compact(spark: SparkSession, dest: String): CompactReport = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // recover any half-finished swap from a previous crashed run: a
+    // missing day dir with a surviving tmp promotes (content identical
+    // by construction); with only an old, the old restores; leftovers
+    // next to an intact day dir are uncommitted and drop
+    fs.listStatus(destPath).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val dayName = if (n.startsWith("_compact_tmp_")) Some(n.stripPrefix("_compact_tmp_"))
+        else if (n.startsWith("_compact_old_")) Some(n.stripPrefix("_compact_old_"))
+        else None
+      dayName.foreach { day =>
+        val dir = new org.apache.hadoop.fs.Path(destPath, day)
+        if (fs.exists(dir)) fs.delete(p, true)
+        else if (!fs.rename(p, dir))
+          throw new java.io.IOException(s"compaction recovery failed for $dir")
+      }
+    }
+
     val dayDirs = fs.listStatus(destPath).map(_.getPath)
       .filter(_.getName.startsWith("bucket_day="))
     var before = 0L
@@ -248,15 +266,157 @@ object Snapshot {
         fs.listStatus(tmp).map(_.getPath)
           .filterNot(p => p.getName.endsWith(".parquet") || p.getName.startsWith("part-"))
           .foreach(p => fs.delete(p, false))
-        fs.delete(dir, true)
-        if (!fs.rename(tmp, dir))
+        // rename-aside swap: the old partition is never deleted before
+        // the new one is live — a crash leaves either dir or a
+        // recoverable tmp/old pair (see the recovery pass above)
+        val old = new org.apache.hadoop.fs.Path(
+          destPath, "_compact_old_" + dir.getName)
+        if (!fs.rename(dir, old))
+          throw new java.io.IOException(s"compaction swap failed for $dir (set-aside)")
+        if (!fs.rename(tmp, dir)) {
+          fs.rename(old, dir) // roll back before failing
           throw new java.io.IOException(s"compaction swap failed for $dir")
+        }
+        fs.delete(old, true)
         compacted += dir.getName.stripPrefix("bucket_day=")
         after += 1
       } else after += parts.length
     }
     CompactReport(compacted.result(), before, after)
   }
+
+  final case class MutationReport(daysRewritten: Seq[String],
+      daysDropped: Seq[String], rowsAffected: Long)
+
+  /** `ALTER TABLE … DELETE WHERE predicate` over a snapshot — the
+    * ClickHouse 24.8 mutation surface (the engine version the
+    * reference pins, Dockerfile:2), and the GDPR/right-to-be-forgotten
+    * path a 100 TB corpus needs: rows matching `predicate` are removed
+    * from the snapshot IN PLACE, rewriting only the day partitions
+    * that actually contain matches.
+    *
+    * Scale shape: one predicate scan finds the affected days (pruned
+    * to the predicate's partition column when it names `bucket_day`),
+    * then each affected day rewrites independently — cost is O(matched
+    * days), never O(snapshot). Unaffected days keep their files and
+    * manifest digests untouched. Day swaps use the same rename-aside
+    * discipline as [[compact]]; a crash leaves every day either old or
+    * new.
+    *
+    * On an incremental snapshot, a mutated day the manifest attributes
+    * to the base is materialized LOCALLY (copy-on-write) and its
+    * source flips to `delta` — the chain stays resolvable and the base
+    * snapshot is never touched. Mutating a snapshot that itself serves
+    * as a BASE for other deltas propagates into their restores (the
+    * dependents attribute those days to it by reference) — for the
+    * GDPR use case that propagation is the point; take a fresh full
+    * backup first if the dependents must keep the old rows.
+    */
+  def delete(spark: SparkSession, dest: String, predicate: Column): MutationReport =
+    // NULL-predicate rows survive: DELETE removes rows where the
+    // predicate is TRUE — `!pred` alone would filter NULLs out too
+    mutate(spark, dest, predicate, day => day.filter(!coalesce(predicate, lit(false))))
+
+  /** `ALTER TABLE … UPDATE col = expr WHERE predicate`: rows matching
+    * `predicate` get each assignment applied (cast back to the
+    * column's original type — a mutation must never drift the schema);
+    * everything else, and every untouched day, stays bit-identical.
+    * Same day-granular rewrite + manifest re-digest as [[delete]].
+    */
+  def update(spark: SparkSession, dest: String, predicate: Column,
+      assignments: Map[String, Column]): MutationReport =
+    mutate(spark, dest, predicate, { day =>
+      val bad = assignments.keySet -- day.columns.toSet
+      require(bad.isEmpty, s"update assigns to unknown column(s): ${bad.mkString(", ")}")
+      val fields = day.schema.fields.map(f => f.name -> f.dataType).toMap
+      day.select(day.columns.map { c =>
+        assignments.get(c) match {
+          case Some(a) => when(predicate, a.cast(fields(c))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    })
+
+  private def mutate(spark: SparkSession, dest: String, predicate: Column,
+      rewriteDay: DataFrame => DataFrame): MutationReport = {
+    val (base, manifestRows) = readManifest(spark, dest).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot at $dest has no manifest — re-run Snapshot.backup on it"))
+    val bySource = manifestRows.map(r => r._1 -> r._5).toMap
+
+    // one pass over the resolved view: which days contain matches, and
+    // how many rows (metadata-scale collect — one row per affected day)
+    val hits = digestScan(resolve(spark, dest).filter(predicate))
+    if (hits.isEmpty) return MutationReport(Nil, Nil, 0L)
+    val affected = hits.map(_._1).sorted
+    val rowsAffected = hits.map(_._2).sum
+
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val resolved = resolve(spark, dest)
+    val rewritten = Seq.newBuilder[String]
+    val dropped = Seq.newBuilder[String]
+    affected.foreach { day =>
+      val dayDf = rewriteDay(resolved.filter(col("bucket_day") === day))
+        .drop("bucket_day")
+      val dayDir = new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day")
+      if (dayDf.isEmpty) {
+        // every row of the day matched a delete: the day disappears
+        if (fs.exists(dayDir)) fs.delete(dayDir, true)
+        dropped += day
+      } else {
+        val tmp = new org.apache.hadoop.fs.Path(destPath, s"_mutate_tmp_bucket_day=$day")
+        dayDf.write.mode("overwrite").parquet(tmp.toString)
+        fs.listStatus(tmp).map(_.getPath)
+          .filterNot(p => p.getName.endsWith(".parquet") || p.getName.startsWith("part-"))
+          .foreach(p => fs.delete(p, false))
+        // rename-aside swap (the old dir may not exist: a base-sourced
+        // day materializes locally here — copy-on-write)
+        val old = new org.apache.hadoop.fs.Path(destPath, s"_mutate_old_bucket_day=$day")
+        if (fs.exists(dayDir) && !fs.rename(dayDir, old))
+          throw new java.io.IOException(s"mutation swap failed for $dayDir (set-aside)")
+        if (!fs.rename(tmp, dayDir)) {
+          if (fs.exists(old)) fs.rename(old, dayDir)
+          throw new java.io.IOException(s"mutation swap failed for $dayDir")
+        }
+        if (fs.exists(old)) fs.delete(old, true)
+        rewritten += day
+      }
+    }
+
+    // re-digest ONLY the rewritten days from the read-back (they are
+    // all local dirs now) — write-then-verify, like backup()
+    val rewrittenDays = rewritten.result()
+    val droppedDays = dropped.result()
+    val newDigests: Map[String, (Long, Long, String)] =
+      if (rewrittenDays.isEmpty) Map.empty
+      else digestScan(restore(spark, dest)
+        .filter(col("bucket_day").isin(rewrittenDays: _*)))
+        .map { case (d, n, x, s) => d -> ((n, x, s)) }.toMap
+    require(newDigests.keySet == rewrittenDays.toSet,
+      s"mutation read-back lost day(s): ${(rewrittenDays.toSet -- newDigests.keySet).mkString(", ")}")
+
+    val newRows = manifestRows.flatMap { case (day, n, x, s, source) =>
+      if (droppedDays.contains(day)) None
+      else newDigests.get(day) match {
+        case Some((n2, x2, s2)) =>
+          // a day rewritten locally is now delta-sourced on a chain
+          val src = if (source == "base") "delta" else source
+          Some((day, n2, x2, s2, src, base.orNull))
+        case None => Some((day, n, x, s, source, base.orNull))
+      }
+    }
+    require(newRows.nonEmpty,
+      s"mutation deleted every row of $dest — refuse to leave an empty snapshot")
+    writeManifest(spark, dest, newRows)
+    MutationReport(rewrittenDays, droppedDays, rowsAffected)
+  }
+
+  /** digest() collected as (day, n, xor, sum-string) tuples. */
+  private def digestScan(df: DataFrame): Seq[(String, Long, Long, String)] =
+    digest(df).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3).toString)
+    }.toSeq
 
   private def writeManifest(spark: SparkSession, dest: String,
       rows: Seq[(String, Long, Long, String, String, String)]): Unit = {

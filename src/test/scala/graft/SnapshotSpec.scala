@@ -204,6 +204,130 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("delete rewrites only the matching day partitions; restores exclude the rows") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-mut-del").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    val hitDays = days.take(2)
+    val pred = col("event_type") === "click" &&
+      Retention.bucketDay(col("ts_s")).isin(hitDays: _*)
+
+    // fingerprint the files of an untouched day before the mutation
+    val untouched = days.last
+    def fileSig(day: String) = new java.io.File(s"$dest/bucket_day=$day")
+      .listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+
+    val sigBefore = fileSig(untouched)
+    val report = Snapshot.delete(spark, dest, pred)
+    assert(report.daysRewritten == hitDays && report.daysDropped.isEmpty,
+      s"exactly the predicate's days rewrite: $report")
+    assert(report.rowsAffected == src.filter(pred).count())
+    assert(fileSig(untouched) == sigBefore,
+      "files of unaffected days must not be rewritten")
+
+    // restore ≡ source minus the matching rows
+    val want = src.filter(!coalesce(pred, lit(false)))
+    val got = Snapshot.restore(spark, dest).drop("bucket_day")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "delete must remove exactly the matching rows")
+
+    // the re-digested manifest stays consistent: gc and a follow-up
+    // incremental backup both read it without complaint
+    assert(Snapshot.gc(spark, dest, keepDays = 10000).deletedDays.isEmpty)
+    val deltaDir = Files.createTempDirectory("graft-mut-del-delta").toString
+    val (changed, _) = Snapshot.backupIncremental(want, col("ts_s"), dest, deltaDir)
+    assert(changed == 0,
+      "post-delete digests must match a re-backup of the filtered data")
+
+    // a no-match predicate is a no-op
+    val r2 = Snapshot.delete(spark, dest, col("event_type") === "no_such_type")
+    assert(r2 == Snapshot.MutationReport(Nil, Nil, 0L))
+    // deleting every remaining row is refused — a snapshot never empties
+    intercept[IllegalArgumentException] { Snapshot.delete(spark, dest, lit(true)) }
+  }
+
+  test("update rewrites matching rows in place with the schema intact") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-mut-upd").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val pred = col("event_type") === "error"
+    val report = Snapshot.update(spark, dest, pred,
+      Map("value" -> (col("value") + 1000.0), "user_id" -> lit(-1)))
+    assert(report.rowsAffected == src.filter(pred).count() && report.daysDropped.isEmpty)
+    val want = src.select(col("event_id"),
+      when(pred, lit(-1L)).otherwise(col("user_id")).as("user_id"),
+      col("event_type"),
+      when(pred, col("value") + 1000.0).otherwise(col("value")).as("value"),
+      col("ts_s"))
+    val got = Snapshot.restore(spark, dest).drop("bucket_day")
+    assert(got.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      want.schema.fields.map(f => (f.name, f.dataType))),
+      "update must never drift the schema (assignments cast back)")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "update must change exactly the matching rows")
+    // assigning an unknown column fails fast
+    intercept[IllegalArgumentException] {
+      Snapshot.update(spark, dest, pred, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("delete on an incremental snapshot copies affected base days locally") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val baseDir = Files.createTempDirectory("graft-mut-base").toString
+    Snapshot.backup(src, col("ts_s"), baseDir)
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    val (first, last) = (days.head, days.last)
+    // delta changes only the LAST day; the first day stays base-sourced
+    val modified = src.withColumn("value",
+      when(Retention.bucketDay(col("ts_s")) === last, col("value") + 1)
+        .otherwise(col("value")))
+    val deltaDir = Files.createTempDirectory("graft-mut-delta").toString
+    Snapshot.backupIncremental(modified, col("ts_s"), baseDir, deltaDir)
+    assert(!new java.io.File(s"$deltaDir/bucket_day=$first").exists())
+
+    // delete rows living in a base-sourced day, THROUGH the delta
+    val baseRows = Snapshot.restore(spark, baseDir).drop("bucket_day").collect().toSet
+    val pred = col("event_type") === "click" && Retention.bucketDay(col("ts_s")) === first
+    val report = Snapshot.delete(spark, deltaDir, pred)
+    assert(report.daysRewritten == Seq(first))
+    // copy-on-write: the day materialized locally; the base is untouched
+    assert(new java.io.File(s"$deltaDir/bucket_day=$first").exists(),
+      "the mutated base-sourced day must materialize in the delta")
+    assert(Snapshot.restore(spark, baseDir).drop("bucket_day").collect().toSet == baseRows,
+      "the base snapshot must never be touched by a delta mutation")
+    // the chain resolves to modified-minus-deleted
+    val want = modified.filter(!coalesce(pred, lit(false)))
+    val got = Snapshot.resolve(spark, deltaDir).drop("bucket_day")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("deleting every row of a day drops the day from data and manifest") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-mut-drop").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    val victim = days.head
+    val report = Snapshot.delete(spark, dest,
+      Retention.bucketDay(col("ts_s")) === victim)
+    assert(report.daysDropped == Seq(victim) && report.daysRewritten.isEmpty)
+    assert(!new java.io.File(s"$dest/bucket_day=$victim").exists())
+    val back = Snapshot.restore(spark, dest)
+    assert(back.select("bucket_day").distinct().orderBy("bucket_day")
+      .collect().map(_.getString(0)).toSeq == days.tail)
+    // manifest consistent: gc still reads it, day absent from the report
+    val gcReport = Snapshot.gc(spark, dest, keepDays = 10000)
+    assert(gcReport.keptDays == days.tail)
+  }
+
   test("snapshot round-trips losslessly through every supported format") {
     // timestamps through text formats are their own hazard (tz/format
     // round-trip); export the second-truncated form as string for

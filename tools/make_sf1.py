@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Materialize a ~sf1 rehearsal dataset as a 10x key-shifted replica of sf0.1.
+
+Join/group keys are shifted by a large per-replica offset so the
+replica behaves like MORE data, not duplicated data (un-shifted keys
+would square join outputs and collapse per-key groups). Non-key
+payload columns (timestamps, text, embeddings) are kept verbatim;
+schemas (incl. TIMESTAMP_NS for events.ts) are preserved exactly.
+
+Usage: python3 tools/make_sf1.py [src_dir] [dest_dir] [copies]
+Defaults: /root/testdata/sf0.1 -> /root/repo/tmp/sf1, 10 copies.
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DEST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp/sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFFSET = 10_000_000_000  # far above any fixture key
+
+# key columns to shift per table; dims (region, nation) are NOT scaled
+# so dict/broadcast-join shapes stay realistic
+SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def shifted(table: pa.Table, keys, off: int) -> pa.Table:
+    for k in keys:
+        idx = table.schema.get_field_index(k)
+        col = table.column(idx)
+        typ = table.schema.field(idx).type
+        bumped = pc.cast(pc.add(pc.cast(col, pa.int64()), off), typ)
+        table = table.set_column(idx, table.schema.field(idx), bumped)
+    return table
+
+
+def main():
+    import os
+
+    os.makedirs(DEST, exist_ok=True)
+    for name in COPY_AS_IS:
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(t, f"{DEST}/{name}.parquet", version="2.6",
+                       coerce_timestamps=None)
+        print(f"{name}: {t.num_rows} rows (dim, unscaled)")
+    for name, keys in SHIFTS.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        parts = [shifted(t, keys, i * OFFSET) for i in range(COPIES)]
+        out = pa.concat_tables(parts)
+        pq.write_table(out, f"{DEST}/{name}.parquet", version="2.6",
+                       coerce_timestamps=None)
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,23 +35,39 @@ object BackupLoop {
   /** One full tick over every configured database. `source` resolves a
     * database name to its current rows; `tsCol` is the event-time
     * column the day buckets derive from.
+    *
+    * Hook semantics follow backup.sh exactly: pre-backup hooks run
+    * SYNCHRONOUSLY before anything is written and a failure aborts
+    * the whole tick (backup.sh:16–18 `run-parts --exit-on-error`
+    * under `set -e` — no snapshot, no GC); post hooks fire after the
+    * last database, in reverse order, best-effort (backup.sh:129
+    * `--reverse`); any tick failure fires the error hooks and
+    * rethrows (backup.sh:8).
     */
   def backupAll(
       spark: SparkSession,
       settings: Config.Settings,
       source: (SparkSession, String) => DataFrame,
-      tsCol: String): Seq[DbReport] =
-    settings.dbs.map { db =>
-      val dest = s"${settings.snapshotDir}/$db"
-      val df = source(spark, db)
-      val rows = Snapshot.backup(df, col(tsCol), dest)
-      val snap = Snapshot.restore(spark, dest)
-      // partition-column max: a listing-scale aggregate, no data read
-      val latestDay = snap.agg(max(col("bucket_day"))).head.getString(0)
-      writeLatest(snap, dest, latestDay, settings.latestType)
-      val gc = Snapshot.gc(spark, dest, settings.keepDays)
-      DbReport(db, rows, latestDay, gc.deletedDays, gc.keptDays)
-    }
+      tsCol: String,
+      hooks: graft.streaming.Hooks = graft.streaming.Hooks.none): Seq[DbReport] = {
+    try hooks.firePre(s"dbs=${settings.dbs.mkString(",")}")
+    catch { case t: Throwable => hooks.fireError(t.getMessage); throw t }
+    val reports =
+      try settings.dbs.map { db =>
+        val dest = s"${settings.snapshotDir}/$db"
+        val df = source(spark, db)
+        val rows = Snapshot.backup(df, col(tsCol), dest)
+        val snap = Snapshot.restore(spark, dest)
+        // partition-column max: a listing-scale aggregate, no data read
+        val latestDay = snap.agg(max(col("bucket_day"))).head.getString(0)
+        writeLatest(snap, dest, latestDay, settings.latestType)
+        val gc = Snapshot.gc(spark, dest, settings.keepDays)
+        DbReport(db, rows, latestDay, gc.deletedDays, gc.keptDays)
+      }
+      catch { case t: Throwable => hooks.fireError(t.getMessage); throw t }
+    hooks.firePost(s"dbs=${reports.size}")
+    reports
+  }
 
   /** The `BACKUP_LATEST_TYPE` materialization (backup.sh:99–115),
     * snapshot-level: `hardlink` copies the latest day's rows into a

@@ -96,6 +96,14 @@ object SnapshotStream {
     * write (one parquet dataset, day-partitioned; tiers are views).
     * `AvailableNow` = drain-everything-then-stop (the BACKUP_ON_START
     * immediate run); pass a ProcessingTime trigger for the cron shape.
+    *
+    * Each micro-batch is one backup tick, and `hooks` carries the
+    * reference's gate semantics (backup.sh:16–18): pre-backup hooks
+    * run SYNCHRONOUSLY at the top of the tick and a failure aborts it
+    * — nothing is written, the query terminates exceptionally, and
+    * the async [[HookListener]] (if attached) reports the error.
+    * Post hooks fire after a successful tick, reverse order,
+    * best-effort (backup.sh:129 `--reverse`).
     */
   def start(
       spark: SparkSession,
@@ -103,12 +111,18 @@ object SnapshotStream {
       destDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       checkpoint: String,
-      gcKeepDays: Option[Int] = None): StreamingQuery = {
+      gcKeepDays: Option[Int] = None,
+      hooks: Hooks = Hooks.none): StreamingQuery = {
     dailyCounts(events).writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the gate: a failing pre-backup hook throws HookAbort and the
+        // tick writes NOTHING (the checkpoint does not advance either,
+        // so a later restart replays the batch — at-least-once, like
+        // re-running the reference's cron tick after a hook fix)
+        hooks.firePre(s"batch=$batchId")
         // Atomic-swap analog (backup.sh:71–89): DYNAMIC partition
         // overwrite — append batches carry only newly closed windows,
         // so each tick must replace exactly its own day partitions and
@@ -121,6 +135,7 @@ object SnapshotStream {
         // after every backup): directory-name expiry, metadata-only
         gcKeepDays.foreach(k =>
           Retention.gcDirs(spark, s"$destDir/snapshots", k))
+        hooks.firePost(s"batch=$batchId")
         ()
       }
       .start()

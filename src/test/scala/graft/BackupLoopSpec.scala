@@ -44,6 +44,51 @@ class BackupLoopSpec extends SparkSpec {
     }
   }
 
+  test("a failing pre-backup hook aborts the tick: no snapshot, error hook fired") {
+    val dir = Files.createTempDirectory("graft-loop-gate").toString
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hooks = streaming.Hooks(
+      pre = Seq(
+        e => { fired += s"pre1:${e.status}"; true },
+        _ => { fired += "pre2:FAIL"; false }, // the guard says no
+        _ => { fired += "pre3:NEVER"; true }),
+      post = Seq(_ => { fired += "post:NEVER"; true }),
+      error = Seq(e => { fired += s"err:${e.status}"; true }))
+    intercept[streaming.HookAbort] {
+      BackupLoop.backupAll(spark, settings(dir), source _, "ts", hooks)
+    }
+    // --exit-on-error: hooks after the failure never ran; the tick
+    // wrote NOTHING; the error hook was notified; post never fired
+    assert(fired.toSeq == Seq("pre1:pre-backup", "pre2:FAIL", "err:error"))
+    assert(!new java.io.File(s"$dir/events").exists()
+      && !new java.io.File(s"$dir/orders").exists(),
+      "a gated tick must not write any snapshot")
+
+    // a THROWING pre hook gates identically (a crashed script under
+    // run-parts --exit-on-error)
+    intercept[streaming.HookAbort] {
+      BackupLoop.backupAll(spark, settings(dir), source _, "ts",
+        streaming.Hooks(pre = Seq(_ => sys.error("boom"))))
+    }
+    assert(!new java.io.File(s"$dir/events").exists())
+  }
+
+  test("post-backup hooks run in reverse order after a successful tick") {
+    val dir = Files.createTempDirectory("graft-loop-post").toString
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hooks = streaming.Hooks(
+      pre = Seq(_ => { fired += "pre"; true }),
+      post = Seq(
+        _ => { fired += "post1"; true },
+        _ => sys.error("post hook crash is best-effort"),
+        _ => { fired += "post3"; true }))
+    val reports = BackupLoop.backupAll(spark,
+      settings(dir, "GRAFT_DBS" -> "events"), source _, "ts", hooks)
+    assert(reports.nonEmpty)
+    // --reverse: post3 before post1; the crashing post2 is swallowed
+    assert(fired.toSeq == Seq("pre", "post3", "post1"))
+  }
+
   test("hardlink mode materializes the latest day; off mode writes nothing") {
     val dir = Files.createTempDirectory("graft-loop-hard").toString
     val reports = BackupLoop.backupAll(spark,

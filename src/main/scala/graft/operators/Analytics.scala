@@ -236,6 +236,32 @@ object Analytics extends QueryModule {
              |HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
              |ORDER BY user_id""".stripMargin)),
 
+    // ReplacingMergeTree FINAL semantics ([CH]): each (user, type) key
+    // keeps only its latest row by version — event_id, the monotone
+    // insert id, is the version column. One max_by hash aggregate:
+    // map-side combine reduces every partition to one candidate per
+    // key before the exchange, so the shuffle carries keys, not
+    // versions — FINAL over 100 TB is one aggregation, not a sort.
+    // The streaming twin (streaming.StreamReplacing) maintains the
+    // same winner per key incrementally; StreamingSpec pins stream ≡
+    // batch.
+    "q_replacing_final" -> QueryDef(
+      (s, dir) => Relational.eventsSec(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(max("event_id").cast("long").as("last_event_id"),
+          round(max_by(col("value"), col("event_id")), 4).as("last_value"),
+          date_format(max_by(col("ts_s"), col("event_id")), "yyyy-MM-dd HH:mm:ss")
+            .as("last_ts"),
+          count(lit(1)).as("n_versions"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type,
+             |  CAST(max(event_id) AS BIGINT) AS last_event_id,
+             |  round(arg_max(value, event_id), 4) AS last_value,
+             |  strftime(arg_max(date_trunc('second', ts), event_id), '%Y-%m-%d %H:%M:%S') AS last_ts,
+             |  CAST(count(*) AS BIGINT) AS n_versions
+             |FROM events GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // ClickHouse groupBitAnd/groupBitOr/groupBitXor ([CH]): bitwise
     // fold of an integer column per group. One hash aggregate; the
     // fold state is a single 64-bit word per group per partition —

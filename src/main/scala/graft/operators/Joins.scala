@@ -42,6 +42,25 @@ object Joins extends QueryModule {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // ClickHouse dictGetOrDefault ([CH] dictionaries): the nation
+    // table restricted to keys < 20 plays the dictionary, so the top
+    // nationkeys MISS and must surface the default, not drop or null.
+    // Broadcast left join + coalesce (operators/Dictionary.scala) —
+    // the fact side never shuffles, the dict ships once per executor.
+    "q_dict_get" -> QueryDef(
+      (s, dir) => Dictionary.dictGetOrDefault(
+          Tables(s, dir, "customer"),
+          Tables(s, dir, "nation").filter(col("n_nationkey") < 20),
+          col("c_nationkey"), "n_nationkey", "n_name",
+          lit("UNKNOWN"), "nation_name")
+        .select("c_custkey", "c_nationkey", "nation_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_nationkey,
+             |  coalesce(n_name, 'UNKNOWN') AS nation_name
+             |FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) d
+             |  ON c_nationkey = d.n_nationkey
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Small-dim broadcast join: no shuffle of the probe side at all.
     "q_join_broadcast" -> QueryDef(
       (s, dir) => Tables(s, dir, "nation")

@@ -100,6 +100,21 @@ class PlanSpec extends SparkSpec {
       "q_agg_theta_sets must build all three sketches in one pass")
   }
 
+  test("round-5 shapes: dict broadcasts, replacing aggregates in one exchange") {
+    // dictGet IS a broadcast hash join — the fact side must not shuffle
+    val dict = formatted("q_dict_get")
+    assert(dict.contains("BroadcastHashJoin"),
+      "the dictionary must broadcast in q_dict_get")
+    assert(!dict.contains("hashpartitioning("),
+      "the fact side of a dict lookup must never hash-shuffle")
+    // ReplacingMergeTree FINAL: one per-key hash aggregate (+ output
+    // sort) — map-side combine ships one candidate per key, no sort
+    // of the version history
+    val repl = formatted("q_replacing_final")
+    assert("hashpartitioning\\(".r.findAllIn(repl).size == 1,
+      "q_replacing_final must hash-shuffle exactly once (the keyed max_by)")
+  }
+
   test("scans prune columns to the projection") {
     val s = formatted("q_snapshot_scan")
     // 5 of customer's 7 columns are projected; the scan must not read

@@ -337,6 +337,48 @@ class StreamingSpec extends SparkSpec {
     assert(afterSecond.size > afterFirst.size, "tick 2 must add its own days")
   }
 
+  test("a failing pre-backup hook gates the streaming tick: nothing written") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select(col("ts_s").as("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(rows)
+    val dest = Files.createTempDirectory("graft-gate").toString
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    val gate = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hooks = streaming.Hooks(
+      pre = Seq(e => { fired.synchronized { fired += e.status }; gate.get() }),
+      post = Seq(e => { fired.synchronized { fired += e.status }; true }))
+    val q1 = SnapshotStream.start(spark,
+      mem.toDF().toDF("ts", "event_type", "value"),
+      dest, Trigger.AvailableNow(), ckpt, hooks = hooks)
+    // the gated tick must terminate exceptionally with the abort
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: rootCauses(t.getCause)
+    assert(rootCauses(err).exists(_.isInstanceOf[streaming.HookAbort]),
+      s"tick must abort through HookAbort: $err")
+    assert(!new java.io.File(s"$dest/snapshots").exists(),
+      "a gated tick must write nothing")
+    assert(fired.synchronized(fired.toSeq) == Seq("pre-backup"), "post must not fire")
+
+    // open the gate: the SAME checkpoint replays the batch and the
+    // tick completes — the cron-tick-after-hook-fix path
+    gate.set(true)
+    val q2 = SnapshotStream.start(spark,
+      mem.toDF().toDF("ts", "event_type", "value"),
+      dest, Trigger.AvailableNow(), ckpt, hooks = hooks)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(spark.read.parquet(s"$dest/snapshots").count() > 0,
+      "the replayed tick must write the snapshot")
+    assert(fired.synchronized(fired.toSeq).last == "post-backup")
+  }
+
   test("per-tick GC expires old snapshot day partitions as batches land") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -567,6 +609,41 @@ class StreamingSpec extends SparkSpec {
       .map { case (k, (net, nv, c)) => k -> (net, math.rint(nv * 10000) / 10000, c) }
     assert(streamFinal == batch,
       s"stream FINAL ${streamFinal.size} keys must equal batch ${batch.size}")
+  }
+
+  test("streaming replacing winners equal the batch ReplacingMergeTree FINAL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables(spark, sf, "events")
+      .select(concat(col("user_id"), lit("|"), col("event_type")).as("key"),
+        col("event_id").cast("long").as("ver"),
+        col("value").as("v"))
+      .as[(String, Long, Double)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    val latest = scala.collection.mutable.Map.empty[String, (Long, Double, Long)]
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = streaming.StreamReplacing.replacing(mem.toDF().toDF("key", "ver", "v"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[streaming.StreamReplacing.LatestRow], _: Long) =>
+        df.collect().foreach(r => latest(r.key) = (r.last_ver, r.last_value, r.n_versions))
+      }
+      .start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch FINAL over the same rows — the q_replacing_final kernel
+    val batch = rows.toDF("key", "ver", "v")
+      .groupBy("key")
+      .agg(max("ver").as("last_ver"), max_by(col("v"), col("ver")).as("last_v"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(latest.toMap == batch,
+      s"stream FINAL ${latest.size} keys must equal batch ${batch.size}")
   }
 
   test("streaming heavy hitters keep the dominant item once the table saturates") {

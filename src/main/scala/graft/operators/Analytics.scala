@@ -236,6 +236,36 @@ object Analytics extends QueryModule {
              |HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
              |ORDER BY user_id""".stripMargin)),
 
+    // ClickHouse groupBitmapAnd/Or/Xor ([CH] bitmap aggregates): EXACT
+    // set algebra over the member-id sets of two segments. The bitmap
+    // materializes as per-member FLAGS (one hash aggregate on the id:
+    // two booleans of state per member — the roaring-bitmap payload
+    // without the driver ever seeing ids), then one conditional-count
+    // fold computes |A∩B| / |A∪B| / |AΔB| / |A∖B| in a single pass
+    // over the flag rows. Exact twin of the approx q_agg_theta_sets;
+    // shuffle = one row per distinct member at any scale.
+    "q_agg_bitmap_sets" -> QueryDef(
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("a"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b"))
+        .agg(
+          count(when(col("a") === 1 && col("b") === 1, 1)).as("n_and"),
+          count(when(col("a") === 1 || col("b") === 1, 1)).as("n_or"),
+          count(when(col("a") =!= col("b"), 1)).as("n_xor"),
+          count(when(col("a") === 1 && col("b") === 0, 1)).as("n_andnot")),
+      Some("""WITH f AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+             |  FROM events GROUP BY user_id)
+             |SELECT
+             |  CAST(count(CASE WHEN a = 1 AND b = 1 THEN 1 END) AS BIGINT) AS n_and,
+             |  CAST(count(CASE WHEN a = 1 OR b = 1 THEN 1 END) AS BIGINT) AS n_or,
+             |  CAST(count(CASE WHEN a <> b THEN 1 END) AS BIGINT) AS n_xor,
+             |  CAST(count(CASE WHEN a = 1 AND b = 0 THEN 1 END) AS BIGINT) AS n_andnot
+             |FROM f""".stripMargin)),
+
     // ReplacingMergeTree FINAL semantics ([CH]): each (user, type) key
     // keeps only its latest row by version — event_id, the monotone
     // insert id, is the version column. One max_by hash aggregate:

@@ -41,6 +41,24 @@ object Lifecycle extends QueryModule {
     dest
   }
 
+  private def updatedDest(s: SparkSession, dir: String): String = {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_mutu_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists()) {
+      val e = Relational.eventsSec(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      Snapshot.backup(e, col("ts_s"), dest)
+      // value doubles on errors (×2 is exact in binary fp — no rounding
+      // hazard compounds through the oracle's sum) and the user is
+      // anonymized — the GDPR-update shape
+      val report = Snapshot.update(s, dest, col("event_type") === "error",
+        Map("value" -> (col("value") * 2), "user_id" -> lit(-1L)))
+      require(report.rowsAffected > 0, s"update fixture changed nothing at $dest")
+    }
+    dest
+  }
+
   private def roundtripDest(s: SparkSession, dir: String): String = {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
@@ -80,6 +98,25 @@ object Lifecycle extends QueryModule {
              |FROM events
              |WHERE NOT (event_type = 'click'
              |           AND date_trunc('second', ts) < TIMESTAMP '$CutTs')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // `ALTER TABLE … UPDATE` declared end-to-end ([CH] mutation): the
+    // staged snapshot doubles `value` and anonymizes the user on every
+    // error row, day partitions rewrite in place, and the aggregate
+    // over the post-update snapshot must match DuckDB applying the
+    // same CASE to the raw fixture.
+    "q_mutation_update" -> QueryDef(
+      (s, dir) => Snapshot.resolve(s, updatedDest(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"),
+          min("user_id").cast("long").as("min_user"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(CASE WHEN event_type = 'error' THEN value * 2 ELSE value END), 4) AS sum_value,
+             |  CAST(min(CASE WHEN event_type = 'error' THEN -1 ELSE user_id END) AS BIGINT) AS min_user
+             |FROM events
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Export → import round trip as a declared query (RESTORE is the

@@ -421,8 +421,16 @@ object Snapshot {
   private def writeManifest(spark: SparkSession, dest: String,
       rows: Seq[(String, Long, Long, String, String, String)]): Unit = {
     import spark.implicits._
+    // AtomicDir swap: a plain overwrite deletes the old manifest before
+    // the new one exists — a crash in that window would orphan the
+    // snapshot's gc/incremental/mutation surface (restore still works;
+    // everything manifest-driven refuses). Same discipline as the
+    // streaming standing-state swaps.
+    val dir = s"$dest/$ManifestDir"
+    graft.AtomicDir.recover(dir)
     rows.toDF("bucket_day", "n_rows", "content_xor", "content_sum", "source", "base_path")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dest/$ManifestDir")
+      .coalesce(1).write.mode("overwrite").parquet(graft.AtomicDir.tmpPath(dir))
+    graft.AtomicDir.swap(dir)
   }
 
   /** (base path if incremental, per-day rows (day, n, xor, sum, source));
@@ -431,6 +439,7 @@ object Snapshot {
   private def readManifest(spark: SparkSession, dir: String)
       : Option[(Option[String], Seq[(String, Long, Long, String, String)])] =
     try {
+      graft.AtomicDir.recover(s"$dir/$ManifestDir")
       val rows = spark.read.parquet(s"$dir/$ManifestDir")
         .select("bucket_day", "n_rows", "content_xor", "content_sum", "source", "base_path")
         .collect()

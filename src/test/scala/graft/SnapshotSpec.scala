@@ -328,6 +328,22 @@ class SnapshotSpec extends SparkSpec {
     assert(gcReport.keptDays == days.tail)
   }
 
+  test("the manifest survives a simulated crash mid-swap") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_s")
+    val dest = Files.createTempDirectory("graft-man-crash").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val man = new java.io.File(s"$dest/_graft_manifest")
+    // the lethal window of a plain overwrite: old manifest gone, new
+    // one not yet live — with AtomicDir the old is only set ASIDE
+    assert(man.renameTo(new java.io.File(s"$dest/_graft_manifest.old")))
+    // every manifest-driven surface must recover, not refuse
+    assert(Snapshot.gc(spark, dest, keepDays = 10000).deletedDays.isEmpty)
+    assert(man.exists(), "recovery must restore the manifest directory")
+    val r = Snapshot.delete(spark, dest, col("event_type") === "no_such")
+    assert(r.rowsAffected == 0L)
+  }
+
   test("snapshot round-trips losslessly through every supported format") {
     // timestamps through text formats are their own hazard (tz/format
     // round-trip); export the second-truncated form as string for

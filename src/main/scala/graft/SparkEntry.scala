@@ -24,6 +24,7 @@ object SparkEntry {
     functions.Scalars,
     streaming.Shapes,
     pipeline.TextOps,
+    pipeline.Bpe,
     pipeline.QualityOps,
     pipeline.Curate,
     pipeline.Dedup,

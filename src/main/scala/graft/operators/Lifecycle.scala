@@ -23,7 +23,13 @@ object Lifecycle extends QueryModule {
     */
   private val CutTs = "2024-01-08 00:00:00"
 
-  private def mutatedDest(s: SparkSession, dir: String): String = {
+  /** Staging is check-then-write into a shared tmpdir — serialize it
+    * (the bench/verify drivers are single-threaded, but a parallel
+    * test runner must not double-stage the same dest).
+    */
+  private val stageLock = new Object
+
+  private def mutatedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft_mut_" + Integer.toHexString(dir.hashCode)).toString
@@ -41,7 +47,7 @@ object Lifecycle extends QueryModule {
     dest
   }
 
-  private def updatedDest(s: SparkSession, dir: String): String = {
+  private def updatedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft_mutu_" + Integer.toHexString(dir.hashCode)).toString
@@ -59,7 +65,56 @@ object Lifecycle extends QueryModule {
     dest
   }
 
-  private def roundtripDest(s: SparkSession, dir: String): String = {
+  private def dedupedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_dedup_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists()) {
+      val e = Relational.eventsSec(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      // a dirty ingest: the first week's errors arrive twice
+      val dirty = e.unionByName(e.filter(
+        col("event_type") === "error" && col("ts_s") < lit(CutTs).cast("timestamp")))
+      Snapshot.backup(dirty, col("ts_s"), dest)
+      val report = Snapshot.deduplicate(s, dest)
+      require(report.rowsAffected > 0, s"dedup fixture removed nothing at $dest")
+    }
+    dest
+  }
+
+  /** A clean (unmutated) staged snapshot of events — the fixture for
+    * the introspection + partition-ops queries.
+    */
+  private def cleanDest(s: SparkSession, dir: String): String = stageLock.synchronized {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_clean_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists()) {
+      val e = Relational.eventsSec(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      Snapshot.backup(e, col("ts_s"), dest)
+    }
+    dest
+  }
+
+  private def detachedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_detach_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists()) {
+      val e = Relational.eventsSec(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      Snapshot.backup(e, col("ts_s"), dest)
+      // take the oldest day out of service — one rename + a manifest
+      // rewrite, no other data moves
+      val firstDay = Snapshot.parts(s, dest)
+        .agg(min("bucket_day")).head.getString(0)
+      Snapshot.detachPartition(s, dest, firstDay)
+    }
+    dest
+  }
+
+  private def roundtripDest(s: SparkSession, dir: String): String = stageLock.synchronized {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft_rt_" + Integer.toHexString(dir.hashCode)).toString
@@ -117,6 +172,58 @@ object Lifecycle extends QueryModule {
              |  round(sum(CASE WHEN event_type = 'error' THEN value * 2 ELSE value END), 4) AS sum_value,
              |  CAST(min(CASE WHEN event_type = 'error' THEN -1 ELSE user_id END) AS BIGINT) AS min_user
              |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // `OPTIMIZE TABLE … FINAL DEDUPLICATE` declared end-to-end ([CH]):
+    // the staged snapshot ingests the first week's errors TWICE, the
+    // dedup pass drops the extra copies (only the dirty days rewrite),
+    // and the aggregate over the deduplicated snapshot must equal the
+    // clean fixture — event_id is unique, so full-row dedup restores
+    // the original exactly.
+    "q_optimize_dedup" -> QueryDef(
+      (s, dir) => Snapshot.resolve(s, dedupedDest(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS sum_value
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // `system.parts` introspection declared as a query ([CH]): the
+    // snapshot's manifest IS the part inventory — one row per day with
+    // the row count the backup's read-back verified. The oracle
+    // recomputes per-day counts from the raw fixture: matching rows
+    // prove the manifest tracks the data exactly, at metadata cost
+    // (the Spark side reads ZERO data footers).
+    "q_snapshot_parts" -> QueryDef(
+      (s, dir) => Snapshot.parts(s, cleanDest(s, dir))
+        .orderBy("bucket_day"),
+      Some("""SELECT strftime(ts, '%Y%m%d') AS bucket_day,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  'full' AS source
+             |FROM events
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // `ALTER TABLE … DETACH PARTITION` declared end-to-end ([CH]): the
+    // staged snapshot detaches its oldest day (rename + manifest
+    // rewrite — no data rewrite at all), and the aggregate over the
+    // resolved snapshot must match DuckDB excluding that day. The
+    // attach-back direction is spec'd (SnapshotSpec round-trips it).
+    "q_partition_detach" -> QueryDef(
+      (s, dir) => Snapshot.resolve(s, detachedDest(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS sum_value
+             |FROM events
+             |WHERE strftime(ts, '%Y%m%d') >
+             |  (SELECT min(strftime(ts, '%Y%m%d')) FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Export → import round trip as a declared query (RESTORE is the

@@ -337,20 +337,53 @@ object Snapshot {
       }: _*)
     })
 
-  private def mutate(spark: SparkSession, dest: String, predicate: Column,
-      rewriteDay: DataFrame => DataFrame): MutationReport = {
-    val (base, manifestRows) = readManifest(spark, dest).getOrElse(
+  /** `OPTIMIZE TABLE … FINAL DEDUPLICATE` — drop fully identical rows
+    * (ClickHouse's other OPTIMIZE arm; [[compact]] is the file-layout
+    * one). Day partitions are independent dedup domains (the snapshot
+    * partitions on the event day, so a true duplicate lands in the
+    * same partition); only days that actually contain duplicates
+    * rewrite — found by ONE per-day (count, distinct-count) pass,
+    * metadata-scale collect.
+    */
+  def deduplicate(spark: SparkSession, dest: String): MutationReport = {
+    val (base, manifestRows) = requireManifest(spark, dest)
+    val resolved = resolve(spark, dest)
+    val dataCols = resolved.columns.filterNot(_ == "bucket_day").sorted
+    val perDay = resolved.groupBy("bucket_day").agg(
+      count(lit(1)).as("n"),
+      countDistinct(struct(dataCols.map(col): _*)).as("nd")).collect()
+    val dup = perDay.filter(r => r.getLong(1) > r.getLong(2))
+    if (dup.isEmpty) return MutationReport(Nil, Nil, 0L)
+    rewriteDayPartitions(spark, dest, base, manifestRows,
+      dup.map(_.getString(0)).sorted.toSeq, _.dropDuplicates(),
+      dup.map(r => r.getLong(1) - r.getLong(2)).sum)
+  }
+
+  private def requireManifest(spark: SparkSession, dest: String) =
+    readManifest(spark, dest).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot at $dest has no manifest — re-run Snapshot.backup on it"))
-    val bySource = manifestRows.map(r => r._1 -> r._5).toMap
 
+  private def mutate(spark: SparkSession, dest: String, predicate: Column,
+      rewriteDay: DataFrame => DataFrame): MutationReport = {
+    val (base, manifestRows) = requireManifest(spark, dest)
     // one pass over the resolved view: which days contain matches, and
     // how many rows (metadata-scale collect — one row per affected day)
     val hits = digestScan(resolve(spark, dest).filter(predicate))
     if (hits.isEmpty) return MutationReport(Nil, Nil, 0L)
-    val affected = hits.map(_._1).sorted
-    val rowsAffected = hits.map(_._2).sum
+    rewriteDayPartitions(spark, dest, base, manifestRows,
+      hits.map(_._1).sorted, rewriteDay, hits.map(_._2).sum)
+  }
 
+  /** Shared day-granular rewrite core of [[delete]]/[[update]]/
+    * [[deduplicate]]: swap each affected day via rename-aside, drop
+    * emptied days, re-digest only what changed, update the manifest.
+    */
+  private def rewriteDayPartitions(spark: SparkSession, dest: String,
+      base: Option[String],
+      manifestRows: Seq[(String, Long, Long, String, String)],
+      affected: Seq[String], rewriteDay: DataFrame => DataFrame,
+      rowsAffected: Long): MutationReport = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
     val resolved = resolve(spark, dest)
@@ -410,6 +443,122 @@ object Snapshot {
       s"mutation deleted every row of $dest — refuse to leave an empty snapshot")
     writeManifest(spark, dest, newRows)
     MutationReport(rewrittenDays, droppedDays, rowsAffected)
+  }
+
+  /** `system.parts` analog: the snapshot's part inventory as a
+    * DataFrame — one row per day partition with its manifest row count
+    * and source (`full` | `base` | `delta`). Pure metadata: reads only
+    * the manifest, never a data footer — at 100 TB this is the
+    * operator's monitoring surface (which days exist, how big, which
+    * live locally vs on the chain's base) at one-row-per-day cost.
+    */
+  def parts(spark: SparkSession, dest: String): DataFrame = {
+    import spark.implicits._
+    val (_, rows) = requireManifest(spark, dest)
+    rows.map(r => (r._1, r._2, r._5))
+      .toDF("bucket_day", "n_rows", "source")
+  }
+
+  /** `ALTER TABLE … DETACH PARTITION` — take one day out of service:
+    * its directory moves aside to `_detached_bucket_day=<day>` (data
+    * preserved, exactly ClickHouse's `detached/` area) and the manifest
+    * drops the row, so restores, tier views, gc, and incremental
+    * chains all exclude the day immediately. A base-sourced day on a
+    * chain has no local directory — it materializes copy-on-write into
+    * the detached area first, so the attach-back contract is uniform
+    * and the base snapshot is never touched.
+    *
+    * Scale shape: one rename (or one day-sized copy for base-sourced
+    * days) + the one-row-per-day manifest rewrite. No other data moves.
+    */
+  def detachPartition(spark: SparkSession, dest: String, day: String): Unit = {
+    val (base, rows) = requireManifest(spark, dest)
+    val row = rows.find(_._1 == day).getOrElse(throw new IllegalArgumentException(
+      s"no partition bucket_day=$day in snapshot $dest (have: ${rows.map(_._1).mkString(", ")})"))
+    require(rows.length > 1,
+      s"refusing to detach the only partition of $dest — that would empty the snapshot")
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dayDir = new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day")
+    // nested under a plain `_`-prefixed dir: a name containing `=` at
+    // the snapshot root would be parsed as a conflicting partition
+    // column by Spark's discovery; `_detached/` is invisible like the
+    // manifest (exactly ClickHouse's `detached/` area)
+    val detached = new org.apache.hadoop.fs.Path(destPath, s"_detached/bucket_day=$day")
+    require(!fs.exists(detached),
+      s"a detached copy of bucket_day=$day already exists at $dest — attach or delete it first")
+    fs.mkdirs(detached.getParent)
+    if (row._5 == "base")
+      // copy-on-write: the day's bytes live in the base; materialize
+      // them locally so attach-back never depends on the base's gc
+      resolve(spark, dest).filter(col("bucket_day") === day).drop("bucket_day")
+        .write.parquet(detached.toString)
+    else if (!fs.rename(dayDir, detached))
+      throw new java.io.IOException(s"detach failed for $dayDir")
+    writeManifest(spark, dest, rows.filterNot(_._1 == day)
+      .map(r => (r._1, r._2, r._3, r._4, r._5, base.orNull)))
+  }
+
+  /** `ALTER TABLE … ATTACH PARTITION` — bring a detached day back: the
+    * directory renames into place, the read-back re-digests it (the
+    * checksum verification ClickHouse does on ATTACH), and the manifest
+    * gains the row back as locally-sourced (`delta` on a chain — the
+    * local dir now carries the day, whatever its original source).
+    */
+  def attachPartition(spark: SparkSession, dest: String, day: String): Unit = {
+    val (base, rows) = requireManifest(spark, dest)
+    require(!rows.exists(_._1 == day),
+      s"partition bucket_day=$day is already attached at $dest")
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val detached = new org.apache.hadoop.fs.Path(destPath, s"_detached/bucket_day=$day")
+    require(fs.exists(detached), s"no detached partition bucket_day=$day at $dest")
+    val dayDir = new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day")
+    if (!fs.rename(detached, dayDir))
+      throw new java.io.IOException(s"attach failed for $dayDir")
+    // ATTACH verifies what it adopted: digest the day from the read-back
+    val dig = digestScan(restore(spark, dest).filter(col("bucket_day") === day))
+    require(dig.length == 1 && dig.head._2 > 0,
+      s"attach read-back failed for bucket_day=$day at $dest")
+    val (_, n, x, s) = dig.head
+    val src = if (base.isDefined) "delta" else "full"
+    writeManifest(spark, dest, (rows.map(r => (r._1, r._2, r._3, r._4, r._5, base.orNull))
+      :+ ((day, n, x, s, src, base.orNull))).sortBy(_._1))
+  }
+
+  /** `ALTER TABLE … MOVE PARTITION TO TABLE` — re-home one day from
+    * one snapshot to another: detach at the source, rename the
+    * detached directory across (one filesystem move — no data rewrite,
+    * like ClickHouse moving parts between tables on one disk), attach
+    * at the destination (which re-digests — the adoption checksum).
+    * Schemas must agree; checked against the source day's footer
+    * BEFORE anything moves, so a mismatch aborts with both snapshots
+    * untouched.
+    */
+  def movePartition(spark: SparkSession, srcDest: String, dstDest: String,
+      day: String): Unit = {
+    val srcDay = new org.apache.hadoop.fs.Path(srcDest, s"bucket_day=$day")
+    val fs = srcDay.getFileSystem(spark.sessionState.newHadoopConf())
+    // fail fast with nothing moved: destination must be a manifested
+    // snapshot without the day, and the schemas must line up
+    val (_, dstRows) = requireManifest(spark, dstDest)
+    require(!dstRows.exists(_._1 == day),
+      s"destination $dstDest already holds bucket_day=$day")
+    val srcSchema = resolve(spark, srcDest).filter(col("bucket_day") === day)
+      .drop("bucket_day").schema
+    val dstSchema = resolve(spark, dstDest).drop("bucket_day").schema
+    require(srcSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        dstSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema mismatch moving bucket_day=$day: source $srcSchema vs destination $dstSchema")
+    detachPartition(spark, srcDest, day)
+    val from = new org.apache.hadoop.fs.Path(srcDest, s"_detached/bucket_day=$day")
+    val to = new org.apache.hadoop.fs.Path(dstDest, s"_detached/bucket_day=$day")
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to)) {
+      attachPartition(spark, srcDest, day) // roll back before failing
+      throw new java.io.IOException(s"move failed renaming $from to $to")
+    }
+    attachPartition(spark, dstDest, day)
   }
 
   /** digest() collected as (day, n, xor, sum-string) tuples. */

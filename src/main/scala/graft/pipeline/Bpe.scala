@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training over the corpus — the
+  * tokenizer-training step every LLM data pipeline runs before the
+  * tokenize-to-ids pass ([[TextOps]]'s `q_vocab_encode` is the word-
+  * level form; this learns the SUB-word vocabulary). Algorithm is the
+  * public Sennrich et al. 2016 formulation: iteratively merge the most
+  * frequent adjacent symbol pair.
+  *
+  * Scale shape — the classic map-reduce factoring: BPE statistics are
+  * a function of the WORD-TYPE frequency table, not the corpus. ONE
+  * corpus pass builds the (word, count) grid (a hash aggregate — the
+  * vocabulary domain, millions of types at 100 TB, never the tokens);
+  * every merge iteration then runs on that grid alone: one pair-count
+  * aggregate (weighted by type frequency) + one argmax row to the
+  * driver + one narrow map applying the merge. Per-iteration cost is
+  * O(grid), independent of corpus size; `localCheckpoint` every few
+  * rounds truncates the growing map lineage (the Cluster.scala
+  * discipline). The driver holds only the learned merge list — model
+  * scale, like the KMeans centroids.
+  */
+object Bpe extends QueryModule {
+
+  /** Ordered merge rules; applying them in order tokenizes any word. */
+  final case class Model(merges: Seq[(String, String)]) {
+    /** Tokenize one word by replaying the merges in learned order —
+      * plain Scala on a char-level symbol sequence ending in the
+      * end-of-word marker (so "low" and "lower" learn different ends).
+      */
+    def encodeWord(word: String): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString) :+ Model.Eow
+      merges.foreach { case (a, b) =>
+        if (syms.length > 1) {
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+  }
+  object Model { val Eow = "</w>" }
+
+  /** One word type as its current symbol sequence (not private: the
+    * Dataset encoder's generated code must reach the constructor).
+    */
+  final case class TypeRow(syms: Seq[String], cnt: Long)
+
+  /** Apply one merge to one symbol sequence — shared by both training
+    * paths and [[Model.encodeWord]]'s replay.
+    */
+  private def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] =
+    if (syms.length < 2) syms
+    else {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+  /** Learn `numMerges` merge rules from a (word, count) word-type
+    * grid. Ties on pair frequency break lexicographically — training
+    * is deterministic whatever the partitioning or path.
+    *
+    * Two identical-result paths (spec'd equivalent), chosen by grid
+    * size — the KMeans discipline applied to tokenizer training:
+    * the word-TYPE grid is usually model-scale (a few million types
+    * even at web-corpus size), so when it fits under `maxLocalTypes`
+    * the driver pulls it ONCE and iterates in memory (50 merges in
+    * milliseconds, zero extra jobs). A grid too big to pull runs the
+    * distributed loop: per merge, one pair-count aggregate + a one-row
+    * argmax + one narrow map, `localCheckpoint` every 8 rounds to
+    * truncate lineage.
+    */
+  def train(wordTypes: DataFrame, numMerges: Int,
+      maxLocalTypes: Long = 1L << 21): Model = {
+    val spark = wordTypes.sparkSession
+    import spark.implicits._
+    val src = wordTypes.select(col("word").cast("string"), col("cnt").cast("long"))
+    if (src.limit(math.min(maxLocalTypes + 1, Int.MaxValue.toLong).toInt).count() <= maxLocalTypes)
+      trainLocal(src.as[(String, Long)].collect(), numMerges)
+    else {
+      var grid: Dataset[TypeRow] = src.as[(String, Long)]
+        .map { case (w, c) => TypeRow(w.map(_.toString) :+ Model.Eow, c) }
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(String, String)]
+      var done = false
+      var it = 0
+      while (it < numMerges && !done) {
+        // pair counts over the grid, weighted by type frequency: one
+        // map-side-combinable hash aggregate, vocabulary-domain rows
+        val best = grid.flatMap { t =>
+          t.syms.iterator.zip(t.syms.iterator.drop(1))
+            .map { case (a, b) => ((a, b), t.cnt) }.toSeq
+        }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .map { case ((a, b), n) => (n, a, b) }
+          // argmax with a total deterministic order: count desc, pair asc
+          .orderBy(desc("_1"), asc("_2"), asc("_3"))
+          .head(1)
+        if (best.isEmpty || best.head._1 < 2) done = true // nothing left to merge
+        else {
+          val (_, a, b) = best.head
+          merges += ((a, b))
+          grid = grid.map(t => TypeRow(applyMerge(t.syms, a, b), t.cnt))
+          it += 1
+          // truncate lineage so the plan never accretes `numMerges` maps
+          if (it % 8 == 0) grid = grid.localCheckpoint()
+        }
+      }
+      Model(merges.result())
+    }
+  }
+
+  /** The in-memory twin of the distributed loop: same statistics, same
+    * tie-break, same stopping rule, on the collected grid.
+    */
+  private def trainLocal(types: Array[(String, Long)], numMerges: Int): Model = {
+    var grid: Array[(Seq[String], Long)] =
+      types.map { case (w, c) => (w.map(_.toString) :+ Model.Eow, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var it = 0
+    while (it < numMerges && !done) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      grid.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // count desc, pair asc — identical order to the distributed sort
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (n < 2) done = true
+        else {
+          merges += ((a, b))
+          grid = grid.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+          it += 1
+        }
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** The corpus → word-type grid pass: normalize, split, hash-count.
+    * This is the ONLY corpus-sized read training needs.
+    */
+  def wordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFns.words(TextFns.normalize(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Tokenize the corpus with a learned model: per-partition replay of
+    * the broadcast merge list (genuinely imperative inner loop — the
+    * mapPartitions case). Emits one row per document with its BPE
+    * token sequence.
+    */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), TextFns.normalize(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          (id, text.split(' ').toSeq.filter(_.nonEmpty).flatMap(m.encodeWord))
+        }
+      }.toDF(idCol, "tokens")
+  }
+
+  /** One trained model per (sfDir) — training is iterative (50 small
+    * jobs); the declared query must measure the ENCODE path, like the
+    * Lifecycle staging memos. Deterministic, so memoization is safe.
+    */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  private def modelFor(s: SparkSession, dir: String): Model =
+    modelCache.computeIfAbsent(dir, _ =>
+      train(wordTypes(Tables(s, dir, "documents"), "text"), numMerges = 50))
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // BPE tokenization declared end-to-end: train on the corpus' own
+    // word-type grid (memoized — iterative model fit, like KMeans),
+    // encode every document, emit the per-doc scalar surface
+    // (token/type counts + compression vs whitespace tokens). Iterative
+    // model output — not SQL-expressible, rows-only by design
+    // (SURVEY §5.3.4); BpeSpec pins the algorithm against a
+    // hand-computed reference and the encode round trip.
+    "q_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val m = modelFor(s, dir)
+        encode(Tables(s, dir, "documents"), "text", "doc_id", m)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_bpe_tokens"),
+            size(array_distinct(col("tokens"))).cast("long").as("n_bpe_types"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

@@ -65,6 +65,51 @@ object QualityOps extends QueryModule {
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1) as a document
+    // FILTER verdict — q_quality_score is a continuous score; this is
+    // the published threshold battery a production pipeline actually
+    // gates on: word count in [50, 100k], mean word length in [3, 10],
+    // ≥80% of words containing a letter, ≥2 stop words. Each rule is a
+    // boolean column + the conjunction verdict, so downstream can both
+    // filter and audit WHICH rule rejected a document. Zero-shuffle
+    // codegen'd projection, like the rest of the hygiene battery.
+    "q_gopher_filter" -> QueryDef(
+      (s, dir) => {
+        val ws = TextFns.words(col("text"))
+        val nWords = size(ws).cast("double")
+        val meanWl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+        val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nWords
+        val stopHits = size(filter(ws, w =>
+          w.isin("the", "a", "of", "to", "and", "in", "is", "that")))
+        val r1 = nWords >= 50 && nWords <= 100000
+        val r2 = meanWl >= 3 && meanWl <= 10
+        val r3 = alphaFrac >= 0.8
+        val r4 = stopHits >= 2
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            r1.as("ok_word_count"), r2.as("ok_mean_word_len"),
+            r3.as("ok_alpha_frac"), r4.as("ok_stop_words"),
+            (r1 && r2 && r3 && r4).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+             |  mean_wl >= 3 AND mean_wl <= 10 AS ok_mean_word_len,
+             |  alpha_frac >= 0.8 AS ok_alpha_frac,
+             |  stop_hits >= 2 AS ok_stop_words,
+             |  (n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3 AND mean_wl <= 10)
+             |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS DOUBLE) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS mean_wl,
+             |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             |      / len(ws) AS alpha_frac,
+             |    len(list_filter(ws, w -> w IN ('the','a','of','to','and','in','is','that')))
+             |      AS stop_hits
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
     // Corpus vocabulary: global top-50 tokens. Explode → hash-agg on
     // the word key (map-side partials absorb the heavy hitters) →
     // TakeOrderedAndProject. No global sort of the vocabulary.

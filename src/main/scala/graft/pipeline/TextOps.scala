@@ -62,6 +62,45 @@ object TextOps extends QueryModule {
              |       ELSE 'unk' END AS pred_lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Vocabulary dictionary-encoding — ClickHouse LowCardinality /
+    // the tokenize-to-ids shape every training pipeline ends in: a
+    // corpus-wide token→id dictionary (dense ids, deterministic:
+    // lexicographic rank), then each document encoded as its id
+    // sequence. Scale shape: the dictionary is the VOCABULARY domain
+    // (a grid, not the corpus) — its ranking window sorts only
+    // distinct tokens; encoding is a broadcast-dict join on the
+    // exploded tokens (the Dictionary.dictGet shape) followed by one
+    // doc-keyed re-aggregation. The emitted surface is per-doc
+    // (token count, Σids, max id) — scalar, hash-checkable — while
+    // the id ARRAY itself is exercised by the spec's decode
+    // round trip.
+    "q_vocab_encode" -> QueryDef(
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
+        val vocab = words.select("word").distinct()
+          .withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("word")).cast("long"))
+        words.join(broadcast(vocab), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum("id").as("id_sum"),
+            max("id").as("id_max"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |v AS (
+             |  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+             |  FROM (SELECT DISTINCT word FROM w))
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(id) AS BIGINT) AS id_sum,
+             |  CAST(max(id) AS BIGINT) AS id_max
+             |FROM w JOIN v USING (word)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Quality score: length saturation + lexical diversity + symbol
     // cleanliness, each in [0,1], fixed weights.
     "q_quality_score" -> QueryDef(

@@ -356,6 +356,34 @@ class PipelineSpec extends SparkSpec {
       s"constant loadings expected: ${v.toSeq}"))
   }
 
+  test("vocabulary encoding round-trips: decode(encode(doc)) == doc tokens") {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(functions.TextFns.words(col("text"))))
+      .toDF("doc_id", "pos", "word")
+    val vocab = words.select("word").distinct()
+      .withColumn("id", row_number().over(Window.orderBy("word")).cast("long"))
+    // encode: per-doc id sequence in token order
+    val encoded = words.join(broadcast(vocab), "word")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, id))), x -> x.id)").as("ids"))
+    // decode through the REVERSE dictionary and compare to the source
+    val decoded = encoded
+      .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "id")))
+      .join(broadcast(vocab), "id")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
+        .as("text_back"))
+    val diff = decoded.join(
+        Tables(spark, sf, "documents").filter(col("doc_id") < 50), "doc_id")
+      .filter(col("text_back") =!= col("text"))
+    assert(diff.isEmpty, "decode(encode(text)) must reproduce the text")
+    // dense deterministic ids: 1..|vocab|
+    val ids = vocab.agg(min("id"), max("id"), count(lit(1))).head
+    assert(ids.getLong(0) == 1L && ids.getLong(1) == ids.getLong(2))
+  }
+
   test("multimodal feature extraction is deterministic and total") {
     val f1 = pipeline.Multimodal.extractFeatures(
       pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)

@@ -113,6 +113,20 @@ class PlanSpec extends SparkSpec {
     val repl = formatted("q_replacing_final")
     assert("hashpartitioning\\(".r.findAllIn(repl).size == 1,
       "q_replacing_final must hash-shuffle exactly once (the keyed max_by)")
+    // gopher filter battery: pure projection — no hash shuffle at all,
+    // only the deterministic output sort
+    assert(!formatted("q_gopher_filter").contains("hashpartitioning("),
+      "q_gopher_filter must stay a zero-hash-shuffle projection")
+    // vocab encoding: the dictionary side must broadcast onto the
+    // exploded tokens (the dictGet shape), never shuffle the corpus
+    // against the vocabulary
+    assert(formatted("q_vocab_encode").contains("BroadcastHashJoin"),
+      "the token dictionary must broadcast in q_vocab_encode")
+    // system.parts introspection reads ZERO data footers: the plan
+    // must contain no parquet scan (the manifest rows arrive as a
+    // driver-local relation)
+    assert(!formatted("q_snapshot_parts").contains("FileScan parquet"),
+      "q_snapshot_parts must answer from the manifest, not data files")
   }
 
   test("scans prune columns to the projection") {

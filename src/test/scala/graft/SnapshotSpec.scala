@@ -328,6 +328,111 @@ class SnapshotSpec extends SparkSpec {
     assert(gcReport.keptDays == days.tail)
   }
 
+  test("deduplicate drops identical rows, rewriting only the dirty days") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    val dirtyDay = days.head
+    val dirty = src.unionByName(
+      src.filter(Retention.bucketDay(col("ts_s")) === dirtyDay))
+    val dest = Files.createTempDirectory("graft-opt-dedup").toString
+    Snapshot.backup(dirty, col("ts_s"), dest)
+    val dupRows = src.filter(Retention.bucketDay(col("ts_s")) === dirtyDay).count()
+
+    val report = Snapshot.deduplicate(spark, dest)
+    assert(report.daysRewritten == Seq(dirtyDay) && report.daysDropped.isEmpty,
+      s"only the dirty day rewrites: $report")
+    assert(report.rowsAffected == dupRows)
+    val got = Snapshot.restore(spark, dest).drop("bucket_day")
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
+      "dedup must restore the clean dataset exactly")
+    // idempotent: a clean snapshot is a no-op
+    assert(Snapshot.deduplicate(spark, dest) == Snapshot.MutationReport(Nil, Nil, 0L))
+    // manifest consistent after the rewrite
+    assert(Snapshot.gc(spark, dest, keepDays = 10000).deletedDays.isEmpty)
+  }
+
+  test("detach takes a day out of service; attach round-trips it back") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-detach").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val partsBefore = Snapshot.parts(spark, dest).orderBy("bucket_day").collect()
+    val day = partsBefore.head.getString(0)
+    val dayRows = partsBefore.head.getLong(1)
+
+    Snapshot.detachPartition(spark, dest, day)
+    val afterDetach = Snapshot.resolve(spark, dest)
+    assert(afterDetach.filter(col("bucket_day") === day).isEmpty,
+      "a detached day must vanish from the resolved view")
+    assert(afterDetach.count() == src.count() - dayRows)
+    assert(Snapshot.parts(spark, dest).count() == partsBefore.length - 1)
+    // gc of the snapshot must not touch the detached area
+    assert(Snapshot.gc(spark, dest, keepDays = 10000).deletedDays.isEmpty)
+    // double-detach and attach-of-attached both fail fast
+    intercept[IllegalArgumentException](Snapshot.detachPartition(spark, dest, day))
+    intercept[IllegalArgumentException](Snapshot.attachPartition(spark, dest, "19990101"))
+
+    Snapshot.attachPartition(spark, dest, day)
+    val got = Snapshot.restore(spark, dest).drop("bucket_day")
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
+      "detach → attach must restore the snapshot exactly")
+    assert(Snapshot.parts(spark, dest).orderBy("bucket_day").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sameElements(partsBefore.map(r => (r.getString(0), r.getLong(1)))))
+  }
+
+  test("detach on an incremental chain materializes base days copy-on-write") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val base = Files.createTempDirectory("graft-detach-base").toString
+    val delta = Files.createTempDirectory("graft-detach-delta").toString
+    Snapshot.backup(src, col("ts_s"), base)
+    // unchanged data: every day is base-sourced in the delta
+    Snapshot.backupIncremental(src, col("ts_s"), base, delta)
+    val day = Snapshot.parts(spark, delta).agg(min("bucket_day"))
+      .head.getString(0)
+    val dayRows = src.filter(Retention.bucketDay(col("ts_s")) === day).count()
+
+    Snapshot.detachPartition(spark, delta, day)
+    assert(Snapshot.resolve(spark, delta).count() == src.count() - dayRows)
+    // the BASE still holds the day — only the delta's view dropped it
+    assert(Snapshot.resolve(spark, base).count() == src.count())
+
+    Snapshot.attachPartition(spark, delta, day)
+    val got = Snapshot.resolve(spark, delta).drop("bucket_day")
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
+      "chain detach → attach must restore the resolved view exactly")
+  }
+
+  test("move re-homes a day across snapshots without rewriting data") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+    val splitAt = days.length / 2
+    val (oldDays, newDays) = (days.take(splitAt).toSet, days.drop(splitAt).toSet)
+    val cold = Files.createTempDirectory("graft-move-cold").toString
+    val hot = Files.createTempDirectory("graft-move-hot").toString
+    Snapshot.backup(src.filter(Retention.bucketDay(col("ts_s")).isin(oldDays.toSeq: _*)),
+      col("ts_s"), cold)
+    Snapshot.backup(src.filter(Retention.bucketDay(col("ts_s")).isin(newDays.toSeq: _*)),
+      col("ts_s"), hot)
+
+    // age the oldest hot day into the cold tier — the MOVE use case
+    val day = newDays.min
+    Snapshot.movePartition(spark, hot, cold, day)
+    assert(Snapshot.parts(spark, hot).filter(col("bucket_day") === day).isEmpty)
+    assert(Snapshot.parts(spark, cold).filter(col("bucket_day") === day).count() == 1)
+    val both = Snapshot.resolve(spark, hot).unionByName(Snapshot.resolve(spark, cold))
+      .drop("bucket_day")
+    assert(both.exceptAll(src).isEmpty && src.exceptAll(both).isEmpty,
+      "hot ∪ cold must still hold exactly the original rows after the move")
+    // moving it again fails fast (no longer at the source), nothing breaks
+    intercept[IllegalArgumentException](Snapshot.movePartition(spark, hot, cold, day))
+  }
+
   test("the manifest survives a simulated crash mid-swap") {
     val src = Relational.eventsSec(spark, sf)
       .select("event_id", "user_id", "event_type", "ts_s")

@@ -114,6 +114,21 @@ object Lifecycle extends QueryModule {
     dest
   }
 
+  private def evolvedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_evolve_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists()) {
+      val e = Relational.eventsSec(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      Snapshot.backup(e, col("ts_s"), dest)
+      // the two ALTER arms: a defaulted add + a drop, both metadata-only
+      Snapshot.addColumn(s, dest, "source_tag", "'legacy'", "string")
+      Snapshot.dropColumn(s, dest, "user_id")
+    }
+    dest
+  }
+
   private def roundtripDest(s: SparkSession, dir: String): String = stageLock.synchronized {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
@@ -224,6 +239,27 @@ object Lifecycle extends QueryModule {
              |FROM events
              |WHERE strftime(ts, '%Y%m%d') >
              |  (SELECT min(strftime(ts, '%Y%m%d')) FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // `ALTER TABLE ADD COLUMN … DEFAULT` + `DROP COLUMN` declared
+    // end-to-end ([CH], metadata-only — NO data rewrite): the staged
+    // snapshot gains a defaulted `source_tag` and loses `user_id`
+    // purely in the schema log; the aggregate over the EVOLVED read
+    // must match DuckDB computing the same aggregate with the default
+    // as a literal (and the driver's schema compare proves user_id is
+    // really gone).
+    "q_schema_evolve" -> QueryDef(
+      (s, dir) => Snapshot.readEvolved(s, evolvedDest(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"),
+          max("source_tag").as("tag"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS sum_value,
+             |  'legacy' AS tag
+             |FROM events
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Export → import round trip as a declared query (RESTORE is the

@@ -561,6 +561,92 @@ object Snapshot {
     attachPartition(spark, dstDest, day)
   }
 
+  /** Hidden schema-evolution sidecar: the ordered `ALTER TABLE ADD/
+    * DROP COLUMN` log. Like the manifest, `_`-prefixed so data reads
+    * never see it.
+    */
+  private val SchemaDir = "_graft_schema"
+
+  /** `ALTER TABLE … ADD COLUMN name type DEFAULT expr` — metadata-only,
+    * exactly ClickHouse's semantics: NO data file is touched; existing
+    * rows surface the default at read time ([[readEvolved]]), and the
+    * column becomes physical only as new data carrying it is written.
+    * At 100 TB this is the only viable ALTER: a schema change must
+    * never imply a corpus rewrite.
+    */
+  def addColumn(spark: SparkSession, dest: String, name: String,
+      defaultSql: String, dataType: String): Unit = {
+    requireManifest(spark, dest) // only evolve real snapshots
+    require(!resolve(spark, dest).columns.contains(name) &&
+        !readSchemaLog(spark, dest).exists(r => r._2 == "add" && r._3 == name),
+      s"column $name already exists at $dest")
+    // validate the default parses and casts NOW, not at first read
+    spark.range(1).select(expr(defaultSql).cast(dataType))
+    writeSchemaLog(spark, dest,
+      readSchemaLog(spark, dest) :+ ((nextOrd(spark, dest), "add", name, defaultSql, dataType)))
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — metadata-only: the column vanishes
+    * from evolved reads immediately; bytes are reclaimed only as days
+    * rewrite for other reasons (mutation, compaction), like ClickHouse
+    * parts dropping the column on their next merge.
+    */
+  def dropColumn(spark: SparkSession, dest: String, name: String): Unit = {
+    requireManifest(spark, dest)
+    require(readEvolved(spark, dest).columns.contains(name),
+      s"no column $name at $dest")
+    require(name != "bucket_day", "cannot drop the partition column")
+    writeSchemaLog(spark, dest,
+      readSchemaLog(spark, dest) :+ ((nextOrd(spark, dest), "drop", name, null, null)))
+  }
+
+  /** [[resolve]] with the schema-evolution log replayed in order:
+    * added columns materialize their default where the footers lack
+    * them (or are null — the pre-evolution rows), dropped columns
+    * disappear. Pure projection on top of the resolved scan — zero
+    * extra shuffle, codegen'd like any withColumn.
+    */
+  def readEvolved(spark: SparkSession, dest: String): DataFrame = {
+    var df = resolve(spark, dest)
+    readSchemaLog(spark, dest).sortBy(_._1).foreach {
+      case (_, "add", name, defaultSql, dtype) =>
+        df =
+          if (df.columns.contains(name))
+            df.withColumn(name, coalesce(col(name), expr(defaultSql).cast(dtype)))
+          else df.withColumn(name, expr(defaultSql).cast(dtype))
+      case (_, "drop", name, _, _) =>
+        df = df.drop(name)
+      case (_, other, _, _, _) =>
+        throw new IllegalStateException(s"unknown schema-log action '$other' at $dest")
+    }
+    df
+  }
+
+  private def nextOrd(spark: SparkSession, dest: String): Long =
+    readSchemaLog(spark, dest).map(_._1).maxOption.getOrElse(0L) + 1L
+
+  private def readSchemaLog(spark: SparkSession, dest: String)
+      : Seq[(Long, String, String, String, String)] =
+    try {
+      graft.AtomicDir.recover(s"$dest/$SchemaDir")
+      spark.read.parquet(s"$dest/$SchemaDir")
+        .select("ord", "action", "name", "default_sql", "data_type")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4)))
+        .sortBy(_._1).toSeq
+    } catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+
+  private def writeSchemaLog(spark: SparkSession, dest: String,
+      rows: Seq[(Long, String, String, String, String)]): Unit = {
+    import spark.implicits._
+    val dir = s"$dest/$SchemaDir"
+    graft.AtomicDir.recover(dir)
+    rows.toDF("ord", "action", "name", "default_sql", "data_type")
+      .coalesce(1).write.mode("overwrite").parquet(graft.AtomicDir.tmpPath(dir))
+    graft.AtomicDir.swap(dir)
+  }
+
   /** digest() collected as (day, n, xor, sum-string) tuples. */
   private def digestScan(df: DataFrame): Seq[(String, Long, Long, String)] =
     digest(df).collect().map { r =>

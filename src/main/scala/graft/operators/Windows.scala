@@ -250,6 +250,74 @@ object Windows extends QueryModule {
              |FROM d LEFT JOIN c ON d.event_type = c.event_type AND d.day = c.day
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ClickHouse `WITH FILL … INTERPOLATE (v AS v)` — gap filling
+    // that CARRIES the previous known value across the filled rows
+    // (CH's INTERPOLATE computes each filled row from the previous
+    // row; `v AS v` is the carry-forward staple). Same densification
+    // shape as q_gap_fill (aggregate first, explode the per-type day
+    // span, left join back — nothing touches raw events), then ONE
+    // more window pass: last-known-value with IGNORE NULLS. The
+    // window partitions by event_type — bounded frames over the
+    // (type × span-days) grid, never the fact table.
+    "q_gap_interpolate" -> QueryDef(
+      (s, dir) => {
+        val c = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"), date_trunc("day", col("ts_s")).as("day"))
+          .agg(round(sum("value"), 4).as("v"))
+        val days = c.groupBy("event_type")
+          .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(col("event_type"),
+            explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        days.join(c, Seq("event_type", "day"), "left")
+          .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("v").isNull.as("filled"),
+            last(col("v"), ignoreNulls = true).over(w).as("v"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, date_trunc('day', date_trunc('second', ts)) AS day,
+             |         value
+             |  FROM events),
+             |c AS (SELECT event_type, day, round(sum(value), 4) AS v
+             |      FROM ev GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM c GROUP BY 1),
+             |d AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+             |      FROM b)
+             |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+             |       c.v IS NULL AS filled,
+             |       last_value(c.v IGNORE NULLS) OVER (
+             |         PARTITION BY d.event_type ORDER BY d.day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |FROM d LEFT JOIN c ON d.event_type = c.event_type AND d.day = c.day
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ClickHouse `LIMIT n BY key` — the first n rows per key in the
+    // declared order (distinct from q_topk_per_group's rank-by-measure:
+    // LIMIT BY is an ORDER-position cut, the dedup-to-n-exemplars
+    // staple). One row_number window per key partition — each key's
+    // frame cuts at n, no global sort; the unique (ts, event_id) order
+    // key makes the cut deterministic.
+    "q_limit_by" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("ts_s"), col("event_id"))
+        Relational.eventsSec(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("event_type"), col("rn").cast("long").as("rn"),
+            col("event_id"),
+            date_format(col("ts_s"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, ts_str FROM (
+             |  SELECT event_type, event_id,
+             |         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_str,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY date_trunc('second', ts), event_id) AS rn
+             |  FROM events)
+             |WHERE rn <= 2 ORDER BY event_type, rn""".stripMargin)),
+
     // Global top-k by recency (keep-K-newest, backup.sh:119–122 view).
     // TakeOrderedAndProject: no global sort, O(k) per partition.
     "q_topk" -> QueryDef(

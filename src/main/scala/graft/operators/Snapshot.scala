@@ -378,6 +378,15 @@ object Snapshot {
   /** Shared day-granular rewrite core of [[delete]]/[[update]]/
     * [[deduplicate]]: swap each affected day via rename-aside, drop
     * emptied days, re-digest only what changed, update the manifest.
+    *
+    * Two phases: every rewritten day is first materialized into a
+    * `_mutate_tmp_` directory with NOTHING existing touched — so the
+    * refuse-to-empty-the-snapshot guard (and any write failure) aborts
+    * with the snapshot bit-identical — and only then do the
+    * rename-aside swaps and day drops run. A recovery sweep at entry
+    * clears debris from a previous crash: stray tmps are uncommitted
+    * (drop), a surviving `_mutate_old_` restores when its day is
+    * missing (the crash hit mid-swap).
     */
   private def rewriteDayPartitions(spark: SparkSession, dest: String,
       base: Option[String],
@@ -386,41 +395,69 @@ object Snapshot {
       rowsAffected: Long): MutationReport = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(destPath).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_mutate_tmp_")) fs.delete(p, true)
+      else if (n.startsWith("_mutate_old_")) {
+        val dir = new org.apache.hadoop.fs.Path(destPath, n.stripPrefix("_mutate_old_"))
+        if (fs.exists(dir)) fs.delete(p, true)
+        else if (!fs.rename(p, dir))
+          throw new java.io.IOException(s"mutation recovery failed for $dir")
+      }
+    }
     val resolved = resolve(spark, dest)
+
+    // phase 1 — materialize: compute every affected day into its tmp
+    // dir (or mark it dropped); the snapshot itself is untouched
     val rewritten = Seq.newBuilder[String]
     val dropped = Seq.newBuilder[String]
     affected.foreach { day =>
       val dayDf = rewriteDay(resolved.filter(col("bucket_day") === day))
         .drop("bucket_day")
-      val dayDir = new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day")
-      if (dayDf.isEmpty) {
-        // every row of the day matched a delete: the day disappears
-        if (fs.exists(dayDir)) fs.delete(dayDir, true)
-        dropped += day
-      } else {
+      if (dayDf.isEmpty) dropped += day
+      else {
         val tmp = new org.apache.hadoop.fs.Path(destPath, s"_mutate_tmp_bucket_day=$day")
         dayDf.write.mode("overwrite").parquet(tmp.toString)
         fs.listStatus(tmp).map(_.getPath)
           .filterNot(p => p.getName.endsWith(".parquet") || p.getName.startsWith("part-"))
           .foreach(p => fs.delete(p, false))
-        // rename-aside swap (the old dir may not exist: a base-sourced
-        // day materializes locally here — copy-on-write)
-        val old = new org.apache.hadoop.fs.Path(destPath, s"_mutate_old_bucket_day=$day")
-        if (fs.exists(dayDir) && !fs.rename(dayDir, old))
-          throw new java.io.IOException(s"mutation swap failed for $dayDir (set-aside)")
-        if (!fs.rename(tmp, dayDir)) {
-          if (fs.exists(old)) fs.rename(old, dayDir)
-          throw new java.io.IOException(s"mutation swap failed for $dayDir")
-        }
-        if (fs.exists(old)) fs.delete(old, true)
         rewritten += day
       }
+    }
+    val rewrittenDays = rewritten.result()
+    val droppedDays = dropped.result()
+    if ((manifestRows.map(_._1).toSet -- droppedDays).isEmpty) {
+      // refuse BEFORE anything is destroyed — the guard must protect
+      // the data, not lament it
+      rewrittenDays.foreach { day =>
+        fs.delete(new org.apache.hadoop.fs.Path(destPath, s"_mutate_tmp_bucket_day=$day"), true)
+      }
+      throw new IllegalArgumentException(
+        s"mutation would delete every row of $dest — refusing to leave an empty snapshot")
+    }
+
+    // phase 2 — swap: rename-aside each rewritten day (the old dir may
+    // not exist: a base-sourced day materializes locally here —
+    // copy-on-write), delete the emptied days
+    rewrittenDays.foreach { day =>
+      val dayDir = new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day")
+      val tmp = new org.apache.hadoop.fs.Path(destPath, s"_mutate_tmp_bucket_day=$day")
+      val old = new org.apache.hadoop.fs.Path(destPath, s"_mutate_old_bucket_day=$day")
+      if (fs.exists(dayDir) && !fs.rename(dayDir, old))
+        throw new java.io.IOException(s"mutation swap failed for $dayDir (set-aside)")
+      if (!fs.rename(tmp, dayDir)) {
+        if (fs.exists(old)) fs.rename(old, dayDir)
+        throw new java.io.IOException(s"mutation swap failed for $dayDir")
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    droppedDays.foreach { day =>
+      val dayDir = new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day")
+      if (fs.exists(dayDir)) fs.delete(dayDir, true)
     }
 
     // re-digest ONLY the rewritten days from the read-back (they are
     // all local dirs now) — write-then-verify, like backup()
-    val rewrittenDays = rewritten.result()
-    val droppedDays = dropped.result()
     val newDigests: Map[String, (Long, Long, String)] =
       if (rewrittenDays.isEmpty) Map.empty
       else digestScan(restore(spark, dest)

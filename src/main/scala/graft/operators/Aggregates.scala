@@ -595,6 +595,81 @@ object Aggregates extends QueryModule {
              |  LEFT JOIN u3 ON u1.user_id = u3.user_id)
              |GROUP BY level ORDER BY level""".stripMargin)),
 
+    // ClickHouse `windowFunnel(…, 'strict_order')` — the chain BREAKS
+    // if any other event interleaves: step k+1 must be the user's very
+    // NEXT event after step k, not merely the next matching one. Same
+    // streaming shape as q_funnel plus one aggregate per step over ALL
+    // events (min ts > t_k — the "what came next" probe); a step
+    // qualifies iff its matched timestamp IS that minimum. Nothing
+    // buffers per-user event lists.
+    "q_funnel_strict" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir).select("user_id", "event_type", "ts_s")
+        val u1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+        // the user's next event of ANY type after t1 (the strictness probe)
+        val n1 = e.join(u1, Seq("user_id"))
+          .filter(col("ts_s") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("tn1"))
+        val u2 = e.filter(col("event_type") === "click")
+          .join(u1, Seq("user_id"))
+          .filter(col("ts_s") > col("t1") &&
+            col("ts_s") <= col("t1") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("t2"), first(col("t1")).as("t1b"))
+          // strict: the matched click IS the next event after signup
+          .join(n1, Seq("user_id"))
+          .filter(col("t2") === col("tn1"))
+        val n2 = e.join(u2.select("user_id", "t2"), Seq("user_id"))
+          .filter(col("ts_s") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("tn2"))
+        val u3 = e.filter(col("event_type") === "purchase")
+          .join(u2, Seq("user_id"))
+          .filter(col("ts_s") > col("t2") &&
+            col("ts_s") <= col("t1b") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("t3"))
+          .join(n2, Seq("user_id"))
+          .filter(col("t3") === col("tn2"))
+        u1.join(u2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(u3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1) + col("t2").isNotNull.cast("int") + col("t3").isNotNull.cast("int"))
+              .cast("long").as("level"))
+          .groupBy("level").agg(count(lit(1)).as("n_users"))
+          .orderBy("level")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
+             |u1 AS (SELECT user_id, min(ts_s) AS t1 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY user_id),
+             |n1 AS (SELECT e.user_id, min(e.ts_s) AS tn1
+             |       FROM ev e JOIN u1 ON e.user_id = u1.user_id
+             |       WHERE e.ts_s > u1.t1 GROUP BY e.user_id),
+             |u2 AS (SELECT x.user_id, x.t2, x.t1b FROM (
+             |         SELECT e.user_id, min(e.ts_s) AS t2, min(u1.t1) AS t1b
+             |         FROM ev e JOIN u1 ON e.user_id = u1.user_id
+             |         WHERE e.event_type = 'click' AND e.ts_s > u1.t1
+             |           AND e.ts_s <= u1.t1 + INTERVAL 7 DAY
+             |         GROUP BY e.user_id) x
+             |       JOIN n1 ON x.user_id = n1.user_id AND x.t2 = n1.tn1),
+             |n2 AS (SELECT e.user_id, min(e.ts_s) AS tn2
+             |       FROM ev e JOIN u2 ON e.user_id = u2.user_id
+             |       WHERE e.ts_s > u2.t2 GROUP BY e.user_id),
+             |u3 AS (SELECT y.user_id, y.t3 FROM (
+             |         SELECT e.user_id, min(e.ts_s) AS t3
+             |         FROM ev e JOIN u2 ON e.user_id = u2.user_id
+             |         WHERE e.event_type = 'purchase' AND e.ts_s > u2.t2
+             |           AND e.ts_s <= u2.t1b + INTERVAL 7 DAY
+             |         GROUP BY e.user_id) y
+             |       JOIN n2 ON y.user_id = n2.user_id AND y.t3 = n2.tn2)
+             |SELECT level, CAST(count(*) AS BIGINT) AS n_users FROM (
+             |  SELECT u1.user_id,
+             |         CAST(1 + CASE WHEN u2.user_id IS NOT NULL THEN 1 ELSE 0 END
+             |                + CASE WHEN u3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+             |  FROM u1
+             |  LEFT JOIN u2 ON u1.user_id = u2.user_id
+             |  LEFT JOIN u3 ON u1.user_id = u3.user_id)
+             |GROUP BY level ORDER BY level""".stripMargin)),
+
     // sequenceMatch('(?1).*(?2).*(?3)') — ClickHouse event-pattern
     // matching: per user, did signup → click → purchase occur in time
     // order (no window bound — that's what distinguishes it from

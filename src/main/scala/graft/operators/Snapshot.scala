@@ -346,6 +346,7 @@ object Snapshot {
     * metadata-scale collect.
     */
   def deduplicate(spark: SparkSession, dest: String): MutationReport = {
+    recoverMutationDebris(spark, dest)
     val (base, manifestRows) = requireManifest(spark, dest)
     val resolved = resolve(spark, dest)
     val dataCols = resolved.columns.filterNot(_ == "bucket_day").sorted
@@ -359,6 +360,30 @@ object Snapshot {
       dup.map(r => r.getLong(1) - r.getLong(2)).sum)
   }
 
+  /** Clear debris a crashed mutation left behind, BEFORE any scan of
+    * the snapshot (a day missing mid-swap must be restored before the
+    * predicate pass, or its rows would be invisible to the mutation):
+    * stray `_mutate_tmp_` dirs are uncommitted work (drop); a
+    * `_mutate_old_` set-aside whose day directory is missing restores
+    * (the crash hit between the swap's two renames); one next to an
+    * intact day is a completed swap's leftover (drop).
+    */
+  private def recoverMutationDebris(spark: SparkSession, dest: String): Unit = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(destPath)) return
+    fs.listStatus(destPath).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_mutate_tmp_")) fs.delete(p, true)
+      else if (n.startsWith("_mutate_old_")) {
+        val dir = new org.apache.hadoop.fs.Path(destPath, n.stripPrefix("_mutate_old_"))
+        if (fs.exists(dir)) fs.delete(p, true)
+        else if (!fs.rename(p, dir))
+          throw new java.io.IOException(s"mutation recovery failed for $dir")
+      }
+    }
+  }
+
   private def requireManifest(spark: SparkSession, dest: String) =
     readManifest(spark, dest).getOrElse(
       throw new IllegalArgumentException(
@@ -366,6 +391,7 @@ object Snapshot {
 
   private def mutate(spark: SparkSession, dest: String, predicate: Column,
       rewriteDay: DataFrame => DataFrame): MutationReport = {
+    recoverMutationDebris(spark, dest)
     val (base, manifestRows) = requireManifest(spark, dest)
     // one pass over the resolved view: which days contain matches, and
     // how many rows (metadata-scale collect — one row per affected day)
@@ -383,10 +409,10 @@ object Snapshot {
     * `_mutate_tmp_` directory with NOTHING existing touched — so the
     * refuse-to-empty-the-snapshot guard (and any write failure) aborts
     * with the snapshot bit-identical — and only then do the
-    * rename-aside swaps and day drops run. A recovery sweep at entry
-    * clears debris from a previous crash: stray tmps are uncommitted
-    * (drop), a surviving `_mutate_old_` restores when its day is
-    * missing (the crash hit mid-swap).
+    * rename-aside swaps and day drops run. Crash debris from a
+    * previous run is swept by [[recoverMutationDebris]] at the
+    * mutation ENTRY points — before the predicate scan, so a day
+    * missing mid-swap is restored before its rows are searched.
     */
   private def rewriteDayPartitions(spark: SparkSession, dest: String,
       base: Option[String],
@@ -395,16 +421,6 @@ object Snapshot {
       rowsAffected: Long): MutationReport = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(destPath).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith("_mutate_tmp_")) fs.delete(p, true)
-      else if (n.startsWith("_mutate_old_")) {
-        val dir = new org.apache.hadoop.fs.Path(destPath, n.stripPrefix("_mutate_old_"))
-        if (fs.exists(dir)) fs.delete(p, true)
-        else if (!fs.rename(p, dir))
-          throw new java.io.IOException(s"mutation recovery failed for $dir")
-      }
-    }
     val resolved = resolve(spark, dest)
 
     // phase 1 — materialize: compute every affected day into its tmp

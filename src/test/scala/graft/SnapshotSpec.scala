@@ -468,6 +468,39 @@ class SnapshotSpec extends SparkSpec {
     assert(both.filter(col("source_tag") === "fresh").count() == 100)
   }
 
+  test("mutations recover crash debris: stray tmps drop, orphaned set-asides restore") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-mut-debris").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val days = src.select(Retention.bucketDay(col("ts_s")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0))
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // crash shape 1: a stray tmp next to an intact day — uncommitted work
+    val strayTmp = new org.apache.hadoop.fs.Path(destPath,
+      s"_mutate_tmp_bucket_day=${days(0)}")
+    fs.mkdirs(strayTmp)
+    // crash shape 2: a set-aside whose day never got its replacement —
+    // the crash hit between the two renames of the swap
+    val day1Dir = new org.apache.hadoop.fs.Path(destPath, s"bucket_day=${days(1)}")
+    val orphanOld = new org.apache.hadoop.fs.Path(destPath,
+      s"_mutate_old_bucket_day=${days(1)}")
+    assert(fs.rename(day1Dir, orphanOld))
+
+    // ANY mutation entry point must sweep the debris first, then work
+    Snapshot.delete(spark, dest,
+      col("event_type") === "error" && Retention.bucketDay(col("ts_s")) === days(2))
+    assert(!fs.exists(strayTmp) && !fs.exists(orphanOld) && fs.exists(day1Dir),
+      "recovery must drop the stray tmp and restore the orphaned day")
+    val got = Snapshot.resolve(spark, dest).drop("bucket_day")
+    val want = src.filter(!(col("event_type") === "error" &&
+      Retention.bucketDay(col("ts_s")) === days(2)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-recovery mutation must see the fully restored snapshot")
+  }
+
   test("the manifest survives a simulated crash mid-swap") {
     val src = Relational.eventsSec(spark, sf)
       .select("event_id", "user_id", "event_type", "ts_s")

@@ -159,6 +159,66 @@ object QualityOps extends QueryModule {
     // quality signal (high = off-distribution / junk). Two shuffles
     // (vocab count on word; token↔prob join on word) + one doc-keyed
     // aggregate; the corpus total is a broadcast 1-row join.
+    // Interpolated BIGRAM LM scoring — the CCNet-style upgrade of the
+    // unigram q_doc_lm_score: P(w|prev) = 0.7·c₂(prev,w)/c₁(prev) +
+    // 0.3·c₁(w)/T, first token of each doc backs off to the unigram.
+    // Scale shape: the corpus collapses to the unigram and bigram
+    // GRIDS (two hash aggregates, map-side combined); scoring is
+    // grid-keyed joins (bigram left join for unseen pairs) + ONE
+    // per-doc lag window (bounded frames, partitioned by doc) + one
+    // doc-keyed re-aggregation. No per-doc token list materializes.
+    "q_doc_lm_bigram" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(TextFns.words(col("text"))))
+          .toDF("doc_id", "pos", "w")
+        val seq = toks.withColumn("prev",
+          lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+        val tot = uni.agg(sum("c1").as("t"))
+        val bi = seq.filter(col("prev").isNotNull)
+          .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+        val uniPrev = uni.select(col("w").as("prev"), col("c1").as("c1p"))
+        val p = when(col("prev").isNull,
+            col("c1").cast("double") / col("t"))
+          .otherwise(
+            lit(0.7) * coalesce(col("c2"), lit(0L)).cast("double") / col("c1p") +
+            lit(0.3) * col("c1").cast("double") / col("t"))
+        seq.join(uni, Seq("w"))
+          .join(broadcast(tot))
+          .join(bi, Seq("prev", "w"), "left")
+          .join(uniPrev, Seq("prev"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            round(avg(-log2(p)) + 1e-9, 4).as("bits_per_token"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, i AS pos, ws[i] AS w
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |       UNNEST(generate_series(1, len(ws))) AS u(i)),
+             |seq AS (
+             |  SELECT doc_id, w,
+             |         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |  FROM toks),
+             |uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+             |tot AS (SELECT sum(c1) AS t FROM uni),
+             |bi AS (SELECT prev, w, count(*) AS c2 FROM seq
+             |       WHERE prev IS NOT NULL GROUP BY prev, w)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  round(avg(-log2(
+             |    CASE WHEN seq.prev IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.t
+             |         ELSE 0.7 * CAST(coalesce(bi.c2, 0) AS DOUBLE) / up.c1 +
+             |              0.3 * CAST(uni.c1 AS DOUBLE) / tot.t END)) + 1e-9, 4)
+             |    AS bits_per_token
+             |FROM seq
+             |JOIN uni USING (w)
+             |CROSS JOIN tot
+             |LEFT JOIN bi ON seq.prev = bi.prev AND seq.w = bi.w
+             |LEFT JOIN uni up ON seq.prev = up.w
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q_doc_lm_score" -> QueryDef(
       (s, dir) => {
         val toks = Tables(s, dir, "documents")

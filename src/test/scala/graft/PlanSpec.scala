@@ -33,6 +33,8 @@ class PlanSpec extends SparkSpec {
     */
   private val intendedNestedLoop =
     Set("q_sim_topk", "q_sim_ann", "q_retention_filter", "q_doc_lm_score",
+      // lm_bigram: same 1-row corpus-total broadcast as q_doc_lm_score
+      "q_doc_lm_bigram",
       // theils_u: two cross joins of 1-row aggregate results (the
       // H(A)/H(B) entropy folds) onto the 1-row conditional-entropy
       // fold — bounded by construction, broadcast on purpose

@@ -579,6 +579,29 @@ object Snapshot {
       :+ ((day, n, x, s, src, base.orNull))).sortBy(_._1))
   }
 
+  /** `ALTER TABLE … DROP PARTITION` — discard one day outright: the
+    * local directory deletes (if any — a base-sourced day on a chain
+    * has none and the base is never touched) and the manifest drops
+    * the row, so restores, tier views, and chains exclude the day
+    * immediately. Pure metadata + one directory delete — the
+    * partition-aligned fast path of [[delete]] (which would reach the
+    * same outcome through a predicate scan). Refuses to drop the only
+    * partition, like every other would-empty guard.
+    */
+  def dropPartition(spark: SparkSession, dest: String, day: String): Unit = {
+    val (base, rows) = requireManifest(spark, dest)
+    val row = rows.find(_._1 == day).getOrElse(throw new IllegalArgumentException(
+      s"no partition bucket_day=$day in snapshot $dest (have: ${rows.map(_._1).mkString(", ")})"))
+    require(rows.length > 1,
+      s"refusing to drop the only partition of $dest — that would empty the snapshot")
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (row._5 != "base")
+      fs.delete(new org.apache.hadoop.fs.Path(destPath, s"bucket_day=$day"), true)
+    writeManifest(spark, dest, rows.filterNot(_._1 == day)
+      .map(r => (r._1, r._2, r._3, r._4, r._5, base.orNull)))
+  }
+
   /** `ALTER TABLE … MOVE PARTITION TO TABLE` — re-home one day from
     * one snapshot to another: detach at the source, rename the
     * detached directory across (one filesystem move — no data rewrite,

@@ -406,6 +406,29 @@ class SnapshotSpec extends SparkSpec {
       "chain detach → attach must restore the resolved view exactly")
   }
 
+  test("drop partition discards a day by metadata alone") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-drop-part").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    val day = Snapshot.parts(spark, dest).agg(min("bucket_day")).head.getString(0)
+    val dayRows = src.filter(Retention.bucketDay(col("ts_s")) === day).count()
+
+    Snapshot.dropPartition(spark, dest, day)
+    assert(Snapshot.resolve(spark, dest).count() == src.count() - dayRows)
+    assert(Snapshot.parts(spark, dest).filter(col("bucket_day") === day).isEmpty)
+    assert(Snapshot.gc(spark, dest, keepDays = 10000).deletedDays.isEmpty)
+    // equivalent outcome to the predicate route, minus the scan
+    val viaDelete = src.filter(Retention.bucketDay(col("ts_s")) =!= day)
+    val got = Snapshot.resolve(spark, dest).drop("bucket_day")
+    assert(got.exceptAll(viaDelete).isEmpty && viaDelete.exceptAll(got).isEmpty)
+    // dropping twice / dropping the last day both refuse
+    intercept[IllegalArgumentException](Snapshot.dropPartition(spark, dest, day))
+    val days = Snapshot.parts(spark, dest).orderBy("bucket_day").collect().map(_.getString(0))
+    days.init.foreach(d => Snapshot.dropPartition(spark, dest, d))
+    intercept[IllegalArgumentException](Snapshot.dropPartition(spark, dest, days.last))
+  }
+
   test("move re-homes a day across snapshots without rewriting data") {
     val src = Relational.eventsSec(spark, sf)
       .select("event_id", "user_id", "event_type", "value", "ts_s")

@@ -236,6 +236,43 @@ object Analytics extends QueryModule {
              |HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
              |ORDER BY user_id""".stripMargin)),
 
+    // VersionedCollapsingMergeTree FINAL semantics ([CH]): like the
+    // plain collapse above, but a cancel (−1) annuls an insert (+1)
+    // only at the SAME (key, version) — out-of-order cancels can never
+    // eat a newer insert, which is the whole point of the versioned
+    // engine. Two map-side-combined hash aggregates: (key, version) →
+    // net sign (versions whose inserts and cancels annul vanish), then
+    // key → the surviving-state summary (latest live version + nets) —
+    // the canonical "current state" read off a versioned-collapsing
+    // table. Shuffle = one row per (key, version), then one per key.
+    "q_collapse_versioned" -> QueryDef(
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("user_id"), (col("event_id") % 16).as("version"),
+          when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L)).as("sign"),
+          col("value"))
+        .groupBy("user_id", "version")
+        .agg(sum("sign").as("net"),
+          sum(col("sign") * col("value")).as("net_value"))
+        .filter(col("net") > 0)
+        .groupBy("user_id")
+        .agg(max("version").as("last_version"),
+          count(lit(1)).as("n_live_versions"),
+          round(sum("net_value"), 4).as("net_value"),
+          sum("net").as("net_rows"))
+        .orderBy("user_id"),
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id % 16 AS version,
+             |         CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign, value
+             |  FROM events),
+             |n AS (
+             |  SELECT user_id, version, sum(sign) AS net, sum(sign * value) AS net_value
+             |  FROM v GROUP BY user_id, version HAVING sum(sign) > 0)
+             |SELECT user_id, CAST(max(version) AS BIGINT) AS last_version,
+             |  CAST(count(*) AS BIGINT) AS n_live_versions,
+             |  round(sum(net_value), 4) AS net_value,
+             |  CAST(sum(net) AS BIGINT) AS net_rows
+             |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ClickHouse groupBitmapAnd/Or/Xor ([CH] bitmap aggregates): EXACT
     // set algebra over the member-id sets of two segments. The bitmap
     // materializes as per-member FLAGS (one hash aggregate on the id:

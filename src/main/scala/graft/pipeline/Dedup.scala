@@ -169,6 +169,62 @@ object Dedup extends QueryModule {
              |      FROM documents)
              |GROUP BY norm_fp ORDER BY norm_fp""".stripMargin)),
 
+    // CCNet-style corpus-level boilerplate-line removal ([LLM] — the
+    // paragraph-dedup pass of Wenzek et al. 2019 / the line-dedup pass
+    // of C4: a line repeated across many documents is boilerplate, and
+    // every training pipeline strips it BEFORE doc-level dedup). The
+    // fixture's texts have no newlines, so "line" = positional 3-word
+    // chunk, carved zero-shuffle with slice() on the split array (no
+    // groupBy-collect to reassemble chunks). Corpus document-frequency
+    // per chunk runs on the chunk's xxhash64 — 8 bytes through the
+    // exchange instead of the chunk text — and the boilerplate set
+    // (df ≥ 5 docs) is broadcast back: by definition it's the tiny
+    // high-frequency head of the chunk distribution, the exact shape a
+    // broadcast wants at any corpus size. Output = per-doc kept/dropped
+    // word accounting, the audit a cleaning pass ships with.
+    "q_line_dedup" -> QueryDef(
+      (s, dir) => {
+        val chunks = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) > 0)
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(0L),
+              (ceil(size(col("ws")) / 3.0) - 1).cast("long"))).as("ci"))
+          .select(col("doc_id"), col("ci"),
+            slice(col("ws"), (col("ci") * 3 + 1).cast("int"), lit(3)).as("chunk"))
+          .select(col("doc_id"), col("ci"),
+            size(col("chunk")).cast("long").as("n_words"),
+            xxhash64(array_join(col("chunk"), " ")).as("chunk_h"))
+        val boiler = chunks.groupBy("chunk_h")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 5)
+          .select("chunk_h", "nd")
+        chunks.join(broadcast(boiler), Seq("chunk_h"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            count(col("nd")).as("n_boiler_chunks"),
+            sum(when(col("nd").isNull, col("n_words")).otherwise(0L)).as("kept_words"),
+            sum(when(col("nd").isNotNull, col("n_words")).otherwise(0L)).as("dropped_words"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |c AS (
+             |  SELECT doc_id, u.ci,
+             |    len(ws[(u.ci * 3 + 1):(u.ci * 3 + 3)]) AS n_words,
+             |    array_to_string(ws[(u.ci * 3 + 1):(u.ci * 3 + 3)], ' ') AS chunk
+             |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+             |    CAST(ceil(len(ws) / 3.0) - 1 AS BIGINT))) AS ci) AS u
+             |  WHERE len(ws) > 0),
+             |f AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM c
+             |      GROUP BY chunk HAVING count(DISTINCT doc_id) >= 5)
+             |SELECT c.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(count(f.nd) AS BIGINT) AS n_boiler_chunks,
+             |  CAST(sum(CASE WHEN f.nd IS NULL THEN c.n_words ELSE 0 END) AS BIGINT) AS kept_words,
+             |  CAST(sum(CASE WHEN f.nd IS NOT NULL THEN c.n_words ELSE 0 END) AS BIGINT) AS dropped_words
+             |FROM c LEFT JOIN f ON c.chunk = f.chunk
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
+
     // MinHash + LSH banding: candidate pairs = docs sharing ≥1 band
     // bucket; estimated Jaccard = matching signature fraction.
     // Approximate ⇒ no oracle (SURVEY.md §5.3.4).

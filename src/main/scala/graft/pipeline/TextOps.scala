@@ -139,6 +139,51 @@ object TextOps extends QueryModule {
              |          length(text) * 0.3 + 1e-9, 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ClickHouse multiSearchAny / multiSearchFirstIndex /
+    // multiSearchFirstPosition ([CH] string-search family; [LLM]
+    // blocklist/badwords filtering, the C4/RefinedWeb screen): probe
+    // every document against a fixed needle list in ONE codegen'd
+    // projection — no explode, no join, no regex alternation; each
+    // needle is a plain `locate` (a vectorized substring scan, the
+    // Volnitsky-scan analog). First-hit = the (position, needle-order)
+    // lexicographic minimum over the live hits — struct array_min
+    // gives ClickHouse's leftmost-match-lowest-index tie-break for
+    // free. Zero shuffle except the final deterministic sort; at
+    // 100 TB this is a pure scan whose needle list rides in the
+    // generated code, never a join side.
+    "q_multi_search" -> QueryDef(
+      (s, dir) => {
+        val needles = Seq("slow merge", "fast spark", "big batch", "key agg")
+        val hits = array(needles.zipWithIndex.map { case (t, i) =>
+          struct(locate(t, col("text")).as("pos"), lit(i + 1).as("idx")) }: _*)
+        val live = filter(hits, h => h("pos") > 0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), live.as("live"))
+          .select(col("doc_id"),
+            (size(col("live")) > 0).as("any_hit"),
+            coalesce(array_min(col("live")).getField("idx"), lit(0)).cast("long").as("first_idx"),
+            coalesce(array_min(col("live")).getField("pos"), lit(0)).cast("long").as("first_pos"),
+            size(col("live")).cast("long").as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    instr(text, 'slow merge') AS p1, instr(text, 'fast spark') AS p2,
+             |    instr(text, 'big batch') AS p3, instr(text, 'key agg') AS p4
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, p1, p2, p3, p4,
+             |    coalesce(least(nullif(p1, 0), nullif(p2, 0), nullif(p3, 0), nullif(p4, 0)), 0) AS fp
+             |  FROM p)
+             |SELECT doc_id,
+             |  (p1 > 0 OR p2 > 0 OR p3 > 0 OR p4 > 0) AS any_hit,
+             |  CAST(CASE WHEN fp = 0 THEN 0
+             |            WHEN p1 = fp THEN 1 WHEN p2 = fp THEN 2
+             |            WHEN p3 = fp THEN 3 ELSE 4 END AS BIGINT) AS first_idx,
+             |  CAST(fp AS BIGINT) AS first_pos,
+             |  CAST((p1 > 0)::int + (p2 > 0)::int + (p3 > 0)::int + (p4 > 0)::int AS BIGINT) AS n_hits
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // Content fingerprints: raw and normalized md5 (identical hex in
     // both engines → oracle-safe).
     "q_fingerprint" -> QueryDef(

@@ -129,6 +129,23 @@ object Lifecycle extends QueryModule {
     dest
   }
 
+  /** A staged snapshot with a data-skipping index built on it —
+    * bloom on user_id, minmax on value ([[SkipIndex.build]]).
+    */
+  private def skipDest(s: SparkSession, dir: String): String = stageLock.synchronized {
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_skip_" + Integer.toHexString(dir.hashCode)).toString
+    if (!new java.io.File(dest).exists()) {
+      val e = Relational.eventsSec(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      Snapshot.backup(e, col("ts_s"), dest)
+      SkipIndex.build(s, dest,
+        bloomCols = Seq("user_id"), minmaxCols = Seq("value"))
+    }
+    dest
+  }
+
   private def roundtripDest(s: SparkSession, dir: String): String = stageLock.synchronized {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
@@ -221,6 +238,29 @@ object Lifecycle extends QueryModule {
              |  'full' AS source
              |FROM events
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Data-skipping index scan declared end-to-end ([CH] `INDEX …
+    // TYPE minmax/bloom_filter`): the staged snapshot carries a bloom
+    // index on user_id and a minmax index on value; the range query
+    // consults the sidecar, skips every day whose minmax proves no
+    // overlap, and re-applies the exact predicate — identical results
+    // to DuckDB filtering the raw fixture prove pruning loses nothing.
+    // (SkipIndexSpec pins that the skips really happen, via scan
+    // partition metrics, and that the digest fence force-reads days
+    // mutated after the build.)
+    "q_skip_scan" -> QueryDef(
+      (s, dir) => SkipIndex.scanRange(s, skipDest(s, dir), "value", 10.0, 50.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"),
+          min("event_id").cast("long").as("first_event"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS sum_value,
+             |  CAST(min(event_id) AS BIGINT) AS first_event
+             |FROM events WHERE value BETWEEN 10.0 AND 50.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // `ALTER TABLE … DETACH PARTITION` declared end-to-end ([CH]): the
     // staged snapshot detaches its oldest day (rename + manifest

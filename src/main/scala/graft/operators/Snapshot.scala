@@ -389,6 +389,13 @@ object Snapshot {
       throw new IllegalArgumentException(
         s"snapshot at $dest has no manifest — re-run Snapshot.backup on it"))
 
+  /** Per-day content digests (day, xor, sum) — the staleness fence
+    * [[SkipIndex]] records at build time and re-checks at scan time.
+    */
+  private[operators] def manifestDigests(
+      spark: SparkSession, dest: String): Seq[(String, Long, String)] =
+    requireManifest(spark, dest)._2.map(r => (r._1, r._3, r._4))
+
   private def mutate(spark: SparkSession, dest: String, predicate: Column,
       rewriteDay: DataFrame => DataFrame): MutationReport = {
     recoverMutationDebris(spark, dest)

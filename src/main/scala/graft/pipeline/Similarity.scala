@@ -240,7 +240,56 @@ object Similarity extends QueryModule {
       .orderBy("dim")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the corpus
+    * with the coarse quantizer, then mark every vector that has a
+    * LOWER-id same-cluster neighbor at cosine ≥ τ as a semantic
+    * duplicate. The clustering is the paper's scalability trick — the
+    * quadratic pairing runs per CLUSTER (self-join keyed on
+    * cluster_id), never corpus-wide, so 100 TB shards by cluster and
+    * each cluster's pairing is independent work. Norms are computed
+    * once per vector below the join; the dedup rule is deterministic
+    * (min-id keeper), and survivors are provably pairwise < τ within
+    * a cluster (any ≥ τ pair marks its higher id — PipelineSpec
+    * asserts the invariant brute-force).
+    */
+  private[graft] def semDedup(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val model = fittedModel(emb, dir)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"),
+        model.assignCol(col("embedding")).as("cluster_id"))
+      .localCheckpoint()
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(Vectors.dot(col("emb_a"), col("emb_b")) /
+        (col("nrm_a") * col("nrm_b")), 4) >= tau)
+      .select(col("cluster_id"), col("vec_b").as("vec_id")).distinct()
+    assigned.select("cluster_id", "vec_id")
+      .join(dups.withColumn("is_dup", lit(1L)), Seq("cluster_id", "vec_id"), "left_outer")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"))
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("n_vectors"), col("n_dups"))
+      .orderBy("cluster_id")
+  }
+
   def entries: Map[String, QueryDef] = Map(
+
+    // SemDeDup declared as a query ([LLM]): per-cluster corpus size
+    // and semantic-duplicate count at τ=0.35 (the fixture's
+    // embedding-similarity band — the same threshold the pairwise
+    // `q_dedup_embed_cosine` uses). k-means output ⇒ rows-only
+    // (SURVEY §5.3.4); PipelineSpec pins the dedup rule, the
+    // survivors-pairwise-below-τ invariant, keeper preservation, and
+    // τ-monotonicity.
+    "q_semdedup" -> QueryDef(
+      (s, dir) => semDedup(s, dir, 0.35), None),
 
     // Embedding outlier screen ([NS] — the hygiene step before ANN
     // indexing / near-dup: vectors whose per-dimension z-scores blow

@@ -391,4 +391,50 @@ class PipelineSpec extends SparkSpec {
       pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)
     assert(f1.length == 500 && f1.map(_.feature_hash).toSeq == f2.map(_.feature_hash).toSeq)
   }
+
+  test("SemDeDup: dup rule, survivor invariant, keeper preservation, τ-monotonicity") {
+    val tau = 0.35
+    val summary = pipeline.Similarity.semDedup(spark, sf, tau).collect()
+    assert(summary.map(_.getLong(1)).sum ==
+      Tables(spark, sf, "embeddings").count(), "every vector lands in one cluster")
+
+    // brute-force ground truth per cluster from an independent (SQL
+    // HOF) cosine formulation over the same assignment
+    val emb = Tables(spark, sf, "embeddings")
+    val model = graft.pipeline.KMeans.fit(emb, "embedding", "vec_id",
+      pipeline.Similarity.AnnCells, iters = 3)
+    val assigned = emb.select(col("vec_id"),
+        model.assignCol(col("embedding")).as("cid"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      x.indices.foreach { i => d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      math.rint(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e4) / 1e4
+    }
+    val byCluster = assigned.groupBy(_._2)
+    val truthDups = byCluster.map { case (cid, vs) =>
+      val sorted = vs.sortBy(_._1)
+      cid -> sorted.count { case (id, _, v) =>
+        sorted.exists { case (id2, _, v2) => id2 < id && cos(v2, v) >= tau }
+      }.toLong
+    }
+    summary.foreach { r =>
+      assert(truthDups(r.getLong(0).toInt) == r.getLong(2),
+        s"cluster ${r.getLong(0)}: dup count mismatch")
+    }
+    // survivors are pairwise < τ; the min-id keeper always survives
+    byCluster.foreach { case (cid, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val survivors = sorted.filterNot { case (id, _, v) =>
+        sorted.exists { case (id2, _, v2) => id2 < id && cos(v2, v) >= tau } }
+      assert(survivors.head._1 == sorted.head._1, s"cluster $cid keeper must survive")
+      for (i <- survivors.indices; j <- 0 until i)
+        assert(cos(survivors(j)._3, survivors(i)._3) < tau,
+          s"cluster $cid: surviving pair at/above τ")
+    }
+    // monotonicity: tightening τ can only find MORE duplicates
+    val loose = pipeline.Similarity.semDedup(spark, sf, 0.9).collect().map(_.getLong(2)).sum
+    val tight = pipeline.Similarity.semDedup(spark, sf, 0.2).collect().map(_.getLong(2)).sum
+    assert(loose <= summary.map(_.getLong(2)).sum && summary.map(_.getLong(2)).sum <= tight)
+  }
 }

@@ -644,6 +644,50 @@ object Snapshot {
     attachPartition(spark, dstDest, day)
   }
 
+  /** `ALTER TABLE … REPLACE PARTITION … FROM src` — adopt the source
+    * snapshot's version of one day, COPY semantics (the source is
+    * never touched, unlike [[movePartition]]): the source day resolves
+    * (chains materialize copy-on-write) into the destination's
+    * detached area, the destination's current day — if any — detaches
+    * aside, and the incoming directory attaches (re-digest, the
+    * adoption checksum). Schema compatibility is checked BEFORE any
+    * write. A crash mid-way leaves the destination either pre-replace
+    * or in the documented detached state ([[attachPartition]] rolls
+    * forward); the staged `.incoming`/`.replaced` directories are
+    * `_`-hidden debris, never data.
+    */
+  def replacePartition(spark: SparkSession, srcDest: String, dstDest: String,
+      day: String): Unit = {
+    val (_, srcRows) = requireManifest(spark, srcDest)
+    require(srcRows.exists(_._1 == day),
+      s"source $srcDest has no partition bucket_day=$day")
+    val (_, dstRows) = requireManifest(spark, dstDest)
+    val srcSchema = resolve(spark, srcDest).drop("bucket_day").schema
+    val dstSchema = resolve(spark, dstDest).drop("bucket_day").schema
+    require(srcSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        dstSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema mismatch replacing bucket_day=$day: source $srcSchema vs destination $dstSchema")
+    val fs = new org.apache.hadoop.fs.Path(dstDest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val detached = new org.apache.hadoop.fs.Path(dstDest, s"_detached/bucket_day=$day")
+    require(!fs.exists(detached),
+      s"destination $dstDest already has a detached bucket_day=$day — attach or remove it first")
+    // stage the copy while the destination still serves its old day
+    val staged = new org.apache.hadoop.fs.Path(dstDest, s"_detached/bucket_day=$day.incoming")
+    resolve(spark, srcDest).filter(col("bucket_day") === day).drop("bucket_day")
+      .write.mode("overwrite").parquet(staged.toString)
+    val replaced = new org.apache.hadoop.fs.Path(dstDest, s"_detached/bucket_day=$day.replaced")
+    if (dstRows.exists(_._1 == day)) {
+      detachPartition(spark, dstDest, day)
+      if (!fs.rename(detached, replaced))
+        throw new java.io.IOException(s"replace: cannot set aside $detached")
+    }
+    if (!fs.rename(staged, detached))
+      throw new java.io.IOException(s"replace: cannot promote $staged")
+    attachPartition(spark, dstDest, day)
+    fs.delete(replaced, true)
+  }
+
   /** Hidden schema-evolution sidecar: the ordered `ALTER TABLE ADD/
     * DROP COLUMN` log. Like the manifest, `_`-prefixed so data reads
     * never see it.

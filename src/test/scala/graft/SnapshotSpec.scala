@@ -429,6 +429,40 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshot.dropPartition(spark, dest, days.last))
   }
 
+  test("replace partition adopts the source's day with copy semantics") {
+    val base = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dst = Files.createTempDirectory("graft-repl-dst").toString
+    val src = Files.createTempDirectory("graft-repl-src").toString
+    Snapshot.backup(base, col("ts_s"), dst)
+    // the source's version of every day carries doubled values
+    Snapshot.backup(base.withColumn("value", col("value") * 2), col("ts_s"), src)
+    val day = Snapshot.parts(spark, dst).agg(min("bucket_day")).head.getString(0)
+    val srcBefore = Snapshot.resolve(spark, src).collect().toSet
+
+    Snapshot.replacePartition(spark, src, dst, day)
+
+    // dst's day is now the source's version; every other day untouched
+    val want = base.withColumn("bucket_day", Retention.bucketDay(col("ts_s")))
+      .withColumn("value",
+        when(col("bucket_day") === day, col("value") * 2).otherwise(col("value")))
+    val got = Snapshot.resolve(spark, dst)
+      .select(want.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // copy semantics: the source is bit-identical to before
+    assert(Snapshot.resolve(spark, src).collect().toSet == srcBefore)
+
+    // replacing INTO a gap (day previously dropped) also works
+    val day2 = Snapshot.parts(spark, dst).agg(max("bucket_day")).head.getString(0)
+    Snapshot.dropPartition(spark, dst, day2)
+    Snapshot.replacePartition(spark, src, dst, day2)
+    val d2 = Snapshot.resolve(spark, dst).filter(col("bucket_day") === day2)
+      .agg(round(sum("value"), 4)).head.getDouble(0)
+    val d2want = base.filter(Retention.bucketDay(col("ts_s")) === day2)
+      .agg(round(sum(col("value") * 2), 4)).head.getDouble(0)
+    assert(d2 == d2want, "gap replace must adopt the source's content")
+  }
+
   test("move re-homes a day across snapshots without rewriting data") {
     val src = Relational.eventsSec(spark, sf)
       .select("event_id", "user_id", "event_type", "value", "ts_s")

@@ -312,10 +312,13 @@ object Snapshot {
     * GDPR use case that propagation is the point; take a fresh full
     * backup first if the dependents must keep the old rows.
     */
-  def delete(spark: SparkSession, dest: String, predicate: Column): MutationReport =
+  def delete(spark: SparkSession, dest: String, predicate: Column): MutationReport = {
     // NULL-predicate rows survive: DELETE removes rows where the
     // predicate is TRUE — `!pred` alone would filter NULLs out too
-    mutate(spark, dest, predicate, day => day.filter(!coalesce(predicate, lit(false))))
+    val r = mutate(spark, dest, predicate, day => day.filter(!coalesce(predicate, lit(false))))
+    logMutation(spark, dest, "DELETE", predicateSql(predicate), r)
+    r
+  }
 
   /** `ALTER TABLE … UPDATE col = expr WHERE predicate`: rows matching
     * `predicate` get each assignment applied (cast back to the
@@ -324,8 +327,8 @@ object Snapshot {
     * Same day-granular rewrite + manifest re-digest as [[delete]].
     */
   def update(spark: SparkSession, dest: String, predicate: Column,
-      assignments: Map[String, Column]): MutationReport =
-    mutate(spark, dest, predicate, { day =>
+      assignments: Map[String, Column]): MutationReport = {
+    val r = mutate(spark, dest, predicate, { day =>
       val bad = assignments.keySet -- day.columns.toSet
       require(bad.isEmpty, s"update assigns to unknown column(s): ${bad.mkString(", ")}")
       val fields = day.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -336,6 +339,10 @@ object Snapshot {
         }
       }: _*)
     })
+    val cmd = assignments.keys.toSeq.sorted.mkString("UPDATE ", ", ", "")
+    logMutation(spark, dest, cmd, predicateSql(predicate), r)
+    r
+  }
 
   /** `OPTIMIZE TABLE … FINAL DEDUPLICATE` — drop fully identical rows
     * (ClickHouse's other OPTIMIZE arm; [[compact]] is the file-layout
@@ -354,10 +361,59 @@ object Snapshot {
       count(lit(1)).as("n"),
       countDistinct(struct(dataCols.map(col): _*)).as("nd")).collect()
     val dup = perDay.filter(r => r.getLong(1) > r.getLong(2))
-    if (dup.isEmpty) return MutationReport(Nil, Nil, 0L)
-    rewriteDayPartitions(spark, dest, base, manifestRows,
-      dup.map(_.getString(0)).sorted.toSeq, _.dropDuplicates(),
-      dup.map(r => r.getLong(1) - r.getLong(2)).sum)
+    val report =
+      if (dup.isEmpty) MutationReport(Nil, Nil, 0L)
+      else rewriteDayPartitions(spark, dest, base, manifestRows,
+        dup.map(_.getString(0)).sorted.toSeq, _.dropDuplicates(),
+        dup.map(r => r.getLong(1) - r.getLong(2)).sum)
+    logMutation(spark, dest, "OPTIMIZE DEDUPLICATE", "", report)
+    report
+  }
+
+  /** Hidden `system.mutations` sidecar: the ordered audit log of every
+    * mutation command run against the snapshot.
+    */
+  private val MutationsDir = "_graft_mutations"
+
+  /** A stable rendering of the mutation predicate for the audit log —
+    * Column.toString's prefix form, e.g. `=(event_type, 'error')`.
+    */
+  private def predicateSql(predicate: Column): String = predicate.toString
+
+  /** `system.mutations` analog: one row per mutation command ever run
+    * — ordinal, wall-clock time, command, predicate, day/row impact,
+    * completion flag (always true: mutations here are synchronous,
+    * where ClickHouse's are queued). Pure metadata, AtomicDir-swapped
+    * like the manifest; model-scale by construction.
+    */
+  def mutations(spark: SparkSession, dest: String): DataFrame = {
+    import spark.implicits._
+    graft.AtomicDir.recover(s"$dest/$MutationsDir")
+    try spark.read.parquet(s"$dest/$MutationsDir")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(Long, Long, String, String, Long, Long, Long, Boolean)]
+          .toDF("mutation_id", "event_time_ms", "command", "predicate",
+            "days_rewritten", "days_dropped", "rows_affected", "is_done")
+    }
+  }
+
+  private def logMutation(spark: SparkSession, dest: String, command: String,
+      predicate: String, r: MutationReport): Unit = {
+    import spark.implicits._
+    val dir = s"$dest/$MutationsDir"
+    val prior = mutations(spark, dest).collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getString(2), x.getString(3),
+        x.getLong(4), x.getLong(5), x.getLong(6), x.getBoolean(7))).toSeq
+    val nextId = prior.map(_._1).maxOption.getOrElse(0L) + 1
+    val row = (nextId, System.currentTimeMillis(), command, predicate,
+      r.daysRewritten.length.toLong, r.daysDropped.length.toLong,
+      r.rowsAffected, true)
+    (prior :+ row)
+      .toDF("mutation_id", "event_time_ms", "command", "predicate",
+        "days_rewritten", "days_dropped", "rows_affected", "is_done")
+      .coalesce(1).write.mode("overwrite").parquet(graft.AtomicDir.tmpPath(dir))
+    graft.AtomicDir.swap(dir)
   }
 
   /** Clear debris a crashed mutation left behind, BEFORE any scan of

@@ -429,6 +429,33 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshot.dropPartition(spark, dest, days.last))
   }
 
+  test("system.mutations log records every command in order") {
+    val src = Relational.eventsSec(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+    val dest = Files.createTempDirectory("graft-mutlog").toString
+    Snapshot.backup(src, col("ts_s"), dest)
+    assert(Snapshot.mutations(spark, dest).isEmpty)
+
+    val del = Snapshot.delete(spark, dest, col("event_type") === "error")
+    val upd = Snapshot.update(spark, dest, col("value") > 100,
+      Map("value" -> lit(100.0)))
+    val ded = Snapshot.deduplicate(spark, dest) // clean snapshot: a no-op
+
+    val log = Snapshot.mutations(spark, dest).orderBy("mutation_id").collect()
+    assert(log.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(log.map(_.getString(2)).toSeq ==
+      Seq("DELETE", "UPDATE value", "OPTIMIZE DEDUPLICATE"))
+    assert(log.map(_.getLong(6)).toSeq ==
+      Seq(del.rowsAffected, upd.rowsAffected, ded.rowsAffected))
+    assert(ded.rowsAffected == 0L, "dedup of a clean snapshot must be a no-op")
+    assert(log.forall(_.getBoolean(7)))
+    // predicates render as SQL-ish text for the audit trail
+    assert(log(0).getString(3).toLowerCase.contains("event_type"))
+    assert(log(1).getString(3).toLowerCase.contains("value"))
+    // the log is metadata: the snapshot still resolves consistently
+    assert(Snapshot.resolve(spark, dest).filter(col("event_type") === "error").isEmpty)
+  }
+
   test("replace partition adopts the source's day with copy semantics") {
     val base = Relational.eventsSec(spark, sf)
       .select("event_id", "user_id", "event_type", "value", "ts_s")

@@ -133,6 +133,73 @@ object Mixing extends QueryModule {
     // the shard count to the corpus (e.g. ~1 shard/GB), so partitions
     // stay bounded as data grows; a global row_number would serialize
     // on one task.
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — [LLM]): score every
+    // document by how target-like it is under two unigram LMs over
+    // HASHED n-gram buckets (the paper's trick: a 10k-bucket hashed
+    // feature space stands in for the intractable n-gram vocabulary).
+    // Features = word bigrams hashed into 1024 buckets (md5-derived —
+    // the engine-portable keyed hash, q_sample's rationale); target =
+    // the `en` slice, raw = the whole corpus; per-doc log-weight =
+    // Σ ln p̂_target(b)/p̂_raw(b) with Laplace smoothing. Scale shape:
+    // the corpus collapses to the BOUNDED bucket grid (two counts per
+    // bucket, map-side combined), the model is a 1024-row broadcast,
+    // and scoring is one broadcast join + a doc-keyed re-aggregation —
+    // the model never shuffles with the data. Resampling the weights
+    // is q_sample_weighted's A-ES machinery downstream.
+    "q_dsir_weights" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            posexplode(graft.functions.TextFns.words(col("text"))))
+          .toDF("doc_id", "lang", "pos", "w")
+        val bi = toks
+          .withColumn("prev",
+            lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("prev").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(concat_ws(" ", col("prev"), col("w"))), 1, 8), 16, 10)
+              .cast("long") % 1024).as("b"))
+        val cnt = bi.groupBy("b").agg(
+          count(lit(1)).as("c_r"),
+          count(when(col("lang") === "en", 1)).as("c_t"))
+        val tot = cnt.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+        val lw = cnt.join(broadcast(tot))
+          .select(col("b"),
+            (log((col("c_t") + 1).cast("double") / (col("n_t") + 1024)) -
+             log((col("c_r") + 1).cast("double") / (col("n_r") + 1024))).as("lw"))
+        bi.join(broadcast(lw), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_grams"),
+            round(sum("lw") + lit(1e-9), 4).as("log_weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, i AS pos, ws[i] AS w
+             |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+             |       UNNEST(generate_series(1, len(ws))) AS u(i)),
+             |bi AS (
+             |  SELECT doc_id, lang,
+             |    CAST('0x' || substr(md5(prev || ' ' || w), 1, 8) AS BIGINT) % 1024 AS b
+             |  FROM (SELECT doc_id, lang, w,
+             |          lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |        FROM toks)
+             |  WHERE prev IS NOT NULL),
+             |cnt AS (
+             |  SELECT b, count(*) AS c_r,
+             |         count(*) FILTER (WHERE lang = 'en') AS c_t
+             |  FROM bi GROUP BY b),
+             |tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM cnt),
+             |lw AS (
+             |  SELECT b,
+             |    ln(CAST(c_t + 1 AS DOUBLE) / (n_t + 1024)) -
+             |    ln(CAST(c_r + 1 AS DOUBLE) / (n_r + 1024)) AS w
+             |  FROM cnt, tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  round(sum(lw.w) + 1e-9, 4) AS log_weight
+             |FROM bi JOIN lw USING (b)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q_shard_assign" -> QueryDef(
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))

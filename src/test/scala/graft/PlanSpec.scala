@@ -44,7 +44,10 @@ class PlanSpec extends SparkSpec {
       "q_win_lttb",
       // ttl_rollup: the 1-row max(ts) cutoff broadcast onto the fact
       // rows (the q_retention_filter anchor pattern)
-      "q_ttl_rollup")
+      "q_ttl_rollup",
+      // dsir: the 1-row (n_r, n_t) corpus-total aggregate broadcast
+      // onto the bounded 1024-bucket grid — model-scale on both sides
+      "q_dsir_weights")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -155,6 +155,17 @@ object TextKernels {
     while (i < 64) { if (votes(i) > 0) sh |= 1L << i; i += 1 }
     sh
   }
+
+  /** Unicode normalization (java.text.Normalizer): the already-
+    * normalized fast path returns the input UTF8String untouched —
+    * on a real corpus almost every document is already NFC, so the
+    * hot loop is one `isNormalized` scan with zero allocation.
+    */
+  def unicodeNormalize(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
 }
 
 private[expressions] trait WordsArrayInput { self: UnaryExpression =>
@@ -239,6 +250,43 @@ case class SimHashWords(child: Expression)
     copy(child = newChild)
 }
 
+/** `unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD')` — ClickHouse's
+  * `normalizeUTF8NFC`/`NFD`/`NFKC`/`NFKD` family, and the Unicode-
+  * normalization cleaning step every multilingual training pipeline
+  * runs before tokenization (decomposed accents and compatibility
+  * ligatures otherwise split identical surface text across distinct
+  * token sequences). Null text → null.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unicode_normalize form must be NFC|NFD|NFKC|NFKD, got $form")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.unicodeNormalize(a.asInstanceOf[UTF8String], f)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("form", f, "java.text.Normalizer.Form")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.unicodeNormalize($c, $formRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** Shared helpers for SQL-surface function registration: literal-int
   * extraction and clean arity failure (a wrong argument count must
   * surface as an analysis-time error message, not an
@@ -249,6 +297,12 @@ private[expressions] object FnReg {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal int, got $other")
+  }
+
+  def litStr(e: Expression, fn: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string, got $other")
   }
 
   def arity(fn: String, n: Int)(
@@ -273,6 +327,9 @@ object TextExprs {
   def winnowFp(text: Column, k: Int, w: Int): Column =
     bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
 
+  def unicodeNormalize(text: Column, form: String): Column =
+    bridge.column(UnicodeNormalize(bridge.expression(text), form))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_words"),
       new ExpressionInfo(classOf[MinHashWords].getName, "minhash_words"),
@@ -284,5 +341,9 @@ object TextExprs {
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
       arity("winnow_fp", 3)(exprs => WinnowFingerprint(exprs(0),
-        litInt(exprs(1), "winnow_fp"), litInt(exprs(2), "winnow_fp")))))
+        litInt(exprs(1), "winnow_fp"), litInt(exprs(2), "winnow_fp")))),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      arity("unicode_normalize", 2)(exprs => UnicodeNormalize(exprs(0),
+        litStr(exprs(1), "unicode_normalize")))))
 }

@@ -139,6 +139,38 @@ object TextOps extends QueryModule {
              |          length(text) * 0.3 + 1e-9, 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ClickHouse normalizeUTF8NFC family ([CH]) / the Unicode-
+    // normalization cleaning step before tokenization ([LLM]):
+    // decomposed accent sequences (e + U+0301) must collapse to their
+    // composed forms (U+00E9) or identical surface text tokenizes
+    // differently. The fixture text is ASCII, so each row appends a
+    // deterministic decomposed+composed probe suffix; the native
+    // codegen'd `unicode_normalize` expression (already-normalized
+    // fast path: zero allocation) NFC-normalizes, and the codepoint
+    // counts prove exactly the decomposed pairs merged. Zero-shuffle
+    // projection; NFKC/NFKD compatibility folding is spec'd
+    // (PipelineSpec: ﬁ → fi, ² → 2).
+    "q_text_normalize" -> QueryDef(
+      (s, dir) => {
+        import graft.expressions.TextExprs
+        val raw = concat(substring(col("text"), 1, 16), lit(" café café"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            length(raw).cast("long").as("raw_cps"),
+            length(TextExprs.unicodeNormalize(raw, "NFC")).cast("long").as("nfc_cps"),
+            (TextExprs.unicodeNormalize(lit("café"), "NFC") === lit("café"))
+              .as("composed_eq"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(raw) AS BIGINT) AS raw_cps,
+             |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_cps,
+             |  nfc_normalize('cafe' || chr(769)) = ('caf' || chr(233)) AS composed_eq
+             |FROM (SELECT doc_id,
+             |        substr(text, 1, 16) || ' cafe' || chr(769) || ' caf' || chr(233) AS raw
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ClickHouse multiSearchAny / multiSearchFirstIndex /
     // multiSearchFirstPosition ([CH] string-search family; [LLM]
     // blocklist/badwords filtering, the C4/RefinedWeb screen): probe

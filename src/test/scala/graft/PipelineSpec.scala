@@ -392,6 +392,26 @@ class PipelineSpec extends SparkSpec {
     assert(f1.length == 500 && f1.map(_.feature_hash).toSeq == f2.map(_.feature_hash).toSeq)
   }
 
+  test("unicode_normalize: composition, decomposition, compatibility folding") {
+    import graft.expressions.TextExprs.unicodeNormalize
+    val probe = spark.range(1).select(
+      unicodeNormalize(lit("café"), "NFC").as("nfc"),
+      unicodeNormalize(lit("café"), "NFD").as("nfd"),
+      unicodeNormalize(lit("ﬁle x²"), "NFKC").as("nfkc"),
+      unicodeNormalize(lit("ascii stays"), "NFC").as("id"),
+      unicodeNormalize(lit(null).cast("string"), "NFC").as("nul"),
+      // SQL registration surface
+      expr("unicode_normalize('café', 'NFC')").as("sql_nfc")).head()
+    assert(probe.getString(0) == "café")
+    assert(probe.getString(1) == "café")
+    assert(probe.getString(2) == "file x2", "NFKC folds ﬁ→fi and ²→2")
+    assert(probe.getString(3) == "ascii stays")
+    assert(probe.isNullAt(4))
+    assert(probe.getString(5) == "café")
+    intercept[Exception](spark.range(1)
+      .select(unicodeNormalize(lit("x"), "BOGUS")).collect())
+  }
+
   test("SemDeDup: dup rule, survivor invariant, keeper preservation, τ-monotonicity") {
     val tau = 0.35
     val summary = pipeline.Similarity.semDedup(spark, sf, tau).collect()

@@ -187,6 +187,70 @@ object TimeSeries extends QueryModule {
     // hash aggregate; the recent side is a filter — at 100 TB this is
     // THE storage-bend: history shrinks to the key×day domain without
     // losing recent-row fidelity.
+    // ClickHouse `sparkbar(8)` ([CH] viz aggregate — the monitoring
+    // one-liner every ops dashboard runs): per event type, an 8-bin
+    // Unicode sparkline of daily volume. The fact table collapses to
+    // the (type × day) grid FIRST (one map-side-combined hash agg);
+    // everything after — global extent broadcast, binning, the
+    // (type × 8) densified grid, per-type max window, glyph mapping,
+    // ordered string fold — runs over bounded grid rows, never events.
+    // Integer arithmetic end-to-end (`div`), so both engines pick
+    // identical glyphs: no FP rounding can flip a bar.
+    "q_sparkbar" -> QueryDef(
+      (s, dir) => {
+        val nb = 8
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts_s")), to_date(lit("2024-01-01")))
+              .cast("long").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+        val ext = ser.agg(min("d").as("d0"), max("d").as("d1"))
+        val binned = ser.crossJoin(broadcast(ext))
+          .select(col("event_type"),
+            least(lit((nb - 1).toLong), expr(s"(d - d0) * $nb div (d1 - d0 + 1)")).as("bin"),
+            col("cnt"))
+          .groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+        val grid = binned.select("event_type").distinct()
+          .select(col("event_type"),
+            explode(sequence(lit(0L), lit((nb - 1).toLong))).as("bin"))
+          .join(binned, Seq("event_type", "bin"), "left_outer")
+          .na.fill(0L, Seq("cnt"))
+        val chars = array(Seq("▁", "▂", "▃", "▄", "▅", "▆", "▇", "█").map(lit): _*)
+        grid
+          .withColumn("mx", max("cnt").over(Window.partitionBy("event_type")))
+          .withColumn("ch", element_at(chars, (expr("cnt * 7 div mx") + 1).cast("int")))
+          .groupBy("event_type")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(bin, ch))), x -> x.ch), '')")
+              .as("bar"),
+            max("cnt").as("max_bin"),
+            sum("cnt").as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type,
+             |         date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS d,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |ext AS (SELECT min(d) AS d0, max(d) AS d1 FROM ser),
+             |binned AS (
+             |  SELECT event_type, least(7, ((d - d0) * 8) // (d1 - d0 + 1)) AS bin,
+             |         sum(cnt) AS cnt
+             |  FROM ser, ext GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT t.event_type, g.bin, coalesce(b.cnt, 0) AS cnt
+             |  FROM (SELECT DISTINCT event_type FROM ser) t
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) g
+             |  LEFT JOIN binned b ON b.event_type = t.event_type AND b.bin = g.bin),
+             |lev AS (
+             |  SELECT event_type, bin, cnt,
+             |         max(cnt) OVER (PARTITION BY event_type) AS mx FROM grid)
+             |SELECT event_type,
+             |  string_agg(['▁','▂','▃','▄','▅','▆','▇','█'][CAST(cnt * 7 // mx AS INT) + 1],
+             |             '' ORDER BY bin) AS bar,
+             |  CAST(max(cnt) AS BIGINT) AS max_bin,
+             |  CAST(sum(cnt) AS BIGINT) AS n_events
+             |FROM lev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "q_ttl_rollup" -> QueryDef(
       (s, dir) => {
         val e = Relational.eventsSec(s, dir)

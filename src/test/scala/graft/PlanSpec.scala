@@ -47,7 +47,10 @@ class PlanSpec extends SparkSpec {
       "q_ttl_rollup",
       // dsir: the 1-row (n_r, n_t) corpus-total aggregate broadcast
       // onto the bounded 1024-bucket grid — model-scale on both sides
-      "q_dsir_weights")
+      "q_dsir_weights",
+      // sparkbar: the 1-row day-extent aggregate broadcast onto the
+      // bounded (type × day) grid — the q_win_lttb extent pattern
+      "q_sparkbar")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

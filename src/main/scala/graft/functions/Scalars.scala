@@ -92,6 +92,54 @@ object Scalars extends QueryModule {
 
     // Retention arithmetic (env.sh:26–29: weeks*7+1, months*31+1) +
     // numeric functions.
+    // ClickHouse rounding family ([CH] roundBankers / roundToExp2 /
+    // roundDuration / roundAge): banker's rounding on EXACT binary
+    // halves (p_size/2 — every tie is a true .5, so Spark's `bround`
+    // and DuckDB's `round_even` cannot diverge on representation),
+    // and the three bucketing ladders as CASE chains — identical
+    // integer arithmetic on both engines, zero-shuffle projection.
+    "q_round_funcs" -> QueryDef(
+      (s, dir) => {
+        val size = col("p_size")
+        val secs = (size * 73) % 4000
+        Tables(s, dir, "part")
+          .select(col("p_partkey"),
+            bround(size / 2.0, 0).cast("long").as("bankers_half"),
+            when(size >= 32, 32L).when(size >= 16, 16L).when(size >= 8, 8L)
+              .when(size >= 4, 4L).when(size >= 2, 2L).when(size >= 1, 1L)
+              .otherwise(0L).as("exp2_floor"),
+            when(secs >= 3600, 3600L).when(secs >= 1800, 1800L)
+              .when(secs >= 1200, 1200L).when(secs >= 600, 600L)
+              .when(secs >= 300, 300L).when(secs >= 240, 240L)
+              .when(secs >= 180, 180L).when(secs >= 120, 120L)
+              .when(secs >= 60, 60L).when(secs >= 30, 30L)
+              .when(secs >= 10, 10L).when(secs >= 1, 1L)
+              .otherwise(0L).as("duration_bucket"),
+            when(size >= 55, 55L).when(size >= 45, 45L).when(size >= 35, 35L)
+              .when(size >= 25, 25L).when(size >= 18, 18L).when(size >= 1, 17L)
+              .otherwise(0L).as("age_bucket"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(round_even(p_size / 2.0, 0) AS BIGINT) AS bankers_half,
+             |  CAST(CASE WHEN p_size >= 32 THEN 32 WHEN p_size >= 16 THEN 16
+             |            WHEN p_size >= 8 THEN 8 WHEN p_size >= 4 THEN 4
+             |            WHEN p_size >= 2 THEN 2 WHEN p_size >= 1 THEN 1
+             |            ELSE 0 END AS BIGINT) AS exp2_floor,
+             |  CAST(CASE WHEN s >= 3600 THEN 3600 WHEN s >= 1800 THEN 1800
+             |            WHEN s >= 1200 THEN 1200 WHEN s >= 600 THEN 600
+             |            WHEN s >= 300 THEN 300 WHEN s >= 240 THEN 240
+             |            WHEN s >= 180 THEN 180 WHEN s >= 120 THEN 120
+             |            WHEN s >= 60 THEN 60 WHEN s >= 30 THEN 30
+             |            WHEN s >= 10 THEN 10 WHEN s >= 1 THEN 1
+             |            ELSE 0 END AS BIGINT) AS duration_bucket,
+             |  CAST(CASE WHEN p_size >= 55 THEN 55 WHEN p_size >= 45 THEN 45
+             |            WHEN p_size >= 35 THEN 35 WHEN p_size >= 25 THEN 25
+             |            WHEN p_size >= 18 THEN 18 WHEN p_size >= 1 THEN 17
+             |            ELSE 0 END AS BIGINT) AS age_bucket
+             |FROM (SELECT p_partkey, p_size, (p_size * 73) % 4000 AS s FROM part)
+             |ORDER BY p_partkey""".stripMargin)),
+
     "q_math_funcs" -> QueryDef(
       (s, dir) => Tables(s, dir, "part")
         .select(col("p_partkey"),

@@ -58,6 +58,28 @@ object Scalars extends QueryModule {
              |  FROM documents WHERE doc_id < 20)
              |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin)),
 
+    // ClickHouse `LEFT ARRAY JOIN` ([CH]): the explode that KEEPS
+    // rows whose array is empty (a plain ARRAY JOIN / explode drops
+    // them — silently losing every document without a match, the
+    // classic denominator bug in per-doc rates). `explode_outer`
+    // preserves them with a NULL element, coalesced to a sentinel so
+    // both engines order/dedup identically. Same zero-shuffle explode
+    // + doc-keyed re-aggregation shape as q_split_explode.
+    "q_array_join_left" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "), w => length(w) >= 8)).as("w8"))
+        .groupBy(col("doc_id"), coalesce(col("w8"), lit("(none)")).as("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "token"),
+      Some("""SELECT doc_id, coalesce(u.w, '(none)') AS token,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT doc_id,
+             |        list_filter(string_split(text, ' '), w -> length(w) >= 8) AS ws
+             |      FROM documents) d
+             |LEFT JOIN LATERAL (SELECT unnest(ws) AS w) u ON TRUE
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // The four bucket templates of backup.sh:26–29 + calendar parts.
     // Day-keyed week bucket via date_trunc('week') plus the literal ISO
     // `%G%V` bucket (Retention.bucketWeekIso — week-year from the

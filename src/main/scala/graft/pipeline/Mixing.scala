@@ -149,17 +149,24 @@ object Mixing extends QueryModule {
     // is q_sample_weighted's A-ES machinery downstream.
     "q_dsir_weights" -> QueryDef(
       (s, dir) => {
-        val toks = Tables(s, dir, "documents")
+        // bigrams by zipping the words array against itself shifted by
+        // one — a zero-shuffle scan (a lag window here would shuffle
+        // the full token explosion on doc_id for nothing: adjacency is
+        // already explicit in the array)
+        val bi = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            posexplode(graft.functions.TextFns.words(col("text"))))
-          .toDF("doc_id", "lang", "pos", "w")
-        val bi = toks
-          .withColumn("prev",
-            lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-          .filter(col("prev").isNotNull)
+            graft.functions.TextFns.words(col("text")).as("ws"))
+          .withColumn("prevs", slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))))
+          .withColumn("nexts", slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))))
           .select(col("doc_id"), col("lang"),
-            (conv(substring(md5(concat_ws(" ", col("prev"), col("w"))), 1, 8), 16, 10)
+            explode(arrays_zip(col("prevs"), col("nexts"))).as("p"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(concat_ws(" ", col("p.prevs"), col("p.nexts"))), 1, 8), 16, 10)
               .cast("long") % 1024).as("b"))
+          // referenced twice (bucket counts + scoring join) — materialize
+          // so the explode+md5 subtree runs once (signatures' rationale:
+          // localCheckpoint, so the ContextCleaner reclaims the blocks)
+          .localCheckpoint()
         val cnt = bi.groupBy("b").agg(
           count(lit(1)).as("c_r"),
           count(when(col("lang") === "en", 1)).as("c_t"))

@@ -26,8 +26,14 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every
     // computed column (a projection-heavy query would "run" in the
     // time of a row count); noop materializes the full result.
+    // Optional comma-separated name filter: time just the queries under
+    // investigation instead of the whole suite (iteration mode; the
+    // driver never sets it, so per-round invocations are unchanged).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def timedLoop(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(q => only.forall(_(q._1)))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

@@ -55,6 +55,24 @@ object Similarity extends QueryModule {
     modelCache.computeIfAbsent(s"$dir#$AnnCells",
       _ => KMeans.fit(emb, "embedding", "vec_id", AnnCells, iters = 3))
 
+  /** SemDeDup's cluster count: scale k with the corpus so the MEAN
+    * cluster size stays ~[[SemDedupTarget]] — the within-cluster
+    * pairing is quadratic in cluster size, so a FIXED k would grow
+    * per-cluster cost with the square of the corpus (the classic
+    * silent scale-killer; the paper runs k ∝ n for exactly this
+    * reason). The ANN queries keep their own small fixed cell count —
+    * probe semantics, not pairing, bound their clusters.
+    */
+  private[graft] val SemDedupTarget = 200
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(AnnCells, math.ceil(n.toDouble / SemDedupTarget).toInt)
+
+  private def semDedupModel(emb: DataFrame, dir: String): KMeans.Model = {
+    val k = semDedupK(emb.count())
+    modelCache.computeIfAbsent(s"$dir#semdedup#$k",
+      _ => KMeans.fit(emb, "embedding", "vec_id", k, iters = 3))
+  }
+
   /** Two-stage IVF search: fit the coarse quantizer, rank cells by
     * query↔centroid similarity, scan only the nProbe best cells for
     * the true top-k. In production the model is fit once per corpus
@@ -255,7 +273,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def semDedup(s: SparkSession, dir: String, tau: Double): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    val model = fittedModel(emb, dir)
+    val model = semDedupModel(emb, dir)
     val assigned = emb.select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding")).as("nrm"),
         model.assignCol(col("embedding")).as("cluster_id"))

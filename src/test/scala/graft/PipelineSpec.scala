@@ -422,7 +422,7 @@ class PipelineSpec extends SparkSpec {
     // HOF) cosine formulation over the same assignment
     val emb = Tables(spark, sf, "embeddings")
     val model = graft.pipeline.KMeans.fit(emb, "embedding", "vec_id",
-      pipeline.Similarity.AnnCells, iters = 3)
+      pipeline.Similarity.semDedupK(emb.count()), iters = 3)
     val assigned = emb.select(col("vec_id"),
         model.assignCol(col("embedding")).as("cid"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))

@@ -26,6 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object Joins extends QueryModule {
 
+  /** Distributed positional rank for [[pasteJoin]]: global order via
+    * range repartitioning + in-partition sort, then `zipWithIndex`
+    * stamps global positions from per-partition counts (Spark runs one
+    * lightweight count job, then labels rows in place). The RDD hop is
+    * deliberate and minimal — distributed ranking is the one primitive
+    * the DataFrame API lacks: a `row_number` over an empty
+    * `partitionBy` computes the same thing by dragging the WHOLE table
+    * through a single task.
+    */
+  private[graft] def pastePos(df: org.apache.spark.sql.DataFrame,
+      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add("pos", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    sorted.sparkSession.createDataFrame(stamped, schema)
+  }
+
+  /** ClickHouse PASTE JOIN: row-by-row concatenation of two ordered
+    * sides; the inner join on position truncates to the shorter side
+    * (each side's order is explicit — positional semantics over an
+    * unordered source would be non-deterministic by definition).
+    */
+  def pasteJoin(left: org.apache.spark.sql.DataFrame,
+      leftOrder: Seq[org.apache.spark.sql.Column],
+      right: org.apache.spark.sql.DataFrame,
+      rightOrder: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+    pastePos(left, leftOrder).join(pastePos(right, rightOrder), Seq("pos"))
+
   def entries: Map[String, QueryDef] = Map(
 
     // Equi inner join fact⋈dim, aggregated. Spark picks SMJ/shuffled
@@ -246,6 +276,40 @@ object Joins extends QueryModule {
     // manual fallback for skew AQE can't fix — e.g. when the hot key
     // also feeds a same-key groupBy, where pre-salting fixes the join
     // AND the partial aggregate together.
+    // ClickHouse PASTE JOIN ([CH] SQL surface, 23.12+): concatenate
+    // two deterministically-ordered sides row-by-row — rank-aligned
+    // series comparison (here: the acctbal distribution of customers
+    // vs suppliers, rank by rank). The global position is computed by
+    // DISTRIBUTED ranking (`pastePos`): range-repartition + sort
+    // within partitions, then zipWithIndex stamps offsets from
+    // per-partition counts — one small counting job, NO empty-
+    // partitionBy Window (which would drag the whole table through a
+    // single task — the classic positional-join scale killer). The
+    // inner equi-join on position truncates to the shorter side,
+    // and at sf the supplier side is 100× smaller ⇒ AQE broadcasts.
+    "q_join_paste" -> QueryDef(
+      (s, dir) => {
+        val left = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
+        val right = Tables(s, dir, "supplier").select("s_suppkey", "s_acctbal")
+        pasteJoin(
+            left, Seq(col("c_acctbal").desc, col("c_custkey").asc),
+            right, Seq(col("s_acctbal").desc, col("s_suppkey").asc))
+          .select((col("pos") + 1).as("rank"),
+            col("c_custkey"), round(col("c_acctbal"), 4).as("c_bal"),
+            col("s_suppkey"), round(col("s_acctbal"), 4).as("s_bal"))
+          .orderBy("rank")
+      },
+      Some("""WITH l AS (
+             |  SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rank,
+             |         c_custkey, round(c_acctbal, 4) AS c_bal
+             |  FROM customer),
+             |r AS (
+             |  SELECT row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rank,
+             |         s_suppkey, round(s_acctbal, 4) AS s_bal
+             |  FROM supplier)
+             |SELECT CAST(l.rank AS BIGINT) AS rank, c_custkey, c_bal, s_suppkey, s_bal
+             |FROM l JOIN r USING (rank) ORDER BY rank""".stripMargin)),
+
     "q_join_skew" -> QueryDef(
       (s, dir) => {
         val cust = Tables(s, dir, "customer")

@@ -73,6 +73,130 @@ object Similarity extends QueryModule {
       _ => KMeans.fit(emb, "embedding", "vec_id", k, iters = 3))
   }
 
+  /** Product-quantization geometry (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * normalized vector is split into [[PqM]] contiguous subvectors of
+    * `EmbDim / PqM` dims; each subspace gets its own [[PqK]]-centroid
+    * codebook ([[KMeans]] per subspace). K=16 ⇒ 4 bits per code ⇒ the
+    * whole M=8 code word PACKS INTO ONE LONG — the searchable
+    * representation of a 64-dim float vector is 8 nibbles, a 64×
+    * compression of the 256-byte embedding.
+    */
+  val PqM = 8
+  val PqK = 16
+  private val PqSubDim = EmbDim / PqM
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[KMeans.Model]]()
+
+  /** L2-normalize in place (float-to-float, so the codebook fit and
+    * the native assignment kernel keep their array<float> input): on
+    * normalized vectors inner product IS cosine, which lets the ADC
+    * scan rank by a pure additive lookup.
+    */
+  private def pqNormalized(emb: DataFrame): DataFrame = {
+    val nrm = Vectors.norm(col("embedding"))
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") / nrm).cast("float")).as("nemb"))
+  }
+
+  /** One codebook per subspace, fit on the normalized subvector slice.
+    * Training cost is M small k-means fits over the corpus; at 100 TB
+    * the fit runs on a sample (codebooks are model state — a few
+    * hundred doubles — not data), then one encode pass writes the
+    * packed codes. Memoized per corpus dir like the IVF quantizer.
+    */
+  private[graft] def pqModels(emb: DataFrame, dir: String): Array[KMeans.Model] =
+    pqCache.computeIfAbsent(dir, _ => {
+      val n = pqNormalized(emb).localCheckpoint()
+      (0 until PqM).map { m =>
+        KMeans.fit(
+          n.select(col("vec_id"),
+            slice(col("nemb"), m * PqSubDim + 1, PqSubDim).as("sub")),
+          "sub", "vec_id", PqK, iters = 3)
+      }.toArray
+    })
+
+  /** The encode pass: M native nearest-centroid kernels over the
+    * slices, nibble-packed into one long. This is the PQ index build
+    * — at scale it is written once per corpus snapshot and the float
+    * embeddings never travel again.
+    */
+  private[graft] def pqCodes(emb: DataFrame, models: Array[KMeans.Model]): DataFrame = {
+    val packed = models.zipWithIndex.map { case (mdl, m) =>
+        shiftleft(mdl.assignCol(
+          slice(col("nemb"), m * PqSubDim + 1, PqSubDim)).cast("long"), 4 * m)
+      }.reduce(_.bitwiseOR(_))
+    pqNormalized(emb).select(col("vec_id"), packed.as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the QUERY stays un-quantized —
+    * its per-subspace dot products against every codebook centroid
+    * are precomputed on the driver (M×K doubles per query, model
+    * scale) and broadcast as a lookup array; each corpus vector is
+    * then scored by M nibble-indexed lookups over its packed code.
+    * The scan reads (vec_id, code) — 12 bytes a row at ANY dimension
+    * — and the ranking is the same windowed top-k as brute force.
+    * Returns the ADC shortlist (top `shortlist` per query by
+    * quantized score); [[pqTopK]] re-ranks it exactly.
+    */
+  private[graft] def pqAdc(s: SparkSession, dir: String, shortlist: Int): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val models = pqModels(emb, dir)
+    val codes = pqCodes(emb, models)
+    // bounded query set (vec_id < 10, as every variant): collected at
+    // model scale, turned into per-query LUT rows
+    val qvecs = pqNormalized(emb).filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val luts = qvecs.map { case (qid, q) =>
+      val lut = Array.ofDim[Double](PqM * PqK)
+      for (m <- 0 until PqM; j <- 0 until PqK) {
+        val c = models(m).centroids(j)
+        var acc = 0.0
+        var i = 0
+        while (i < PqSubDim) { acc += q(m * PqSubDim + i) * c(i); i += 1 }
+        lut(m * PqK + j) = acc
+      }
+      (qid, lut.toSeq)
+    }.toSeq
+    val probes = s.createDataFrame(luts).toDF("q_id", "lut")
+    val scored = codes.join(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc_sim", round(expr(
+        s"""aggregate(transform(sequence(0, ${PqM - 1}),
+           |  m -> element_at(lut, m * $PqK
+           |       + int(shiftrightunsigned(code, 4 * m) & ${PqK - 1}) + 1)),
+           |  0.0D, (acc, x) -> acc + x)""".stripMargin), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id").asc)
+    scored.withColumn("adc_rank", row_number().over(w).cast("long"))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("q_id"), col("adc_rank"), col("vec_id"), col("adc_sim"))
+  }
+
+  /** PQ search as deployed (Jégou et al. §VII: ADC shortlist + exact
+    * re-rank): the quantized scan ranks the WHOLE corpus from codes
+    * alone, the float embeddings are re-attached only for the
+    * shortlist×queries surviving rows, and the final top-k is exact
+    * cosine over that shortlist. Quantization error now costs recall
+    * only when a true neighbor falls outside the shortlist entirely —
+    * the (shortlist/k)× headroom is the tunable accuracy/IO dial.
+    */
+  def pqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val shortlisted = pqAdc(s, dir, shortlist = 10 * k)
+      .select("q_id", "vec_id")
+    val scored = shortlisted
+      .join(emb.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("c_nrm")), Seq("vec_id"))
+      .join(broadcast(querySide(emb)), Seq("q_id"))
+      .withColumn("cos_sim", cosScore)
+    rankTopK(scored, k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Two-stage IVF search: fit the coarse quantizer, rank cells by
     * query↔centroid similarity, scan only the nProbe best cells for
     * the true top-k. In production the model is fit once per corpus
@@ -439,6 +563,16 @@ object Similarity extends QueryModule {
     // a recall floor against exact brute force and key determinism.
     "q_sim_lsh" -> QueryDef(
       (s, dir) => lshTopK(s, dir, k = 5), None),
+
+    // Product-quantization ADC top-5 ([LLM] — the memory-bound ANN
+    // path: the searchable corpus is one packed long per vector, a
+    // 64× compression, so a 100 TB float corpus scans as ~1.5 TB of
+    // codes). k-means codebooks ⇒ rows-only (SURVEY §5.3.4);
+    // PipelineSpec pins ADC ≡ exact-dot-on-reconstruction (the
+    // defining identity), nibble-range sanity, and a recall floor vs
+    // exact brute force.
+    "q_sim_pq" -> QueryDef(
+      (s, dir) => pqTopK(s, dir, k = 5), None),
 
     // Embedding L2-normalization + symmetric int8 quantization — the
     // storage-side half of every vector index (a quantized corpus is

@@ -224,6 +224,62 @@ class PipelineSpec extends SparkSpec {
     assert(lshRows.size == lsh.size, "a candidate pair must be scored exactly once")
   }
 
+  test("PQ codes pack in-range nibbles; ADC equals dot-on-reconstruction; recall floor") {
+    val emb = Tables(spark, sf, "embeddings")
+    val models = Similarity.pqModels(emb, sf)
+    assert(models.length == Similarity.PqM &&
+      models.forall(_.centroids.length == Similarity.PqK))
+    val codes = Similarity.pqCodes(emb, models).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes.size == emb.count())
+    // nothing may leak above the M×4 packed bits
+    assert(codes.values.forall(c => (c >>> (4 * Similarity.PqM)) == 0L))
+
+    // driver-side replica of the normalize→slice→LUT path, same
+    // float-quantization and summation order as the plan
+    val subDim = 64 / Similarity.PqM
+    val nvecs = emb.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      var ss = 0.0
+      v.foreach(x => ss += x.toDouble * x.toDouble)
+      val nrm = math.sqrt(ss)
+      r.getLong(0) -> v.map(x => (x.toDouble / nrm).toFloat)
+    }.toMap
+    def adc(qid: Long, vid: Long): Double = {
+      val q = nvecs(qid); val code = codes(vid)
+      (0 until Similarity.PqM).map { m =>
+        val cent = models(m).centroids(((code >>> (4 * m)) & 15).toInt)
+        (0 until subDim).map(i => q(m * subDim + i).toDouble * cent(i)).sum
+      }.sum
+    }
+    val adcRows = Similarity.pqAdc(spark, sf, shortlist = 50).collect()
+    assert(adcRows.nonEmpty)
+    adcRows.foreach { r =>
+      val expect = adc(r.getLong(0), r.getLong(2))
+      assert(math.abs(r.getDouble(3) - expect) < 5e-5 + 1e-9,
+        s"q=${r.getLong(0)} v=${r.getLong(2)}: adc=${r.getDouble(3)} recon=$expect")
+    }
+    // the declared query re-ranks the ADC shortlist exactly; recall
+    // vs the exact brute-force top-5 only loses a true neighbor that
+    // fell outside the whole 50-deep shortlist
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("q_sim_pq")(spark, sf).collect()
+    val pq = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall")
+    assert(recall >= 0.5, s"recall=$recall")
+    // re-ranked scores are the EXACT cosine — identical to the brute
+    // force score for every overlapping pair
+    val exactScores = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(2))).foreach { e =>
+        assert(r.getDouble(3) == e, s"re-rank must score with the exact cosine")
+      }
+    }
+  }
+
   test("simhash candidate expansion admits no bucket above BucketCap") {
     // the exact production input to the pair expansion (not a replica)
     val census = pipeline.Dedup.simhashBuckets(spark, sf)

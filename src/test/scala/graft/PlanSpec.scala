@@ -50,7 +50,11 @@ class PlanSpec extends SparkSpec {
       "q_dsir_weights",
       // sparkbar: the 1-row day-extent aggregate broadcast onto the
       // bounded (type × day) grid — the q_win_lttb extent pattern
-      "q_sparkbar")
+      "q_sparkbar",
+      // pq: the bounded query-LUT rows (|queries| × M×K doubles —
+      // model scale) broadcast onto the packed-code scan, then onto
+      // the shortlist re-rank — the q_sim_topk query-side pattern
+      "q_sim_pq")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -146,6 +146,22 @@ object Lifecycle extends QueryModule {
     dest
   }
 
+  /** Events re-written z-order-clustered on (user_id, value) —
+    * staged once per (tmpdir, sf) like every layout fixture.
+    */
+  private[operators] def zorderDest(s: SparkSession, dir: String): String =
+    stageLock.synchronized {
+      val dest = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_zorder_" + Integer.toHexString(dir.hashCode)).toString
+      if (!new java.io.File(dest).exists()) {
+        val e = Relational.eventsSec(s, dir)
+          .select("event_id", "user_id", "event_type", "value", "ts_s")
+        ZOrder.clusteredWrite(e, dest, Seq("user_id", "value"), numFiles = 16)
+      }
+      dest
+    }
+
   private def roundtripDest(s: SparkSession, dir: String): String = stageLock.synchronized {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
@@ -260,6 +276,33 @@ object Lifecycle extends QueryModule {
              |  round(sum(value), 4) AS sum_value,
              |  CAST(min(event_id) AS BIGINT) AS first_event
              |FROM events WHERE value BETWEEN 10.0 AND 50.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Multi-dimensional clustering ([CH] multi-column primary key /
+    // Delta OPTIMIZE ZORDER): the staged events copy is re-written
+    // z-order-clustered on (user_id, value), and the declared query
+    // runs a TWO-dimensional range predicate over it — the layout's
+    // target workload. Both predicates reach the parquet reader as
+    // PushedFilters and the Morton layout makes per-file/row-group
+    // min/max tight in BOTH dims, so most files are skipped at the
+    // stats level (ZOrderSpec measures the span contraction vs a
+    // linear sort; PlanSpec pins the pushdown). Clustering is
+    // semantics-neutral ⇒ the oracle is the plain filtered aggregate.
+    "q_zorder_scan" -> QueryDef(
+      (s, dir) => s.read.parquet(zorderDest(s, dir))
+        .filter(col("user_id").between(3L, 9L) &&
+          col("value").between(20.0, 60.0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"),
+          min("event_id").cast("long").as("first_event"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS sum_value,
+             |  CAST(min(event_id) AS BIGINT) AS first_event
+             |FROM events
+             |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 20.0 AND 60.0
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // `ALTER TABLE … DETACH PARTITION` declared end-to-end ([CH]): the

@@ -84,6 +84,12 @@ class PlanSpec extends SparkSpec {
     val r = formatted("q_join_semi")
     assert(r.contains("PushedFilters") && r.contains("GreaterThan(o_totalprice"),
       "o_totalprice threshold must push into the orders scan")
+    // both dims of the z-ordered scan's range predicate must reach the
+    // reader — stats-level skipping over the Morton layout depends on it
+    val z = formatted("q_zorder_scan")
+    assert(z.contains("GreaterThanOrEqual(user_id,3)") &&
+      z.contains("GreaterThanOrEqual(value,20.0)"),
+      "both clustered-dim predicates must push into the z-ordered scan")
   }
 
   test("round-4 shapes: broadcasts, zero-shuffle scans, single-exchange collapses") {

@@ -240,6 +240,76 @@ object QualityOps extends QueryModule {
              |FROM toks JOIN wc USING (w) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    // Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data"): partition the corpus into head/middle/tail thirds by
+    // LM bits-per-token — the canonical quality triage every CC-style
+    // pipeline ships. Scale shape: bucket THRESHOLDS come from the
+    // rounded-score VALUE GRID (distinct 4-decimal scores — a bounded
+    // domain, the q_agg_percentile trick), so the only window runs
+    // over grid rows, never documents; each doc then picks its bucket
+    // through an equi-join on its grid value. A doc-scale
+    // ntile()-over-everything would funnel the corpus through one
+    // task. Ties share a bucket by construction (same rounded score ⇒
+    // same bucket), which is also what makes the split deterministic
+    // and engine-portable.
+    "q_ccnet_buckets" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+        val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = wc.agg(sum("c").as("t"))
+        val perDoc = toks.join(wc, Seq("w")).join(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            round(avg(-log2(col("c").cast("double") / col("t"))), 4).as("bits"))
+        val grid = perDoc.groupBy("bits").agg(count(lit(1)).as("gc"))
+        val cumW = w.orderBy("bits")
+          .rowsBetween(w.unboundedPreceding, -1)
+        val totW = w.partitionBy()
+          .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+        val bucketed = grid
+          .withColumn("cum_before", coalesce(sum("gc").over(cumW), lit(0L)))
+          .withColumn("total", sum("gc").over(totW))
+          .withColumn("bucket",
+            when(col("cum_before") < col("total") / 3.0, "head")
+              .when(col("cum_before") < col("total") * 2 / 3.0, "middle")
+              .otherwise("tail"))
+          .select("bits", "bucket")
+        perDoc.join(bucketed, Seq("bits"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("n_tokens"),
+            min("bits").as("min_bits"), max("bits").as("max_bits"))
+          .orderBy("bucket")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+             |tot AS (SELECT sum(c) AS t FROM wc),
+             |per_doc AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         round(avg(-log2(CAST(c AS DOUBLE) / t)), 4) AS bits
+             |  FROM toks JOIN wc USING (w) CROSS JOIN tot GROUP BY doc_id),
+             |grid AS (SELECT bits, count(*) AS gc FROM per_doc GROUP BY bits),
+             |marked AS (
+             |  SELECT bits,
+             |    coalesce(sum(gc) OVER (ORDER BY bits
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             |    sum(gc) OVER () AS total
+             |  FROM grid),
+             |bucketed AS (
+             |  SELECT bits, CASE WHEN cum_before < total / 3.0 THEN 'head'
+             |                    WHEN cum_before < 2 * total / 3.0 THEN 'middle'
+             |                    ELSE 'tail' END AS bucket
+             |  FROM marked)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       min(bits) AS min_bits, max(bits) AS max_bits
+             |FROM per_doc JOIN bucketed USING (bits)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // Benchmark decontamination: flag training documents sharing word
     // 5-grams with a held-out benchmark slice (doc_id % 97 == 0 — a
     // deterministic stand-in for an eval set). The canonical

@@ -94,12 +94,16 @@ object Similarity extends QueryModule {
     * normalized vectors inner product IS cosine, which lets the ADC
     * scan rank by a pure additive lookup.
     */
-  private def pqNormalized(emb: DataFrame): DataFrame = {
-    val nrm = Vectors.norm(col("embedding"))
-    emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => (x.cast("double") / nrm).cast("float")).as("nemb"))
+  /** The normalized-embedding column as an expression (shared with the
+    * streaming indexer, which applies it to arriving rows).
+    */
+  private[graft] def pqNormalizedCol(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nrm = Vectors.norm(emb)
+    transform(emb, x => (x.cast("double") / nrm).cast("float"))
   }
+
+  private def pqNormalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), pqNormalizedCol(col("embedding")).as("nemb"))
 
   /** One codebook per subspace, fit on the normalized subvector slice.
     * Training cost is M small k-means fits over the corpus; at 100 TB
@@ -123,13 +127,19 @@ object Similarity extends QueryModule {
     * — at scale it is written once per corpus snapshot and the float
     * embeddings never travel again.
     */
-  private[graft] def pqCodes(emb: DataFrame, models: Array[KMeans.Model]): DataFrame = {
-    val packed = models.zipWithIndex.map { case (mdl, m) =>
-        shiftleft(mdl.assignCol(
-          slice(col("nemb"), m * PqSubDim + 1, PqSubDim)).cast("long"), 4 * m)
-      }.reduce(_.bitwiseOR(_))
-    pqNormalized(emb).select(col("vec_id"), packed.as("code"))
-  }
+  /** The nibble-packed code over a NORMALIZED embedding column — M
+    * native nearest-centroid kernels over the slices, OR-folded.
+    */
+  private[graft] def pqPacked(models: Array[KMeans.Model],
+      nemb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    models.zipWithIndex.map { case (mdl, m) =>
+      shiftleft(mdl.assignCol(
+        slice(nemb, m * PqSubDim + 1, PqSubDim)).cast("long"), 4 * m)
+    }.reduce(_.bitwiseOR(_))
+
+  private[graft] def pqCodes(emb: DataFrame, models: Array[KMeans.Model]): DataFrame =
+    pqNormalized(emb).select(col("vec_id"),
+      pqPacked(models, col("nemb")).as("code"))
 
   /** Asymmetric-distance (ADC) top-k: the QUERY stays un-quantized —
     * its per-subspace dot products against every codebook centroid

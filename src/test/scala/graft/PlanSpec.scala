@@ -35,6 +35,9 @@ class PlanSpec extends SparkSpec {
     Set("q_sim_topk", "q_sim_ann", "q_retention_filter", "q_doc_lm_score",
       // lm_bigram: same 1-row corpus-total broadcast as q_doc_lm_score
       "q_doc_lm_bigram",
+      // ccnet buckets: the same 1-row corpus-total broadcast (the LM
+      // scoring sub-plan), plus the bounded score-grid window
+      "q_ccnet_buckets",
       // theils_u: two cross joins of 1-row aggregate results (the
       // H(A)/H(B) entropy folds) onto the 1-row conditional-entropy
       // fold — bounded by construction, broadcast on purpose

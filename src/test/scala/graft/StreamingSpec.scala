@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.SnapshotStream
+import graft.streaming.{SnapshotStream, StreamIndexer}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -530,6 +530,34 @@ class StreamingSpec extends SparkSpec {
       .filter(col("day") < "2024-01-29")
     // dailyCounts on a batch DF computes the same aggregation sans state
     assert(batch.exceptAll(stream).isEmpty && stream.exceptAll(batch).isEmpty)
+  }
+
+  test("streaming indexer: frozen-model stream encode equals the batch encode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables(spark, sf, "embeddings")
+    val coarse = pipeline.KMeans.fit(emb, "embedding", "vec_id", 10, iters = 3)
+    val books = pipeline.Similarity.pqModels(emb, sf)
+    // batch reference: the SAME pure projection over the static table
+    val batch = StreamIndexer.encoded(emb, coarse, books).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamIndexer.encoded(
+        mem.toDF().toDF("vec_id", "embedding"), coarse, books)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sidx_out").start()
+    try {
+      mem.addData(rows.take(rows.size / 2))
+      mem.addData(rows.drop(rows.size / 2)) // two micro-batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sidx_out").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.size == rows.size, "every arriving vector must be indexed once")
+    assert(got == batch,
+      "stream-encoded (cell, code) must be identical to the batch encode")
   }
 
   test("streaming heavy hitters equal the batch topK sketch while capacity covers the domain") {

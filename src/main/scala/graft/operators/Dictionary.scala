@@ -42,4 +42,35 @@ object Dictionary {
   def dictGet(fact: DataFrame, dict: DataFrame, factKey: Column,
       dictKey: String, attr: String, asCol: String): DataFrame =
     dictGetOrDefault(fact, dict, factKey, dictKey, attr, lit(null), asCol)
+
+  /** One level of a hierarchical dictionary: (dict table, its key
+    * column, the attribute to surface, and the parent-key column the
+    * NEXT level looks up — None at the root).
+    */
+  final case class DictLevel(dict: DataFrame, key: String, attr: String,
+      parentKey: Option[String])
+
+  /** `dictGetHierarchy`: walk a chain of dictionaries from a fact key
+    * to the root, surfacing each level's attribute (`asCols`, inner
+    * to outer). Each hop is the same broadcast-left shape as
+    * [[dictGet]] — hierarchies are dimension-scale at every level, so
+    * the whole walk is N broadcasts and ZERO fact shuffles however
+    * deep; a miss at any level nulls that level and everything above
+    * it (the lookup chain stops), never drops the fact row.
+    */
+  def dictGetHierarchy(fact: DataFrame, levels: Seq[DictLevel],
+      factKey: Column, asCols: Seq[String]): DataFrame = {
+    require(levels.size == asCols.size, "one output column per level")
+    levels.zip(asCols).zipWithIndex.foldLeft((fact, factKey)) {
+      case ((df, key), ((lvl, asCol), i)) =>
+        val proj = Seq(col(lvl.key).as(s"_hk_$i"), col(lvl.attr).as("_ha")) ++
+          lvl.parentKey.map(p => col(p).as(s"_hp_$i"))
+        val d = lvl.dict.select(proj: _*)
+        val joined = df.join(broadcast(d), key === col(s"_hk_$i"), "left")
+          .withColumn(asCol, col("_ha"))
+          .drop(s"_hk_$i", "_ha")
+        (joined, lvl.parentKey.map(_ => col(s"_hp_$i")).getOrElse(lit(null)))
+    }._1.drop(levels.indices.flatMap(i =>
+      levels(i).parentKey.map(_ => s"_hp_$i")): _*)
+  }
 }

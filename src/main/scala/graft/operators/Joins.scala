@@ -276,6 +276,30 @@ object Joins extends QueryModule {
     // manual fallback for skew AQE can't fix — e.g. when the hot key
     // also feeds a same-key groupBy, where pre-salting fixes the join
     // AND the partial aggregate together.
+    // ClickHouse dictGetHierarchy ([CH] dictionaries): walk the
+    // customer → nation → region chain, surfacing each level. The
+    // nation dict is again restricted (< 20) so top nationkeys MISS —
+    // the chain must null both levels for them, never drop the row.
+    // N broadcast hops, zero fact shuffles at any depth.
+    "q_dict_hierarchy" -> QueryDef(
+      (s, dir) => Dictionary.dictGetHierarchy(
+          Tables(s, dir, "customer"),
+          Seq(
+            Dictionary.DictLevel(
+              Tables(s, dir, "nation").filter(col("n_nationkey") < 20),
+              "n_nationkey", "n_name", Some("n_regionkey")),
+            Dictionary.DictLevel(
+              Tables(s, dir, "region"), "r_regionkey", "r_name", None)),
+          col("c_nationkey"), Seq("nation_name", "region_name"))
+        .select("c_custkey", "nation_name", "region_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, n_name AS nation_name, r_name AS region_name
+             |FROM customer
+             |LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+             |  ON c_nationkey = n_nationkey
+             |LEFT JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ClickHouse PASTE JOIN ([CH] SQL surface, 23.12+): concatenate
     // two deterministically-ordered sides row-by-row — rank-aligned
     // series comparison (here: the acctbal distribution of customers

@@ -280,6 +280,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("index generations: rebuild+search exact, idempotent republish, crash recovery") {
+    import graft.pipeline.IndexLifecycle
+    val root = java.nio.file.Files.createTempDirectory("graft_idxgen").toString
+    IndexLifecycle.rebuild(spark, sf, root)
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def served: Set[(Long, Long)] =
+      IndexLifecycle.search(spark, sf, root, nProbe = pipeline.Similarity.AnnCells, k = 5)
+        .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exact, "all-cells probe over the generation must be exact")
+    // republish: a second generation replaces the first cleanly
+    IndexLifecycle.rebuild(spark, sf, root)
+    assert(served == exact, "the republished generation must serve identically")
+    assert(!new java.io.File(s"$root/current.tmp").exists() &&
+      !new java.io.File(s"$root/current.old").exists(),
+      "no swap debris may survive a completed rebuild")
+    // crash between swap steps 1 and 2: current was set aside, the new
+    // generation never landed — recovery must restore the old one
+    assert(new java.io.File(s"$root/current")
+      .renameTo(new java.io.File(s"$root/current.old")))
+    assert(served == exact, "search must recover the set-aside generation")
+  }
+
   test("simhash candidate expansion admits no bucket above BucketCap") {
     // the exact production input to the pair expansion (not a replica)
     val census = pipeline.Dedup.simhashBuckets(spark, sf)

@@ -31,6 +31,22 @@ class ZOrderSpec extends SparkSpec {
     assert(q.getLong(0) < (1L << 14) && q.getLong(1) >= (3L << 14))
   }
 
+  test("morton interleave is a bijection: de-interleaving recovers every rank pair") {
+    import org.scalacheck.Gen
+    val pairs = Gen.listOfN(300,
+      Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L))).sample.get.distinct
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrder.zValue(Seq(col("a"), col("b")), 8).as("z"))
+    df.collect().foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      def deinter(off: Int): Long =
+        (0 until 8).map(i => ((z >>> (2 * i + off)) & 1L) << i).sum
+      assert(deinter(0) == a && deinter(1) == b,
+        s"z=$z must de-interleave back to ($a, $b)")
+    }
+  }
+
   test("z-order write contracts per-file spans in BOTH dims; linear sort does not") {
     val e = operators.Relational.eventsSec(spark, sf)
       .select("event_id", "user_id", "event_type", "value", "ts_s")

@@ -1,0 +1,113 @@
+package graft
+
+import graft.expressions.{RpKernels, TextExprs, VectorExprs}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import scala.util.Random
+
+/** Algebraic properties of the native dedup/ANN kernels over RANDOM
+  * inputs. The example-based suites (PipelineSpec) pin each kernel
+  * bit-identical to an independent HOF formulation on the fixture
+  * corpus; these pin the LAWS the pipelines silently rely on:
+  *
+  *  - MinHash is a union homomorphism (signatures merge by min — why
+  *    incremental/streaming dedup can fold signatures without text)
+  *    and order/duplicate-blind (a SET sketch);
+  *  - SimHash is permutation-invariant (a MULTISET sketch);
+  *  - winnowing honors the MOSS guarantee: any shared run of at least
+  *    k + w − 1 characters forces a shared fingerprint (why a
+  *    fingerprint equi-join cannot miss a long-enough clone);
+  *  - rp_bits is scale-invariant and sign-antisymmetric (a COSINE
+  *    bucketing key: direction only, magnitude never).
+  *
+  * Generators are ScalaCheck `Gen`s sampled into one DataFrame per
+  * property — each law is checked distributed, through codegen, not
+  * on driver-side replicas of the kernels.
+  */
+class KernelPropertySpec extends SparkSpec {
+
+  private val rnd = new Random(0x9e3779b9L)
+  private def sampled[A](g: Gen[A]): A = {
+    val it = Iterator.continually(g.sample).flatten
+    it.next()
+  }
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  // nonempty: a doc SHORTER than the shingle width hashes its whole
+  // text as one shingle (TextKernels.minhashWords), so the empty list
+  // contributes hash("") — a real shingle, outside the set algebra
+  private val words: Gen[Seq[String]] =
+    Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, word))
+
+  test("minhash merges by elementwise min: sig(A ++ B) == min(sig(A), sig(B))") {
+    import spark.implicits._
+    val rows = Seq.fill(300)((sampled(words), sampled(words)))
+    val k = 16
+    val sig = (c: String) => TextExprs.minhashWords(col(c), 1, k)
+    val bad = rows.toDF("a", "b")
+      .select(sig("a").as("sa"), sig("b").as("sb"),
+        TextExprs.minhashWords(concat(col("a"), col("b")), 1, k).as("sab"))
+      .filter(col("sab") =!= zip_with(col("sa"), col("sb"), (x, y) => least(x, y)))
+    assert(bad.count() == 0, "minhash union homomorphism violated")
+  }
+
+  test("minhash and simhash ignore word order; minhash also ignores duplicates") {
+    import spark.implicits._
+    val rows = Seq.fill(300) {
+      val w = sampled(words.suchThat(_.nonEmpty))
+      (w, rnd.shuffle(w), w ++ rnd.shuffle(w).take(rnd.nextInt(w.size + 1)))
+    }
+    val bad = rows.toDF("w", "p", "d")
+      .filter(
+        TextExprs.minhashWords(col("w"), 1, 16) =!= TextExprs.minhashWords(col("p"), 1, 16) ||
+        TextExprs.minhashWords(col("w"), 1, 16) =!= TextExprs.minhashWords(col("d"), 1, 16) ||
+        TextExprs.simhashWords(col("w")) =!= TextExprs.simhashWords(col("p")))
+    assert(bad.count() == 0, "order/duplicate invariance violated")
+  }
+
+  test("winnowing: a shared run of k+w-1 chars forces a shared fingerprint") {
+    import spark.implicits._
+    // default winnow params are k=16, w=8 ⇒ guarantee length 23; the
+    // shared run is longer (32) and the flanks are independent noise
+    val text: Gen[String] =
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val shared: Gen[String] = Gen.listOfN(32, Gen.alphaLowerChar).map(_.mkString)
+    val rows = Seq.fill(300) {
+      val s = sampled(shared)
+      (sampled(text) + s + sampled(text), sampled(text) + s + sampled(text))
+    }
+    val bad = rows.toDF("x", "y")
+      .filter(!arrays_overlap(
+        TextFns.winnowFingerprints(col("x")), TextFns.winnowFingerprints(col("y"))))
+    assert(bad.count() == 0, "MOSS winnowing guarantee violated")
+  }
+
+  test("rp_bits keys direction only: positive scaling fixes every bit, negation flips all") {
+    import spark.implicits._
+    val nBits = 16
+    val dim = 16
+    val signs = RpKernels.signs(nBits, dim)
+    val vec: Gen[Seq[Float]] =
+      Gen.listOfN(dim, Gen.choose(-1.0, 1.0).map(_.toFloat))
+    // keep every projection away from zero: scaling cannot cross a
+    // hyperplane, and negation must flip a STRICT sign (s = ±0.0 maps
+    // to the same bit on both inputs — excluded, not a counterexample)
+    val clear = (v: Seq[Float]) =>
+      signs.forall(row => math.abs(v.zip(row).map { case (x, s) => x * s }.sum) > 1e-3)
+    val rows = Seq.fill(300)(sampled(vec.suchThat(clear)))
+      .map(v => (v, rnd.nextFloat() * 2.9f + 0.1f))
+    val mask = (1L << nBits) - 1
+    val bits = (c: org.apache.spark.sql.Column) => VectorExprs.rpBits(c, nBits, dim)
+    val bad = rows.toDF("v", "c")
+      .select(
+        bits(col("v")).as("k"),
+        bits(transform(col("v"), x => (x * col("c")).cast("float"))).as("ks"),
+        bits(transform(col("v"), x => (-x).cast("float"))).as("kn"))
+      .filter(col("ks") =!= col("k") ||
+        col("kn") =!= col("k").bitwiseXOR(lit(mask)))
+    assert(bad.count() == 0, "rp_bits scale/sign law violated")
+  }
+}

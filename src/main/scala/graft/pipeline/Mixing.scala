@@ -207,6 +207,41 @@ object Mixing extends QueryModule {
              |FROM bi JOIN lw USING (b)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Epoch-keyed deterministic shuffle: the training loop needs a
+    // DIFFERENT but reproducible corpus order every epoch. Keying the
+    // hash by (epoch, doc_id) gives each epoch an independent
+    // permutation computed AT READ TIME from the stored corpus — no
+    // per-epoch re-shuffle of the data, no state, and a failed shard
+    // re-reads its exact slice. Same scale shape as q_shard_assign:
+    // scan-side hash, shard-local window, never a global sort.
+    "q_epoch_shuffle" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(2))).as("epoch"))
+        .select(col("epoch").cast("long").as("epoch"), col("doc_id"),
+          md5(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard", expr(
+          "CAST(floor((instr('0123456789abcdef', substring(h, 1, 1)) - 1) / 2.0) AS BIGINT)"))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")).cast("long"))
+        .select("epoch", "doc_id", "shard", "pos")
+        .orderBy("epoch", "shard", "pos"),
+      Some("""WITH e AS (
+             |  SELECT doc_id, unnest(generate_series(0, 2)) AS epoch FROM documents),
+             |h AS (
+             |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             |         md5(epoch || ':' || CAST(doc_id AS VARCHAR)) AS h
+             |  FROM e),
+             |a AS (
+             |  SELECT epoch, doc_id, h,
+             |         CAST(floor((instr('0123456789abcdef', substr(h, 1, 1)) - 1) / 2.0) AS BIGINT) AS shard
+             |  FROM h)
+             |SELECT epoch, doc_id, shard,
+             |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM a
+             |ORDER BY epoch, shard, pos""".stripMargin)),
+
     "q_shard_assign" -> QueryDef(
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))

@@ -389,6 +389,54 @@ object QualityOps extends QueryModule {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Length-bucketed batching: the alternative layout to greedy
+    // packing (q_pack_sequences) — group documents into power-of-two
+    // token-length buckets and measure the padding bill per bucket
+    // (the dynamic-batching shape every trainer's dataloader wants).
+    // One map-side-combined hash aggregate over a scan-side CASE
+    // ladder; the result is the bucket grid (sources × ~8 buckets),
+    // never rows. Docs over the top bucket truncate (pad 0), so
+    // waste_pct isolates padding, not truncation.
+    "q_length_buckets" -> QueryDef(
+      (s, dir) => {
+        val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+        val nTok = size(TextFns.words(col("text"))).cast("long")
+        val bucket = caps.tail
+          .foldLeft(when(nTok <= caps.head, caps.head)) {
+            case (acc, c) => acc.when(nTok <= c, c)
+          }.otherwise(2048L)
+        Tables(s, dir, "documents")
+          .select(col("source"), nTok.as("n_tokens"), bucket.as("bucket"))
+          .groupBy("source", "bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("sum_tokens"),
+            sum(col("bucket") - least(col("n_tokens"), col("bucket"))).as("pad_tokens"))
+          .withColumn("waste_pct",
+            round(col("pad_tokens").cast("double") /
+              (col("n_docs") * col("bucket")) + lit(1e-9), 4))
+          .select("source", "bucket", "n_docs", "sum_tokens", "pad_tokens", "waste_pct")
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (
+             |  SELECT source, n_tokens,
+             |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+             |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+             |         WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+             |         WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket
+             |  FROM t)
+             |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(bucket - least(n_tokens, bucket)) AS BIGINT) AS pad_tokens,
+             |  round(CAST(sum(bucket - least(n_tokens, bucket)) AS DOUBLE) /
+             |        (count(*) * bucket) + 1e-9, 4) AS waste_pct
+             |FROM b GROUP BY source, bucket
+             |ORDER BY source, bucket""".stripMargin)),
+
     // Gopher-style repetition signals: duplicate-word fraction, top
     // word's frequency share, duplicate-2-gram fraction, and the keep
     // decision at the paper's thresholds-in-spirit. 2-grams come from a

@@ -23,18 +23,27 @@ object Relational extends QueryModule {
   /** events with a second-truncated timestamp — the only safe form of
     * `events.ts` for oracle-checked queries (FIXTURES.md hazards).
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, surfaced as LongType
-    * epoch-nanos under `spark.sql.legacy.parquet.nanosAsLong` (a
-    * session default set in [[graft.Graft.builder]] — not mutated
-    * here: a plan builder must stay side-effect free), converted: ns →
-    * µs (integer floor division — all values post-1970) → timestamp →
-    * second truncation. DuckDB (oracle side) reads the same values
-    * natively and applies `date_trunc('second', ts)` — identical
-    * results.
+    * The driver has shipped `events.ts` in two physical shapes across
+    * rounds, so this adapts to whatever the scan yields:
+    *  - TIMESTAMP(NANOS) parquet → LongType epoch-nanos under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (session default in
+    *    [[graft.Graft.builder]]): ns → µs (integer floor division —
+    *    all values post-1970) → timestamp → second truncation;
+    *  - TIMESTAMP(MICROS) parquet → TimestampNTZ (or LTZ): cast to
+    *    session-UTC timestamp, then second truncation.
+    * DuckDB (oracle side) reads the same values natively and applies
+    * `date_trunc('second', ts)` — identical results either way.
     */
-  def eventsSec(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
-      .withColumn("ts_s", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+  def eventsSec(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val sec = e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        date_trunc("second", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        date_trunc("second", col("ts").cast("timestamp"))
+    }
+    e.withColumn("ts_s", sec)
+  }
 
   def entries: Map[String, QueryDef] = Map(
 

@@ -136,6 +136,50 @@ object Analytics extends QueryModule {
         col("n2").cast("long").as("n_o"))
   }
 
+  /** ROC AUC of `score` as a predictor of `pos`, by trapezoid over the
+    * tie-grouped curve (see q_agg_auc). Collapses to the distinct-score
+    * grid first; the cumulative window runs over that grid. Output
+    * 1 row: (auc, n_pos, n_neg).
+    */
+  private[graft] def rocAuc(df: DataFrame, pos: Column, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(score.as("score"), when(pos, 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val w = Window.orderBy(col("score").desc)
+    g.select(col("score"),
+        sum("np").over(w).as("tp"), sum("nn").over(w).as("fp"))
+      .select(col("tp"), col("fp"),
+        coalesce(lag("tp", 1).over(w), lit(0L)).as("tp0"),
+        coalesce(lag("fp", 1).over(w), lit(0L)).as("fp0"))
+      .agg(
+        round(sum((col("fp") - col("fp0")) * (col("tp") + col("tp0")))
+            .cast("double") /
+          (lit(2.0) * max("tp") * max("fp")) + 1e-9, 4).as("auc"),
+        max("tp").as("n_pos"), max("fp").as("n_neg"))
+  }
+
+  /** One-way ANOVA F of `x` across `group`, from per-group
+    * (n, mean, s²) moments — SSB via Σnm² − (Σnm)²/N so the grand mean
+    * needs no second data pass (see q_agg_anova). Output 1 row:
+    * (f_stat, df_between, df_within, n_groups, n_rows).
+    */
+  private[graft] def anovaF(df: DataFrame, group: Column, x: Column): DataFrame =
+    df.groupBy(group)
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(x).as("m"), var_samp(x).as("v"))
+      .agg(
+        round(((sum(col("n") * col("m") * col("m")) -
+            pow(sum(col("n") * col("m")), 2) / sum("n")) /
+            (count(lit(1)) - 1)) /
+          ((sum((col("n") - 1) * col("v"))) / (sum("n") - count(lit(1))))
+          + 1e-9, 4).as("f_stat"),
+        (count(lit(1)) - 1).cast("long").as("df_between"),
+        (sum("n") - count(lit(1))).cast("long").as("df_within"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum("n").cast("long").as("n_rows"))
+
   /** Theil's U (uncertainty coefficient), both directions, from the
     * observed contingency cells of categorical columns `a` × `b`.
     * Output 1 row: (u_a_given_b, u_b_given_a, h_a, h_b).
@@ -727,6 +771,67 @@ object Analytics extends QueryModule {
              |  CAST(any_value(n1) AS BIGINT) AS n_f,
              |  CAST(any_value(n2) AS BIGINT) AS n_o
              |FROM c""".stripMargin)),
+
+    // ClickHouse arrayAUC ([CH] — the ML-eval staple): area under the
+    // ROC curve of `value` as a score for purchase/signup events, by
+    // trapezoid over the tie-grouped curve (ClickHouse's own
+    // algorithm: sort by score desc, cumulative TP/FP, Σ ΔFP·(TP+TP₋₁)/2,
+    // normalized by P·N). Scale shape: the fact rows collapse FIRST to
+    // the distinct-score grid (scores binned to 2 decimals — the
+    // production "binned ROC" move that bounds the grid by the score
+    // domain, not the data); the cumulative window and the 1-row final
+    // fold run over that bounded grid, the mann_whitney/ks_test
+    // posture. Integer TP/FP counts end-to-end — the only doubles are
+    // the final normalization, nudged past the rounding boundary on
+    // both engines.
+    "q_agg_auc" -> QueryDef(
+      (s, dir) => rocAuc(Tables(s, dir, "events"),
+        col("event_type").isin("purchase", "signup"),
+        round(col("value"), 2)),
+      Some("""WITH g AS (
+             |  SELECT round(value, 2) AS score,
+             |    sum(CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS np,
+             |    sum(CASE WHEN event_type IN ('purchase','signup') THEN 0 ELSE 1 END) AS nn
+             |  FROM events GROUP BY score),
+             |c AS (
+             |  SELECT score,
+             |    sum(np) OVER (ORDER BY score DESC) AS tp,
+             |    sum(nn) OVER (ORDER BY score DESC) AS fp
+             |  FROM g),
+             |p AS (
+             |  SELECT tp, fp,
+             |    coalesce(lag(tp) OVER (ORDER BY score DESC), 0) AS tp0,
+             |    coalesce(lag(fp) OVER (ORDER BY score DESC), 0) AS fp0
+             |  FROM c)
+             |SELECT round(CAST(sum((fp - fp0) * (tp + tp0)) AS DOUBLE)
+             |    / (2.0 * max(tp) * max(fp)) + 1e-9, 4) AS auc,
+             |  CAST(max(tp) AS BIGINT) AS n_pos,
+             |  CAST(max(fp) AS BIGINT) AS n_neg
+             |FROM p""".stripMargin)),
+
+    // ClickHouse analysisOfVariance / anova ([CH] 23.11+): one-way
+    // F-test of `value` across the event-type groups. Two stacked
+    // hash aggregates: fact rows → per-group (n, mean, s²) — map-side
+    // combined, O(groups) through the exchange — then the 1-row
+    // between/within decomposition (SSB/(k−1)) / (SSW/(N−k)). The
+    // grand mean is recomputed from the group moments (Σnᵢmᵢ/N), so no
+    // second pass over the data. Same formula arithmetic on both
+    // engines (var_samp), rounded past the boundary.
+    "q_agg_anova" -> QueryDef(
+      (s, dir) => anovaF(Tables(s, dir, "events"),
+        col("event_type"), col("value")),
+      Some("""WITH g AS (
+             |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             |    avg(value) AS m, var_samp(value) AS v
+             |  FROM events GROUP BY event_type)
+             |SELECT
+             |  round(((sum(n*m*m) - pow(sum(n*m), 2) / sum(n)) / (count(*) - 1))
+             |    / (sum((n-1)*v) / (sum(n) - count(*))) + 1e-9, 4) AS f_stat,
+             |  CAST(count(*) - 1 AS BIGINT) AS df_between,
+             |  CAST(sum(n) - count(*) AS BIGINT) AS df_within,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(n) AS BIGINT) AS n_rows
+             |FROM g""".stripMargin)),
 
     // ClickHouse editDistance/stringDistance family ([CH]): classic
     // Levenshtein between each customer's name and its nation's name,

@@ -343,6 +343,23 @@ object Similarity extends QueryModule {
     * the norm precomputed once per query vector. O(1)-sized by
     * construction ⇒ always broadcastable.
     */
+  /** Exact brute-force cosine top-k for the shared bounded query set —
+    * the baseline every ANN variant's recall is measured against, and
+    * q_sim_topk itself. Broadcast query side, window top-k, no global
+    * sort. Output: (q_id, rank, vec_id, cos_sim).
+    */
+  private[graft] def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val scored = emb.select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("c_nrm"))
+      .join(broadcast(querySide(emb)))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosScore)
+    rankTopK(scored, k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   private def querySide(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -532,17 +549,7 @@ object Similarity extends QueryModule {
     // scored in codegen, and reduced via per-group top-k (window +
     // filter, no global sort).
     "q_sim_topk" -> QueryDef(
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        val scored = emb.select(col("vec_id"), col("embedding"),
-            Vectors.norm(col("embedding")).as("c_nrm"))
-          .join(broadcast(querySide(emb)))
-          .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos_sim", cosScore)
-        rankTopK(scored, 5)
-          .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
-          .orderBy("q_id", "rank")
-      },
+      (s, dir) => bruteTopK(s, dir, 5),
       Some("""WITH scored AS (
              |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
              |    round(
@@ -555,6 +562,52 @@ object Similarity extends QueryModule {
              |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
              |SELECT q_id, rank, vec_id, cos_sim FROM (
              |  SELECT q_id, vec_id, cos_sim,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY cos_sim DESC, vec_id ASC) AS rank
+             |  FROM scored)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Hard-negative mining — the contrastive-training data op (train a
+    // retriever/embedder on "most similar items with a DIFFERENT
+    // label"): per query vector, the top-5 nearest neighbors whose
+    // cluster label differs from the query's. Same broadcast-query /
+    // window-top-k shape as q_sim_topk with the label-mismatch
+    // predicate applied BEFORE ranking (a codegen'd filter on the
+    // scored stream — no extra shuffle). 100 TB path: swap the brute
+    // scored stream for the IVF/LSH candidate stream (annTopK /
+    // lshTopK) and keep the same filter + rank tail — mining rides
+    // whatever ANN index already exists.
+    "q_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"),
+            Vectors.norm(col("embedding")).as("q_nrm"))
+        val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
+            Vectors.norm(col("embedding")).as("c_nrm"))
+          .join(broadcast(q))
+          .filter(col("label") =!= col("q_label"))
+          .withColumn("cos_sim", cosScore)
+        rankTopK(scored, 5)
+          .select(col("q_id"), col("rank"), col("vec_id"),
+            col("label").cast("long").as("neg_label"), col("cos_sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH scored AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             |    CAST(c.label AS BIGINT) AS neg_label,
+             |    round(
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             |      (sqrt(list_sum(list_transform(range(1, 65),
+             |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+             |       sqrt(list_sum(list_transform(range(1, 65),
+             |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4) AS cos_sim
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id < 10 AND c.label <> q.label)
+             |SELECT q_id, rank, vec_id, neg_label, cos_sim FROM (
+             |  SELECT q_id, vec_id, neg_label, cos_sim,
              |         row_number() OVER (PARTITION BY q_id
              |           ORDER BY cos_sim DESC, vec_id ASC) AS rank
              |  FROM scored)

@@ -101,6 +101,56 @@ object TextOps extends QueryModule {
              |FROM w JOIN v USING (word)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF keyword extraction — the retrieval/relevance staple every
+    // corpus-analysis pipeline runs (and the deterministic cousin of
+    // embedding relevance scoring): per document, the top-3 terms by
+    // tf·ln(N/df), ties broken lexicographically. Scale shape: term
+    // frequencies are ONE (doc, word) hash aggregate over the exploded
+    // tokens; document frequencies re-aggregate that tf grid by word —
+    // O(vocab) through the second exchange, the corpus text never
+    // moves twice; the per-doc top-3 window partitions on doc_id
+    // (parallelism = documents, input = each doc's distinct words).
+    // N is a 1-row scalar broadcast. The score double is the product
+    // of an exact integer tf and one ln() both engines evaluate on the
+    // identical double — no re-association anywhere.
+    "q_tfidf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+        val n = docs.select(countDistinct("doc_id").cast("double").as("n_docs"))
+        val scored = tf.join(df, "word").crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs") / col("df")) + 1e-9, 4))
+        scored
+          .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("word").asc)).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("word"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+             |df AS (
+             |  SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word),
+             |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, word,
+             |    round(tf * ln(n_docs / df) + 1e-9, 4) AS score
+             |  FROM tf JOIN df USING (word) CROSS JOIN n)
+             |SELECT doc_id, rank, word, score FROM (
+             |  SELECT doc_id, word, score,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, word ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // Quality score: length saturation + lexical diversity + symbol
     // cleanliness, each in [0,1], fixed weights.
     "q_quality_score" -> QueryDef(

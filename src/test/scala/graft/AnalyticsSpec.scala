@@ -211,6 +211,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ROC AUC: perfect separation is 1, ties count half, reversal complements") {
+    import spark.implicits._
+    import operators.Analytics
+    val perfect = Seq((1.0, false), (2.0, false), (10.0, true), (11.0, true))
+      .toDF("score", "pos")
+    val p = Analytics.rocAuc(perfect, col("pos"), col("score")).collect()(0)
+    assert(p.getDouble(0) == 1.0 && p.getLong(1) == 2 && p.getLong(2) == 2)
+    // hand case with one tied score: pairs (3>2✓, 3>1✓, 2=2 half, 2>1✓)
+    // → AUC = (2 + 1.5) / 4 = 0.875
+    val hand = Seq((3.0, true), (2.0, false), (2.0, true), (1.0, false))
+      .toDF("score", "pos")
+    val h = Analytics.rocAuc(hand, col("pos"), col("score")).collect()(0)
+    assert(h.getDouble(0) == 0.875, s"tied-case AUC=${h.getDouble(0)}")
+    // score reversal: ties still count half → exactly 1 − AUC
+    val r = Analytics.rocAuc(hand, col("pos"), -col("score")).collect()(0)
+    assert(r.getDouble(0) == 0.125, s"reversed AUC=${r.getDouble(0)}")
+  }
+
+  test("ANOVA F: hand case matches; equal group means give F=0") {
+    import spark.implicits._
+    import operators.Analytics
+    // groups with means 2/3/4, each var 1 → SSB=6 df1=2, SSW=6 df2=6 → F=3
+    val g = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 3.0), ("c", 4.0), ("c", 5.0)).toDF("g", "x")
+    val f = Analytics.anovaF(g, col("g"), col("x")).collect()(0)
+    assert(f.getDouble(0) == 3.0, s"F=${f.getDouble(0)}")
+    assert(f.getLong(1) == 2 && f.getLong(2) == 6 &&
+      f.getLong(3) == 3 && f.getLong(4) == 9)
+    // identical group means → SSB=0 → F=0 exactly
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "x")
+    val f0 = Analytics.anovaF(eq, col("g"), col("x")).collect()(0)
+    assert(f0.getDouble(0) == 0.0, s"F=${f0.getDouble(0)}")
+  }
+
   test("salted skew join aggregates exactly like the plain join") {
     val plain = Tables(spark, sf, "orders")
       .join(Tables(spark, sf, "customer"),

@@ -536,4 +536,65 @@ class PipelineSpec extends SparkSpec {
     val tight = pipeline.Similarity.semDedup(spark, sf, 0.2).collect().map(_.getLong(2)).sum
     assert(loose <= summary.map(_.getLong(2)).sum && summary.map(_.getLong(2)).sum <= tight)
   }
+
+  test("tf-idf: crafted corpus ranks the repeated rare term first; " +
+      "a term in every doc scores 0") {
+    // Route through the declared query shape by checking invariants on
+    // the fixture, then exactness on a crafted corpus via the same
+    // formula: score = tf * ln(N/df).
+    val rows = SparkEntry.queries("q_tfidf")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"doc $doc ranks $ranks")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc scores not non-increasing: ${scores.toSeq}")
+    }
+    // crafted: "zebra" repeats 3× in doc 1 only (idf = ln 3), "the"
+    // appears in all 3 docs (idf = 0 → score exactly 0 for rank > 1)
+    import spark.implicits._
+    val crafted = Seq((1L, "the zebra zebra zebra apple"),
+      (2L, "the apple pie"), (3L, "the pie crust")).toDF("doc_id", "text")
+    crafted.createOrReplaceTempView("crafted_tfidf")
+    val tf = crafted.select(col("doc_id"),
+        explode(TextFns.words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val top = tf.join(df_, "word")
+      .withColumn("score", col("tf") * log(lit(3.0) / col("df")))
+      .filter(col("doc_id") === 1L)
+      .orderBy(col("score").desc, col("word")).collect()
+    assert(top.head.getString(0) == "zebra")
+    assert(math.abs(top.head.getDouble(4) - 3 * math.log(3.0)) < 1e-12)
+    assert(top.filter(_.getString(0) == "the").head.getDouble(4) == 0.0)
+  }
+
+  test("hard negatives: no same-label result, ranks contiguous, " +
+      "and equals the brute-force filtered ranking") {
+    val labels = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("q_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qId, negId, negLabel) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(negLabel == labels(negId), "emitted label is the candidate's")
+      assert(negLabel != labels(qId), s"query $qId mined a same-label negative")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        s"query $q ranks not contiguous")
+    }
+    // the mined set must be exactly the label-filtered slice of the
+    // full brute-force ranking (q_sim_topk with k large enough)
+    val brute = Similarity.bruteTopK(spark, sf, 500).collect()
+      .filter(r => labels(r.getLong(2)) != labels(r.getLong(0)))
+      .groupBy(_.getLong(0)).toSeq
+      .flatMap { case (_, rs) =>
+        rs.sortBy(_.getLong(1)).take(5).map(r => (r.getLong(0), r.getLong(2))).toSeq }
+      .toSet
+    val mined = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(mined == brute, "mined ≠ brute-force filtered top-5")
+  }
 }

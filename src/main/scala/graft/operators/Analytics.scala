@@ -180,6 +180,32 @@ object Analytics extends QueryModule {
         count(lit(1)).cast("long").as("n_groups"),
         sum("n").cast("long").as("n_rows"))
 
+  /** Exact two-feature OLS via the centered normal equations (see
+    * q_linreg_multi): means pass, centered-moments pass against the
+    * broadcast 1-row means, 2×2 Cramer solve. Output 1 row:
+    * (b1, b2, b0, n) — caller names the columns.
+    */
+  private[graft] def olsTwoFeature(df: DataFrame, x1: Column, x2: Column,
+      y: Column): DataFrame = {
+    val means = df.agg(avg(x1).as("m1"), avg(x2).as("m2"), avg(y).as("my"))
+    val det = col("s11") * col("s22") - col("s12") * col("s12")
+    val b1 = (col("s22") * col("s1y") - col("s12") * col("s2y")) / det
+    val b2 = (col("s11") * col("s2y") - col("s12") * col("s1y")) / det
+    df.crossJoin(broadcast(means))
+      .select((x1 - col("m1")).as("d1"), (x2 - col("m2")).as("d2"),
+        (y - col("my")).as("dy"), col("m1"), col("m2"), col("my"))
+      .agg(sum(col("d1") * col("d1")).as("s11"),
+        sum(col("d1") * col("d2")).as("s12"),
+        sum(col("d2") * col("d2")).as("s22"),
+        sum(col("d1") * col("dy")).as("s1y"),
+        sum(col("d2") * col("dy")).as("s2y"),
+        first("m1").as("m1"), first("m2").as("m2"), first("my").as("my"),
+        count(lit(1)).as("n"))
+      .select(round(b1 + 1e-9, 4), round(b2 + 1e-9, 4),
+        round(col("my") - b1 * col("m1") - b2 * col("m2") + 1e-9, 4),
+        col("n"))
+  }
+
   /** Theil's U (uncertainty coefficient), both directions, from the
     * observed contingency cells of categorical columns `a` × `b`.
     * Output 1 row: (u_a_given_b, u_b_given_a, h_a, h_b).
@@ -719,6 +745,46 @@ object Analytics extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ClickHouse stochasticLinearRegression ([CH]) — here solved
+    // EXACTLY: two-feature OLS (price ~ quantity + discount) via the
+    // centered normal equations. Two map-side-combined scans: means
+    // first, then the five centered second moments against the
+    // broadcast 1-row means (centering kills the Σx² − (Σx)²/n
+    // cancellation that would eat the 4-decimal oracle grid); the
+    // 2×2 Cramer solve is a 1-row formula both engines evaluate on
+    // the same moment doubles. ClickHouse's SGD variant trades this
+    // exactness for one pass — at 100 TB both are two cheap
+    // aggregates vs one, same shuffle shape (zero: scan-local
+    // partials, 1-row exchange).
+    "q_linreg_multi" -> QueryDef(
+      (s, dir) => olsTwoFeature(Tables(s, dir, "lineitem"),
+        col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+        .toDF("b_quantity", "b_discount", "b0", "n"),
+      Some("""WITH m AS (
+             |  SELECT avg(l_quantity) AS m1, avg(l_discount) AS m2,
+             |    avg(l_extendedprice) AS my
+             |  FROM lineitem),
+             |s AS (
+             |  SELECT
+             |    sum((l_quantity - m1) * (l_quantity - m1)) AS s11,
+             |    sum((l_quantity - m1) * (l_discount - m2)) AS s12,
+             |    sum((l_discount - m2) * (l_discount - m2)) AS s22,
+             |    sum((l_quantity - m1) * (l_extendedprice - my)) AS s1y,
+             |    sum((l_discount - m2) * (l_extendedprice - my)) AS s2y,
+             |    any_value(m1) AS m1, any_value(m2) AS m2, any_value(my) AS my,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem CROSS JOIN m)
+             |SELECT
+             |  round((s22*s1y - s12*s2y) / (s11*s22 - s12*s12) + 1e-9, 4)
+             |    AS b_quantity,
+             |  round((s11*s2y - s12*s1y) / (s11*s22 - s12*s12) + 1e-9, 4)
+             |    AS b_discount,
+             |  round(my - ((s22*s1y - s12*s2y) / (s11*s22 - s12*s12)) * m1
+             |           - ((s11*s2y - s12*s1y) / (s11*s22 - s12*s12)) * m2
+             |    + 1e-9, 4) AS b0,
+             |  n
+             |FROM s""".stripMargin)),
 
     // ClickHouse rankCorr ([CH]): Spearman rank correlation between
     // two numeric columns. Average ranks (midrank ties) come from

@@ -366,6 +366,53 @@ object Windows extends QueryModule {
              |         row_number() OVER (PARTITION BY o_orderpriority
              |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
              |  FROM orders)
-             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // Skyline / Pareto frontier (EDBT 2023 "Integration of Skyline
+    // Queries into Spark SQL"): parts minimizing BOTH retail price and
+    // size — no row in the result is dominated (≤ in both dims,
+    // strict in one) by any part. Two-phase, the published
+    // distributed shape: (1) collapse to the distinct (price, size)
+    // grid — one hash aggregate that also carries the part count;
+    // (2) LOCAL skyline per grid partition: sorted by (price, size),
+    // a grid point survives iff no preceding point's size is ≤ its
+    // own (on a distinct grid that inequality IS dominance — an
+    // earlier point has smaller price, or equal price and strictly
+    // smaller size); local pruning is sound because dominance within
+    // any subset only removes dominated points, never frontier
+    // points; (3) the SAME one-window rule globally over the local
+    // survivors — the single-partition sort sees only
+    // O(|frontier| × partitions) candidates, never the grid. The
+    // oracle is deliberately a DIFFERENT algorithm (brute-force
+    // NOT EXISTS dominance anti-join), so the check is semantic, not
+    // a shape mirror.
+    "q_skyline" -> QueryDef(
+      (s, dir) => {
+        def prune(df: org.apache.spark.sql.DataFrame, parts: Seq[String]) = {
+          val w = Window.partitionBy(parts.map(col): _*)
+            .orderBy(col("price").asc, col("size").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          df.withColumn("mprev", min("size").over(w))
+            .filter(col("mprev").isNull || col("mprev") > col("size"))
+            .drop("mprev")
+        }
+        val grid = Tables(s, dir, "part")
+          .groupBy(col("p_retailprice").as("price"),
+            col("p_size").cast("long").as("size"))
+          .agg(count(lit(1)).as("n_parts"))
+        val local = prune(grid.withColumn("pid", spark_partition_id()),
+          Seq("pid")).drop("pid")
+        prune(local, Seq.empty)
+          .orderBy("price", "size")
+      },
+      Some("""WITH grid AS (
+             |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+             |    CAST(count(*) AS BIGINT) AS n_parts
+             |  FROM part GROUP BY 1, 2)
+             |SELECT price, size, n_parts FROM grid g
+             |WHERE NOT EXISTS (SELECT 1 FROM grid d
+             |  WHERE d.price <= g.price AND d.size <= g.size
+             |    AND (d.price < g.price OR d.size < g.size))
+             |ORDER BY price, size""".stripMargin))
   )
 }

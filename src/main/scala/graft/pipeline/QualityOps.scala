@@ -389,6 +389,53 @@ object QualityOps extends QueryModule {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Context-window chunking — packing's sibling (q_pack_sequences
+    // concatenates SHORT docs into bins; this splits LONG docs into
+    // overlapping max-length windows, the other half of every
+    // training-data layout): 64-token chunks on a 48-token stride
+    // (16-token overlap carries context across boundaries). Chunk
+    // starts are pure arithmetic over the token COUNT — zero-shuffle
+    // scan, explode bounded by ⌈tokens/stride⌉ per doc, each chunk's
+    // stats fold row-locally over the slice (the corpus text never
+    // shuffles). The emitted surface (count, char mass, boundary
+    // tokens) hash-pins the slice content without materializing
+    // chunk text through the driver compare.
+    "q_chunk_docs" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0),
+            floor((col("n") - 1) / 48.0).cast("int"))).as("chunk_id"))
+        .withColumn("st", col("chunk_id") * 48)
+        .withColumn("chunk", expr("slice(ws, st + 1, least(64, n - st))"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          expr("aggregate(chunk, 0L, (a, x) -> a + length(x))")
+            .as("chunk_chars"),
+          expr("element_at(chunk, 1)").as("first_tok"),
+          expr("element_at(chunk, -1)").as("last_tok"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, ws, n,
+             |    unnest(generate_series(0, CAST(floor((n - 1) / 48.0) AS INT))) AS chunk_id
+             |  FROM d),
+             |sliced AS (
+             |  SELECT doc_id, chunk_id,
+             |    list_slice(ws, chunk_id * 48 + 1, least(chunk_id * 48 + 64, n)) AS chunk
+             |  FROM c)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+             |  CAST(list_sum(list_transform(chunk, x -> length(x))) AS BIGINT)
+             |    AS chunk_chars,
+             |  chunk[1] AS first_tok,
+             |  chunk[-1] AS last_tok
+             |FROM sliced ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Length-bucketed batching: the alternative layout to greedy
     // packing (q_pack_sequences) — group documents into power-of-two
     // token-length buckets and measure the padding bill per bucket

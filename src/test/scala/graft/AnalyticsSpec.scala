@@ -246,6 +246,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(f0.getDouble(0) == 0.0, s"F=${f0.getDouble(0)}")
   }
 
+  test("skyline equals the brute-force dominance filter on the fixture") {
+    val grid = Tables(spark, sf, "part")
+      .groupBy(col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val brute = grid.filter { case (p, s, _) =>
+      !grid.exists { case (p2, s2, _) =>
+        p2 <= p && s2 <= s && (p2 < p || s2 < s) }
+    }.map { case (p, s, n) => (p, s, n) }.toSet
+    val sky = SparkEntry.queries("q_skyline")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sky == brute, s"skyline=${sky.size} brute=${brute.size}")
+    assert(sky.nonEmpty)
+  }
+
+  test("two-feature OLS recovers exact coefficients on noiseless data") {
+    import spark.implicits._
+    import operators.Analytics
+    // y = 2·x1 + 3·x2 + 5 exactly (x grid chosen so x1, x2 decorrelate)
+    val rows = for { a <- 1 to 5; b <- 1 to 4 }
+      yield (a.toDouble, b.toDouble, 2.0 * a + 3.0 * b + 5.0)
+    val df = rows.toDF("x1", "x2", "y")
+    val r = Analytics.olsTwoFeature(df, col("x1"), col("x2"), col("y"))
+      .collect()(0)
+    assert(r.getDouble(0) == 2.0, s"b1=${r.getDouble(0)}")
+    assert(r.getDouble(1) == 3.0, s"b2=${r.getDouble(1)}")
+    assert(r.getDouble(2) == 5.0, s"b0=${r.getDouble(2)}")
+    assert(r.getLong(3) == 20)
+  }
+
   test("salted skew join aggregates exactly like the plain join") {
     val plain = Tables(spark, sf, "orders")
       .join(Tables(spark, sf, "customer"),

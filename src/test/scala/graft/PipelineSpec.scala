@@ -570,6 +570,28 @@ class PipelineSpec extends SparkSpec {
     assert(top.filter(_.getString(0) == "the").head.getDouble(4) == 0.0)
   }
 
+  test("chunking tiles every document: stride starts, boundary tokens, " +
+      "exact token accounting") {
+    val words = Tables(spark, sf, "documents")
+      .select(col("doc_id"), TextFns.words(col("text")).as("ws")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = SparkEntry.queries("q_chunk_docs")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == words.keySet, "every doc chunks")
+    chunks.foreach { case (doc, rs) =>
+      val n = words(doc).length
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(0L until sorted.length))
+      assert(sorted.length == (n - 1) / 48 + 1, s"doc $doc chunk count")
+      sorted.foreach { r =>
+        val st = r.getLong(1).toInt * 48
+        assert(r.getLong(2) == math.min(64, n - st), s"doc $doc len at $st")
+      }
+      assert(sorted.head.getString(4) == words(doc).head, "first boundary")
+      assert(sorted.last.getString(5) == words(doc).last, "last boundary")
+    }
+  }
+
   test("hard negatives: no same-label result, ranks contiguous, " +
       "and equals the brute-force filtered ranking") {
     val labels = Tables(spark, sf, "embeddings")

@@ -57,7 +57,17 @@ class PlanSpec extends SparkSpec {
       // pq: the bounded query-LUT rows (|queries| × M×K doubles —
       // model scale) broadcast onto the packed-code scan, then onto
       // the shortlist re-rank — the q_sim_topk query-side pattern
-      "q_sim_pq")
+      "q_sim_pq",
+      // hard negatives: the ≤10-row query-side broadcast fanned
+      // across the corpus — exactly the q_sim_topk shape (the label
+      // filter applies post-fan, pre-rank)
+      "q_hard_negatives",
+      // tfidf: the 1-row corpus document-count aggregate broadcast
+      // onto the (doc, word) tf grid — the q_doc_lm_score pattern
+      "q_tfidf",
+      // two-feature OLS: the 1-row means aggregate broadcast onto the
+      // fact scan for centering (two model-scale 1-row exchanges)
+      "q_linreg_multi")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

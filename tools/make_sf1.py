@@ -5,7 +5,8 @@ Join/group keys are shifted by a large per-replica offset so the
 replica behaves like MORE data, not duplicated data (un-shifted keys
 would square join outputs and collapse per-key groups). Non-key
 payload columns (timestamps, text, embeddings) are kept verbatim;
-schemas (incl. TIMESTAMP_NS for events.ts) are preserved exactly.
+schemas are preserved exactly (whatever timestamp precision the
+driver shipped for events.ts rides along verbatim).
 
 Usage: python3 tools/make_sf1.py [src_dir] [dest_dir] [copies]
 Defaults: /root/testdata/sf0.1 -> /root/repo/tmp/sf1, 10 copies.

@@ -110,4 +110,60 @@ class KernelPropertySpec extends SparkSpec {
         col("kn") =!= col("k").bitwiseXOR(lit(mask)))
     assert(bad.count() == 0, "rp_bits scale/sign law violated")
   }
+
+  test("ROC AUC laws on random labeled scores: range, complement, " +
+      "rank-sum identity") {
+    import spark.implicits._
+    import operators.Analytics
+    // scores on a COARSE grid so ties actually occur
+    val rows = Seq.fill(400)((rnd.nextInt(40) / 4.0, rnd.nextBoolean()))
+    val withBoth = if (rows.exists(_._2) && rows.exists(!_._2)) rows
+      else rows.take(398) ++ Seq((1.0, true), (2.0, false))
+    val df = withBoth.toDF("score", "pos")
+    val auc = Analytics.rocAuc(df, col("pos"), col("score"))
+      .collect()(0).getDouble(0)
+    assert(auc >= 0.0 && auc <= 1.0, s"AUC out of range: $auc")
+    val aucRev = Analytics.rocAuc(df, col("pos"), -col("score"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(auc + aucRev - 1.0) < 2e-4,
+      s"complement law: $auc + $aucRev != 1")
+    // trapezoid-with-ties AUC == the Mann-Whitney rank-sum estimator:
+    // (#pos-beats-neg pairs + half the ties) / (P*N), brute-forced
+    val pos = withBoth.filter(_._2).map(_._1)
+    val neg = withBoth.filterNot(_._2).map(_._1)
+    val wins = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val brute = wins / (pos.size.toDouble * neg.size)
+    assert(math.abs(auc - brute) < 2e-4, s"rank-sum identity: $auc vs $brute")
+  }
+
+  test("skyline laws on random grids: equals brute force, idempotent, " +
+      "monotone under point insertion") {
+    import spark.implicits._
+    // random distinct (price, size) grids
+    val pts = Seq.fill(200)((rnd.nextInt(50).toDouble, rnd.nextInt(50).toLong))
+      .distinct
+    def brute(g: Seq[(Double, Long)]) = g.filter { case (p, s) =>
+      !g.exists { case (p2, s2) => p2 <= p && s2 <= s && (p2 < p || s2 < s) }
+    }.toSet
+    // the declared query's window rule, applied globally (the local
+    // phase only pre-prunes; on one partition this IS the operator)
+    def winSkyline(g: Seq[(Double, Long)]): Set[(Double, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("price").asc, col("size").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      g.toDF("price", "size")
+        .withColumn("mprev", min("size").over(w))
+        .filter(col("mprev").isNull || col("mprev") > col("size"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    }
+    val sky = winSkyline(pts)
+    assert(sky == brute(pts), "window rule != brute dominance")
+    assert(winSkyline(sky.toSeq) == sky, "skyline not idempotent")
+    // inserting a dominated point never changes the frontier
+    val dominated = sky.head match { case (p, s) => (p + 1.0, s + 1L) }
+    if (!pts.contains(dominated))
+      assert(winSkyline((pts :+ dominated).distinct) == sky,
+        "dominated insertion changed the frontier")
+  }
 }

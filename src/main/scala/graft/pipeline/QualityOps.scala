@@ -33,6 +33,37 @@ object QualityOps extends QueryModule {
     // count and redact each class. Narrow codegen'd projection — the
     // 100 TB shape is a zero-shuffle map over the corpus, exactly like
     // q_fingerprint.
+    // k-anonymity / l-diversity audit — the re-identification screen
+    // run before releasing any person-keyed table (the measurement
+    // side of the GDPR story whose enforcement side is q_pii_scrub +
+    // the mutation surface): group by the quasi-identifier columns,
+    // flag equivalence classes smaller than k (linkable individuals)
+    // and classes whose SENSITIVE attribute shows fewer than l
+    // distinct values (attribute disclosure even at size ≥ k). ONE
+    // hash aggregate over the QI grid — bounded by the QI domain
+    // (nations × segments), never customers; the distinct-count runs
+    // inside the same aggregate (Spark plans the standard two-phase
+    // distinct expand over the grid keys).
+    "q_kanon" -> QueryDef(
+      (s, dir) => Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+            .as("l_sensitive"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("l_sensitive"),
+          (col("n") < 5).as("k_risk"),
+          (col("l_sensitive") < 3).as("l_risk"))
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+             |    AS BIGINT) AS l_sensitive,
+             |  count(*) < 5 AS k_risk,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 3 AS l_risk
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
     "q_pii_scrub" -> QueryDef(
       (s, dir) => {
         val pii = concat(col("text"),

@@ -206,6 +206,33 @@ object Analytics extends QueryModule {
         col("n"))
   }
 
+  /** Population skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    * g₂ = m₄/m₂² − 3 per group, from explicit central moments (see
+    * q_agg_moments). Two stacked aggregates: per-group means, then the
+    * centered power sums against the broadcast means — the formula
+    * route, because Spark's and DuckDB's built-in skewness/kurtosis
+    * disagree on bias correction (population vs sample), and raw power
+    * sums would cancel catastrophically at the 4-decimal grid.
+    */
+  private[graft] def momentsSkewKurt(df: DataFrame, group: Column,
+      x: Column): DataFrame = {
+    val means = df.groupBy(group.as("g")).agg(avg(x).as("m"))
+    df.select(group.as("g"), x.as("x"))
+      .join(broadcast(means), "g")
+      .select(col("g"), (col("x") - col("m")).as("d"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"),
+        sum(col("d") * col("d") * col("d") * col("d")).as("s4"))
+      .select(col("g"),
+        round((col("s3") / col("n")) /
+          pow(col("s2") / col("n"), 1.5) + 1e-9, 4).as("skew_pop"),
+        round((col("s4") / col("n")) /
+          pow(col("s2") / col("n"), 2) - 3.0 + 1e-9, 4).as("kurt_excess"),
+        col("n").cast("long").as("n"))
+  }
+
   /** Theil's U (uncertainty coefficient), both directions, from the
     * observed contingency cells of categorical columns `a` × `b`.
     * Output 1 row: (u_a_given_b, u_b_given_a, h_a, h_b).
@@ -898,6 +925,33 @@ object Analytics extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_groups,
              |  CAST(sum(n) AS BIGINT) AS n_rows
              |FROM g""".stripMargin)),
+
+    // ClickHouse skewPop/kurtPop ([CH]): population skewness and
+    // excess kurtosis of order values per status, via explicit
+    // central moments (see momentsSkewKurt — the built-ins disagree
+    // on bias correction between engines, the formula is portable).
+    // Group-means pass, broadcast join for centering, one grid-keyed
+    // power-sum aggregate, O(groups) everywhere past the scans.
+    "q_agg_moments" -> QueryDef(
+      (s, dir) => momentsSkewKurt(Tables(s, dir, "orders"),
+        col("o_orderstatus"), col("o_totalprice"))
+        .withColumnRenamed("g", "o_orderstatus")
+        .orderBy("o_orderstatus"),
+      Some("""WITH m AS (
+             |  SELECT o_orderstatus AS g, avg(o_totalprice) AS m
+             |  FROM orders GROUP BY 1),
+             |s AS (
+             |  SELECT g, CAST(count(*) AS DOUBLE) AS n,
+             |    sum((o_totalprice - m) * (o_totalprice - m)) AS s2,
+             |    sum((o_totalprice - m) * (o_totalprice - m) * (o_totalprice - m)) AS s3,
+             |    sum((o_totalprice - m) * (o_totalprice - m) * (o_totalprice - m)
+             |        * (o_totalprice - m)) AS s4
+             |  FROM orders JOIN m ON o_orderstatus = g GROUP BY g)
+             |SELECT g AS o_orderstatus,
+             |  round((s3 / n) / pow(s2 / n, 1.5) + 1e-9, 4) AS skew_pop,
+             |  round((s4 / n) / pow(s2 / n, 2) - 3.0 + 1e-9, 4) AS kurt_excess,
+             |  CAST(n AS BIGINT) AS n
+             |FROM s ORDER BY o_orderstatus""".stripMargin)),
 
     // ClickHouse editDistance/stringDistance family ([CH]): classic
     // Levenshtein between each customer's name and its nation's name,

@@ -276,6 +276,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(3) == 20)
   }
 
+  test("central moments: symmetric data has skew 0 and the hand kurtosis") {
+    import spark.implicits._
+    import operators.Analytics
+    // {1,2,3}: m2=2/3, m3=0, m4=2/3 → skew 0, excess kurt = 1.5−3 = −1.5
+    // {0,0,1,1}: Bernoulli(½) → skew 0, excess kurt = −2 exactly
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0), ("b", 0.0), ("b", 1.0), ("b", 1.0)).toDF("g", "x")
+    val out = Analytics.momentsSkewKurt(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out("a") == ((0.0, -1.5, 3L)), s"a=${out("a")}")
+    assert(out("b") == ((0.0, -2.0, 4L)), s"b=${out("b")}")
+  }
+
   test("salted skew join aggregates exactly like the plain join") {
     val plain = Tables(spark, sf, "orders")
       .join(Tables(spark, sf, "customer"),

@@ -242,6 +242,42 @@ object Mixing extends QueryModule {
              |FROM a
              |ORDER BY epoch, shard, pos""".stripMargin)),
 
+    // Curriculum phasing — order the corpus easy→hard (the classic
+    // length curriculum: short documents first) and cut it into 4
+    // equal training phases with ntile. The per-doc phase assignment
+    // is a single global ntile window, but its INPUT is (n_chars,
+    // doc_id) pairs — 16 bytes/doc, never text — and the emitted
+    // surface collapses to the 4-row phase summary, so at 100 TB the
+    // heavy path is one scan + one id-pair sort; the text re-attaches
+    // downstream by doc_id only for the phase being trained. ntile's
+    // earlier-buckets-take-extras semantics are identical in Spark
+    // and DuckDB, and the (n_chars, doc_id) order is total, so the
+    // cut points cannot drift between engines.
+    "q_curriculum" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("phase", ntile(4).over(w).cast("long"))
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            round(avg("n_chars") + 1e-9, 4).as("avg_chars"),
+            min("doc_id").as("first_doc"))
+          .orderBy("phase")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS phase
+             |  FROM documents)
+             |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+             |  min(doc_id) AS first_doc
+             |FROM p GROUP BY phase ORDER BY phase""".stripMargin)),
+
     "q_shard_assign" -> QueryDef(
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))

@@ -420,6 +420,43 @@ object QualityOps extends QueryModule {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic MLM mask construction — the BERT-style training
+    // example builder, with the usual RNG replaced by a position-keyed
+    // hash (the q_epoch_shuffle move): token (doc, pos) is masked iff
+    // the first hex digit of md5(doc:pos) is 0 or 1 — an exact 1/8
+    // rate, reproducible across engines, restarts, and shards (a
+    // failed shard rebuilds ITS examples bit-identically; no mask
+    // state is ever stored). Zero-shuffle explode + one doc-keyed
+    // re-aggregation; the emitted (token count, mask count, masked
+    // position checksum) hash-pins the mask pattern itself.
+    "q_mlm_mask" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFns.words(col("text"))).as(Seq("pos", "word")))
+        .withColumn("masked",
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string"))), 1, 1).isin("0", "1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          sum(when(col("masked"), col("pos").cast("long")).otherwise(0L))
+            .as("masked_pos_sum"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, i - 1 AS pos
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |       UNNEST(generate_series(1, len(ws))) AS u(i)),
+             |m AS (
+             |  SELECT doc_id, pos,
+             |    substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 1)
+             |      IN ('0', '1') AS masked
+             |  FROM w)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             |  CAST(sum(CASE WHEN masked THEN pos ELSE 0 END) AS BIGINT) AS masked_pos_sum
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Context-window chunking — packing's sibling (q_pack_sequences
     // concatenates SHORT docs into bins; this splits LONG docs into
     // overlapping max-length windows, the other half of every

@@ -154,8 +154,11 @@ object Analytics extends QueryModule {
         coalesce(lag("tp", 1).over(w), lit(0L)).as("tp0"),
         coalesce(lag("fp", 1).over(w), lit(0L)).as("fp0"))
       .agg(
-        round(sum((col("fp") - col("fp0")) * (col("tp") + col("tp0")))
-            .cast("double") /
+        // The trapezoid terms are cast to double BEFORE the sum: the
+        // accumulated value approaches 2·P·N, which overflows LongType
+        // (ANSI mode throws) once P·N nears 2^62 — reachable at 100 TB.
+        round(sum(((col("fp") - col("fp0")) * (col("tp") + col("tp0")))
+            .cast("double")) /
           (lit(2.0) * max("tp") * max("fp")) + 1e-9, 4).as("auc"),
         max("tp").as("n_pos"), max("fp").as("n_neg"))
   }
@@ -880,9 +883,9 @@ object Analytics extends QueryModule {
     "q_agg_auc" -> QueryDef(
       (s, dir) => rocAuc(Tables(s, dir, "events"),
         col("event_type").isin("purchase", "signup"),
-        round(col("value"), 2)),
+        round(col("value") + 1e-9, 2)),
       Some("""WITH g AS (
-             |  SELECT round(value, 2) AS score,
+             |  SELECT round(value + 1e-9, 2) AS score,
              |    sum(CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS np,
              |    sum(CASE WHEN event_type IN ('purchase','signup') THEN 0 ELSE 1 END) AS nn
              |  FROM events GROUP BY score),
@@ -896,7 +899,7 @@ object Analytics extends QueryModule {
              |    coalesce(lag(tp) OVER (ORDER BY score DESC), 0) AS tp0,
              |    coalesce(lag(fp) OVER (ORDER BY score DESC), 0) AS fp0
              |  FROM c)
-             |SELECT round(CAST(sum((fp - fp0) * (tp + tp0)) AS DOUBLE)
+             |SELECT round(sum(CAST((fp - fp0) * (tp + tp0) AS DOUBLE))
              |    / (2.0 * max(tp) * max(fp)) + 1e-9, 4) AS auc,
              |  CAST(max(tp) AS BIGINT) AS n_pos,
              |  CAST(max(fp) AS BIGINT) AS n_neg

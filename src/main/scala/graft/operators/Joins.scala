@@ -26,24 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Joins extends QueryModule {
 
-  /** Distributed positional rank for [[pasteJoin]]: global order via
-    * range repartitioning + in-partition sort, then `zipWithIndex`
-    * stamps global positions from per-partition counts (Spark runs one
-    * lightweight count job, then labels rows in place). The RDD hop is
-    * deliberate and minimal — distributed ranking is the one primitive
-    * the DataFrame API lacks: a `row_number` over an empty
-    * `partitionBy` computes the same thing by dragging the WHOLE table
-    * through a single task.
+  /** Distributed positional rank for [[pasteJoin]] — the shared
+    * [[DistRank]] primitive (range repartition + in-partition sort +
+    * offset stamping): distributed ranking is the one primitive the
+    * DataFrame API lacks — a `row_number` over an empty `partitionBy`
+    * computes the same thing by dragging the WHOLE table through a
+    * single task.
     */
   private[graft] def pastePos(df: org.apache.spark.sql.DataFrame,
-      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add("pos", org.apache.spark.sql.types.LongType,
-      nullable = false)
-    val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(stamped, schema)
-  }
+      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+    DistRank.withPos(df, order, "pos")
 
   /** ClickHouse PASTE JOIN: row-by-row concatenation of two ordered
     * sides; the inner join on position truncates to the shorter side

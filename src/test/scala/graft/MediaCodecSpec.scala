@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.MediaCodec
+import graft.pipeline.MediaCodec._
+
+/** The codec is a REAL byte-format parser: these specs decode
+  * hand-built files (bytes laid out from the published format specs,
+  * not via the encoder) to known values, exercise validation on
+  * malformed input, and property-test decode∘encode identity.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  // ---- hand-built BMP: 2x2, 24 bpp, known pixels -------------------
+  // Layout per the Windows bitmap spec: 14-byte file header + 40-byte
+  // BITMAPINFOHEADER + bottom-up padded rows. 2 px * 3 B = 6 B rows
+  // padded to 8. Bottom row first: (B,G,R) = (1,2,3), (4,5,6);
+  // top row: (7,8,9), (10,11,12).
+  private val handBmp: Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    (Array[Byte]('B', 'M') ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 0, 0) ++       // bottom row + pad
+      Array[Byte](7, 8, 9, 10, 11, 12, 0, 0))      // top row + pad
+  }
+
+  test("hand-built 2x2 BMP decodes to exact top-down pixels") {
+    val img = decodeBmp(handBmp)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == Seq[Byte](7, 8, 9, 10, 11, 12, 1, 2, 3, 4, 5, 6))
+  }
+
+  test("BMP validation rejects malformed input") {
+    val noMagic = handBmp.clone(); noMagic(0) = 'X'
+    assertThrows[MediaFormatException](decodeBmp(noMagic))
+    assertThrows[MediaFormatException](decodeBmp(handBmp.take(53)))
+    val bpp8 = handBmp.clone(); bpp8(28) = 8
+    assertThrows[MediaFormatException](decodeBmp(bpp8))
+    val truncPixels = handBmp.take(60) // header promises 16 B of pixels
+    assertThrows[MediaFormatException](decodeBmp(truncPixels))
+  }
+
+  // ---- hand-built WAV: mono 8 kHz, 3 known samples ------------------
+  private val handWav: Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    ("RIFF".getBytes ++ le32(36 + 6) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(6) ++
+      le16(100) ++ le16(-200 & 0xffff) ++ le16(32767))
+  }
+
+  test("hand-built WAV decodes to exact PCM16 samples") {
+    val wav = decodeWav(handWav)
+    assert(wav.sampleRate == 8000 && wav.channels == 1)
+    assert(wav.samples.toSeq == Seq[Short](100, -200, 32767))
+  }
+
+  test("WAV chunk walk skips unknown chunks and validates bounds") {
+    // insert a LIST chunk between fmt and data — the RIFF rule
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val withList = handWav.take(36) ++
+      "LIST".getBytes ++ le32(4) ++ "INFO".getBytes ++ handWav.drop(36)
+    val wav = decodeWav(withList)
+    assert(wav.samples.toSeq == Seq[Short](100, -200, 32767))
+    val badMagic = handWav.clone(); badMagic(8) = 'X'
+    assertThrows[MediaFormatException](decodeWav(badMagic))
+    val badSize = handWav.clone(); badSize(40) = 99 // data chunk overruns
+    assertThrows[MediaFormatException](decodeWav(badSize))
+    val floatFmt = handWav.clone(); floatFmt(20) = 3 // IEEE float
+    assertThrows[MediaFormatException](decodeWav(floatFmt))
+  }
+
+  // ---- hand-built Y4M: 2x2 C420, 2 frames ---------------------------
+  private val handY4m: Array[Byte] =
+    "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\n".getBytes ++
+      "FRAME\n".getBytes ++ Array[Byte](10, 20, 30, 40, 50, 60) ++
+      "FRAME\n".getBytes ++ Array[Byte](11, 21, 31, 41, 51, 61)
+
+  test("hand-built Y4M decodes to exact frames and geometry") {
+    val v = decodeY4m(handY4m)
+    assert(v.width == 2 && v.height == 2 && v.fpsNum == 25 && v.fpsDen == 1)
+    assert(v.frames.size == 2)
+    assert(v.frames(0).y.toSeq == Seq[Byte](10, 20, 30, 40))
+    assert(v.frames(0).cb.toSeq == Seq[Byte](50) && v.frames(0).cr.toSeq == Seq[Byte](60))
+    assert(v.frames(1).y.toSeq == Seq[Byte](11, 21, 31, 41))
+  }
+
+  test("Y4M validation rejects malformed streams") {
+    assertThrows[MediaFormatException](decodeY4m("JUNK W2 H2\n".getBytes))
+    assertThrows[MediaFormatException](decodeY4m("YUV4MPEG2 H2\n".getBytes)) // no W
+    assertThrows[MediaFormatException](decodeY4m(handY4m.dropRight(2)))      // short frame
+    val oddGeom = "YUV4MPEG2 W3 H2 F25:1\n".getBytes ++ "FRAME\n".getBytes ++
+      Array.fill[Byte](9)(0)
+    assertThrows[MediaFormatException](decodeY4m(oddGeom))
+  }
+
+  // ---- round trips and the resampler --------------------------------
+
+  test("decode(encode(x)) is the identity on all three formats") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val w = rnd.nextInt(30) + 1; val h = rnd.nextInt(20) + 1
+      val img = Bmp(w, h, Array.fill((w * h * 3))(rnd.nextInt.toByte))
+      val back = decodeBmp(encodeBmp(img))
+      assert(back.width == w && back.height == h &&
+        back.pixels.toSeq == img.pixels.toSeq)
+
+      val n = rnd.nextInt(500)
+      val wav = Wav(rnd.nextInt(48000) + 1, rnd.nextInt(2) + 1,
+        Array.fill(n)(rnd.nextInt.toShort))
+      val wBack = decodeWav(encodeWav(wav))
+      assert(wBack.sampleRate == wav.sampleRate && wBack.channels == wav.channels &&
+        wBack.samples.toSeq == wav.samples.toSeq)
+
+      val vw = (rnd.nextInt(8) + 1) * 2; val vh = (rnd.nextInt(6) + 1) * 2
+      val frames = Vector.fill(rnd.nextInt(5) + 1)(Y4mFrame(
+        Array.fill(vw * vh)(rnd.nextInt.toByte),
+        Array.fill(vw / 2 * (vh / 2))(rnd.nextInt.toByte),
+        Array.fill(vw / 2 * (vh / 2))(rnd.nextInt.toByte)))
+      val vid = Y4m(vw, vh, 30, 1, frames)
+      val vBack = decodeY4m(encodeY4m(vid))
+      assert(vBack.width == vw && vBack.height == vh &&
+        vBack.frames.size == frames.size &&
+        vBack.frames.zip(frames).forall { case (a, b) =>
+          a.y.toSeq == b.y.toSeq && a.cb.toSeq == b.cb.toSeq && a.cr.toSeq == b.cr.toSeq })
+    }
+  }
+
+  test("nearest-neighbor resize maps the integer pixel grid exactly") {
+    // 2x2 distinct pixels upsampled 2x: each source pixel becomes a
+    // 2x2 block (floor mapping sx = tx*srcW/dstW)
+    val img = Bmp(2, 2, Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4))
+    val up = MediaCodec.resizeBmp(img, 4, 4)
+    def px(b: Bmp, x: Int, y: Int): Byte = b.pixels((y * b.width + x) * 3)
+    assert(px(up, 0, 0) == 1 && px(up, 1, 0) == 1 && px(up, 2, 0) == 2 && px(up, 3, 0) == 2)
+    assert(px(up, 0, 3) == 3 && px(up, 3, 3) == 4)
+    // downsample back recovers the corners
+    val down = MediaCodec.resizeBmp(up, 2, 2)
+    assert(down.pixels.toSeq == img.pixels.toSeq)
+  }
+}

@@ -359,16 +359,19 @@ class PipelineSpec extends SparkSpec {
     assert(sh(0) == sh(1) && sh(0) != sh(2))
   }
 
-  test("multimodal resize rewrites geometry and bounds the payload, deterministically") {
+  test("multimodal resize decodes, resamples, and re-encodes real BMPs deterministically") {
     val a = pipeline.Multimodal.assets(spark, sf)
+    val nImages = a.filter(_.kind == "image").count()
     val r1 = pipeline.Multimodal.resizeAssets(a, 32, 32).collect().sortBy(_.asset_id)
     val r2 = pipeline.Multimodal.resizeAssets(a, 32, 32).collect().sortBy(_.asset_id)
-    assert(r1.length == 500)
-    assert(r1.forall(x => x.width == 32 && x.height == 32 && x.payload.nonEmpty))
+    assert(r1.length == nImages && nImages > 100)
     assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
-    // downsampling never grows the payload
-    val orig = a.collect().map(x => x.asset_id -> x.payload.length).toMap
-    assert(r1.forall(x => x.payload.length <= orig(x.asset_id)))
+    // every output is a VALID BMP at the target geometry — re-decodable
+    r1.foreach { x =>
+      val img = pipeline.MediaCodec.decodeBmp(x.payload)
+      assert(img.width == 32 && img.height == 32 &&
+        img.pixels.length == 32 * 32 * 3)
+    }
   }
 
   test("CovAgg moments equal the brute-force covariance") {
@@ -463,12 +466,27 @@ class PipelineSpec extends SparkSpec {
     assert(ids.getLong(0) == 1L && ids.getLong(1) == ids.getLong(2))
   }
 
-  test("multimodal feature extraction is deterministic and total") {
+  test("multimodal feature extraction is deterministic, total, and header-consistent") {
+    val assets = pipeline.Multimodal.assets(spark, sf).collect()
+      .map(a => a.asset_id -> a).toMap
     val f1 = pipeline.Multimodal.extractFeatures(
       pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)
     val f2 = pipeline.Multimodal.extractFeatures(
       pipeline.Multimodal.assets(spark, sf)).collect().sortBy(_.asset_id)
-    assert(f1.length == 500 && f1.map(_.feature_hash).toSeq == f2.map(_.feature_hash).toSeq)
+    assert(f1.length == 500 && f1.map(_.content_hash).toSeq == f2.map(_.content_hash).toSeq)
+    // decoded header geometry equals the typed sidecar metadata
+    f1.foreach { f =>
+      val a = assets(f.asset_id)
+      f.kind match {
+        case "image" =>
+          assert(f.width == a.width && f.height == a.height && f.sample_rate == 0)
+        case "audio" =>
+          assert(f.sample_rate == 16000 && f.width == 0 && f.n_frames > 0)
+        case _ =>
+          assert(f.width == a.width && f.height == a.height &&
+            f.n_frames == a.n_frames)
+      }
+    }
   }
 
   test("unicode_normalize: composition, decomposition, compatibility folding") {

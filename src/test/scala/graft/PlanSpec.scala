@@ -241,6 +241,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Queries whose plans legitimately contain an empty-partitionBy
+    * window: the window input is a BOUNDED GRID by construction (a
+    * distinct-value domain, a bucket/cell grid, or a per-group summary
+    * whose cardinality is the group domain), never the fact rows — the
+    * documented "window over the grid, never the data" design. A
+    * single task over O(grid) rows is fine at any scale factor.
+    */
+  private val intendedGlobalWindow = Set(
+    // value-domain grids (distinct scores / prices after binning)
+    "q_agg_mann_whitney", "q_agg_ks_test", "q_agg_auc", "q_agg_rank_corr",
+    // value grid for the cumulative-weight median walk
+    "q_agg_weighted_median", "q_win_distribution",
+    // contingency cells / category domains
+    "q_agg_contingency", "q_agg_cramers_v", "q_agg_theils_u",
+    // language domain (dozens of rows)
+    "q_mix_temperature",
+    // bounded anchor/bucket grids (8-row extents, day buckets)
+    "q_win_lttb", "q_sparkbar", "q_agg_max_intersections",
+    // vocabulary-frequency grid capped by the declared vocab size
+    "q_zipf_fit",
+    // histogram bin grid
+    "q_agg_histogram_adaptive",
+    // DSIR's bounded 1024-bucket hash grid
+    "q_dsir_weights",
+    // per-source/length bucket grids
+    "q_length_buckets", "q_ccnet_buckets",
+    // global pass over LOCAL skyline survivors — O(frontier×partitions)
+    "q_skyline")
+
+  test("no single-task global window runs over unbounded input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.SparkPlan
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan: SparkPlan =
+        SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      val global = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if (!intendedGlobalWindow(name))
+        assert(global.isEmpty,
+          s"$name plans ${global.size} empty-partitionBy window(s) — " +
+            "single-task at scale; use DistRank or partition the window")
+    }
+  }
+
   test("hot relational shapes stay inside whole-stage codegen") {
     Seq("q_agg_hash", "q_join_hash", "q_win_rank", "q_dedup_docs").foreach { name =>
       // codegen stages render as `*(n) Operator` in the final AQE plan

@@ -65,12 +65,24 @@ object Bench {
     println(line)
     // machine-readable medians file (SPARK_GRAFT_BENCH_OUT): the
     // regression baseline the next round diffs against — per-query
-    // medians plus every raw run for outlier forensics
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      val runsJson = perRun.map(m => fmtQ(m)).mkString("[", ",", "]")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}""")
-    }
+    // medians plus every raw run for outlier forensics. ALWAYS also
+    // written to BENCH_LAST.json in the cwd: the driver's stdout
+    // capture keeps only the last 2000 chars, which a 185-query map
+    // (~5.5 KB) can never fit — the committed file carries the
+    // complete per-query map for the round artifact.
+    val runsJson = perRun.map(m => fmtQ(m)).mkString("[", ",", "]")
+    val fullJson =
+      s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // the LAST stdout line fits the driver's 2000-char tail whole: the
+    // headline totals, the 10 slowest queries inline, and a pointer to
+    // the complete map — so the round artifact always parses even
+    // though the full per-query line above overflows the window.
+    val slowest = results.toSeq.sortBy(-_._2).take(10).toMap
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"n_queries":${results.size},"slowest":${fmtQ(slowest, 3)},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -816,10 +816,14 @@ object Aggregates extends QueryModule {
     // without ever shuffling user ids to one place — the per-type
     // sketches build in ONE conditional-aggregate pass over events
     // (map-side-combined; the exchange carries 3 sketches, not rows),
-    // and the set algebra runs on the 1-row result. Approximate above
-    // the sketch's exact-mode threshold ⇒ no oracle; SketchAggSpec
-    // pins estimates ≡ exact set counts at spec scale (theta is exact
-    // below 2^lgK uniques) and the intersect ≤ min ≤ union sandwich.
+    // and the set algebra runs on the 1-row result. ORACLE-CHECKED:
+    // a theta sketch is EXACT below its 2^lgK-unique exact-mode
+    // threshold (4096 at the default lgK=12), and the fixture's user
+    // domain sits far under it at every SF (150 at sf0.01, 1500 at
+    // sf0.1) — so the estimates equal the exact distinct set algebra
+    // and the driver hash-compares them; SketchAggSpec guards the
+    // exact-mode precondition and the intersect ≤ min ≤ union
+    // sandwich for the general case.
     "q_agg_theta_sets" -> QueryDef(
       (s, dir) => Tables(s, dir, "events")
         .agg(
@@ -836,7 +840,16 @@ object Aggregates extends QueryModule {
             .cast("long").as("both_users"),
           expr("theta_sketch_estimate(theta_difference(theta_intersection(sk_s, sk_p), sk_e))")
             .cast("long").as("both_no_error_users")),
-      None),
+      Some("""WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+             |SELECT
+             |  CAST((SELECT count(*) FROM s) AS BIGINT) AS signup_users,
+             |  CAST((SELECT count(*) FROM p) AS BIGINT) AS purchase_users,
+             |  CAST((SELECT count(*) FROM s JOIN p USING (user_id)) AS BIGINT) AS both_users,
+             |  CAST((SELECT count(*) FROM s JOIN p USING (user_id)
+             |        WHERE user_id NOT IN (SELECT user_id FROM e)) AS BIGINT)
+             |    AS both_no_error_users""".stripMargin)),
 
     // ClickHouse quantileTDigest's MV shape ([CH]): mergeable quantile
     // sketch partials — per-day KLL states re-merged to per-type

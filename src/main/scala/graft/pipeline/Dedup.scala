@@ -140,6 +140,14 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The batch LSH candidate surface (doc_a, doc_b, est_jaccard) —
+    * the unverified half of `q_dedup_minhash`, shared with the
+    * incremental path's restricted-equality contract
+    * (IncrementalDedupSpec).
+    */
+  private[graft] def batchCandidates(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(signatures(s, dir), lit(true), lit(true))
+
   /** Jaccard estimate from two k=16 MinHash signatures: matching-slot
     * fraction (the standard unbiased estimator).
     */
@@ -225,20 +233,57 @@ object Dedup extends QueryModule {
              |FROM c LEFT JOIN f ON c.chunk = f.chunk
              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
-    // MinHash + LSH banding: candidate pairs = docs sharing ≥1 band
-    // bucket; estimated Jaccard = matching signature fraction.
-    // Approximate ⇒ no oracle (SURVEY.md §5.3.4).
-    // ids-only through the bucket expansion: the 16-long signatures
-    // are re-attached once per surviving pair, not dragged through the
-    // (potentially skewed) bucket explosion. Pairs come from one
-    // collect-per-bucket pass + in-row expansion (capped at BucketCap
-    // before any pair exists) — the census-join + self-join
-    // formulation this replaced cost three more exchanges for the same
-    // result. The whole pipeline lives in candidatePairs, shared with
-    // the incremental path.
+    // MinHash + LSH banding, declared in its VERIFIED form — the full
+    // production loop: candidate pairs from the banded buckets (one
+    // collect-per-bucket pass + in-row expansion, capped at BucketCap
+    // before any pair exists; ids-only through the explosion), then
+    // each candidate verified with EXACT 3-gram-shingle Jaccard (a
+    // row-local set intersection over the two docs' gram sets — cost
+    // O(candidates), never O(corpus²)) and kept at τ ≥ 0.5.
+    // ORACLE-CHECKED: the driver hash-compares against brute-force
+    // all-pairs shingle Jaccard ≥ τ, which is equal as long as LSH
+    // recall at τ is 1 on the corpus — PipelineSpec pins that
+    // containment (every exact pair collides in ≥1 band), and the
+    // fixture's similarity distribution is sharply bimodal (true dups
+    // ≥ 0.9, everything else < 0.5), far inside the 4×4-band S-curve's
+    // high-recall region. The unverified estimate path stays live via
+    // [[batchCandidates]] (est_jaccard) and the incremental query.
     "q_dedup_minhash" -> QueryDef(
-      (s, dir) => candidatePairs(signatures(s, dir), lit(true), lit(true)),
-      None),
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents").select(col("doc_id"),
+          array_distinct(expr(
+            """transform(sequence(1, greatest(1, size(split(text, ' ')) - 2)),
+              |  g -> array_join(slice(split(text, ' '), g, 3), ' '))""".stripMargin))
+            .as("grams"))
+        batchCandidates(s, dir)
+          .select("doc_a", "doc_b")
+          .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+          .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+          .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+          .withColumn("j", col("c") /
+            (size(col("ga")) + size(col("gb")) - col("c")))
+          .filter(col("j") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS gram
+             |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+             |    greatest(1, len(ws) - 2))) AS g) u),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+             |FROM common
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // SimHash near-dup: 64-bit sign-of-votes hash over word hashes;
     // candidates share one of the 4 16-bit chunks (pigeonhole: catches

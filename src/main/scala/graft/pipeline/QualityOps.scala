@@ -172,9 +172,13 @@ object QualityOps extends QueryModule {
     // topKWeighted(k) — which sources contribute the most BYTES (the
     // curation question behind training-mix decisions): each document
     // adds its char count, not 1, to its source's counter. Same
-    // bounded SpaceSaving table and shuffle shape as q_topk_sketch;
-    // approx ⇒ rows-only, SketchAggSpec pins exact agreement with the
-    // groupBy-sum top-k while capacity covers the source domain.
+    // bounded SpaceSaving table and shuffle shape as q_topk_sketch.
+    // ORACLE-CHECKED: SpaceSaving is EXACT (err = 0, true totals)
+    // whenever its counter table covers the key domain, and the
+    // source domain here is fixed by construction (20 sources at
+    // every SF) — so the declared output equals the groupBy-sum
+    // top-k and the driver hash-compares it; SketchAggSpec guards
+    // the capacity-covers-domain precondition.
     "q_topk_weighted" -> QueryDef(
       (s, dir) => Tables(s, dir, "documents")
         .agg(graft.functions.TopKAgg.weighted(
@@ -183,7 +187,10 @@ object QualityOps extends QueryModule {
         .select(col("t.item").as("source"), col("t.count").as("total_chars"),
           col("t.err").as("err"))
         .orderBy(col("total_chars").desc, col("source").asc),
-      None),
+      Some("""SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(0 AS BIGINT) AS err
+             |FROM documents GROUP BY source
+             |ORDER BY total_chars DESC, source ASC LIMIT 5""".stripMargin)),
 
     // Unigram-LM document scoring: bits/token of each document under
     // the corpus's own unigram distribution — the classic perplexity

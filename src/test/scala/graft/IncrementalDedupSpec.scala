@@ -17,7 +17,7 @@ class IncrementalDedupSpec extends SparkSpec {
     pipeline.Dedup.buildSigIndex(spark, sf, indexDir)
     val split = 250L // fixture doc_ids run 0..499: a half-corpus "day"
     val inc = pipeline.Dedup.incrementalCandidates(spark, sf, indexDir, split)
-    val full = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    val full = pipeline.Dedup.batchCandidates(spark, sf)
       .filter(col("doc_b") >= split)
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
       "incremental pairs must equal the batch pairs with a new-side doc")

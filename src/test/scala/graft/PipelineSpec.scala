@@ -313,6 +313,28 @@ class PipelineSpec extends SparkSpec {
       "singleton buckets must be dropped before expansion (they yield no pairs)")
   }
 
+  test("minhash LSH recall at the declared τ is 1: verified candidates ≡ exact all-pairs") {
+    // the oracle-equality precondition of q_dedup_minhash: every pair
+    // with exact 3-gram-shingle Jaccard ≥ τ must collide in ≥1 band
+    // (brute-force all-pairs here is O(n²) — spec scale only)
+    val gramsExpr = expr(
+      """array_distinct(transform(sequence(1, greatest(1, size(split(text, ' ')) - 2)),
+        |  g -> array_join(slice(split(text, ' '), g, 3), ' ')))""".stripMargin)
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), gramsExpr.as("g"))
+    val exact = docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("c", size(array_intersect(col("a.g"), col("b.g"))).cast("double"))
+      .withColumn("j", col("c") / (size(col("a.g")) + size(col("b.g")) - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val got = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(exact.exceptAll(got).isEmpty,
+      "an exact near-dup pair escaped the LSH candidates (recall < 1 — oracle equality broken)")
+    assert(got.exceptAll(exact).isEmpty,
+      "a verified candidate is not an exact near-dup (verification filter broken)")
+  }
+
   test("dedup queries leave the session CacheManager empty (no persist leak)") {
     spark.sharedState.cacheManager.clearCache()
     Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_winnow").foreach { q =>

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -15,8 +15,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * live principal axis; comparing it across checkpoints IS the drift
   * alarm.
   *
-  * Scale shape: state is ONE d(d+3)/2+2-double vector however many
-  * vectors the stream carries. Replay fencing and the atomic
+  * Scale shape: state is one d(d+3)/2+2-double vector PER DAY BUCKET
+  * (one total when the stream carries no day column) however many
+  * vectors the stream carries — day count is calendar-bounded, so the
+  * standing file stays metadata-scale and the driver-side day merge
+  * is O(days·d²), never O(rows). Day sharding is what makes the state
+  * MUTATION-RECONCILABLE ([[reconcile]]): a retroactive DELETE/UPDATE
+  * on the base snapshot rewrites whole day partitions, so the
+  * correction recomputes exactly those days' vectors and leaves every
+  * other day's state untouched. Replay fencing and the atomic
   * write-new-then-rename swap follow [[ProjectionStream]] exactly
   * (foreachBatch is at-least-once; sums must not double-count).
   */
@@ -30,12 +37,26 @@ object MomentsStream {
     if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong else -1L
   }
 
-  /** Standing flat moment vector at `dest`, if any. */
-  def moments(spark: org.apache.spark.sql.SparkSession, dest: String): Option[Seq[Double]] = {
+  /** Standing per-day flat moment vectors at `dest` (empty if none).
+    * Metadata-scale: one row per day bucket.
+    */
+  private[graft] def perDay(spark: SparkSession, dest: String): Map[String, Seq[Double]] = {
     graft.AtomicDir.recover(dest)
     if (new java.io.File(dest).exists())
-      Some(spark.read.parquet(dest).collect()(0).getSeq[Double](0))
-    else None
+      spark.read.parquet(dest).collect()
+        .map(r => r.getString(r.fieldIndex("day")) ->
+          r.getSeq[Double](r.fieldIndex("moments"))).toMap
+    else Map.empty
+  }
+
+  /** Standing CORPUS flat moment vector at `dest`, if any — the
+    * per-day vectors folded through [[mergeFlat]] in day order (exact
+    * up to fp reassociation; day count is calendar-bounded).
+    */
+  def moments(spark: SparkSession, dest: String): Option[Seq[Double]] = {
+    val days = perDay(spark, dest)
+    if (days.isEmpty) None
+    else Some(days.toSeq.sortBy(_._1).map(_._2).reduceLeft(mergeFlat))
   }
 
   /** Merge two flat (n, d, μ, ut-cov) vectors by reconstituting raw
@@ -68,38 +89,100 @@ object MomentsStream {
     out.toSeq
   }
 
-  /** Fold one batch of raw vectors (column `embedding`) into the
-    * standing moments at `dest`. Batch ids at or below the marker are
-    * no-ops (replay fence); the marker commits inside the swap.
+  /** Write the standing per-day map (with the replay marker) via the
+    * crash-safe AtomicDir swap.
     */
-  def mergeBatch(batch: DataFrame, dest: String,
-      batchId: Long = Long.MinValue): Unit = {
-    graft.AtomicDir.recover(dest)
-    if (batchId != Long.MinValue && batchId <= mergedBatchId(dest)) return
-    val spark = batch.sparkSession
+  private def writeState(spark: SparkSession, dest: String,
+      state: Map[String, Seq[Double]], batchId: Long): Unit = {
     import spark.implicits._
-    val freshRow = batch.agg(graft.functions.CovAgg(col("embedding"))).collect()(0)
-    val fresh = freshRow.getSeq[Double](0)
-    if (fresh.isEmpty) return // empty batch: nothing to fold
-    val merged = moments(spark, dest) match {
-      case Some(standing) => mergeFlat(standing, fresh)
-      case None => fresh
-    }
     val tmp = graft.AtomicDir.tmpPath(dest)
-    Seq(merged).toDF("moments").coalesce(1).write.mode("overwrite").parquet(tmp)
-    if (batchId != Long.MinValue)
+    state.toSeq.sortBy(_._1).toDF("day", "moments")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (batchId >= 0)
       java.nio.file.Files.writeString(
         new java.io.File(tmp, MarkerFile).toPath, batchId.toString)
     graft.AtomicDir.swap(dest)
   }
 
-  /** foreachBatch writer maintaining the moments at `dest` from a
-    * stream with an `embedding: array<float>` column.
+  /** Fold one batch of raw vectors (column `embedding`) into the
+    * standing moments at `dest`, one vector per `dayCol` bucket (all
+    * under one "" bucket when absent). The per-day fold runs as ONE
+    * distributed groupBy-CovAgg pass over the batch; only the
+    * day-keyed summary vectors reach the driver. Batch ids at or
+    * below the marker are no-ops (replay fence); the marker commits
+    * inside the swap.
     */
-  def maintain(stream: DataFrame, dest: String): DataStreamWriter[Row] =
+  def mergeBatch(batch: DataFrame, dest: String,
+      batchId: Long = Long.MinValue, dayCol: Option[String] = None): Unit = {
+    graft.AtomicDir.recover(dest)
+    if (batchId != Long.MinValue && batchId <= mergedBatchId(dest)) return
+    val spark = batch.sparkSession
+    val keyed = dayCol match {
+      case Some(c) => batch.select(col(c).cast("string").as("day"), col("embedding"))
+      case None => batch.select(lit("").as("day"), col("embedding"))
+    }
+    val fresh = keyed.groupBy("day")
+      .agg(graft.functions.CovAgg(col("embedding")).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .filter(_._2.nonEmpty).toMap
+    if (fresh.isEmpty) return // empty batch: nothing to fold
+    val standing = perDay(spark, dest)
+    val merged = (standing.keySet ++ fresh.keySet).map { d =>
+      d -> ((standing.get(d), fresh.get(d)) match {
+        case (Some(a), Some(b)) => mergeFlat(a, b)
+        case (Some(a), None) => a
+        case (None, b) => b.get
+      })
+    }.toMap
+    writeState(spark, dest, merged,
+      if (batchId != Long.MinValue) batchId else -1L)
+  }
+
+  /** Reconcile the standing moments with a MUTATION applied to the
+    * day-partitioned base snapshot (`ALTER … DELETE/UPDATE` between
+    * micro-batches, [[graft.operators.Snapshot.delete]]/`update`):
+    * every mutated day whose vectors were ALREADY folded gets its
+    * moment vector recomputed from the post-mutation snapshot; days
+    * the stream has not delivered yet are left alone (their
+    * post-mutation rows arrive through the normal batch path).
+    *
+    * Soundness contract: affected days must be fully folded before
+    * the mutation (the retroactive-correction shape — mutations edit
+    * CLOSED days while the stream tails live ones). Scale shape: the
+    * correction reads only the mutated days' rows — the same cost
+    * class as the mutation's own day-partition rewrite.
+    */
+  def reconcile(spark: SparkSession, snapshotDest: String, embedCol: String,
+      dest: String, report: graft.operators.Snapshot.MutationReport): Unit = {
+    graft.AtomicDir.recover(dest)
+    if (!new java.io.File(dest).exists()) return
+    val standing = perDay(spark, dest)
+    val affected = (report.daysRewritten ++ report.daysDropped).distinct
+      .filter(standing.contains)
+    if (affected.isEmpty) return
+    val recomputed = graft.operators.Snapshot.resolve(spark, snapshotDest)
+      .filter(col("bucket_day").cast("string").isin(affected: _*))
+      .groupBy(col("bucket_day").cast("string").as("day"))
+      .agg(graft.functions.CovAgg(col(embedCol)).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .filter(_._2.nonEmpty).toMap
+    // dropped / fully-deleted days simply leave the state
+    val merged = (standing -- affected) ++ recomputed
+    writeState(spark, dest, merged, mergedBatchId(dest))
+  }
+
+  /** foreachBatch writer maintaining the moments at `dest` from a
+    * stream with an `embedding: array<float>` column (plus `dayCol`
+    * when the state should shard by day — required for
+    * [[reconcile]]).
+    */
+  def maintain(stream: DataFrame, dest: String,
+      dayCol: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch, dest, id)
+        mergeBatch(batch, dest, id, dayCol)
       }
 }

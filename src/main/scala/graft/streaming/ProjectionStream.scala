@@ -100,6 +100,60 @@ object ProjectionStream {
     graft.AtomicDir.swap(dest)
   }
 
+  /** Reconcile the standing projection with a MUTATION applied to the
+    * day-partitioned base snapshot (`ALTER … DELETE/UPDATE` between
+    * micro-batches, [[graft.operators.Snapshot.delete]]/`update`).
+    * Partial states are not invertible (min/max can't subtract), so
+    * the correction is DAY-GRANULAR — the projection must key on
+    * `bucket_day`, the snapshot's own mutation granularity: every
+    * mutated day already folded into the standing state gets its
+    * partial rows recomputed from the post-mutation snapshot; days
+    * the stream has not delivered yet are left alone (their
+    * post-mutation rows arrive through the normal batch path).
+    *
+    * Soundness contract: affected days must be fully folded before
+    * the mutation (the retroactive-correction shape — mutations edit
+    * CLOSED days while the stream tails live ones). Scale shape: the
+    * rebuild reads only the mutated days' rows and rewrites only
+    * their partial rows — the same cost class as the mutation's own
+    * day-partition rewrite, never O(corpus) or O(key domain).
+    */
+  def reconcile(spark: SparkSession, snapshotDest: String, keys: Seq[String],
+      measures: Seq[String], dest: String,
+      report: graft.operators.Snapshot.MutationReport): Unit = {
+    require(keys.contains("bucket_day"),
+      "mutation-reconcilable projections must key on bucket_day — the " +
+        "day is the snapshot's mutation granularity, so it bounds what " +
+        "a reconcile may touch")
+    graft.AtomicDir.recover(dest)
+    if (!new java.io.File(dest).exists()) return
+    import spark.implicits._
+    val standingDays = spark.read.parquet(dest)
+      .select(col("bucket_day").cast("string")).distinct()
+      .as[String].collect().toSet // key-domain-scale, never row-scale
+    val affected = (report.daysRewritten ++ report.daysDropped).distinct
+      .filter(standingDays)
+    if (affected.isEmpty) return
+    val marker = mergedBatchId(dest)
+    val keep = spark.read.parquet(dest)
+      .filter(!col("bucket_day").cast("string").isin(affected: _*))
+    // partition-column inference may type the snapshot's bucket_day
+    // differently from the streamed rows (yyyyMMdd reads back as int);
+    // align it to the standing projection's type before the union
+    val dayType = keep.schema("bucket_day").dataType
+    val recomputed = graft.operators.Snapshot.resolve(spark, snapshotDest)
+      .filter(col("bucket_day").cast("string").isin(affected: _*))
+      .withColumn("bucket_day", col("bucket_day").cast(dayType))
+      .groupBy(keys.map(col): _*)
+      .agg(partialAggs(measures).head, partialAggs(measures).tail: _*)
+    val tmp = graft.AtomicDir.tmpPath(dest)
+    keep.unionByName(recomputed).write.mode("overwrite").parquet(tmp)
+    if (marker >= 0)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, MarkerFile).toPath, marker.toString)
+    graft.AtomicDir.swap(dest)
+  }
+
   /** foreachBatch writer maintaining the projection at `dest` from a
     * stream of raw rows. Caller picks the trigger/checkpoint.
     */

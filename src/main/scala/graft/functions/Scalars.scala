@@ -162,6 +162,34 @@ object Scalars extends QueryModule {
              |FROM (SELECT p_partkey, p_size, (p_size * 73) % 4000 AS s FROM part)
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Encoding/codec scalar family ([CH] base64Encode / base64Decode /
+    // hex / unhex / bin / bitCount): byte-level codecs over the UTF-8
+    // bytes of character substrings — both engines slice by CHARACTER
+    // then encode the slice's bytes, so multibyte text cannot diverge.
+    // The decode round trip exercises the inverse pair end-to-end.
+    // Zero-shuffle codegen'd projection (+ the deterministic output
+    // sort), like the rest of the scalar families.
+    "q_codec_funcs" -> QueryDef(
+      (s, dir) => {
+        val head12 = substring(col("text"), 1, 12)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            base64(head12.cast("binary")).as("b64"),
+            (unbase64(base64(head12.cast("binary"))).cast("string") === head12)
+              .as("rt_ok"),
+            hex(substring(col("text"), 1, 4).cast("binary")).as("hex4"),
+            bit_count(col("n_chars")).cast("long").as("bits"),
+            bin(col("n_chars")).as("bits_str"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  base64(encode(substr(text, 1, 12))) AS b64,
+             |  decode(from_base64(base64(encode(substr(text, 1, 12))))) = substr(text, 1, 12) AS rt_ok,
+             |  hex(encode(substr(text, 1, 4))) AS hex4,
+             |  CAST(bit_count(n_chars) AS BIGINT) AS bits,
+             |  bin(n_chars) AS bits_str
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "q_math_funcs" -> QueryDef(
       (s, dir) => Tables(s, dir, "part")
         .select(col("p_partkey"),

@@ -43,6 +43,32 @@ object Dictionary {
       dictKey: String, attr: String, asCol: String): DataFrame =
     dictGetOrDefault(fact, dict, factKey, dictKey, attr, lit(null), asCol)
 
+  /** RANGE_HASHED dictionary: `dictGet` keyed on (key, point) where
+    * the dict row matches iff its key equals and `rangeStart <= point
+    * <= rangeEnd` — ClickHouse's range dictionary (currency rates by
+    * validity interval, price lists by date). Ranges per key must not
+    * overlap (the engine's own contract — an overlap would duplicate
+    * fact rows); a point covered by no range surfaces the default.
+    *
+    * Spark-first shape: the same broadcast LEFT join as [[dictGet]] —
+    * the equality key drives a BroadcastHashJoin and the range pair
+    * rides along as the join condition, so the fact side still never
+    * shuffles and the range probe is a per-row comparison against the
+    * broadcast rows of that key (dimension-scale by definition).
+    */
+  def dictGetRange(fact: DataFrame, dict: DataFrame, factKey: Column,
+      point: Column, dictKey: String, rangeStart: String, rangeEnd: String,
+      attr: String, default: Column, asCol: String): DataFrame = {
+    val d = dict.select(col(dictKey).as("_dict_key"),
+      col(rangeStart).as("_dict_r0"), col(rangeEnd).as("_dict_r1"),
+      col(attr).as("_dict_attr"))
+    fact.join(broadcast(d),
+        factKey === col("_dict_key") &&
+          point >= col("_dict_r0") && point <= col("_dict_r1"), "left")
+      .withColumn(asCol, coalesce(col("_dict_attr"), default))
+      .drop("_dict_key", "_dict_r0", "_dict_r1", "_dict_attr")
+  }
+
   /** One level of a hierarchical dictionary: (dict table, its key
     * column, the attribute to surface, and the parent-key column the
     * NEXT level looks up — None at the root).

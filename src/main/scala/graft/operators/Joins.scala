@@ -83,6 +83,47 @@ object Joins extends QueryModule {
              |  ON c_nationkey = d.n_nationkey
              |ORDER BY c_custkey""".stripMargin)),
 
+    // RANGE_HASHED dictionary ([CH] range dictionaries): the rates dim
+    // is keyed on a segment AND a month-index validity interval —
+    // dictGet(key, point) returns the attribute of the interval
+    // containing the point, default on no cover. The dim derives from
+    // spark.range as ONE projection (no join builds it), 280 rows ×
+    // 20 covered segments; segments 20–24 and out-of-range months MISS
+    // and must surface rate 1.0. The oracle computes the same rate
+    // arithmetically — a different route to the same semantics, so the
+    // check is semantic, not an implementation echo.
+    "q_dict_range" -> QueryDef(
+      (s, dir) => {
+        val dim = s.range(0, 350)
+          .select(expr("id div 14").cast("int").as("seg"),
+            (col("id") % 14).cast("int").as("h"))
+          .filter(col("seg") < 20)
+          .select(col("seg"), (col("h") * 6).cast("int").as("r0"),
+            (col("h") * 6 + 5).cast("int").as("r1"),
+            (((col("seg") * 31 + col("h")) % 97) / lit(10.0)).as("rate"))
+        val fact = Tables(s, dir, "orders")
+          .withColumn("seg", (col("o_custkey") % 25).cast("int"))
+          .withColumn("midx", ((year(col("o_orderdate")) - 1992) * 12
+            + month(col("o_orderdate")) - 1).cast("int"))
+        Dictionary.dictGetRange(fact, dim, col("seg"), col("midx"),
+            "seg", "r0", "r1", "rate", lit(1.0), "fx_rate")
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice") * col("fx_rate")), 4).as("converted"))
+          .orderBy("seg")
+      },
+      Some("""SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sum(o_totalprice * rate), 4) AS converted
+             |FROM (
+             |  SELECT o_custkey % 25 AS seg, o_totalprice,
+             |    CASE WHEN o_custkey % 25 < 20
+             |          AND ((year(o_orderdate)-1992)*12 + month(o_orderdate)-1) BETWEEN 0 AND 83
+             |      THEN (((o_custkey % 25) * 31
+             |             + ((year(o_orderdate)-1992)*12 + month(o_orderdate)-1) // 6) % 97) / 10.0
+             |      ELSE 1.0 END AS rate
+             |  FROM orders)
+             |GROUP BY seg ORDER BY seg""".stripMargin)),
+
     // Small-dim broadcast join: no shuffle of the probe side at all.
     "q_join_broadcast" -> QueryDef(
       (s, dir) => Tables(s, dir, "nation")

@@ -464,6 +464,59 @@ object QualityOps extends QueryModule {
              |  CAST(sum(CASE WHEN masked THEN pos ELSE 0 END) AS BIGINT) AS masked_pos_sum
              |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic T5-style span corruption (Raffel et al. 2020) —
+    // q_mlm_mask's sibling for encoder-decoder training: contiguous
+    // 3-token spans are corrupted instead of independent positions. A
+    // position SEEDS a span iff the first hex digit of md5(doc#pos) is
+    // 0 (1/16 rate); a position is corrupted iff a seed sits at
+    // pos, pos-1, or pos-2 (overlapping spans merge; spans truncate at
+    // the doc end by construction); a span STARTS where a position is
+    // corrupted but its predecessor is not — all of which evaluates
+    // ROW-LOCALLY from ≤4 hash probes per token, so the whole mask is
+    // a zero-shuffle posexplode + one doc-keyed re-aggregation: no
+    // window, no self-join, reproducible across engines/restarts/
+    // shards exactly like the MLM mask. The emitted (token, corrupted,
+    // span counts, position checksum) hash-pin the span pattern.
+    "q_span_corruption" -> QueryDef(
+      (s, dir) => {
+        def seed(p: org.apache.spark.sql.Column) =
+          substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+            p.cast("string"))), 1, 1) === "0"
+        val s0 = seed(col("pos"))
+        val s1 = col("pos") >= 1 && seed(col("pos") - 1)
+        val s2 = col("pos") >= 2 && seed(col("pos") - 2)
+        val s3 = col("pos") >= 3 && seed(col("pos") - 3)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFns.words(col("text"))).as(Seq("pos", "word")))
+          .withColumn("corrupted", s0 || s1 || s2)
+          .withColumn("span_start", (s0 || s1 || s2) && !(s1 || s2 || s3))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("corrupted"), 1L).otherwise(0L)).as("n_corrupted"),
+            sum(when(col("span_start"), 1L).otherwise(0L)).as("n_spans"),
+            sum(when(col("corrupted"), col("pos").cast("long")).otherwise(0L))
+              .as("corrupted_pos_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, i - 1 AS pos
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |       UNNEST(generate_series(1, len(ws))) AS u(i)),
+             |s AS (
+             |  SELECT doc_id, pos,
+             |    substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 1) = '0' AS s0,
+             |    pos >= 1 AND substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos - 1 AS VARCHAR)), 1, 1) = '0' AS s1,
+             |    pos >= 2 AND substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos - 2 AS VARCHAR)), 1, 1) = '0' AS s2,
+             |    pos >= 3 AND substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos - 3 AS VARCHAR)), 1, 1) = '0' AS s3
+             |  FROM w)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN s0 OR s1 OR s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+             |  CAST(sum(CASE WHEN (s0 OR s1 OR s2) AND NOT (s1 OR s2 OR s3) THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+             |  CAST(sum(CASE WHEN s0 OR s1 OR s2 THEN pos ELSE 0 END) AS BIGINT) AS corrupted_pos_sum
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Context-window chunking — packing's sibling (q_pack_sequences
     // concatenates SHORT docs into bins; this splits LONG docs into
     // overlapping max-length windows, the other half of every

@@ -255,10 +255,22 @@ object Dedup extends QueryModule {
             """transform(sequence(1, greatest(1, size(split(text, ' ')) - 2)),
               |  g -> array_join(slice(split(text, ' '), g, 3), ' '))""".stripMargin))
             .as("grams"))
-        batchCandidates(s, dir)
-          .select("doc_a", "doc_b")
-          .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-          .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+        // ONE gram pass, not one per join side: the candidate pairs
+        // explode to (pair, role, doc_id) rows that BROADCAST onto the
+        // gram scan (pairs are bucket-capped — bounded id-triples), so
+        // the corpus computes grams exactly once and only candidate
+        // docs' gram sets travel through the pair-keyed regroup.
+        val roles = batchCandidates(s, dir)
+          .select(col("doc_a"), col("doc_b"),
+            explode(array(
+              struct(lit("a").as("role"), col("doc_a").as("doc_id")),
+              struct(lit("b").as("role"), col("doc_b").as("doc_id")))).as("r"))
+          .select(col("doc_a"), col("doc_b"), col("r.role"), col("r.doc_id"))
+        grams.join(broadcast(roles), Seq("doc_id"))
+          .groupBy("doc_a", "doc_b")
+          .agg(
+            first(when(col("role") === "a", col("grams")), ignoreNulls = true).as("ga"),
+            first(when(col("role") === "b", col("grams")), ignoreNulls = true).as("gb"))
           .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("double"))
           .withColumn("j", col("c") /
             (size(col("ga")) + size(col("gb")) - col("c")))

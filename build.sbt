@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB host: 8g forced a GC-bound regime at the
+  // sf1 rehearsal (suite-long session + 10x data => heap pressure made
+  // linear queries read as super-linear). 48g leaves ample host
+  // headroom and matches what a real 32-core executor would get.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -118,6 +118,41 @@ object TimeSeries extends QueryModule {
              |FROM d WHERE dv IS NOT NULL GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // OHLC bars ([CH] argMin/argMax over time buckets — the ClickHouse
+    // finance staple: one open/high/low/close row per series per day).
+    // ONE map-side-combined hash aggregate: open/close are
+    // min_by/max_by on a zero-padded (ts, event_id) composite key (the
+    // q_agg_argmax determinism move — second-truncated timestamps
+    // collide, so a bare arg_min could return either tied row), high/
+    // low are plain max/min. Shuffle carries one candidate per
+    // (type, day) — never the tick history; grid-bounded output.
+    "q_agg_ohlc" -> QueryDef(
+      (s, dir) => {
+        val ord = format_string("%020d|%020d",
+          unix_timestamp(col("ts_s")), col("event_id"))
+        Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            date_format(col("ts_s"), "yyyy-MM-dd").as("day"))
+          .agg(
+            round(min_by(col("value"), ord), 4).as("open"),
+            round(max(col("value")), 4).as("high"),
+            round(min(col("value")), 4).as("low"),
+            round(max_by(col("value"), ord), 4).as("close"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type,
+             |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |  round(arg_min(value, printf('%020d|%020d',
+             |    CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id)), 4) AS open,
+             |  round(max(value), 4) AS high,
+             |  round(min(value), 4) AS low,
+             |  round(arg_max(value, printf('%020d|%020d',
+             |    CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id)), 4) AS close,
+             |  CAST(count(*) AS BIGINT) AS n_ticks
+             |FROM events GROUP BY event_type, day
+             |ORDER BY event_type, day""".stripMargin)),
+
     // ClickHouse maxIntersections/maxIntersectionsPosition ([CH]): the
     // maximum number of simultaneously-open intervals, and the first
     // instant it is reached. Sweep-line: each interval contributes

@@ -398,6 +398,44 @@ object Aggregates extends QueryModule {
              |FROM customer GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 
+    // Per-group fixed-size sample — ClickHouse's `groupArraySample`
+    // ([CH]), with its RNG replaced by a key-derived md5 order (the
+    // repo-wide determinism move): ranking by a hash of the row key
+    // IS uniform sampling, and both engines derive the identical
+    // sample. The rank-≤-k filter compiles to WindowGroupLimit
+    // (Spark ≥3.5): each map task keeps only its local top-k per
+    // group BEFORE the exchange, so the shuffle carries
+    // O(groups × k × tasks) candidate rows, never the table — the
+    // same physics that makes q_topk_per_group scale. Emitted as the
+    // joined-string form (driver's pandas layer can't hash ndarray
+    // cells).
+    "q_agg_group_sample" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(md5(concat(col("o_orderkey").cast("string"), lit(":gs"))),
+            col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy("o_orderpriority")
+          .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+              .as("sample_keys"),
+            count(lit(1)).as("n_sampled"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH rk AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':gs'),
+             |        o_orderkey) AS rn
+             |  FROM orders)
+             |SELECT o_orderpriority,
+             |  array_to_string(list_sort(list(o_orderkey)), ',') AS sample_keys,
+             |  CAST(count(*) AS BIGINT) AS n_sampled
+             |FROM rk WHERE rn <= 3
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // HLL sketch cardinality — approx ⇒ declared without oracle
     // (SURVEY.md §5.3.4); driver records a rows-only check.
     "q_agg_approx_distinct" -> QueryDef(

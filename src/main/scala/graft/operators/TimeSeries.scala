@@ -458,5 +458,153 @@ object TimeSeries extends QueryModule {
              |            WHEN cum * 5 <= tot * 4 THEN 'B' ELSE 'C' END AS cls,
              |  CAST(count(*) AS BIGINT) AS n_customers,
              |  round(sum(cents) / 100.0, 2) AS class_rev
-             |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Classical seasonal decomposition ([CH] `seriesDecomposeSTL`'s
+    // job, in the Cleveland et al. 1990 moving-average form the
+    // fixture's short series actually supports): per event type,
+    // trend = centered 7-day moving average (RANGE frame over the
+    // DAY INDEX, so calendar gaps don't slide the window), seasonal =
+    // day-of-week mean of the detrended series (dow as pure d % 7
+    // arithmetic — engine day-numbering conventions differ, integers
+    // don't), residual = remainder. The fact table collapses to the
+    // (type × day) grid FIRST (one map-side-combined aggregate); both
+    // windows then run over the GRID, partitioned by type and bounded
+    // by the calendar — never by data volume (the "window over the
+    // grid" rule). Trend averages ≤7 exact integer counts (exact in
+    // double); seasonal/residual carry the 1e-9 round nudge for
+    // cross-engine float association.
+    "q_series_decompose" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts_s")),
+              to_date(lit("2024-01-01"))).cast("long").as("d"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val wTrend = Window.partitionBy("event_type").orderBy("d")
+          .rangeBetween(-3, 3)
+        val wSeason = Window.partitionBy(col("event_type"),
+          pmod(col("d"), lit(7)))
+        ser
+          .withColumn("trend", avg("y").over(wTrend))
+          .withColumn("seasonal", avg(col("y") - col("trend")).over(wSeason))
+          .select(col("event_type"), col("d"), col("y").cast("long").as("y"),
+            round(col("trend") + 1e-9, 4).as("trend"),
+            round(col("seasonal") + 1e-9, 4).as("seasonal"),
+            round(col("y") - col("trend") - col("seasonal") + 1e-9, 4)
+              .as("resid"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS d,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT event_type, d, y,
+             |    avg(y) OVER (PARTITION BY event_type ORDER BY d
+             |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+             |  FROM ser),
+             |se AS (
+             |  SELECT event_type, d, y, trend,
+             |    avg(y - trend) OVER (PARTITION BY event_type, (d % 7 + 7) % 7)
+             |      AS seasonal
+             |  FROM tr)
+             |SELECT event_type, d, CAST(y AS BIGINT) AS y,
+             |  round(trend + 1e-9, 4) AS trend,
+             |  round(seasonal + 1e-9, 4) AS seasonal,
+             |  round(y - trend - seasonal + 1e-9, 4) AS resid
+             |FROM se ORDER BY event_type, d""".stripMargin)),
+
+    // Autocorrelation function ([CH] — the period detector behind
+    // `seriesPeriodDetectFFT`'s use cases, in the direct Pearson form
+    // the series length supports): per event type, corr(y_t, y_{t−k})
+    // for lags 1..7 over the daily-count series. A weekly cycle shows
+    // up as an ACF peak at lag 7. The series collapses to the
+    // (type × day) grid first; the lag alignment is a grid-to-grid
+    // equi-join on (type, d−k) — 7 lag copies of a calendar-bounded
+    // grid, never the raw events. Pearson corr is
+    // normalization-invariant (population/sample cancels), so both
+    // engines agree to float association, absorbed by the 1e-9 round.
+    "q_autocorr" -> QueryDef(
+      (s, dir) => {
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts_s")),
+              to_date(lit("2024-01-01"))).cast("long").as("d"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val lagged = ser.select(col("event_type"), col("d"), col("y"),
+          explode(sequence(lit(1L), lit(7L))).as("lag"))
+        val prior = ser.select(col("event_type").as("pt"),
+          col("d").as("pd"), col("y").as("py"))
+        lagged
+          .join(prior, col("event_type") === col("pt") &&
+            col("d") - col("lag") === col("pd"))
+          .groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(corr("y", "py") + 1e-9, 4).as("acf"))
+          .orderBy("event_type", "lag")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS d,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |lags AS (SELECT unnest(range(1, 8)) AS lag)
+             |SELECT c.event_type, CAST(l.lag AS BIGINT) AS lag,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(corr(c.y, p.y) + 1e-9, 4) AS acf
+             |FROM ser c CROSS JOIN lags l
+             |JOIN ser p ON p.event_type = c.event_type AND p.d = c.d - l.lag
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Tukey-fence outlier detection over a series ([CH]
+    // `seriesOutliersDetectTukey`): per event type, flag days whose
+    // count falls outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles are
+    // the EXACT linear-interpolation kind (the q_agg_percentile
+    // convention — Spark `percentile` ≡ DuckDB `quantile_cont`), so
+    // over integer counts the fences land on exact 0.125-step doubles
+    // and the strict comparisons agree bit-for-bit with no epsilon.
+    // Every grid point is emitted with its flag (the CH function
+    // returns a per-point score array) — a 1-row outlier set would
+    // make the hash check nearly vacuous. Shape: collapse to the
+    // (type × day) grid, ONE grid-bounded aggregate for the fences
+    // per type (tiny — broadcast joins back), then a row-local flag
+    // over the grid. Nothing data-scale crosses a window.
+    "q_tukey_outliers" -> QueryDef(
+      (s, dir) => {
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts_s")),
+              to_date(lit("2024-01-01"))).cast("long").as("d"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val fences = ser.groupBy("event_type")
+          .agg(expr("percentile(y, 0.25)").as("q1"),
+            expr("percentile(y, 0.75)").as("q3"))
+          .select(col("event_type").as("ft"),
+            (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+            (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+        ser.join(broadcast(fences), col("event_type") === col("ft"))
+          .select(col("event_type"), col("d"), col("y").cast("long").as("y"),
+            round(col("lo"), 4).as("fence_lo"),
+            round(col("hi"), 4).as("fence_hi"),
+            (col("y") < col("lo") || col("y") > col("hi")).as("is_outlier"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS d,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |f AS (
+             |  SELECT event_type AS ft,
+             |    quantile_cont(y, 0.25) - (quantile_cont(y, 0.75) - quantile_cont(y, 0.25)) * 1.5 AS lo,
+             |    quantile_cont(y, 0.75) + (quantile_cont(y, 0.75) - quantile_cont(y, 0.25)) * 1.5 AS hi
+             |  FROM ser GROUP BY 1)
+             |SELECT event_type, d, CAST(y AS BIGINT) AS y,
+             |  round(lo, 4) AS fence_lo, round(hi, 4) AS fence_hi,
+             |  (y < lo OR y > hi) AS is_outlier
+             |FROM ser JOIN f ON event_type = ft
+             |ORDER BY event_type, d""".stripMargin)))
 }

@@ -120,8 +120,22 @@ object Dedup extends QueryModule {
     * BEFORE the distinct shuffle.
     */
   private def candidatePairs(
-      sigs: DataFrame, bucketKeep: Column, pairKeep: Column): DataFrame = {
-    val pairs = sigs.select(col("doc_id"),
+      sigs: DataFrame, bucketKeep: Column, pairKeep: Column): DataFrame =
+    rawPairs(sigs, bucketKeep, pairKeep)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The id-only half of the pipeline: banded bucket census, cap,
+    * in-row pair expansion — no signature join-backs, for callers
+    * (the verified batch query) that re-derive similarity exactly and
+    * would otherwise pay two dead joins per pair.
+    */
+  private def rawPairs(
+      sigs: DataFrame, bucketKeep: Column, pairKeep: Column): DataFrame =
+    sigs.select(col("doc_id"),
         posexplode(TextFns.bandKeys(col("sig"), 4, 4)).as(Seq("band", "band_key")))
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -132,13 +146,6 @@ object Dedup extends QueryModule {
       .select("p.doc_a", "p.doc_b")
       .filter(pairKeep)
       .distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** The batch LSH candidate surface (doc_a, doc_b, est_jaccard) —
     * the unverified half of `q_dedup_minhash`, shared with the
@@ -234,12 +241,23 @@ object Dedup extends QueryModule {
              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
     // MinHash + LSH banding, declared in its VERIFIED form — the full
-    // production loop: candidate pairs from the banded buckets (one
-    // collect-per-bucket pass + in-row expansion, capped at BucketCap
-    // before any pair exists; ids-only through the explosion), then
-    // each candidate verified with EXACT 3-gram-shingle Jaccard (a
-    // row-local set intersection over the two docs' gram sets — cost
-    // O(candidates), never O(corpus²)) and kept at τ ≥ 0.5.
+    // production loop, with the production pre-step: EXACT-DUP
+    // COLLAPSE FIRST (the SlimPajama/RefinedWeb ordering). Identical
+    // texts are grouped by fingerprint and ONE representative per
+    // group runs the expensive path — signatures, banded buckets
+    // (capped at BucketCap before any pair exists), exact
+    // 3-gram-shingle Jaccard per candidate rep pair (row-local set
+    // intersection; O(rep candidates), never O(corpus²)), kept at
+    // τ ≥ 0.5. Doc-level pairs are then pure id expansion: within a
+    // dup group every pair is Jaccard 1 by identity; across verified
+    // rep pairs every member combination inherits the reps' J (their
+    // texts are the reps' texts). Why it matters at scale: duplicate
+    // multiplicity m inflates bucket membership m× and candidate
+    // pairs m² — the sf1 rehearsal (10 copies of every text) measured
+    // 250k gram-array verifications; collapsed, the verify set is
+    // copy-count-invariant and only bounded id arrays expand. It also
+    // makes the bucket CAP robust: dup multiplicity can no longer
+    // evict a bucket (70 copies of 7 texts ≠ 70 distinct texts).
     // ORACLE-CHECKED: the driver hash-compares against brute-force
     // all-pairs shingle Jaccard ≥ τ, which is equal as long as LSH
     // recall at τ is 1 on the corpus — PipelineSpec pins that
@@ -250,23 +268,39 @@ object Dedup extends QueryModule {
     // [[batchCandidates]] (est_jaccard) and the incremental query.
     "q_dedup_minhash" -> QueryDef(
       (s, dir) => {
-        val grams = Tables(s, dir, "documents").select(col("doc_id"),
-          array_distinct(expr(
-            """transform(sequence(1, greatest(1, size(split(text, ' ')) - 2)),
-              |  g -> array_join(slice(split(text, ' '), g, 3), ' '))""".stripMargin))
-            .as("grams"))
-        // ONE gram pass, not one per join side: the candidate pairs
-        // explode to (pair, role, doc_id) rows that BROADCAST onto the
-        // gram scan (pairs are bucket-capped — bounded id-triples), so
-        // the corpus computes grams exactly once and only candidate
-        // docs' gram sets travel through the pair-keyed regroup.
-        val roles = batchCandidates(s, dir)
+        // One fingerprint shuffle carries each distinct text once;
+        // the checkpoint is reused by sigs, grams, and both
+        // expansions (100 TB analog: the materialized exact-dedup
+        // table q_optimize_dedup already produces).
+        val groups = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("rep_id"),
+            first("text").as("text"), // group members share one text
+            sort_array(collect_list(col("doc_id"))).as("members"))
+          .localCheckpoint()
+        val sigs = groups.select(col("rep_id").as("doc_id"),
+          TextFns.minhashSignature(col("text"), 3, 16).as("sig"))
+        val repPairs = rawPairs(sigs, lit(true), lit(true))
+        // ws is projected ONCE before the gram lambda (an inlined
+        // split would re-tokenize per gram); reps only.
+        val grams = groups
+          .select(col("rep_id").as("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            array_distinct(expr(
+              """transform(sequence(1, greatest(1, size(ws) - 2)),
+                |  g -> array_join(slice(ws, g, 3), ' '))""".stripMargin))
+              .as("grams"))
+        // ONE gram pass, not one per join side: the candidate rep
+        // pairs explode to (pair, role, doc_id) rows that BROADCAST
+        // onto the gram scan, so gram sets travel only for candidates.
+        val roles = repPairs
           .select(col("doc_a"), col("doc_b"),
             explode(array(
               struct(lit("a").as("role"), col("doc_a").as("doc_id")),
               struct(lit("b").as("role"), col("doc_b").as("doc_id")))).as("r"))
           .select(col("doc_a"), col("doc_b"), col("r.role"), col("r.doc_id"))
-        grams.join(broadcast(roles), Seq("doc_id"))
+        val verified = grams.join(broadcast(roles), Seq("doc_id"))
           .groupBy("doc_a", "doc_b")
           .agg(
             first(when(col("role") === "a", col("grams")), ignoreNulls = true).as("ga"),
@@ -275,6 +309,21 @@ object Dedup extends QueryModule {
           .withColumn("j", col("c") /
             (size(col("ga")) + size(col("gb")) - col("c")))
           .filter(col("j") >= 0.5)
+          .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("j"))
+        val within = groups.filter(size(col("members")) > 1)
+          .select(explode(expr(
+            pairExpansion("members", "a AS doc_a, b AS doc_b"))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("j"))
+        val cross = verified
+          .join(groups.select(col("rep_id").as("rep_a"), col("members").as("ma")),
+            Seq("rep_a"))
+          .join(groups.select(col("rep_id").as("rep_b"), col("members").as("mb")),
+            Seq("rep_b"))
+          .select(explode(col("ma")).as("x"), col("mb"), col("j"))
+          .select(col("x"), explode(col("mb")).as("y"), col("j"))
+          .select(least(col("x"), col("y")).as("doc_a"),
+            greatest(col("x"), col("y")).as("doc_b"), col("j"))
+        within.unionByName(cross)
           .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
           .orderBy("doc_a", "doc_b")
       },
@@ -397,6 +446,56 @@ object Dedup extends QueryModule {
              |JOIN sizes sa ON sa.doc_id = doc_a
              |JOIN sizes sb ON sb.doc_id = doc_b
              |WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Asymmetric n-gram CONTAINMENT (Broder 1997's "roughly contained
+    // in", the quote/boilerplate detector Jaccard misses: a short doc
+    // embedded verbatim in a long one scores near-zero Jaccard but
+    // containment ≈ 1). Directed pairs over distinct word 3-grams:
+    // C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ 0.8, i.e. doc_a
+    // is mostly inside doc_b. The 0.8 cut is exact INTEGER arithmetic
+    // (5·common ≥ 4·|a|) on both engines — no float boundary can
+    // disagree (the jaccard query's rounded-threshold hazard). Same
+    // bounded-sample + gram-equi-join shape as its Jaccard twin: cost
+    // is Σ per-gram bucket², the corpus never crosses as pairs.
+    "q_dedup_containment" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+        val grams = docs.select(col("doc_id"),
+          explode(array_distinct(
+            TextFns.shingles(TextFns.words(col("text")), 3))).as("g"))
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val common = grams.select(col("doc_id").as("doc_a"), col("g"))
+          .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("n_grams").as("na")), Seq("doc_a"))
+          .filter(col("n_common") * 5 >= col("na") * 4)
+          .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+            round(col("n_common").cast("double") / col("na"), 4)
+              .as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             |    ELSE [array_to_string(ws, ' ')] END) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents WHERE doc_id < 200)),
+             |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(n_common AS BIGINT) AS n_common,
+             |  CAST(sa.n_grams AS BIGINT) AS na,
+             |  round(CAST(n_common AS DOUBLE) / sa.n_grams, 4) AS containment
+             |FROM common JOIN sizes sa ON sa.doc_id = doc_a
+             |WHERE n_common * 5 >= sa.n_grams * 4
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Embedding near-dup: pairs within the same coarse cluster (label)

@@ -38,7 +38,7 @@ object Multimodal extends QueryModule {
       byte_len: Long,
       width: Int,      // from the BMP/Y4M header (0 for audio)
       height: Int,
-      n_frames: Int,   // Y4M frame count / WAV sample count ÷ 1k bucket
+      n_frames: Int,   // Y4M frame count / WAV sample count (1 for image)
       sample_rate: Int,// WAV fmt chunk (0 for image/video)
       mean_val: Double,// mean decoded CONTENT (pixels / samples / luma)
       content_hash: Long)
@@ -197,15 +197,55 @@ object Multimodal extends QueryModule {
 
   def entries: Map[String, QueryDef] = Map(
 
-    // Header geometry + decoded-content features via the real codec;
-    // rows-only driver check (binary pipeline, not SQL-expressible in
-    // the oracle) — the codec itself is spec'd against hand-built
-    // files (MediaCodecSpec), and metadata↔header consistency is
-    // asserted there too.
+    // Header geometry via the real codec — HASH-CHECKED: the Spark
+    // side PARSES the container bytes (magic, chunk walk, geometry),
+    // while the oracle re-derives the same geometry ARITHMETICALLY
+    // from the fixture generator's parameters (BMP row stride + 54-
+    // byte header, RIFF 44-byte header + 2 bytes/sample, Y4M ASCII
+    // header whose length depends on the printed W/H digits plus
+    // FRAME\n-delimited 4:2:0 planes). Two independent routes to the
+    // same numbers: a decoder bug (wrong offset, missed padding) and
+    // an encoder bug (wrong stride) both break the match. Decoded
+    // CONTENT stats live in q_multimodal_content (not SQL-reachable).
     "q_multimodal_meta" -> QueryDef(
       (s, dir) => extractFeatures(assets(s, dir)).toDF()
         .select(col("asset_id"), col("kind"), col("byte_len"),
-          col("width"), col("height"), col("n_frames"), col("sample_rate"),
+          col("width"), col("height"), col("n_frames"), col("sample_rate"))
+        .orderBy("asset_id"),
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS kind,
+             |    n_chars % 31 + 2 AS iw, n_chars % 23 + 2 AS ih,
+             |    n_chars % 997 + 64 AS ns,
+             |    (n_chars % 15 + 1) * 2 AS vw, (n_chars % 11 + 1) * 2 AS vh,
+             |    n_chars % 16 + 1 AS nf
+             |  FROM documents)
+             |SELECT doc_id AS asset_id, kind,
+             |  CAST(CASE kind
+             |    WHEN 'image' THEN 54 + ((3 * iw + 3) // 4) * 4 * ih
+             |    WHEN 'audio' THEN 44 + 2 * ns
+             |    ELSE 37 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
+             |         + nf * (6 + vw * vh * 3 // 2)
+             |  END AS BIGINT) AS byte_len,
+             |  CAST(CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN 0
+             |    ELSE vw END AS INTEGER) AS width,
+             |  CAST(CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 0
+             |    ELSE vh END AS INTEGER) AS height,
+             |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN ns
+             |    ELSE nf END AS INTEGER) AS n_frames,
+             |  CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0
+             |    END AS INTEGER) AS sample_rate
+             |FROM g ORDER BY asset_id""".stripMargin)),
+
+    // Decoded-content features (mean pixel/sample/luma + content
+    // hash) through the real codec; rows-only driver check (byte-level
+    // folds over decoded planes are not SQL-expressible) — the codec
+    // itself is spec'd against hand-built files (MediaCodecSpec), and
+    // metadata↔header consistency is asserted there too.
+    "q_multimodal_content" -> QueryDef(
+      (s, dir) => extractFeatures(assets(s, dir)).toDF()
+        .select(col("asset_id"), col("kind"), col("byte_len"),
           round(col("mean_val"), 4).as("mean_val"), col("content_hash"))
         .orderBy("asset_id"),
       None),

@@ -517,6 +517,97 @@ object QualityOps extends QueryModule {
              |  CAST(sum(CASE WHEN s0 OR s1 OR s2 THEN pos ELSE 0 END) AS BIGINT) AS corrupted_pos_sum
              |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    // Training of Language Models to Fill in the Middle") — the
+    // autoregressive-infilling data augmentation: half the corpus is
+    // split prefix|middle|suffix at document-keyed pseudo-random cut
+    // points and re-serialized sentinel-first (PSM) or suffix-first
+    // (SPM, 50/50), the rest passes through. RNG is replaced by md5
+    // digits of the doc id (the q_span_corruption discipline), so
+    // both engines derive identical cuts — Spark converts the hex
+    // via conv(_,16,10), the oracle via a strpos digit lookup: two
+    // independent routes to the same integers. Cut arithmetic is
+    // exact integer div; every selected doc gets non-empty P/M/S
+    // (p ≤ n−2, m ≤ n−p−1 by construction). The emitted md5 of the
+    // re-serialized string hash-pins the whole transform without
+    // shipping corpus text through the compare. Zero-shuffle
+    // codegen'd projection — the 100 TB shape is a pure scan-side
+    // map, same cost class as q_pii_scrub.
+    "q_fim_transform" -> QueryDef(
+      (s, dir) => {
+        val h = md5(concat(col("doc_id").cast("string"), lit(":fim")))
+        def hexAt(p: Int, len: Int) =
+          conv(substring(h, p, len), 16, 10).cast("long")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n"),
+            hexAt(1, 1).as("d0"), hexAt(2, 1).as("d1"),
+            hexAt(3, 2).as("c1"), hexAt(5, 2).as("c2"))
+          .withColumn("mode",
+            when(col("d0") >= 8 || col("n") < 3, "none")
+              .when(col("d1") < 8, "psm").otherwise("spm"))
+          .withColumn("p_len",
+            when(col("mode") === "none", col("n"))
+              .otherwise(lit(1) + expr("c1 * (n - 2) div 256")))
+          .withColumn("m_len",
+            when(col("mode") === "none", 0L)
+              .otherwise(lit(1) + expr("c2 * (n - p_len - 1) div 256")))
+          .withColumn("s_len", col("n") - col("p_len") - col("m_len"))
+          .withColumn("fim_md5", md5(
+            when(col("mode") === "none", col("text"))
+              .when(col("mode") === "psm", concat(
+                lit("<P>"), col("text").substr(lit(1), col("p_len")),
+                lit("<S>"), col("text").substr(
+                  col("p_len") + col("m_len") + 1, col("s_len")),
+                lit("<M>"), col("text").substr(
+                  col("p_len") + 1, col("m_len"))))
+              .otherwise(concat(
+                lit("<S>"), col("text").substr(
+                  col("p_len") + col("m_len") + 1, col("s_len")),
+                lit("<P>"), col("text").substr(lit(1), col("p_len")),
+                lit("<M>"), col("text").substr(
+                  col("p_len") + 1, col("m_len"))))))
+          .select("doc_id", "mode", "p_len", "m_len", "s_len", "fim_md5")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+             |    md5(CAST(doc_id AS VARCHAR) || ':fim') AS h
+             |  FROM documents),
+             |hx AS (
+             |  SELECT doc_id, text, n,
+             |    strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS d0,
+             |    strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS d1,
+             |    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS c1,
+             |    (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS c2
+             |  FROM d),
+             |m AS (
+             |  SELECT doc_id, text, n, c2,
+             |    CASE WHEN d0 >= 8 OR n < 3 THEN 'none'
+             |         WHEN d1 < 8 THEN 'psm' ELSE 'spm' END AS mode,
+             |    CASE WHEN d0 >= 8 OR n < 3 THEN n
+             |         ELSE 1 + c1 * (n - 2) // 256 END AS p_len
+             |  FROM hx),
+             |mm AS (
+             |  SELECT doc_id, text, n, mode, p_len,
+             |    CASE WHEN mode = 'none' THEN 0
+             |         ELSE 1 + c2 * (n - p_len - 1) // 256 END AS m_len
+             |  FROM m)
+             |SELECT doc_id, mode,
+             |  CAST(p_len AS BIGINT) AS p_len, CAST(m_len AS BIGINT) AS m_len,
+             |  CAST(n - p_len - m_len AS BIGINT) AS s_len,
+             |  md5(CASE mode WHEN 'none' THEN text
+             |    WHEN 'psm' THEN '<P>' || substr(text, 1, CAST(p_len AS INT))
+             |      || '<S>' || substr(text, CAST(p_len + m_len + 1 AS INT), CAST(n - p_len - m_len AS INT))
+             |      || '<M>' || substr(text, CAST(p_len + 1 AS INT), CAST(m_len AS INT))
+             |    ELSE '<S>' || substr(text, CAST(p_len + m_len + 1 AS INT), CAST(n - p_len - m_len AS INT))
+             |      || '<P>' || substr(text, 1, CAST(p_len AS INT))
+             |      || '<M>' || substr(text, CAST(p_len + 1 AS INT), CAST(m_len AS INT))
+             |  END) AS fim_md5
+             |FROM mm ORDER BY doc_id""".stripMargin)),
+
     // Context-window chunking — packing's sibling (q_pack_sequences
     // concatenates SHORT docs into bins; this splits LONG docs into
     // overlapping max-length windows, the other half of every

@@ -328,6 +328,100 @@ object TextOps extends QueryModule {
              |SELECT round(regr_slope(ln(c), ln(CAST(rk AS DOUBLE))), 4) AS zipf_slope,
              |  round(regr_intercept(ln(c), ln(CAST(rk AS DOUBLE))), 4) AS zipf_intercept,
              |  CAST(count(*) AS BIGINT) AS n_ranks
-             |FROM top""".stripMargin))
+             |FROM top""".stripMargin)),
+
+    // Per-language character-class profile ([LLM] corpus QA — the
+    // script/encoding screen run before language-specific filtering:
+    // a "de" shard full of CJK bytes or NUL-ridden mojibake shows up
+    // here first; Dolma and CCNet both gate on exactly these ratios).
+    // Class counts are length-deltas of class-stripped text — one
+    // codegen'd projection, no explode, no per-character rows; the
+    // aggregate is a map-side-combined sum over the tiny lang domain.
+    // Classes are spelled as explicit ASCII ranges (the Java-regex ∩
+    // RE2 dialect intersection, the q_pii_scrub rule) — [^ -~] is
+    // "outside printable ASCII", i.e. multibyte + control. Both
+    // engines count CHARACTERS (Spark length = DuckDB length), so
+    // multibyte text agrees; DuckDB needs the explicit 'g' flag
+    // (its regexp_replace defaults to first-match-only, Spark's to
+    // global — a silent 1-vs-N divergence if unflagged).
+    "q_unicode_stats" -> QueryDef(
+      (s, dir) => {
+        def stripped(re: String) =
+          length(regexp_replace(col("text"), re, "")).cast("long")
+        val n = length(col("text")).cast("long")
+        Tables(s, dir, "documents")
+          .select(col("lang"), n.as("n"),
+            (n - stripped("[A-Za-z]")).as("letters"),
+            (n - stripped("[0-9]")).as("digits"),
+            (n - stripped(" ")).as("spaces"),
+            (n - stripped("[!-/:-@\\[-`{-~]")).as("punct"),
+            (n - stripped("[^ -~]")).as("non_ascii"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n").as("n_chars"),
+            sum("letters").as("letters"),
+            sum("digits").as("digits"),
+            sum("spaces").as("spaces"),
+            sum("punct").as("punct"),
+            sum("non_ascii").as("non_ascii"),
+            round(sum("non_ascii") / sum("n").cast("double") + 1e-9, 4)
+              .as("non_ascii_ratio"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, CAST(length(text) AS BIGINT) AS n,
+             |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS letters,
+             |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+             |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces,
+             |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS punct,
+             |    CAST(length(text) - length(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT) AS non_ascii
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS n_chars,
+             |  CAST(sum(letters) AS BIGINT) AS letters,
+             |  CAST(sum(digits) AS BIGINT) AS digits,
+             |  CAST(sum(spaces) AS BIGINT) AS spaces,
+             |  CAST(sum(punct) AS BIGINT) AS punct,
+             |  CAST(sum(non_ascii) AS BIGINT) AS non_ascii,
+             |  round(sum(non_ascii) / CAST(sum(n) AS DOUBLE) + 1e-9, 4) AS non_ascii_ratio
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Tokenizer fertility ([LLM] tokenizer QA — Rust et al. 2021,
+    // "How Good is Your Tokenizer?": bytes-per-token and
+    // tokens-per-character by language are THE cross-lingual
+    // tokenizer-cost metrics; a language whose fertility blows up is
+    // being shredded into sub-word confetti and will train badly).
+    // Reuses q_token_count's BPE-ish sub-token regex as the
+    // tokenizer stand-in; byte mass via octet_length (bytes ≠ chars
+    // exactly where fertility matters — multibyte scripts). One
+    // zero-shuffle projection + a lang-domain hash aggregate; ratio
+    // of sums (corpus-level fertility), not mean-of-ratios.
+    "q_token_fertility" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("lang"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          length(col("text")).cast("long").as("n_chars"),
+          regexp_count(col("text"), lit("[a-z0-9]{1,4}")).cast("long")
+            .as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bytes").as("total_bytes"),
+          sum("n_tokens").as("total_tokens"),
+          round(sum("n_bytes") / sum("n_tokens").cast("double") + 1e-9, 4)
+            .as("bytes_per_token"),
+          round(sum("n_tokens") * 100 / sum("n_chars").cast("double") + 1e-9, 4)
+            .as("tokens_per_100chars"))
+        .orderBy("lang"),
+      Some("""WITH t AS (
+             |  SELECT lang, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  round(sum(n_bytes) / CAST(sum(n_tokens) AS DOUBLE) + 1e-9, 4) AS bytes_per_token,
+             |  round(sum(n_tokens) * 100 / CAST(sum(n_chars) AS DOUBLE) + 1e-9, 4) AS tokens_per_100chars
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

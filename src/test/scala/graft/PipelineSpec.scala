@@ -659,4 +659,60 @@ class PipelineSpec extends SparkSpec {
     val mined = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(mined == brute, "mined ≠ brute-force filtered top-5")
   }
+
+  test("FIM transform partitions every selected doc into non-empty P/M/S") {
+    val rows = SparkEntry.queries("q_fim_transform")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var applied = 0
+    rows.foreach { r =>
+      val (mode, p, m, s2) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (mode == "none") assert(m == 0 && s2 == 0)
+      else {
+        applied += 1
+        assert(p >= 1 && m >= 1 && s2 >= 1, s"empty FIM part at $r")
+        assert(Set("psm", "spm")(mode))
+      }
+    }
+    // md5-digit coin ⇒ roughly half the corpus is transformed
+    assert(applied > rows.length / 4 && applied < rows.length * 3 / 4,
+      s"FIM selection rate off: $applied of ${rows.length}")
+  }
+
+  test("containment pairs are directed, bounded, and catch the planted dups") {
+    val rows = SparkEntry.queries("q_dedup_containment")(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b, common, na, c) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(a != b && common <= na, s"impossible containment row $r")
+      assert(c >= 0.8 - 1e-9 && c <= 1.0 + 1e-9, s"containment out of band: $r")
+    }
+    // byte-identical TEXTS have identical 3-gram sets, so each such
+    // pair must appear in BOTH directions at containment 1.0
+    val fp = Tables(spark, sf, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).collect()
+      .groupBy(_.getString(1)).values.filter(_.length > 1)
+    val dir = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    fp.foreach { grp =>
+      val ids = grp.map(_.getLong(0))
+      for (a <- ids; b <- ids if a != b)
+        assert(dir((a, b)), s"exact dup pair ($a,$b) missing from containment")
+    }
+  }
+
+  test("per-group sample is deterministic, k-bounded, and within-group") {
+    val g1 = SparkEntry.queries("q_agg_group_sample")(spark, sf).collect()
+    val g2 = SparkEntry.queries("q_agg_group_sample")(spark, sf).collect()
+    assert(g1.map(_.toString).toSeq == g2.map(_.toString).toSeq)
+    assert(g1.nonEmpty)
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderpriority", "o_orderkey").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    g1.foreach { r =>
+      val keys = r.getString(1).split(',').map(_.toLong)
+      assert(r.getLong(2) <= 3 && keys.length == r.getLong(2))
+      assert(keys.forall(orders(r.getString(0))),
+        s"sampled key outside group at $r")
+    }
+  }
 }

@@ -172,4 +172,45 @@ class TimeSeriesSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope should be ~ -1")
   }
+
+  test("seasonal decomposition reconstructs the series and centers the seasonal") {
+    val rows = SparkEntry.queries("q_series_decompose")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (y, t, s, res) = (r.getLong(2).toDouble, r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      // identity y = trend + seasonal + resid survives the 4-dp rounds
+      assert(math.abs(y - (t + s + res)) < 3e-4,
+        s"decomposition identity broken at $r")
+    }
+    // every (type, dow) seasonal is a mean of detrended values, so the
+    // per-type seasonal means weighted by dow counts must net to ~the
+    // detrended mean; cheap proxy: |seasonal| stays below the series max
+    val maxY = rows.map(_.getLong(2)).max.toDouble
+    assert(rows.map(r => math.abs(r.getDouble(4))).max < maxY)
+  }
+
+  test("tukey fences flag exactly the points outside [q1-1.5IQR, q3+1.5IQR]") {
+    val rows = SparkEntry.queries("q_tukey_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (y, lo, hi, flag) =
+        (r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(lo <= hi, s"fences inverted at $r")
+      assert(flag == (y < lo || y > hi), s"flag inconsistent at $r")
+    }
+  }
+
+  test("autocorrelation stays in [-1, 1] and pairs shrink with the lag") {
+    val rows = SparkEntry.queries("q_autocorr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-6, s"acf out of range: $r")
+    }
+    // within one event type, n_pairs is non-increasing as lag grows
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byLag = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(byLag.zip(byLag.tail).forall { case (a, b) => b <= a })
+    }
+  }
 }

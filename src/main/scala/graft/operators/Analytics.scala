@@ -22,6 +22,52 @@ import org.apache.spark.sql.functions._
   */
 object Analytics extends QueryModule {
 
+  /** q_logreg_gd's fixed schedule: full-batch steps and learning rate.
+    * 12 steps with η=4 visibly reduces the loss on the fixture (0.693
+    * → 0.637; the scaled features are only weakly predictive of the
+    * return flag, which is fine — the gate checks the arithmetic, not
+    * the model) while keeping weights small enough that σ stays in
+    * (0.05, 0.95) — no ln(1−σ) underflow on either engine.
+    */
+  private val LogRegIters = 12
+  private val LogRegEta = 4.0
+
+  /** The DuckDB twin of q_logreg_gd's driver loop: the SAME gradient
+    * steps unrolled as chained CTEs (w1..wN each one aggregate over
+    * the feature projection joined to the previous weights), generated
+    * rather than hand-written so the two sides can never drift apart
+    * on step count or learning rate.
+    */
+  private def logregOracle(iters: Int, eta: Double): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH d AS (
+        |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+        |           AS DOUBLE) AS y,
+        |         l_quantity / 50.0 AS x1,
+        |         l_extendedprice / 100000.0 AS x2
+        |  FROM lineitem),
+        |w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)""".stripMargin)
+    for (i <- 1 to iters) sb.append(s""",
+        |w$i AS (
+        |  SELECT
+        |    any_value(a) - $eta * avg(1.0/(1.0 + exp(-(a + b*x1 + c*x2))) - y) AS a,
+        |    any_value(b) - $eta * avg((1.0/(1.0 + exp(-(a + b*x1 + c*x2))) - y) * x1) AS b,
+        |    any_value(c) - $eta * avg((1.0/(1.0 + exp(-(a + b*x1 + c*x2))) - y) * x2) AS c
+        |  FROM d CROSS JOIN w${i - 1})""".stripMargin)
+    sb.append(s"""
+        |SELECT round(a + 1e-9, 4) AS w0,
+        |  round(b + 1e-9, 4) AS w_quantity,
+        |  round(c + 1e-9, 4) AS w_price,
+        |  round(avg(-(y * ln(1.0/(1.0 + exp(-(a + b*x1 + c*x2))))
+        |    + (1.0 - y) * ln(1.0 - 1.0/(1.0 + exp(-(a + b*x1 + c*x2))))))
+        |    + 1e-9, 4) AS log_loss,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM d CROSS JOIN w$iters
+        |GROUP BY a, b, c""".stripMargin)
+    sb.toString
+  }
+
   /** Welch's t-statistic pieces from (mean, sample-variance, count)
     * pairs — the same arithmetic both engines run, so the oracle is a
     * formula-level check, not a library call.
@@ -787,6 +833,57 @@ object Analytics extends QueryModule {
     // exactness for one pass — at 100 TB both are two cheap
     // aggregates vs one, same shuffle shape (zero: scan-local
     // partials, 1-row exchange).
+    // Logistic regression by FULL-BATCH gradient descent — the
+    // deterministic analog of ClickHouse's stochasticLogisticRegression
+    // (reference layer [CH]; SGD's per-row update order is
+    // executor-scheduling-dependent, so the reproducible distributed
+    // form is the batch gradient: same fixed point, same API shape).
+    // Each of the 12 iterations is ONE map-side-combined aggregate
+    // over the cached feature projection (3 doubles/row); only the
+    // 3-double gradient crosses to the driver per step — model-scale,
+    // like the k-means centroid loop. Features are scaled by fixture
+    // constants (not standardized) to keep the pass count at 1.
+    // The oracle unrolls the identical 12 steps as chained CTEs —
+    // generated by [[logregOracle]], not hand-written. Cross-engine
+    // drift (sum order + libm exp ulps) compounds only linearly over
+    // 12 iterations (~1e-12), far under the shared 1e-9 nudge.
+    "q_logreg_gd" -> QueryDef(
+      (s, dir) => {
+        val feats = Tables(s, dir, "lineitem")
+          .select(
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+            (col("l_quantity") / 50.0).as("x1"),
+            (col("l_extendedprice") / 100000.0).as("x2"))
+          .persist()
+        def sig(a: Double, b: Double, c: Double) =
+          lit(1.0) / (lit(1.0) +
+            exp(-(lit(a) + lit(b) * col("x1") + lit(c) * col("x2"))))
+        var (a, b, c) = (0.0, 0.0, 0.0)
+        (1 to LogRegIters).foreach { _ =>
+          val g = feats.agg(
+            avg(sig(a, b, c) - col("y")).as("g0"),
+            avg((sig(a, b, c) - col("y")) * col("x1")).as("g1"),
+            avg((sig(a, b, c) - col("y")) * col("x2")).as("g2")).head()
+          a -= LogRegEta * g.getDouble(0)
+          b -= LogRegEta * g.getDouble(1)
+          c -= LogRegEta * g.getDouble(2)
+        }
+        val p = sig(a, b, c)
+        val out = feats.agg(
+            round(avg(-(col("y") * log(p) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - p))) + 1e-9, 4)
+              .as("log_loss"),
+            count(lit(1)).as("n"))
+          .select(
+            round(lit(a) + 1e-9, 4).as("w0"),
+            round(lit(b) + 1e-9, 4).as("w_quantity"),
+            round(lit(c) + 1e-9, 4).as("w_price"),
+            col("log_loss"), col("n"))
+        feats.unpersist(blocking = false)
+        out
+      },
+      Some(logregOracle(LogRegIters, LogRegEta))),
+
     "q_linreg_multi" -> QueryDef(
       (s, dir) => olsTwoFeature(Tables(s, dir, "lineitem"),
         col("l_quantity"), col("l_discount"), col("l_extendedprice"))

@@ -42,6 +42,43 @@ object Cluster extends QueryModule {
 
   private val ConvergenceFuse = 50
 
+  /** q_pagerank's fixed power-iteration count. 8 rounds on the dense
+    * co-purchase graph moves every rank well off the uniform start
+    * while keeping the unrolled oracle CTE chain readable.
+    */
+  private val PageRankIters = 8
+
+  /** The DuckDB twin of q_pagerank's iteration loop: the same
+    * symmetrized edge list, degree table, and 8 unnormalized damped
+    * power-iteration steps as chained CTEs — generated, not
+    * hand-written, so iteration count and damping can never drift
+    * between the engines.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e0 AS (
+        |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |d AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        |      FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, 1.0 AS r FROM d)""".stripMargin)
+    for (i <- 1 to iters) sb.append(s""",
+        |r$i AS (
+        |  SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / d.deg) AS r
+        |  FROM e JOIN d ON d.src = e.src
+        |         JOIN r${i - 1} p ON p.node = e.src
+        |  GROUP BY e.dst)""".stripMargin)
+    sb.append(s"""
+        |SELECT node, pr FROM (
+        |  SELECT node, round(r + 1e-9, 4) AS pr FROM r$iters
+        |  ORDER BY round(r + 1e-9, 4) DESC, node ASC LIMIT 20)
+        |ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** Hash-to-min label propagation to fixpoint: `nodes` carries one
     * `id` column; `edges` a symmetric, distinct (s, d) list (caller
     * localCheckpoints it — it is re-joined every round). Returns
@@ -235,5 +272,57 @@ object Cluster extends QueryModule {
               |FROM r
               |GROUP BY doc_a, doc_b, diag, grp
               |HAVING count(*) >= $MinRunGrams
-              |ORDER BY doc_a, doc_b, start_a, start_b, len_tokens""".stripMargin)))
+              |ORDER BY doc_a, doc_b, start_a, start_b, len_tokens""".stripMargin)),
+
+    // PageRank centrality over the customer↔supplier co-purchase
+    // graph — the host-authority signal web-scale curation pipelines
+    // compute over the link graph (CommonCrawl host PageRank as a
+    // document-quality prior). Power iteration, damping 0.85, the
+    // unnormalized 0.15 + 0.85·Σ r/deg form; the bipartite purchase
+    // edges are SYMMETRIZED (undirected random walk) so no node
+    // dangles and the walk conserves. Multi-edges are kept: an edge
+    // per purchase weights the walk by transaction volume, and both
+    // engines see the identical multiset. Scale shape: the edge list
+    // (with out-degree pre-joined) is built once and persisted; each
+    // of the 8 iterations is one edge⨝rank shuffle + one dst-keyed
+    // map-side-combined aggregate, and the rank vector is
+    // localCheckpointed per round so the plan stays flat (the
+    // q_dedup_cluster discipline). Only O(k) rows ever reach the
+    // driver (TakeOrderedAndProject top-20); ranking compares the
+    // ROUNDED value so cross-engine ulp drift in the contribution
+    // sums can't flip an ordering. Oracle: the SAME 8 iterations
+    // unrolled as generated chained CTEs ([[pagerankOracle]]).
+    "q_pagerank" -> QueryDef(
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("ok"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("a"))
+        val e0 = li.join(ord, "ok")
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy("src")
+          .agg(count(lit(1)).cast("double").as("deg"))
+        val edgesW = edges.join(deg, "src").persist()
+        var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
+          .localCheckpoint()
+        (1 to PageRankIters).foreach { _ =>
+          ranks = edgesW
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint()
+        }
+        edgesW.unpersist(blocking = false)
+        ranks
+          .select(col("node"), round(col("r") + 1e-9, 4).as("pr"))
+          .orderBy(col("pr").desc, col("node").asc)
+          .limit(20)
+          .orderBy("node")
+      },
+      Some(pagerankOracle(PageRankIters)))
+  )
 }

@@ -336,5 +336,68 @@ object Mixing extends QueryModule {
               |SELECT lang, n_docs,
               |  round(w / sum(w) OVER (), 4) AS p,
               |  CAST(round(w / sum(w) OVER () * $MixBudget, 0) AS BIGINT) AS target_docs
-              |FROM g ORDER BY lang""".stripMargin)))
+              |FROM g ORDER BY lang""".stripMargin)),
+
+    // Corpus-mixture diversity audit — the data-mixture health check a
+    // training pipeline runs before (and after) sampling: per language,
+    // how concentrated is the source distribution? Shannon entropy
+    // H = −Σ p·ln p (nats, plus the evenness ratio H/ln k), Simpson
+    // concentration Σ p² (the probability two random docs share a
+    // source — 1/k when perfectly even), and the single largest source
+    // share (a head-domain dominance alarm: one crawl swamping a
+    // language). Scale shape: the corpus collapses to the (lang ×
+    // source) count grid in ONE map-side-combined hash aggregate —
+    // O(langs·sources) rows ever after — and the per-lang reduction is
+    // a second grid-sized aggregate; no windows, no joins, nothing
+    // unbounded past the first exchange.
+    "q_source_mix" -> QueryDef(
+      (s, dir) => {
+        val grid = Tables(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("c"))
+        grid
+          .groupBy("lang")
+          .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"),
+            // squares in double BEFORE the sum: c² overflows LongType
+            // (ANSI throws) once a (lang, source) cell nears 2^31.5
+            // docs — reachable at 100 TB. The doubles stay exact (and
+            // therefore engine-identical) while every c² < 2^53.
+            sum(col("c").cast("double") * col("c")).as("c2"),
+            sum(col("c").cast("double") * log(col("c").cast("double")))
+              .as("clogc"),
+            max("c").as("c_top"))
+          // H = ln N − (Σ c·ln c)/N: one pass, no per-row p division —
+          // the identity keeps the double chain short and identical on
+          // both engines.
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            round((log(col("n_docs").cast("double")) -
+              col("clogc") / col("n_docs")) + 1e-9, 4).as("shannon"),
+            round((log(col("n_docs").cast("double")) -
+              col("clogc") / col("n_docs")) /
+              log(col("n_sources").cast("double")) + 1e-9, 4).as("evenness"),
+            round(col("c2") /
+              (col("n_docs").cast("double") * col("n_docs")) + 1e-9, 4)
+              .as("simpson"),
+            round(col("c_top").cast("double") / col("n_docs") + 1e-9, 4)
+              .as("top_share"))
+          .orderBy("lang")
+      },
+      Some("""WITH grid AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY lang, source),
+             |r AS (
+             |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+             |    CAST(count(*) AS BIGINT) AS n_sources,
+             |    sum(CAST(c AS DOUBLE) * c) AS c2,
+             |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc,
+             |    CAST(max(c) AS BIGINT) AS c_top
+             |  FROM grid GROUP BY lang)
+             |SELECT lang, n_docs, n_sources,
+             |  round((ln(CAST(n_docs AS DOUBLE)) - clogc / n_docs) + 1e-9, 4)
+             |    AS shannon,
+             |  round((ln(CAST(n_docs AS DOUBLE)) - clogc / n_docs) /
+             |        ln(CAST(n_sources AS DOUBLE)) + 1e-9, 4) AS evenness,
+             |  round(c2 / (CAST(n_docs AS DOUBLE) * n_docs) + 1e-9, 4) AS simpson,
+             |  round(CAST(c_top AS DOUBLE) / n_docs + 1e-9, 4) AS top_share
+             |FROM r ORDER BY lang""".stripMargin)))
 }

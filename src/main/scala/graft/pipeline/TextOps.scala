@@ -422,6 +422,83 @@ object TextOps extends QueryModule {
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              |  round(sum(n_bytes) / CAST(sum(n_tokens) AS DOUBLE) + 1e-9, 4) AS bytes_per_token,
              |  round(sum(n_tokens) * 100 / CAST(sum(n_chars) AS DOUBLE) + 1e-9, 4) AS tokens_per_100chars
-             |FROM t GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene/CH
+    // full-text scoring staple and TF-IDF's saturating successor):
+    // top-20 documents for a fixed 3-term query, k1=1.2, b=0.75,
+    // idf = ln(1 + (N − df + ½)/(df + ½)). Scale shape: the corpus
+    // text is tokenized ONCE — per-doc length and the query-term tf
+    // come out of the same projection, so only the O(matching docs ×
+    // |query|) tf grid reaches the exchange; N/avgdl are a 1-row
+    // scalar broadcast and df is an O(|query|) broadcast. The rank
+    // windows over the ROUNDED score (both engines round first), so
+    // cross-engine ulp drift in the ln()/division chain cannot flip
+    // an ordering the 4-decimal grid doesn't see; doc_id breaks ties.
+    "q_bm25" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("vector", "stream", "merge")
+        // ONE tokenize pass: dl rides along with the exploded words so
+        // the corpus text is never split twice.
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+          .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+            explode(col("ws")).as("word"))
+        val scalars = toks.groupBy("doc_id").agg(first("dl").as("dl"))
+          .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+        val tf = toks.filter(col("word").isInCollection(terms))
+          .groupBy("doc_id", "word")
+          .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+        val df = tf.groupBy("word")
+          .agg(countDistinct("doc_id").cast("double").as("df"))
+        val scored = tf
+          .join(broadcast(df), "word")
+          .crossJoin(broadcast(scalars))
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("term_score", col("idf") * col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms_hit"),
+            round(sum("term_score") + 1e-9, 4).as("bm25"))
+        // TakeOrderedAndProject (O(k) per partition, no global sort)
+        // bounds the result to 20 rows BEFORE the rank stamp, so the
+        // empty-partitionBy rank window runs over a constant-size input.
+        scored
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+          .withColumn("rank", row_number().over(Window.orderBy(
+            col("bm25").desc, col("doc_id").asc)).cast("long"))
+          .select(col("rank"), col("doc_id"), col("n_terms_hit"), col("bm25"))
+          .orderBy("rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |corpus AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             |         avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d),
+             |tf AS (
+             |  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf,
+             |         CAST(any_value(dl) AS DOUBLE) AS dl
+             |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d)
+             |  WHERE word IN ('vector', 'stream', 'merge')
+             |  GROUP BY doc_id, word),
+             |df AS (
+             |  SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+             |  FROM tf GROUP BY word),
+             |scored AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+             |    round(sum(
+             |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+             |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) + 1e-9, 4) AS bm25
+             |  FROM tf JOIN df USING (word) CROSS JOIN corpus
+             |  GROUP BY doc_id)
+             |SELECT rank, doc_id, n_terms_hit, bm25 FROM (
+             |  SELECT doc_id, n_terms_hit, bm25,
+             |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+             |      AS rank
+             |  FROM scored)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin))
   )
 }

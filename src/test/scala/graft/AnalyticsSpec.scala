@@ -299,4 +299,18 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain, s"salted=$salted plain=$plain")
   }
+
+  test("logreg GD reduces the loss below the ln(2) start and stays bounded") {
+    val r = SparkEntry.queries("q_logreg_gd")(spark, sf).collect().head
+    val (w0, w1, w2, loss, n) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4))
+    // at w = 0 the log-loss is exactly ln 2; any productive descent
+    // ends strictly below it, and loss is positive by definition
+    assert(loss > 0 && loss < math.log(2.0), s"loss=$loss")
+    assert(Seq(w0, w1, w2).forall(w => !w.isNaN && math.abs(w) < 10))
+    assert(n == Tables(spark, sf, "lineitem").count())
+    // determinism: a second full run reproduces the identical row
+    val r2 = SparkEntry.queries("q_logreg_gd")(spark, sf).collect().head
+    assert(r.toString == r2.toString)
+  }
 }

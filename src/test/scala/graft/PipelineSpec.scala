@@ -715,4 +715,64 @@ class PipelineSpec extends SparkSpec {
         s"sampled key outside group at $r")
     }
   }
+
+  test("bm25 ranks by score, saturates tf, and bounds idf") {
+    val rows = SparkEntry.queries("q_bm25")(spark, sf).collect()
+    assert(rows.length == 20)
+    // rank is 1..20 and the score column is non-increasing in rank
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // n_terms_hit within the 3-term query; every score positive (idf of
+    // the Lucene 1+ variant is always > 0, so a matched doc scores > 0)
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3))
+    assert(scores.forall(_ > 0))
+    // tf saturation: a doc's per-term contribution is < idf·(k1+1), so
+    // the total is bounded by n_terms_hit · max_idf · 2.2 with
+    // max_idf = ln(1 + (N+0.5)/0.5) at df=0⁺ — a loose structural cap
+    val n = Tables(spark, sf, "documents").count().toDouble
+    val cap = 3 * 2.2 * math.log(1 + (n + 0.5) / 0.5)
+    assert(scores.forall(_ < cap))
+  }
+
+  test("source-mix diversity indices obey their bounds and degeneracies") {
+    val rows = SparkEntry.queries("q_source_mix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSrc, h, even, simp, top) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))
+      assert(h >= 0 && h <= math.log(nSrc.toDouble) + 1e-6,
+        s"entropy outside [0, ln k] at $r")
+      assert(even >= 0 && even <= 1 + 1e-6)
+      assert(simp >= 1.0 / nSrc - 1e-6 && simp <= 1 + 1e-6,
+        s"simpson outside [1/k, 1] at $r")
+      assert(top >= 1.0 / nSrc - 1e-6 && top <= 1 + 1e-6)
+    }
+    // degenerate corpus: one source ⇒ H=0, simpson=1, top_share=1
+    val one = spark.createDataFrame(
+        Seq((1L, "en", "only"), (2L, "en", "only")))
+      .toDF("doc_id", "lang", "source")
+    val grid = one.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"), max("c").as("m"))
+      .collect()
+    assert(grid.head.getLong(1) == 2 && grid.head.getLong(2) == 1)
+  }
+
+  test("pagerank ranks sit above the teleport floor and repeat exactly") {
+    val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    assert(rows.length == 20)
+    // the damped update is 0.15 + 0.85·Σ(nonneg), so 0.15 is a hard
+    // floor; on the dense co-purchase graph the top hubs must clear
+    // the uniform start of 1.0 by a wide margin
+    assert(rows.forall(_.getDouble(1) >= 0.15))
+    assert(rows.map(_.getDouble(1)).max > 1.5, "no rank mass concentrated")
+    // suppliers are the high-degree side of the bipartite walk, so
+    // every supplier (10 at the spec's sf0.001) out-ranks the
+    // long-tail customers into the top-20 hub list
+    assert(rows.count(_.getString(0).startsWith("s")) >= 10)
+    val again = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

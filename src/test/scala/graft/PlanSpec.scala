@@ -45,6 +45,9 @@ class PlanSpec extends SparkSpec {
       // lttb: the 1-row series extent (min/max day) broadcast onto
       // the day grid for bucket assignment — bounded by construction
       "q_win_lttb",
+      // bm25: the 1-row (N, avgdl) corpus-scalar broadcast onto the
+      // query-term tf grid (the q_tfidf scalar pattern)
+      "q_bm25",
       // ttl_rollup: the 1-row max(ts) cutoff broadcast onto the fact
       // rows (the q_retention_filter anchor pattern)
       "q_ttl_rollup",
@@ -268,7 +271,9 @@ class PlanSpec extends SparkSpec {
     // per-source/length bucket grids
     "q_length_buckets", "q_ccnet_buckets",
     // global pass over LOCAL skyline survivors — O(frontier×partitions)
-    "q_skyline")
+    "q_skyline",
+    // rank stamp AFTER TakeOrderedAndProject bounds the input to 20 rows
+    "q_bm25")
 
   test("no single-task global window runs over unbounded input") {
     import org.apache.spark.sql.execution.window.WindowExec

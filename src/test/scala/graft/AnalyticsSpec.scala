@@ -363,6 +363,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum <= totalTris)
   }
 
+  test("A/B z-test arms partition the users and z matches the rate gap sign") {
+    val r = SparkEntry.queries("q_ab_ztest")(spark, sf).collect().head
+    val (n0, c0, r0, n1, c1, r1, z) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+      r.getDouble(6))
+    val users = operators.Relational.eventsSec(spark, sf)
+      .select("user_id").distinct().count()
+    assert(n0 + n1 == users, "arms must partition the user set")
+    assert(c0 <= n0 && c1 <= n1 && r0 >= 0 && r0 <= 1 && r1 >= 0 && r1 <= 1)
+    // z carries the sign of the observed rate difference (or 0 on a tie)
+    assert(math.signum(z) == math.signum(r0 - r1) || math.abs(z) < 1e-3)
+  }
+
   test("time-to-convert percentiles are ordered and mean sits inside them") {
     val r = SparkEntry.queries("q_time_to_convert")(spark, sf).collect().head
     val (n, p25, p50, p75, p90, mean) = (r.getLong(0), r.getDouble(1),

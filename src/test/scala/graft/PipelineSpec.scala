@@ -784,6 +784,21 @@ class PipelineSpec extends SparkSpec {
     assert(grid.head.getLong(1) == 2 && grid.head.getLong(2) == 1)
   }
 
+  test("stopword coverage is a valid share, non-increasing within a language") {
+    val rows = SparkEntry.queries("q_stopword_df")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1 + 1e-9,
+        s"coverage outside (0, 1]: $r")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => b <= a },
+        s"df must be non-increasing in rank for $lang")
+    }
+  }
+
   test("pagerank ranks sit above the teleport floor and repeat exactly") {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     assert(rows.length == 20)

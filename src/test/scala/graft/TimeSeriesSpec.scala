@@ -213,4 +213,22 @@ class TimeSeriesSpec extends SparkSpec {
       assert(byLag.zip(byLag.tail).forall { case (a, b) => b <= a })
     }
   }
+
+  test("DFT period detection: one winner per type with consistent geometry") {
+    val rows = SparkEntry.queries("q_series_period")(spark, sf).collect()
+    val types = operators.Relational.eventsSec(spark, sf)
+      .select("event_type").distinct().count()
+    assert(rows.length == types, "exactly one dominant period per type")
+    rows.foreach { r =>
+      val (k, period, mag, nDays) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(k >= 1 && k <= 12, s"k out of the scanned band: $r")
+      assert(mag > 0, s"degenerate zero magnitude: $r")
+      // period = N/k on the 4-decimal grid
+      assert(math.abs(period - nDays.toDouble / k) < 5e-4, s"geometry: $r")
+    }
+    // determinism across runs (trig + rank ties)
+    val again = SparkEntry.queries("q_series_period")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -868,10 +868,18 @@ object Aggregates extends QueryModule {
                 && col("t_purchase_id") > col("t_signup_id")))
           .select(floor((unix_timestamp(col("t_purchase")) -
             unix_timestamp(col("t_signup"))) / 3600).as("h"))
-        lat.agg(
-            count(lit(1)).as("n_converted"),
-            expr("percentile(h, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"),
-            round(avg(col("h")) + 1e-9, 4).as("mean_hours"))
+        // collapse to the (hour, count) GRID before the percentile:
+        // exact `percentile` buffers its input per group, and one
+        // group over raw per-user rows is an O(users) single buffer at
+        // corpus scale; the frequency-weighted form buffers only the
+        // distinct-hour domain, which the retention horizon bounds
+        // (the q_agg_percentile discipline).
+        lat.groupBy("h").agg(count(lit(1)).as("c"))
+          .agg(
+            sum("c").as("n_converted"),
+            expr("percentile(h, array(0.25D, 0.5D, 0.75D, 0.9D), c)").as("ps"),
+            round(sum(col("h") * col("c")) / sum("c").cast("double") + 1e-9, 4)
+              .as("mean_hours"))
           .select(col("n_converted"),
             round(element_at(col("ps"), 1), 4).as("p25"),
             round(element_at(col("ps"), 2), 4).as("p50"),

@@ -578,6 +578,66 @@ object Aggregates extends QueryModule {
              |FROM cohort c JOIN activity a ON c.user_id = a.user_id
              |GROUP BY c.cohort_week ORDER BY cohort_week""".stripMargin)),
 
+    // The full retention TRIANGLE — q_cohort_retention generalized
+    // from two fixed columns to the (cohort week × week offset) grid,
+    // the standard product-analytics heat-map view: for every cohort,
+    // how many of its users were active 0, 1, 2, … weeks later, as a
+    // count and a rate against the cohort size. Shape: cohort anchor
+    // is one min-aggregate per user; the activity join is
+    // user-co-partitioned; everything after collapses to the bounded
+    // (weeks × offsets) grid. The rate divides two exact integers and
+    // week arithmetic is pure date math — no float enters a key.
+    "q_retention_matrix" -> QueryDef(
+      (s, dir) => {
+        val e = Relational.eventsSec(s, dir)
+        val cohort = e.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts_s"))).as("cohort_week"))
+        val sizes = cohort.groupBy("cohort_week")
+          .agg(countDistinct("user_id").as("n_users"))
+        val activity = e.select(col("user_id"),
+          date_trunc("week", col("ts_s")).as("act_week")).distinct()
+        cohort.join(activity, Seq("user_id"))
+          .filter(col("act_week") >= col("cohort_week"))
+          .select(col("cohort_week"),
+            (datediff(col("act_week"), col("cohort_week")) / 7)
+              .cast("long").as("offset_weeks"),
+            col("user_id"))
+          .groupBy("cohort_week", "offset_weeks")
+          .agg(countDistinct("user_id").as("active_users"))
+          .join(sizes, "cohort_week")
+          .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+            col("offset_weeks"), col("active_users"), col("n_users"),
+            round(col("active_users").cast("double") / col("n_users") + 1e-9, 4)
+              .as("retention"))
+          .orderBy("cohort_week", "offset_weeks")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s
+             |  FROM events),
+             |cohort AS (
+             |  SELECT user_id, date_trunc('week', min(ts_s)) AS cohort_week
+             |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+             |sizes AS (
+             |  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM cohort GROUP BY cohort_week),
+             |activity AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts_s) AS act_week FROM ev),
+             |grid AS (
+             |  SELECT c.cohort_week,
+             |    CAST(floor(date_diff('day', c.cohort_week, a.act_week) / 7.0)
+             |      AS BIGINT) AS offset_weeks,
+             |    CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
+             |  FROM cohort c JOIN activity a ON c.user_id = a.user_id
+             |  WHERE a.act_week >= c.cohort_week
+             |  GROUP BY 1, 2)
+             |SELECT strftime(g.cohort_week, '%Y-%m-%d') AS cohort_week,
+             |  g.offset_weeks, g.active_users, s.n_users,
+             |  round(CAST(g.active_users AS DOUBLE) / s.n_users + 1e-9, 4)
+             |    AS retention
+             |FROM grid g JOIN sizes s USING (cohort_week)
+             |ORDER BY cohort_week, offset_weeks""".stripMargin)),
+
     // Sequential conversion funnel — ClickHouse's windowFunnel ([CH]):
     // per user, the earliest signup, the earliest click AFTER it, the
     // earliest purchase after THAT, all within 7 days of the signup;

@@ -363,6 +363,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum <= totalTris)
   }
 
+  test("retention matrix: offset-0 covers the cohort and rates stay in (0,1]") {
+    val rows = SparkEntry.queries("q_retention_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0, s"negative offset: $r")
+      assert(r.getLong(2) <= r.getLong(3), s"more active than cohort: $r")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1 + 1e-9)
+    }
+    // every signup user is active in their own cohort week (the signup
+    // itself is activity), so offset 0 retention is exactly 1
+    rows.filter(_.getLong(1) == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3), s"offset-0 must cover cohort: $r")
+    }
+    // the matrix refines q_cohort_retention: same cohorts, same sizes
+    val coarse = SparkEntry.queries("q_cohort_retention")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fine = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(fine == coarse, "cohort sizes must agree with q_cohort_retention")
+  }
+
   test("A/B z-test arms partition the users and z matches the rate gap sign") {
     val r = SparkEntry.queries("q_ab_ztest")(spark, sf).collect().head
     val (n0, c0, r0, n1, c1, r1, z) = (r.getLong(0), r.getLong(1),

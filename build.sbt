@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON. With the default LoggedOutput strategy sbt prefixes every
+// forked-process line with "[info] " and appends a "[success] Total
+// time" trailer — both broke the parse every round (BENCH_r01..r06 all
+// show parsed: null). StdoutOutput lets the forked JVM inherit the
+// console directly (bare lines); showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,11 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // >1 ⇒ repeat the timed loop and report per-query MEDIANS — the
-    // regression-tracking mode (host noise is ±10%; a single run can't
-    // tell a regression from a noisy neighbor). Default 1 keeps the
-    // driver's per-round invocation unchanged.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    // Per-query MEDIANS over N runs. Default 3: a one-shot number on a
+    // shared host records the noisy neighbor, not the engine — the r6
+    // one-shot artifact recorded a 131× contention tail on one query
+    // that its own 3-run medians showed at 0.68 s. Host noise here is
+    // ±15% run to run; median-of-3 is the cheapest robust default, and
+    // the per-run loadavg below makes a contaminated run
+    // self-identifying. Set to 1 only for quick iteration.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val spark = Graft.builder("graft-bench", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -31,6 +34,14 @@ object Bench {
     // driver never sets it, so per-round invocations are unchanged).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // 1-minute loadavg, sampled before each run: a number recorded at
+    // loadavg 60 on a 32-core host is measuring the neighbors, not the
+    // engine — stamping it into the artifact makes contamination
+    // visible to any reader instead of silently inflating the record.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     def timedLoop(): Map[String, Double] =
       SparkEntry.queries.toSeq.filter(q => only.forall(_(q._1)))
         .sortBy(_._1).map { case (name, fn) =>
@@ -39,7 +50,8 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-    val perRun = (1 to runs).map(_ => timedLoop())
+    val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    val perRun = (1 to runs).map { _ => loads += loadavg(); timedLoop() }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
@@ -60,8 +72,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val loadsJson = loads.map(r3).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"queries":${fmtQ(results, 3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"loadavg":$loadsJson,"queries":${fmtQ(results, 3)},"sf":"$sfDir"}"""
     println(line)
     // machine-readable medians file (SPARK_GRAFT_BENCH_OUT): the
     // regression baseline the next round diffs against — per-query
@@ -72,7 +85,7 @@ object Bench {
     // complete per-query map for the round artifact.
     val runsJson = perRun.map(m => fmtQ(m)).mkString("[", ",", "]")
     val fullJson =
-      s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"loadavg":$loadsJson,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
@@ -82,7 +95,7 @@ object Bench {
     // though the full per-query line above overflows the window.
     val slowest = results.toSeq.sortBy(-_._2).take(10).toMap
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"n_queries":${results.size},"slowest":${fmtQ(slowest, 3)},"queries_file":"$outPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"loadavg":$loadsJson,"n_queries":${results.size},"slowest":${fmtQ(slowest, 3)},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -288,9 +288,17 @@ object Cluster extends QueryModule {
     // sides stay hash-partitioned on the node key) + one dst-keyed
     // map-side-combined aggregate. The 8 rounds stay LAZY and execute
     // as a single job with one node-scale materialization at the end
-    // — a fixed 8-deep plan, so the per-round-checkpoint discipline
-    // q_dedup_cluster needs for its UNBOUNDED round count doesn't
-    // apply (and costs 28% wall here). Only O(k) rows ever reach the
+    // — EXCEPT one mid-chain materialization (persist+count after
+    // round 4) that halves plan depth: genuinely-cold 5-run
+    // measurement at sf0.1 (leaked-cache reruns excluded — the r6
+    // recording was serving a cache hit) put the full 8-deep chain at
+    // median 8.2 s / worst 21.4 s (first-invocation codegen of the
+    // deep plan is the tail amplifier) vs 7.1 s / 13.3 s with the
+    // mid-chain cut — a 38 % better worst case for one extra
+    // node-scale cache that is released before returning. The
+    // per-ROUND-checkpoint discipline q_dedup_cluster needs for its
+    // UNBOUNDED round count still doesn't apply (localCheckpoint's
+    // .rdd path bypasses AQE and ~2×s the cost). Only O(k) rows reach the
     // driver (TakeOrderedAndProject top-20); ranking compares the
     // ROUNDED value so cross-engine ulp drift in the contribution
     // sums can't flip an ordering. Oracle: the SAME 8 iterations
@@ -310,29 +318,42 @@ object Cluster extends QueryModule {
           .agg(count(lit(1)).cast("double").as("deg"))
         val edgesW = edges.join(deg, "src").persist()
         var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
-        (1 to PageRankIters).foreach { _ =>
+        var midCache: Option[DataFrame] = None
+        (1 to PageRankIters).foreach { i =>
           ranks = edgesW
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
             .withColumnRenamed("dst", "node")
+          if (i == PageRankIters / 2) {
+            ranks = ranks.persist(); ranks.count(); midCache = Some(ranks)
+          }
         }
         // ONE materialization at the end of the chain (not one per
-        // round): the 8 joins + aggregates run as a single AQE job —
-        // per-job overhead is paid once (measured 8.9 s → 6.4 s vs
-        // per-round checkpoints at sf0.1; localCheckpoint is NOT used
-        // here because its .rdd path bypasses AQE and doubles the
-        // cost) — and only the node-scale final rank vector stays
-        // cached. The edge cache must outlive that job, so unpersist
-        // comes after the count() has pinned the rank blocks.
+        // round): the 8 joins + aggregates run as a single AQE job
+        // (localCheckpoint is NOT used here because its .rdd path
+        // bypasses AQE). The final top-20 is then COLLECTED into a
+        // local relation and BOTH caches are released before
+        // returning — the r6 version returned the persisted `done`
+        // plan itself, so the rank cache outlived the query:
+        // CacheManager plan-matching served every rerun from it
+        // (bench "medians" of 0.68 s were cache hits, and the leaked
+        // blocks accumulated per session). Only O(k)=20 rows cross to
+        // the driver, so the local relation is free, every invocation
+        // is genuinely cold, and nothing survives the call.
         val done = ranks.persist()
         done.count()
         edgesW.unpersist(blocking = false)
-        done
+        midCache.foreach(_.unpersist(blocking = false))
+        val top = done
           .select(col("node"), round(col("r") + 1e-9, 4).as("pr"))
           .orderBy(col("pr").desc, col("node").asc)
           .limit(20)
           .orderBy("node")
+        val rows = top.collect()
+        val schema = top.schema
+        done.unpersist(blocking = false)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       Some(pagerankOracle(PageRankIters)))
   )

@@ -156,6 +156,48 @@ object TextKernels {
     sh
   }
 
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit MD5 SimHash over the word multiset — the ENGINE-REPLICABLE
+    * simhash backing q_dedup_simhash's oracle promotion. The per-word
+    * hash is the top 60 bits of md5(word): exactly the value a SQL
+    * engine with only `md5` + integer bit ops rebuilds as
+    * `('0x' || substring(md5(w), 1, 15))::BIGINT` (both engines' md5
+    * agree on UTF-8 input; 15 hex chars = first-8-bytes-big-endian
+    * >>> 4). 60 bits, not 64, so the hex-parsed value stays inside a
+    * SIGNED 64-bit integer on any engine. Same sign-of-votes
+    * construction as [[simhashWords]]; the xxhash64 64-bit variant
+    * stays as the cheap non-verifiable path (one xxhash64 vs one md5
+    * per word occurrence).
+    */
+  def simhash60Words(words: ArrayData): Long = {
+    val md = Md5Local.get()
+    val votes = new Array[Int](60)
+    val nw = words.numElements()
+    var w = 0
+    while (w < nw) {
+      md.reset()
+      val d = md.digest(words.getUTF8String(w).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      var i = 0
+      while (i < 60) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) > 0) sh |= 1L << i; i += 1 }
+    sh
+  }
+
   /** Unicode normalization (java.text.Normalizer): the already-
     * normalized fast path returns the input UTF8String untouched —
     * on a real corpus almost every document is already NFC, so the
@@ -250,6 +292,28 @@ case class SimHashWords(child: Expression)
     copy(child = newChild)
 }
 
+/** `simhash60_words(words)` — 60-bit MD5 SimHash of a tokenized
+  * document (see [[TextKernels.simhash60Words]] for why MD5/60-bit:
+  * any SQL engine can replicate it exactly, which is what lets
+  * q_dedup_simhash be hash-checked against an independent oracle).
+  */
+case class SimHash60Words(child: Expression)
+    extends UnaryExpression with WordsArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_words"
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.simhash60Words(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.simhash60Words($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Words =
+    copy(child = newChild)
+}
+
 /** `unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD')` — ClickHouse's
   * `normalizeUTF8NFC`/`NFD`/`NFKC`/`NFKD` family, and the Unicode-
   * normalization cleaning step every multilingual training pipeline
@@ -324,6 +388,9 @@ object TextExprs {
   def simhashWords(words: Column): Column =
     bridge.column(SimHashWords(bridge.expression(words)))
 
+  def simhash60Words(words: Column): Column =
+    bridge.column(SimHash60Words(bridge.expression(words)))
+
   def winnowFp(text: Column, k: Int, w: Int): Column =
     bridge.column(WinnowFingerprint(bridge.expression(text), k, w))
 
@@ -338,6 +405,9 @@ object TextExprs {
     (FunctionIdentifier("simhash_words"),
       new ExpressionInfo(classOf[SimHashWords].getName, "simhash_words"),
       arity("simhash_words", 1)(exprs => SimHashWords(exprs(0)))),
+    (FunctionIdentifier("simhash60_words"),
+      new ExpressionInfo(classOf[SimHash60Words].getName, "simhash60_words"),
+      arity("simhash60_words", 1)(exprs => SimHash60Words(exprs(0)))),
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
       arity("winnow_fp", 3)(exprs => WinnowFingerprint(exprs(0),

@@ -127,4 +127,20 @@ object TextFns {
     */
   val simhashChunksExpr: String =
     "transform(sequence(0, 3), j -> (sh >> (j * 16)) & 65535)"
+
+  /** 60-bit MD5 SimHash ([[graft.expressions.SimHash60Words]]) — the
+    * engine-replicable variant: the word hash is the top 60 bits of
+    * md5(word), so an independent SQL engine rebuilds the identical
+    * value from `md5` + bit ops and the Hamming-pair query becomes
+    * hash-checkable ([[graft.pipeline.Dedup]] q_dedup_simhash).
+    */
+  def simhash60(text: Column): Column =
+    graft.expressions.TextExprs.simhash60Words(words(text))
+
+  /** The 4 × 15-bit chunks of a 60-bit SimHash — same pigeonhole LSH
+    * guarantee as [[simhashChunksExpr]]: Hamming ≤ 3 ⇒ ≥1 identical
+    * chunk. Input column must be named `sh`.
+    */
+  val simhash60ChunksExpr: String =
+    "transform(sequence(0, 3), j -> (sh >> (j * 15)) & 32767)"
 }

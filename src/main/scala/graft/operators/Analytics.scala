@@ -836,22 +836,33 @@ object Analytics extends QueryModule {
     // Two-proportion z-test ([CH] `proportionsZTest`) — the A/B-test
     // readout: users split into arms by the classic hash-mod bucket
     // (user_id % 2, exactly how experiment assignment works), each
-    // arm's conversion = "heavy buyer" (≥ 14 purchases — the fixture
-    // median, so rates sit near 50% at every SF; "≥ 1" saturates to
-    // 100%/100% and the z denominator collapses). z from the
-    // pooled-variance normal approximation, NULL-guarded at the
+    // arm's conversion = "heavy buyer": purchase count STRICTLY ABOVE
+    // the population median purchase count, with the median DERIVED
+    // IN THE QUERY on both engines (r6 hard-coded the fixture's
+    // median of 14; a driver fixture regeneration could silently
+    // saturate an arm — "≥ 1" converts 100%/100% and the z
+    // denominator collapses; deriving it pins rates near 50% at any
+    // SF by construction). The median is exact but GRID-BOUNDED: the
+    // per-user counts collapse to a (purchase-count → n_users)
+    // frequency grid first and the percentile runs frequency-weighted
+    // over that — the aggregation buffer is the count domain (tens of
+    // values), not O(users), the q_agg_percentile discipline. z from
+    // the pooled-variance normal approximation, NULL-guarded at the
     // degenerate pool on both engines (ANSI Spark would otherwise
-    // throw on the 0-variance divide). Scale shape: the corpus
-    // collapses to one bool per user in a single map-side-combined
-    // aggregate, then to a 2-row arm grid; every double op has exact
-    // integer inputs through identical division/sqrt chains (no
-    // sum-order drift anywhere).
+    // throw on the 0-variance divide). Scale shape: corpus → one
+    // count per user (one map-side-combined aggregate) → value grid →
+    // broadcast 1-row median onto the user grid → 2-row arm grid.
     "q_ab_ztest" -> QueryDef(
       (s, dir) => {
-        val arms = Relational.eventsSec(s, dir)
+        val users = Relational.eventsSec(s, dir)
           .groupBy(col("user_id"))
-          .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            >= 14).cast("long").as("converted"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purch"))
+        val med = users.groupBy("purch").agg(count(lit(1)).as("freq"))
+          .agg(percentile(col("purch"), lit(0.5), col("freq")).as("med"))
+        val arms = users.crossJoin(broadcast(med))
+          .select(col("user_id"),
+            (col("purch").cast("double") > col("med")).cast("long").as("converted"))
           .groupBy((col("user_id") % 2).as("arm"))
           .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
         val g = arms.agg(
@@ -872,11 +883,18 @@ object Analytics extends QueryModule {
               .as("z"))
           .orderBy("n0")
       },
-      Some("""WITH u AS (
+      Some("""WITH p AS (
              |  SELECT user_id,
-             |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
-             |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS purch
              |  FROM events GROUP BY user_id),
+             |m AS (SELECT quantile_cont(CAST(purch AS DOUBLE), 0.5) AS med
+             |      FROM p),
+             |u AS (
+             |  SELECT user_id,
+             |    CASE WHEN CAST(purch AS DOUBLE) > (SELECT med FROM m)
+             |      THEN 1 ELSE 0 END AS converted
+             |  FROM p),
              |arms AS (
              |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
              |    CAST(sum(converted) AS BIGINT) AS conv

@@ -51,12 +51,17 @@ object Dedup extends QueryModule {
     * PipelineSpec can assert the cap on the exact production plan, not
     * a replica. One shuffle; the cap bounds every downstream in-row
     * pair expansion at BucketCap²/2.
+    *
+    * Uses the 60-bit MD5 simhash in 4 × 15-bit chunks (not the
+    * xxhash64 64-bit variant): same pigeonhole guarantee, and an
+    * independent engine can rebuild the hash exactly — which is what
+    * lets q_dedup_simhash be hash-checked (see the query's Scaladoc).
     */
   private[graft] def simhashBuckets(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), TextFns.simhash(col("text")).as("sh"))
+      .select(col("doc_id"), TextFns.simhash60(col("text")).as("sh"))
       .select(col("doc_id"), col("sh"),
-        posexplode(expr(TextFns.simhashChunksExpr)).as(Seq("chunk", "chunk_val")))
+        posexplode(expr(TextFns.simhash60ChunksExpr)).as(Seq("chunk", "chunk_val")))
       .groupBy("chunk", "chunk_val")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= BucketCap)
@@ -346,32 +351,66 @@ object Dedup extends QueryModule {
              |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // SimHash near-dup: 64-bit sign-of-votes hash over word hashes;
-    // candidates share one of the 4 16-bit chunks (pigeonhole: catches
-    // every pair within Hamming distance 3); report exact Hamming
-    // distance for candidates under 16. No oracle (approx).
+    // SimHash near-dup, declared in its EXACT form — all pairs at
+    // Hamming distance ≤ 3 on the 60-bit MD5 simhash, found by
+    // pigeonhole LSH: candidates share one of the 4 15-bit chunks,
+    // which catches EVERY pair within Hamming 3 by construction (4
+    // chunks, ≤3 differing bits ⇒ ≥1 untouched chunk) — recall 1 is a
+    // THEOREM here, not a fixture property. ORACLE-CHECKED (r6 was
+    // rows-only): the simhash itself is engine-replicable — the word
+    // hash is the top 60 bits of md5(word), sign-of-votes per bit —
+    // so DuckDB rebuilds the identical hash from `md5` + bit ops and
+    // brute-forces the complete Hamming-≤3 pair set; the LSH result
+    // must hash-match it exactly. (The r6 declared form reported
+    // Hamming < 16, where pigeonhole recall genuinely fails and no
+    // oracle equality can hold; ≤3 is the radius this chunk scheme
+    // serves exactly. Wider radii remain the honest-approx territory
+    // of the minhash family.)
     //
-    // The chunk key space is only 2^16, so at corpus scale EVERY chunk
-    // bucket fills (~N/65536 docs) and an uncapped pairing is quadratic
+    // The chunk key space is only 2^15, so at corpus scale EVERY chunk
+    // bucket fills (~N/32768 docs) and an uncapped pairing is quadratic
     // within each — the same non-discriminative-bucket problem
     // minhash/winnow already guard against. Same mitigation: drop
     // buckets above BucketCap before any pair exists (oversized chunk
     // buckets are near-zero-entropy chunks — boilerplate — whose pairs
     // the other three chunks still recover for genuinely similar docs;
-    // dropping them is the standard recall/cost trade). Each bucket
-    // carries its members' (doc_id, sh) structs, so the Hamming
-    // distance is computed in-row during expansion — no join-backs, no
-    // checkpoint, ONE shuffle end-to-end.
+    // dropping them is the standard recall/cost trade; PipelineSpec
+    // pins that no fixture bucket is dropped, preserving the oracle
+    // equality at the gate). Each bucket carries its members'
+    // (doc_id, sh) structs, so the Hamming distance is computed in-row
+    // during expansion — no join-backs, no checkpoint, ONE shuffle
+    // end-to-end.
     "q_dedup_simhash" -> QueryDef(
       (s, dir) => simhashBuckets(s, dir)
         .select(explode(expr(pairExpansion("ms",
           "a.doc_id AS doc_a, a.sh AS sh_a, b.doc_id AS doc_b, b.sh AS sh_b"))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
           bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long").as("hamming"))
-        .filter(col("hamming") < 16)
+        .filter(col("hamming") <= 3)
         .dropDuplicates("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+             |  FROM w),
+             |v AS (
+             |  SELECT doc_id, b,
+             |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+             |  FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS b) u
+             |  GROUP BY doc_id, b),
+             |s AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN votes > 0
+             |      THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+             |  FROM v GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Winnowing fingerprints (rolling-hash document fingerprinting):
     // docs sharing ≥5 selected k-gram hashes are substring-level
@@ -382,32 +421,77 @@ object Dedup extends QueryModule {
     // Parameters measured on the fixture: k=8 flags 63% of ALL doc
     // pairs (8-byte grams collide on common words); k=16/w=8 with the
     // ≥5 co-occurrence floor isolates the stable true near-dup set.
-    // Approximate/custom-hash ⇒ no oracle.
+    //
+    // ORACLE-CHECKED (r6 was rows-only), by the minhash promotion
+    // pattern: each winnow candidate is VERIFIED with an exact,
+    // engine-replicable measure — the count of shared distinct
+    // 16-char grams (the same k the fingerprints hash, so a candidate
+    // flagged by shared fingerprints is re-measured on the underlying
+    // grams themselves) — and kept at ≥ 30. The oracle brute-forces
+    // all pairs on that measure; equality holds iff every pair with
+    // ≥ 30 shared grams is a winnow candidate, which the MOSS window
+    // guarantee makes near-structural (every shared run ≥ k+w−1 = 23
+    // chars forces a shared fingerprint; 30 shared 16-grams implies
+    // many such runs) and PipelineSpec pins exactly on the fixture.
+    // The 30 floor sits in a wide empirical gap: the densest
+    // non-candidate pair shares 25 grams, the sparsest brute pair
+    // above it 44, the true near-dup mass ≥ 113.
     "q_dedup_winnow" -> QueryDef(
       (s, dir) => {
         // One pass, one shuffle to the bucket: collect each
         // fingerprint's doc list (bounded — the BucketCap filter runs
         // BEFORE any pair exists) and expand ordered pairs in-row.
-        // This replaces the earlier census-groupBy + filter-join +
-        // self-join formulation: same result, three fewer exchanges
-        // and no materialization to reuse (so no checkpoint either).
         // The in-row expansion is ≤ BucketCap²/2 per bucket — O(1) by
-        // construction, which is what makes it safe where an uncapped
-        // HOF pair blow-up would not be.
+        // construction. Verification then touches ONLY candidate
+        // pairs: their ids broadcast onto one 16-gram scan (the
+        // minhash roles pattern — gram arrays travel once, for
+        // candidates only, never corpus×corpus).
         val fps = Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFns.winnowFingerprints(col("text"), 16, 8)).as("fp"))
-        fps.groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        val cands = fps
+          .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
           .select(explode(expr(
             pairExpansion("ids", "a AS doc_a, b AS doc_b"))).as("p"))
           .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 5)
+          .agg(count(lit(1)).as("n_fp"))
+          .filter(col("n_fp") >= 5)
+          .select(col("doc_a"), col("doc_b"))
+        val grams16 = Tables(s, dir, "documents")
+          .select(col("doc_id"), array_distinct(expr(
+            """transform(sequence(1, greatest(1, length(text) - 15)),
+              |  p -> substring(text, p, 16))""".stripMargin)).as("g16"))
+        val roles = cands
+          .select(col("doc_a"), col("doc_b"),
+            explode(array(
+              struct(lit("a").as("role"), col("doc_a").as("doc_id")),
+              struct(lit("b").as("role"), col("doc_b").as("doc_id")))).as("r"))
+          .select(col("doc_a"), col("doc_b"), col("r.role"), col("r.doc_id"))
+        grams16.join(broadcast(roles), Seq("doc_id"))
+          .groupBy("doc_a", "doc_b")
+          .agg(
+            first(when(col("role") === "a", col("g16")), ignoreNulls = true).as("ga"),
+            first(when(col("role") === "b", col("g16")), ignoreNulls = true).as("gb"))
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("ga"), col("gb"))).cast("long")
+              .as("n_shared_grams"))
+          .filter(col("n_shared_grams") >= 30)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, substring(text, p, 16) AS gram
+             |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+             |    greatest(1, length(text) - 15))) AS p) u),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared_grams
+             |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_shared_grams
+             |FROM common WHERE n_shared_grams >= 30
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Exact word-level Jaccard over a bounded sample — the correctness
     // baseline the LSH variants approximate. Explode distinct words,

@@ -372,9 +372,15 @@ object Mixing extends QueryModule {
           .select(col("lang"), col("n_docs"), col("n_sources"),
             round((log(col("n_docs").cast("double")) -
               col("clogc") / col("n_docs")) + 1e-9, 4).as("shannon"),
-            round((log(col("n_docs").cast("double")) -
-              col("clogc") / col("n_docs")) /
-              log(col("n_sources").cast("double")) + 1e-9, 4).as("evenness"),
+            // Degenerate guard: a single-source language has
+            // ln(n_sources)=0 and the numerator is a ±1-ulp residual,
+            // so the unguarded ratio is ±Inf/NaN. Evenness is
+            // undefined at k=1 — emit NULL (mirrored CASE WHEN in the
+            // oracle), same discipline as q_ab_ztest's degenerate pool.
+            when(col("n_sources") > 1,
+              round((log(col("n_docs").cast("double")) -
+                col("clogc") / col("n_docs")) /
+                log(col("n_sources").cast("double")) + 1e-9, 4)).as("evenness"),
             round(col("c2") /
               (col("n_docs").cast("double") * col("n_docs")) + 1e-9, 4)
               .as("simpson"),
@@ -395,8 +401,9 @@ object Mixing extends QueryModule {
              |SELECT lang, n_docs, n_sources,
              |  round((ln(CAST(n_docs AS DOUBLE)) - clogc / n_docs) + 1e-9, 4)
              |    AS shannon,
-             |  round((ln(CAST(n_docs AS DOUBLE)) - clogc / n_docs) /
-             |        ln(CAST(n_sources AS DOUBLE)) + 1e-9, 4) AS evenness,
+             |  CASE WHEN n_sources > 1 THEN
+             |    round((ln(CAST(n_docs AS DOUBLE)) - clogc / n_docs) /
+             |          ln(CAST(n_sources AS DOUBLE)) + 1e-9, 4) END AS evenness,
              |  round(c2 / (CAST(n_docs AS DOUBLE) * n_docs) + 1e-9, 4) AS simpson,
              |  round(CAST(c_top AS DOUBLE) / n_docs + 1e-9, 4) AS top_share
              |FROM r ORDER BY lang""".stripMargin)))

@@ -16,7 +16,7 @@ class EntrySpec extends SparkSpec {
   // Tiny sample ⇒ a similarity/near-dup threshold query may legitimately
   // come up empty at sf0.001.
   private val mayBeEmpty = Set("q_dedup_embed_cosine", "q_dedup_minhash",
-    "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_join_anti")
+    "q_dedup_simhash", "q_dedup_winnow", "q_dedup_ngram_jaccard", "q_join_anti")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {

@@ -359,13 +359,68 @@ class PipelineSpec extends SparkSpec {
       "a verified candidate is not an exact near-dup (verification filter broken)")
   }
 
-  test("dedup queries leave the session CacheManager empty (no persist leak)") {
+  test("dedup + iterative queries leave the session CacheManager empty (no persist leak)") {
+    // q_pagerank is in the list because its r6 form persisted the
+    // final rank vector and never released it — CacheManager
+    // plan-matching then served every rerun from the leaked cache, so
+    // bench "medians" measured a cache hit, not the query.
     spark.sharedState.cacheManager.clearCache()
-    Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_winnow").foreach { q =>
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_winnow",
+        "q_pagerank", "q_logreg_gd", "q_dedup_cluster").foreach { q =>
       SparkEntry.queries(q)(spark, sf).count()
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$q left a CacheManager entry pinned for the session lifetime")
     }
+  }
+
+  test("simhash LSH emits the COMPLETE Hamming-<=3 pair set (pigeonhole recall, no cap drop)") {
+    // the oracle-equality precondition of q_dedup_simhash: the chunk
+    // buckets must surface every pair at Hamming <= 3 (pigeonhole
+    // guarantees it unless BucketCap drops a bucket — this pins that
+    // no fixture bucket is dropped), and nothing else survives the
+    // exact in-row Hamming filter. Brute force is O(n²) — spec scale.
+    val hs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), TextFns.simhash60(col("text")).as("sh"))
+    val brute = hs.as("a")
+      .join(hs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+    // set compare on collected rows: exceptAll over the dropDuplicates
+    // + aggregated-bucket plan trips a Spark attribute-binding bug
+    // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — and the pair sets are
+    // spec-scale anyway
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotSet = toSet(SparkEntry.queries("q_dedup_simhash")(spark, sf))
+    assert(toSet(brute) == gotSet,
+      "LSH Hamming-<=3 set differs from brute force — oracle equality broken")
+    assert(gotSet.nonEmpty, "fixture should contain Hamming-<=3 pairs")
+  }
+
+  test("winnow verified candidates ≡ exact all-pairs shared-16-gram floor") {
+    // the oracle-equality precondition of q_dedup_winnow: every pair
+    // sharing >= 30 distinct 16-char grams must be a winnow candidate
+    // (>= 5 shared selected fingerprints). MOSS makes this
+    // near-structural — every shared run >= k+w-1 = 23 chars forces a
+    // shared fingerprint — and this pins it exactly on the fixture.
+    val g16 = Tables(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, greatest(1, length(text) - 15)),
+          |  p -> substring(text, p, 16))""".stripMargin)).as("g"))
+    val brute = g16.as("a")
+      .join(g16.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("c", size(array_intersect(col("a.g"), col("b.g"))).cast("long"))
+      .filter(col("c") >= 30)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("c"))
+    val got = SparkEntry.queries("q_dedup_winnow")(spark, sf)
+    assert(brute.exceptAll(got).isEmpty,
+      "a high-overlap pair escaped the winnow candidates (recall < 1 — oracle equality broken)")
+    assert(got.exceptAll(brute).isEmpty,
+      "a verified candidate is below the exact floor (verification filter broken)")
+    assert(got.count() > 0, "fixture should contain winnow near-dups")
   }
 
   test("topK sketch equals the exact vocabulary top-k when capacity covers the vocab") {

@@ -70,7 +70,11 @@ class PlanSpec extends SparkSpec {
       "q_tfidf",
       // two-feature OLS: the 1-row means aggregate broadcast onto the
       // fact scan for centering (two model-scale 1-row exchanges)
-      "q_linreg_multi")
+      "q_linreg_multi",
+      // ab_ztest: the 1-row derived median-purchases threshold
+      // broadcast onto the per-user grid (the q_ttl_rollup anchor
+      // pattern — r7 replaced the hard-coded fixture threshold)
+      "q_ab_ztest")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
@@ -287,6 +291,42 @@ class PlanSpec extends SparkSpec {
         assert(global.isEmpty,
           s"$name plans ${global.size} empty-partitionBy window(s) — " +
             "single-task at scale; use DistRank or partition the window")
+    }
+  }
+
+  test("Introspect red flags are clean across every declared query") {
+    // The suite-wide gate routed through the USER-FACING plan API
+    // (plans.Introspect.summary), not ad-hoc string matching: zero
+    // cartesian products anywhere; zero nested-loop joins outside the
+    // intendedNestedLoop allowlist (bounded-side broadcasts by
+    // construction); zero global windows outside intendedGlobalWindow
+    // (provably grid-bounded inputs). Runs on the static plan — the
+    // same tree the red flags would execute.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val row = plans.Introspect
+        .summary(SparkEntry.queries(name)(spark, sf)).collect()(0)
+      assert(row.getAs[Long]("n_cartesian") == 0L,
+        s"$name: Introspect reports a cartesian product")
+      if (!intendedNestedLoop(name))
+        assert(row.getAs[Long]("n_nested_loop_joins") == 0L,
+          s"$name: Introspect reports an unintended nested-loop join")
+      if (!intendedGlobalWindow(name))
+        assert(row.getAs[Long]("n_global_windows") == 0L,
+          s"$name: Introspect reports an empty-partitionBy window")
+    }
+  }
+
+  test("Introspect confirms filtering queries push predicates into their scans") {
+    // has_pushed_filters through the same user-facing API: queries
+    // whose semantics filter a base table must show the predicate
+    // reaching the parquet reader (a residual Filter above a full
+    // scan reads every row group at 100 TB).
+    Seq("q_filter_pred", "q_join_semi", "q_zorder_scan", "q_skip_scan",
+        "q_dedup_containment", "q_dedup_ngram_jaccard").foreach { name =>
+      val row = plans.Introspect
+        .summary(SparkEntry.queries(name)(spark, sf)).collect()(0)
+      assert(row.getAs[Boolean]("has_pushed_filters"),
+        s"$name: no pushed filters reached any scan")
     }
   }
 

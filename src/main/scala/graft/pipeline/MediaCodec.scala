@@ -4,11 +4,15 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 /** Real byte-format codecs for the multimodal pipeline — no external
-  * libraries, just the published layouts of three public formats:
+  * libraries, just the published layouts of four public formats:
   *
   *  - BMP (Windows bitmap, BITMAPINFOHEADER, 24 bpp uncompressed):
   *    'BM' magic, little-endian geometry at fixed offsets, 4-byte
   *    row padding, bottom-up pixel rows.
+  *  - PNG (RFC 2083): signature + CRC-validated chunk walk
+  *    (IHDR/IDAT/IEND), zlib inflate via the JDK's Inflater, per-row
+  *    reversal of all five scanline filters; 8-bit RGB/RGBA,
+  *    non-interlaced.
   *  - WAV (RIFF/WAVE, PCM): chunk walk over 'fmt ' (format 1,
   *    channels, sample rate, 16-bit) and 'data' (LE PCM16 frames).
   *  - Y4M (YUV4MPEG2, C420): ASCII stream header `YUV4MPEG2 W… H… F…`,
@@ -205,6 +209,170 @@ object MediaCodec {
       off += lumaSize + 2 * chromaSize
     }
     Y4m(width, height, fpsNum, fpsDen, frames.result())
+  }
+
+  // ---------------------------------------------------------------- PNG
+
+  /** Decoded PNG: top-down interleaved RGB (channels=3) or RGBA
+    * (channels=4) bytes, 8 bits per channel.
+    */
+  final case class Png(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]) {
+    require(channels == 3 || channels == 4, "channels must be 3 (RGB) or 4 (RGBA)")
+    require(pixels.length == width * height * channels,
+      "pixels must be w*h*channels bytes")
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    val typB = typ.getBytes(StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typB); crc.update(data)
+    out.write(len); out.write(typB); out.write(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** PNG encoder (spec: RFC 2083 layout): 8-bit color type 2 (RGB) or
+    * 6 (RGBA), non-interlaced, every scanline filter 0, IDAT deflated
+    * at level 0 (STORED blocks). Level 0 on purpose: zlib stored-block
+    * framing is pure arithmetic (2-byte header + 4-byte adler + 5
+    * bytes per ≤65535-byte block), so the total file size is exactly
+    * derivable from (w, h, channels) — which is what lets
+    * q_multimodal_meta's oracle re-derive PNG byte_len the way it
+    * re-derives the BMP stride. A real-world compressed PNG still
+    * DECODES through [[decodePng]] (the inflater doesn't care how the
+    * stream was produced, and all five row filters are reversed).
+    */
+  def encodePng(img: Png): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte)                                         // bit depth
+      .put((if (img.channels == 3) 2 else 6).toByte)         // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)             // deflate, filter0, no interlace
+      .array()
+    pngChunk(out, "IHDR", ihdr)
+    val rowBytes = img.width * img.channels
+    val raw = new Array[Byte]((1 + rowBytes) * img.height)
+    var y = 0
+    while (y < img.height) {
+      raw(y * (1 + rowBytes)) = 0                            // filter type None
+      System.arraycopy(img.pixels, y * rowBytes, raw, y * (1 + rowBytes) + 1, rowBytes)
+      y += 1
+    }
+    val d = new java.util.zip.Deflater(0)
+    d.setInput(raw); d.finish()
+    val zbuf = new Array[Byte](raw.length + 11 + 5 * (raw.length / 65535 + 1))
+    var zlen = 0
+    while (!d.finished()) zlen += d.deflate(zbuf, zlen, zbuf.length - zlen)
+    d.end()
+    pngChunk(out, "IDAT", java.util.Arrays.copyOf(zbuf, zlen))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse a non-interlaced 8-bit RGB/RGBA PNG: signature, chunk walk
+    * with CRC validation, IDAT concatenation + inflate, and per-row
+    * reversal of all five scanline filters (None/Sub/Up/Average/
+    * Paeth) — so any compliant encoder's output decodes, not just
+    * [[encodePng]]'s filter-0 stream. Ancillary chunks are skipped by
+    * the PNG rule (lowercase first letter = non-critical).
+    */
+  def decodePng(bytes: Array[Byte]): Png = {
+    if (bytes.length < PngSig.length + 12) fail(s"PNG truncated: ${bytes.length} bytes")
+    if (!PngSig.indices.forall(i => bytes(i) == PngSig(i))) fail("PNG signature missing")
+    val buf = ByteBuffer.wrap(bytes)                         // PNG ints are big-endian
+    var off = PngSig.length
+    var width = -1; var height = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      if (off + 12 > bytes.length) fail(s"PNG chunk header out of bounds at $off")
+      val len = buf.getInt(off)
+      val typ = new String(bytes, off + 4, 4, StandardCharsets.US_ASCII)
+      if (len < 0 || off + 12 + len > bytes.length)
+        fail(s"PNG chunk '$typ' out of bounds (len=$len at $off)")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      if (crc.getValue.toInt != buf.getInt(off + 8 + len))
+        fail(s"PNG chunk '$typ' CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          if (len != 13) fail(s"PNG IHDR length $len")
+          width = buf.getInt(off + 8)
+          height = buf.getInt(off + 12)
+          val depth = bytes(off + 16); val color = bytes(off + 17)
+          val interlace = bytes(off + 20)
+          if (depth != 8) fail(s"unsupported PNG bit depth $depth (8 only)")
+          channels = color match {
+            case 2 => 3
+            case 6 => 4
+            case c => fail(s"unsupported PNG color type $c (RGB/RGBA only)")
+          }
+          if (interlace != 0) fail("interlaced PNG unsupported")
+          if (width <= 0 || height <= 0) fail(s"bad PNG geometry ${width}x$height")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => ended = true
+        case t if t.nonEmpty && t.charAt(0).isLower => // ancillary: skip
+        case t => fail(s"unsupported critical PNG chunk '$t'")
+      }
+      off += 12 + len
+    }
+    if (width < 0) fail("PNG IHDR missing")
+    if (idat.size() == 0) fail("PNG IDAT missing")
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) fail("PNG IDAT stream truncated")
+        got += n
+      }
+    } catch { case e: java.util.zip.DataFormatException =>
+      fail(s"PNG IDAT corrupt: ${e.getMessage}")
+    } finally inf.end()
+    if (got != raw.length)
+      fail(s"PNG pixel data short: $got of ${raw.length} bytes")
+    // reverse scanline filters in place, row by row (spec §6)
+    val px = new Array[Byte](rowBytes * height)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + rowBytes)) & 0xff
+      val ro = y * (1 + rowBytes) + 1
+      val po = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(ro + x) & 0xff
+        val left = if (x >= bpp) px(po + x - bpp) & 0xff else 0
+        val up = if (y > 0) px(po - rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) px(po - rowBytes + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case t => fail(s"unknown PNG filter type $t in row $y")
+        }
+        px(po + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png(width, height, channels, px)
   }
 
   // ------------------------------------------------------- image resize

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * per-partition setup amortized).
   *
   * The payloads are REAL files in public byte formats, parsed by a
-  * REAL codec ([[MediaCodec]]): images are 24 bpp BMP, audio is PCM16
+  * REAL codec ([[MediaCodec]]): images are 24 bpp BMP and 8-bit
+  * RGB/RGBA PNG (chunk walk + CRC + Inflater), audio is PCM16
   * RIFF/WAV, video is YUV4MPEG2 (C420). The fixture generator
   * synthesizes genuine files from the documents table (deterministic
   * content), and the decode path validates magic/chunk bounds/geometry
@@ -61,6 +62,10 @@ object Multimodal extends QueryModule {
       case "image" =>
         val w = (nChars % 31 + 2).toInt; val h = (nChars % 23 + 2).toInt
         MediaCodec.encodeBmp(MediaCodec.Bmp(w, h, fill(src, w * h * 3, 0)))
+      case "png" =>
+        val w = (nChars % 29 + 2).toInt; val h = (nChars % 19 + 2).toInt
+        val ch = (3 + nChars % 2).toInt // alternate RGB / RGBA
+        MediaCodec.encodePng(MediaCodec.Png(w, h, ch, fill(src, w * h * ch, 0)))
       case "audio" =>
         val n = (nChars % 997 + 64).toInt
         val samples = new Array[Short](n)
@@ -94,12 +99,15 @@ object Multimodal extends QueryModule {
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         it.map { case (id, text, nChars) =>
-          val kind = (id % 3) match {
-            case 0 => "image"; case 1 => "audio"; case _ => "video" }
+          val kind = (id % 4) match {
+            case 0 => "image"; case 1 => "audio"; case 2 => "video"
+            case _ => "png" }
           val payload = makePayload(kind, text, nChars)
           val (w, h, nf) = kind match {
             case "image" =>
               ((nChars % 31 + 2).toInt, (nChars % 23 + 2).toInt, 1)
+            case "png" =>
+              ((nChars % 29 + 2).toInt, (nChars % 19 + 2).toInt, 1)
             case "audio" => (0, 0, 0)
             case _ => ((nChars % 15 + 1).toInt * 2, (nChars % 11 + 1).toInt * 2,
               (nChars % 16 + 1).toInt)
@@ -125,6 +133,11 @@ object Multimodal extends QueryModule {
         a.kind match {
           case "image" =>
             val img = MediaCodec.decodeBmp(a.payload)
+            val mean = img.pixels.map(_ & 0xff).sum.toDouble / img.pixels.length
+            AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+              img.width, img.height, 1, 0, mean, hash(img.pixels))
+          case "png" =>
+            val img = MediaCodec.decodePng(a.payload)
             val mean = img.pixels.map(_ & 0xff).sum.toDouble / img.pixels.length
             AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
               img.width, img.height, 1, 0, mean, hash(img.pixels))
@@ -203,10 +216,15 @@ object Multimodal extends QueryModule {
     // from the fixture generator's parameters (BMP row stride + 54-
     // byte header, RIFF 44-byte header + 2 bytes/sample, Y4M ASCII
     // header whose length depends on the printed W/H digits plus
-    // FRAME\n-delimited 4:2:0 planes). Two independent routes to the
-    // same numbers: a decoder bug (wrong offset, missed padding) and
-    // an encoder bug (wrong stride) both break the match. Decoded
-    // CONTENT stats live in q_multimodal_content (not SQL-reachable).
+    // FRAME\n-delimited 4:2:0 planes, and PNG's fully-determined
+    // layout: 8-byte signature + 25-byte IHDR chunk + one IDAT whose
+    // level-0 zlib stream is raw + 6 + 5·⌈raw/65535⌉ bytes for
+    // raw = h·(1 + w·channels) filtered scanlines + 12-byte IEND).
+    // Two independent routes to the same numbers: a decoder bug
+    // (wrong offset, missed padding, bad inflate) and an encoder bug
+    // (wrong stride, wrong block framing) both break the match.
+    // Decoded CONTENT stats live in q_multimodal_content (not
+    // SQL-reachable).
     "q_multimodal_meta" -> QueryDef(
       (s, dir) => extractFeatures(assets(s, dir)).toDF()
         .select(col("asset_id"), col("kind"), col("byte_len"),
@@ -214,29 +232,34 @@ object Multimodal extends QueryModule {
         .orderBy("asset_id"),
       Some("""WITH g AS (
              |  SELECT doc_id,
-             |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |      ELSE 'video' END AS kind,
+             |    CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      WHEN 2 THEN 'video' ELSE 'png' END AS kind,
              |    n_chars % 31 + 2 AS iw, n_chars % 23 + 2 AS ih,
              |    n_chars % 997 + 64 AS ns,
              |    (n_chars % 15 + 1) * 2 AS vw, (n_chars % 11 + 1) * 2 AS vh,
-             |    n_chars % 16 + 1 AS nf
-             |  FROM documents)
+             |    n_chars % 16 + 1 AS nf,
+             |    n_chars % 29 + 2 AS pw, n_chars % 19 + 2 AS ph,
+             |    3 + n_chars % 2 AS pch
+             |  FROM documents),
+             |g2 AS (
+             |  SELECT *, ph * (1 + pw * pch) AS praw FROM g)
              |SELECT doc_id AS asset_id, kind,
              |  CAST(CASE kind
              |    WHEN 'image' THEN 54 + ((3 * iw + 3) // 4) * 4 * ih
              |    WHEN 'audio' THEN 44 + 2 * ns
+             |    WHEN 'png' THEN 57 + praw + 6 + 5 * ((praw + 65534) // 65535)
              |    ELSE 37 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
              |         + nf * (6 + vw * vh * 3 // 2)
              |  END AS BIGINT) AS byte_len,
-             |  CAST(CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN 0
-             |    ELSE vw END AS INTEGER) AS width,
-             |  CAST(CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 0
-             |    ELSE vh END AS INTEGER) AS height,
-             |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN ns
-             |    ELSE nf END AS INTEGER) AS n_frames,
+             |  CAST(CASE kind WHEN 'image' THEN iw WHEN 'png' THEN pw
+             |    WHEN 'audio' THEN 0 ELSE vw END AS INTEGER) AS width,
+             |  CAST(CASE kind WHEN 'image' THEN ih WHEN 'png' THEN ph
+             |    WHEN 'audio' THEN 0 ELSE vh END AS INTEGER) AS height,
+             |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'png' THEN 1
+             |    WHEN 'audio' THEN ns ELSE nf END AS INTEGER) AS n_frames,
              |  CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0
              |    END AS INTEGER) AS sample_rate
-             |FROM g ORDER BY asset_id""".stripMargin)),
+             |FROM g2 ORDER BY asset_id""".stripMargin)),
 
     // Decoded-content features (mean pixel/sample/luma + content
     // hash) through the real codec; rows-only driver check (byte-level

@@ -98,9 +98,91 @@ class MediaCodecSpec extends AnyFunSuite {
     assertThrows[MediaFormatException](decodeY4m(oddGeom))
   }
 
+  // ---- hand-built PNG: 2x5 RGB, one row per filter type -------------
+  // Built from the published spec (RFC 2083), NOT via encodePng: chunk
+  // CRCs computed locally, scanlines deflated at the DEFAULT level (a
+  // genuinely compressed stream — proves the inflate path, not just
+  // stored blocks), and the five filtered rows exercise every filter
+  // reversal (None/Sub/Up/Average/Paeth). Expected pixels hand-derived
+  // from the filter equations.
+  private def pngChunkBytes(typ: String, data: Array[Byte]): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes); crc.update(data)
+    be32(data.length) ++ typ.getBytes ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private val handPng: Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = be32(2) ++ be32(5) ++ Array[Byte](8, 2, 0, 0, 0) // 2x5 RGB
+    val filtered = Array[Byte](
+      0, 1, 2, 3, 4, 5, 6,       // None
+      1, 10, 10, 10, 5, 5, 5,    // Sub
+      2, 1, 1, 1, 1, 1, 1,       // Up
+      3, 2, 2, 2, 4, 4, 4,       // Average
+      4, 3, 3, 3, 6, 6, 6)       // Paeth
+    val d = new java.util.zip.Deflater() // default level: real compression
+    d.setInput(filtered); d.finish()
+    val zb = new Array[Byte](256)
+    var zn = 0
+    while (!d.finished()) zn += d.deflate(zb, zn, zb.length - zn)
+    sig ++ pngChunkBytes("IHDR", ihdr) ++
+      pngChunkBytes("IDAT", zb.take(zn)) ++
+      pngChunkBytes("IEND", Array.emptyByteArray)
+  }
+
+  test("hand-built PNG decodes through all five filter reversals to exact pixels") {
+    val img = decodePng(handPng)
+    assert(img.width == 2 && img.height == 5 && img.channels == 3)
+    assert(img.pixels.toSeq == Seq[Byte](
+      1, 2, 3, 4, 5, 6,          // None
+      10, 10, 10, 15, 15, 15,    // Sub: second pixel adds the left one
+      11, 11, 11, 16, 16, 16,    // Up: adds the row above
+      7, 7, 7, 15, 15, 15,       // Average: floor((left+up)/2) + raw
+      10, 10, 10, 21, 21, 21))   // Paeth: predictor picks `up` both times
+  }
+
+  test("PNG validation rejects malformed input") {
+    val noSig = handPng.clone(); noSig(0) = 'X'
+    assertThrows[MediaFormatException](decodePng(noSig))
+    val badCrc = handPng.clone(); badCrc(badCrc.length - 1) = 99 // IEND CRC
+    assertThrows[MediaFormatException](decodePng(badCrc))
+    val interlaced = {
+      // rebuild IHDR with interlace=1 (CRC recomputed so only the
+      // interlace check can fire)
+      def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      val ihdr = be32(2) ++ be32(5) ++ Array[Byte](8, 2, 0, 0, 1)
+      handPng.take(8) ++ pngChunkBytes("IHDR", ihdr) ++ handPng.drop(8 + 25)
+    }
+    assertThrows[MediaFormatException](decodePng(interlaced))
+    val palette = {
+      def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      val ihdr = be32(2) ++ be32(5) ++ Array[Byte](8, 3, 0, 0, 0)
+      handPng.take(8) ++ pngChunkBytes("IHDR", ihdr) ++ handPng.drop(8 + 25)
+    }
+    assertThrows[MediaFormatException](decodePng(palette))
+    assertThrows[MediaFormatException](decodePng(handPng.take(40)))
+  }
+
+  test("PNG ancillary chunks are skipped; encoder byte length is the documented arithmetic") {
+    // splice a tEXt chunk between IHDR and IDAT — decode must ignore it
+    val withText = handPng.take(8 + 25) ++
+      pngChunkBytes("tEXt", "k v".getBytes) ++ handPng.drop(8 + 25)
+    assert(decodePng(withText).pixels.toSeq == decodePng(handPng).pixels.toSeq)
+    // the size formula q_multimodal_meta's oracle re-derives:
+    // 57 + raw + 6 + 5*ceil(raw/65535) for raw = h*(1+w*ch)
+    Seq((2, 5, 3), (31, 19, 4), (200, 180, 3)).foreach { case (w, h, ch) =>
+      val raw = h * (1 + w * ch)
+      val img = Png(w, h, ch, Array.tabulate(w * h * ch)(i => (i % 251).toByte))
+      assert(encodePng(img).length == 57 + raw + 6 + 5 * ((raw + 65534) / 65535),
+        s"PNG size formula broke at ${w}x${h}x$ch")
+    }
+  }
+
   // ---- round trips and the resampler --------------------------------
 
-  test("decode(encode(x)) is the identity on all three formats") {
+  test("decode(encode(x)) is the identity on all four formats") {
     val rnd = new scala.util.Random(7)
     (1 to 20).foreach { _ =>
       val w = rnd.nextInt(30) + 1; val h = rnd.nextInt(20) + 1
@@ -108,6 +190,12 @@ class MediaCodecSpec extends AnyFunSuite {
       val back = decodeBmp(encodeBmp(img))
       assert(back.width == w && back.height == h &&
         back.pixels.toSeq == img.pixels.toSeq)
+
+      val ch = rnd.nextInt(2) + 3 // RGB or RGBA
+      val png = Png(w, h, ch, Array.fill(w * h * ch)(rnd.nextInt.toByte))
+      val pBack = decodePng(encodePng(png))
+      assert(pBack.width == w && pBack.height == h && pBack.channels == ch &&
+        pBack.pixels.toSeq == png.pixels.toSeq)
 
       val n = rnd.nextInt(500)
       val wav = Wav(rnd.nextInt(48000) + 1, rnd.nextInt(2) + 1,

@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Windows,
     operators.Lifecycle,
     plans.ProjectionQueries,
+    plans.SqlSurface,
     operators.SetOps,
     functions.Scalars,
     streaming.Shapes,

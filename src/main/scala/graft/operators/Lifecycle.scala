@@ -83,9 +83,10 @@ object Lifecycle extends QueryModule {
   }
 
   /** A clean (unmutated) staged snapshot of events — the fixture for
-    * the introspection + partition-ops queries.
+    * the introspection + partition-ops queries (and the SQL-text
+    * surface's snapshot-catalog view, hence package-wide access).
     */
-  private def cleanDest(s: SparkSession, dir: String): String = stageLock.synchronized {
+  private[graft] def cleanDest(s: SparkSession, dir: String): String = stageLock.synchronized {
     val dest = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft_clean_" + Integer.toHexString(dir.hashCode)).toString

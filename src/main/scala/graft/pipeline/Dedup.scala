@@ -459,16 +459,28 @@ object Dedup extends QueryModule {
           .agg(count(lit(1)).as("n_fp"))
           .filter(col("n_fp") >= 5)
           .select(col("doc_a"), col("doc_b"))
-        val grams16 = Tables(s, dir, "documents")
-          .select(col("doc_id"), array_distinct(expr(
-            """transform(sequence(1, greatest(1, length(text) - 15)),
-              |  p -> substring(text, p, 16))""".stripMargin)).as("g16"))
+          // pair-scale result reused twice below (id pruning + roles);
+          // checkpointing runs the fingerprint pipeline once
+          .localCheckpoint()
         val roles = cands
           .select(col("doc_a"), col("doc_b"),
             explode(array(
               struct(lit("a").as("role"), col("doc_a").as("doc_id")),
               struct(lit("b").as("role"), col("doc_b").as("doc_id")))).as("r"))
           .select(col("doc_a"), col("doc_b"), col("r.role"), col("r.doc_id"))
+        // Gram arrays ONLY for candidate docs: the broadcast semi-join
+        // prunes the corpus BEFORE the expensive per-char transform
+        // (building g16 for every doc and letting the roles join
+        // discard non-candidates measured 3.2 s vs 1.x s at sf0.1 —
+        // the projection sat on the scan side of the join, so it ran
+        // corpus-wide; candidates are O(near-dup pairs), corpus is
+        // everything).
+        val candIds = roles.select(col("doc_id")).distinct()
+        val grams16 = Tables(s, dir, "documents")
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), array_distinct(expr(
+            """transform(sequence(1, greatest(1, length(text) - 15)),
+              |  p -> substring(text, p, 16))""".stripMargin)).as("g16"))
         grams16.join(broadcast(roles), Seq("doc_id"))
           .groupBy("doc_a", "doc_b")
           .agg(

@@ -438,58 +438,87 @@ object Dedup extends QueryModule {
     // above it 44, the true near-dup mass ≥ 113.
     "q_dedup_winnow" -> QueryDef(
       (s, dir) => {
-        // One pass, one shuffle to the bucket: collect each
-        // fingerprint's doc list (bounded — the BucketCap filter runs
-        // BEFORE any pair exists) and expand ordered pairs in-row.
-        // The in-row expansion is ≤ BucketCap²/2 per bucket — O(1) by
-        // construction. Verification then touches ONLY candidate
-        // pairs: their ids broadcast onto one 16-gram scan (the
-        // minhash roles pattern — gram arrays travel once, for
-        // candidates only, never corpus×corpus).
-        val fps = Tables(s, dir, "documents")
-          .select(col("doc_id"),
+        val gramExpr =
+          """array_distinct(transform(sequence(1, greatest(1, length(text) - 15)),
+            |  p -> substring(text, p, 16)))""".stripMargin
+        // EXACT-DUP COLLAPSE FIRST — the minhash ordering, adopted
+        // after the 10× rehearsal measured 26× growth without it:
+        // duplicate multiplicity m inflates every fingerprint bucket
+        // m× and candidate pairs m², so at 10× data (10 copies of
+        // each text) the verification set exploded ~100×. Collapsed,
+        // ONE representative per distinct text runs fingerprints +
+        // exact verification (copy-count-invariant), and doc-level
+        // pairs are pure id expansion: within a dup group every pair
+        // shares ALL grams (n = the rep's gram count, floor-checked);
+        // across verified rep pairs every member combination inherits
+        // the reps' overlap — the texts ARE the reps' texts.
+        val groups = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("rep_id"), first("text").as("text"),
+            sort_array(collect_list(col("doc_id"))).as("members"))
+          .localCheckpoint()
+        // One shuffle to the fingerprint bucket: collect each
+        // fingerprint's rep list (BucketCap filter BEFORE any pair
+        // exists), expand ordered pairs in-row (≤ BucketCap²/2 per
+        // bucket — O(1) by construction).
+        val fps = groups
+          .select(col("rep_id").as("doc_id"),
             explode(TextFns.winnowFingerprints(col("text"), 16, 8)).as("fp"))
         val cands = fps
           .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1 && size(col("ids")) <= BucketCap)
           .select(explode(expr(
-            pairExpansion("ids", "a AS doc_a, b AS doc_b"))).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
-          .groupBy("doc_a", "doc_b")
+            pairExpansion("ids", "a AS rep_a, b AS rep_b"))).as("p"))
+          .select(col("p.rep_a"), col("p.rep_b"))
+          .groupBy("rep_a", "rep_b")
           .agg(count(lit(1)).as("n_fp"))
           .filter(col("n_fp") >= 5)
-          .select(col("doc_a"), col("doc_b"))
+          .select(col("rep_a"), col("rep_b"))
           // pair-scale result reused twice below (id pruning + roles);
           // checkpointing runs the fingerprint pipeline once
           .localCheckpoint()
         val roles = cands
-          .select(col("doc_a"), col("doc_b"),
+          .select(col("rep_a"), col("rep_b"),
             explode(array(
-              struct(lit("a").as("role"), col("doc_a").as("doc_id")),
-              struct(lit("b").as("role"), col("doc_b").as("doc_id")))).as("r"))
-          .select(col("doc_a"), col("doc_b"), col("r.role"), col("r.doc_id"))
-        // Gram arrays ONLY for candidate docs: the broadcast semi-join
-        // prunes the corpus BEFORE the expensive per-char transform
-        // (building g16 for every doc and letting the roles join
-        // discard non-candidates measured 3.2 s vs 1.x s at sf0.1 —
-        // the projection sat on the scan side of the join, so it ran
-        // corpus-wide; candidates are O(near-dup pairs), corpus is
-        // everything).
+              struct(lit("a").as("role"), col("rep_a").as("doc_id")),
+              struct(lit("b").as("role"), col("rep_b").as("doc_id")))).as("r"))
+          .select(col("rep_a"), col("rep_b"), col("r.role"), col("r.doc_id"))
+        // Gram arrays ONLY for candidate reps: the broadcast semi-join
+        // prunes BEFORE the expensive per-char transform (corpus-wide
+        // gram building measured 3.2 s vs 2.1 s at sf0.1), then the
+        // roles broadcast carries each rep's grams once per pair side
+        // (the minhash pattern — never corpus×corpus).
         val candIds = roles.select(col("doc_id")).distinct()
-        val grams16 = Tables(s, dir, "documents")
+        val grams16 = groups
+          .select(col("rep_id").as("doc_id"), col("text"))
           .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), array_distinct(expr(
-            """transform(sequence(1, greatest(1, length(text) - 15)),
-              |  p -> substring(text, p, 16))""".stripMargin)).as("g16"))
-        grams16.join(broadcast(roles), Seq("doc_id"))
-          .groupBy("doc_a", "doc_b")
+          .select(col("doc_id"), expr(gramExpr).as("g16"))
+        val verified = grams16.join(broadcast(roles), Seq("doc_id"))
+          .groupBy("rep_a", "rep_b")
           .agg(
             first(when(col("role") === "a", col("g16")), ignoreNulls = true).as("ga"),
             first(when(col("role") === "b", col("g16")), ignoreNulls = true).as("gb"))
-          .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("ga"), col("gb"))).cast("long")
-              .as("n_shared_grams"))
-          .filter(col("n_shared_grams") >= 30)
+          .select(col("rep_a"), col("rep_b"),
+            size(array_intersect(col("ga"), col("gb"))).cast("long").as("n"))
+          .filter(col("n") >= 30)
+        val within = groups.filter(size(col("members")) > 1)
+          .select(col("members"), size(expr(gramExpr)).cast("long").as("n"))
+          .filter(col("n") >= 30) // a tiny dup'd doc can be under-floor
+          .select(explode(expr(
+            pairExpansion("members", "a AS doc_a, b AS doc_b"))).as("p"), col("n"))
+          .select(col("p.doc_a"), col("p.doc_b"), col("n"))
+        val cross = verified
+          .join(groups.select(col("rep_id").as("rep_a"), col("members").as("ma")),
+            Seq("rep_a"))
+          .join(groups.select(col("rep_id").as("rep_b"), col("members").as("mb")),
+            Seq("rep_b"))
+          .select(explode(col("ma")).as("x"), col("mb"), col("n"))
+          .select(col("x"), explode(col("mb")).as("y"), col("n"))
+          .select(least(col("x"), col("y")).as("doc_a"),
+            greatest(col("x"), col("y")).as("doc_b"), col("n"))
+        within.unionByName(cross)
+          .select(col("doc_a"), col("doc_b"), col("n").as("n_shared_grams"))
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH g AS (

@@ -567,6 +567,52 @@ object Analytics extends QueryModule {
              |  CAST(c AS BIGINT) AS n_nations
              |FROM fix, dims""".stripMargin)),
 
+    // ClickHouse `categoricalInformationValue` ([CH]): per-category
+    // Weight of Evidence and Information Value of event_type against
+    // a binary outcome (high-value event, value ≥ 50 — a ~35/65 split
+    // on the fixture, never degenerate) — the credit-scoring /
+    // feature-screening staple. Scale shape: the corpus collapses to
+    // the (category × class) count grid in ONE map-side-combined
+    // aggregate; the 1-row class totals broadcast back (the
+    // q_ab_ztest anchor pattern); WoE/IV are row-local arithmetic on
+    // exact integer counts through identical ln chains. NULL-guarded
+    // at an empty class on either side (ln 0), mirrored in the oracle.
+    "q_categorical_iv" -> QueryDef(
+      (s, dir) => {
+        val grid = Relational.eventsSec(s, dir)
+          .groupBy("event_type")
+          .agg(sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("value") < 50.0, 1L).otherwise(0L)).as("n_bad"))
+        val tot = grid.agg(sum("n_good").as("g_tot"), sum("n_bad").as("b_tot"))
+        val gr = col("n_good").cast("double") / col("g_tot")
+        val br = col("n_bad").cast("double") / col("b_tot")
+        grid.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_good"), col("n_bad"),
+            when(col("n_good") > 0 && col("n_bad") > 0,
+              round(log(gr / br) + 1e-9, 4)).as("woe"),
+            when(col("n_good") > 0 && col("n_bad") > 0,
+              round((gr - br) * log(gr / br) + 1e-9, 4)).as("iv_term"))
+          .orderBy("event_type")
+      },
+      Some("""WITH grid AS (
+             |  SELECT event_type,
+             |    CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_good,
+             |    CAST(sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_bad
+             |  FROM events GROUP BY event_type),
+             |tot AS (SELECT sum(n_good) AS g_tot, sum(n_bad) AS b_tot FROM grid)
+             |SELECT event_type, n_good, n_bad,
+             |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+             |    round(ln((CAST(n_good AS DOUBLE) / g_tot) /
+             |             (CAST(n_bad AS DOUBLE) / b_tot)) + 1e-9, 4) END AS woe,
+             |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+             |    round(((CAST(n_good AS DOUBLE) / g_tot) -
+             |           (CAST(n_bad AS DOUBLE) / b_tot)) *
+             |          ln((CAST(n_good AS DOUBLE) / g_tot) /
+             |             (CAST(n_bad AS DOUBLE) / b_tot)) + 1e-9, 4) END AS iv_term
+             |FROM grid, tot ORDER BY event_type""".stripMargin)),
+
     "q_agg_cramers_v" -> QueryDef(
       (s, dir) => cramersV(Tables(s, dir, "customer"),
           "c_mktsegment", "c_nationkey")

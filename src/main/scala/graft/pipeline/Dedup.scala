@@ -189,6 +189,44 @@ object Dedup extends QueryModule {
              |      FROM documents)
              |GROUP BY norm_fp ORDER BY norm_fp""".stripMargin)),
 
+    // Keep-best-copy dedup ([LLM] — the provenance-aware variant of
+    // q_dedup_docs every multi-crawl pipeline runs: Dolma/The Pile
+    // keep ONE copy per content group, chosen by a quality rule, not
+    // min-id): per normalized-content fingerprint keep the LONGEST
+    // raw copy (most complete crawl of the page; normalization
+    // collapses case/punctuation differences, so raw n_chars ranks
+    // completeness), ties to the smallest doc_id. One max_by hash
+    // aggregate on the composite (n_chars, −doc_id) key — the
+    // q_agg_argmax determinism move — so ONE shuffle carries one
+    // candidate struct per fingerprint, never the copies.
+    "q_dedup_keep_best" -> QueryDef(
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextFns.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(
+          max_by(struct(col("doc_id"), col("source"), col("n_chars")),
+            struct(col("n_chars"), -col("doc_id"))).as("best"),
+          count(lit(1)).as("n_copies"))
+        .select(col("best.doc_id").as("doc_id"),
+          col("best.source").as("source"),
+          col("best.n_chars").as("n_chars"), col("n_copies"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, n_chars,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             |        ' +', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY fp
+             |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY fp) AS n_copies
+             |  FROM d)
+             |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             |       CAST(n_copies AS BIGINT) AS n_copies
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // CCNet-style corpus-level boilerplate-line removal ([LLM] — the
     // paragraph-dedup pass of Wenzek et al. 2019 / the line-dedup pass
     // of C4: a line repeated across many documents is boilerplate, and

@@ -44,6 +44,46 @@ object TextOps extends QueryModule {
              |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS BIGINT) AS sub_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Per-document lexical-diversity profile ([LLM] quality signal —
+    // low unigram entropy / type-token ratio flags keyword-stuffed
+    // and template text the repetition filter's fixed n-grams miss):
+    // word-distribution Shannon entropy in nats via the one-pass
+    // H = ln n − (Σ c·ln c)/n identity (the q_source_mix discipline —
+    // no per-row p division, short identical double chains on both
+    // engines) and TTR = types/tokens. Scale shape: ONE shuffle to
+    // the (doc, word) tf grid (the q_tfidf shape — word text never
+    // travels past the map-side combine), then a doc-keyed grid
+    // aggregate; nothing unbounded after the first exchange.
+    "q_token_entropy" -> QueryDef(
+      (s, dir) => {
+        val tf = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+            sum(col("c").cast("double") * log(col("c").cast("double")))
+              .as("clogc"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            round((log(col("n_tokens").cast("double")) -
+              col("clogc") / col("n_tokens")) + 1e-9, 4).as("entropy"),
+            round(col("n_types").cast("double") / col("n_tokens") + 1e-9, 4)
+              .as("ttr"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  GROUP BY doc_id, w)
+             |SELECT doc_id,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_types,
+             |  round((ln(CAST(sum(c) AS DOUBLE)) -
+             |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c))
+             |    + 1e-9, 4) AS entropy,
+             |  round(CAST(count(*) AS DOUBLE) / sum(c) + 1e-9, 4) AS ttr
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Heuristic n-gram/stopword language ID. The CASE ladder is the
     // model; the oracle runs the identical ladder, so the check
     // verifies the Spark plumbing, not linguistic truth.

@@ -74,7 +74,10 @@ class PlanSpec extends SparkSpec {
       // ab_ztest: the 1-row derived median-purchases threshold
       // broadcast onto the per-user grid (the q_ttl_rollup anchor
       // pattern — r7 replaced the hard-coded fixture threshold)
-      "q_ab_ztest")
+      "q_ab_ztest",
+      // categorical IV: the 1-row class totals broadcast onto the
+      // (category × class) count grid — grid-scale on both sides
+      "q_categorical_iv")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

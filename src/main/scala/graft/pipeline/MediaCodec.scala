@@ -375,6 +375,241 @@ object MediaCodec {
     Png(width, height, channels, px)
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  /** One decoded GIF frame: palette INDICES (one byte per pixel) over
+    * the frame's own rectangle, plus its Graphic Control delay and an
+    * optional local color table (RGB triples) that overrides the
+    * global one for this frame only.
+    */
+  final case class GifFrame(left: Int, top: Int, width: Int, height: Int,
+      delayCs: Int, pixels: Array[Byte],
+      localPalette: Option[Array[Byte]] = None) {
+    require(pixels.length == width * height, "pixels must be w*h indices")
+  }
+
+  /** Decoded GIF: logical screen geometry, the global color table
+    * (RGB triples), and the frame sequence — the animation surface the
+    * multimodal frame sampler reads.
+    */
+  final case class Gif(width: Int, height: Int, palette: Array[Byte],
+      frames: Vector[Gif.Frame])
+
+  object Gif { type Frame = GifFrame }
+
+  private def gifU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+
+  /** GIF LZW image data in the CLEAR-RESET form: 8-bit min code size,
+    * a clear code before every run of ≤254 literal pixel codes, so the
+    * dictionary never grows past 511 and EVERY code is exactly 9 bits
+    * (LSB-first packing per the GIF89a spec, appendix F). Valid LZW —
+    * any conforming decoder reads it — and its length is pure integer
+    * arithmetic: codes = npix + 2 + ⌊(npix−1)/254⌋, bytes = ⌈9·codes/8⌉.
+    * That determinism is what lets q_multimodal_meta's oracle re-derive
+    * GIF byte_len the way it re-derives the PNG stored-block framing.
+    */
+  private def gifLzwClearReset(pixels: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(pixels.length * 9 / 8 + 8)
+    var cur = 0; var nbits = 0
+    def put(code: Int): Unit = {
+      cur |= code << nbits; nbits += 9
+      while (nbits >= 8) { out.write(cur & 0xff); cur >>>= 8; nbits -= 8 }
+    }
+    put(256)                                   // initial CLEAR
+    var i = 0; var sinceClear = 0
+    while (i < pixels.length) {
+      if (sinceClear == 254) { put(256); sinceClear = 0 }
+      put(pixels(i) & 0xff); sinceClear += 1; i += 1
+    }
+    put(257)                                   // EOI
+    if (nbits > 0) out.write(cur & 0xff)
+    out.toByteArray
+  }
+
+  /** GIF89a encoder: logical screen descriptor with a 256-entry global
+    * color table, one Graphic Control Extension + image descriptor per
+    * frame, clear-reset LZW data in ≤255-byte sub-blocks, trailer.
+    */
+  def encodeGif(g: Gif): Array[Byte] = {
+    require(g.palette.length == 768, "encoder wants a full 256-entry GCT")
+    require(g.width > 0 && g.width <= 0xffff && g.height > 0 && g.height <= 0xffff,
+      "GIF geometry must fit u16")
+    require(g.frames.nonEmpty, "GIF needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    gifU16(out, g.width); gifU16(out, g.height)
+    out.write(0xf7)                            // GCT present, 8-bit, 256 entries
+    out.write(0); out.write(0)                 // bg index, aspect
+    out.write(g.palette)
+    g.frames.foreach { f =>
+      require(f.left + f.width <= g.width && f.top + f.height <= g.height,
+        "frame rectangle must sit inside the logical screen")
+      out.write(0x21); out.write(0xf9); out.write(4)   // GCE
+      out.write(0)                                     // no disposal/transparency
+      gifU16(out, f.delayCs)
+      out.write(0); out.write(0)                       // transparent idx, terminator
+      out.write(0x2c)                                  // image descriptor
+      gifU16(out, f.left); gifU16(out, f.top)
+      gifU16(out, f.width); gifU16(out, f.height)
+      out.write(0)                                     // no LCT, not interlaced
+      out.write(8)                                     // LZW min code size
+      val data = gifLzwClearReset(f.pixels)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0)                                     // block terminator
+    }
+    out.write(0x3b)                                    // trailer
+    out.toByteArray
+  }
+
+  /** Full adaptive GIF LZW decode (spec appendix F): LSB-first variable
+    * code width (minCodeSize+1 … 12 bits), dictionary rebuild on CLEAR,
+    * the KwKwK first-use case, and the deferred-clear convention (a
+    * full 4096-entry table simply stops growing) — so output from ANY
+    * conforming encoder decodes, not just [[gifLzwClearReset]]'s
+    * fixed-width stream.
+    */
+  private def gifLzwDecode(minCodeSize: Int, data: Array[Byte],
+      expected: Int): Array[Byte] = {
+    if (minCodeSize < 2 || minCodeSize > 8) fail(s"bad LZW min code size $minCodeSize")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expected)
+    var outN = 0
+    var dictSize = eoi + 1
+    var codeWidth = minCodeSize + 1
+    var prev = -1
+    var prevFirst: Byte = 0
+    var cur = 0; var nbits = 0; var pos = 0
+    var done = false
+    while (!done) {
+      while (nbits < codeWidth && pos < data.length) {
+        cur |= (data(pos) & 0xff) << nbits; nbits += 8; pos += 1
+      }
+      if (nbits < codeWidth) fail("GIF LZW stream truncated before EOI")
+      val code = cur & ((1 << codeWidth) - 1)
+      cur >>>= codeWidth; nbits -= codeWidth
+      if (code == clear) {
+        dictSize = eoi + 1; codeWidth = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        if (code > dictSize || (code == dictSize && prev < 0))
+          fail(s"GIF LZW code $code out of range (dict $dictSize)")
+        var sp = 0
+        var cc = code
+        if (cc == dictSize) {                  // KwKwK: string(prev) + first(prev)
+          stack(sp) = prevFirst; sp += 1; cc = prev
+        }
+        while (cc >= clear + 2) { stack(sp) = suffix(cc); sp += 1; cc = prefix(cc) }
+        if (cc >= clear) fail(s"GIF LZW chain hit reserved code $cc")
+        val first = cc.toByte
+        stack(sp) = first; sp += 1
+        if (outN + sp > expected)
+          fail(s"GIF LZW output overruns ${expected}-pixel frame")
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first; dictSize += 1
+          if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code; prevFirst = first
+      }
+    }
+    if (outN != expected) fail(s"GIF frame short: $outN of $expected pixels")
+    out
+  }
+
+  /** Parse a GIF87a/GIF89a file: header + logical screen descriptor,
+    * global color table, extension blocks (Graphic Control delays are
+    * kept, other extensions skipped by sub-block walk), per-frame image
+    * descriptors with optional local color tables, and full adaptive
+    * LZW decode of each frame. Interlaced frames are rejected (like
+    * interlaced PNG).
+    */
+  def decodeGif(bytes: Array[Byte]): Gif = {
+    if (bytes.length < 14) fail(s"GIF truncated: ${bytes.length} bytes")
+    val magic = new String(bytes, 0, 6, StandardCharsets.US_ASCII)
+    if (magic != "GIF89a" && magic != "GIF87a") fail(s"GIF signature missing ('$magic')")
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u8(off: Int): Int = {
+      if (off >= bytes.length) fail(s"GIF out of bounds at $off")
+      bytes(off) & 0xff
+    }
+    val width = u16(6); val height = u16(8)
+    if (width <= 0 || height <= 0) fail(s"bad GIF geometry ${width}x$height")
+    val packed = u8(10)
+    var off = 13
+    val palette =
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (2 << (packed & 7))
+        if (off + n > bytes.length) fail("GIF global color table out of bounds")
+        val p = java.util.Arrays.copyOfRange(bytes, off, off + n); off += n; p
+      } else Array.emptyByteArray
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (u8(o) != 0) {
+        val n = u8(o)
+        if (o + 1 + n > bytes.length) fail(s"GIF sub-block out of bounds at $o")
+        o += 1 + n
+      }
+      o + 1
+    }
+    val frames = Vector.newBuilder[GifFrame]
+    var pendingDelay = 0
+    var ended = false
+    while (!ended) {
+      u8(off) match {
+        case 0x3b => ended = true
+        case 0x21 =>                                   // extension
+          val label = u8(off + 1)
+          if (label == 0xf9) {                         // Graphic Control
+            if (u8(off + 2) != 4) fail("GIF GCE block size must be 4")
+            pendingDelay = u16(off + 4)
+            off = skipSubBlocks(off + 7)
+          } else off = skipSubBlocks(off + 2)
+        case 0x2c =>                                   // image descriptor
+          val left = u16(off + 1); val top = u16(off + 3)
+          val fw = u16(off + 5); val fh = u16(off + 7)
+          val fpacked = u8(off + 9)
+          if ((fpacked & 0x40) != 0) fail("interlaced GIF unsupported")
+          if (fw <= 0 || fh <= 0 || left + fw > width || top + fh > height)
+            fail(s"GIF frame rectangle ${fw}x$fh+$left+$top outside ${width}x$height")
+          off += 10
+          val lct =
+            if ((fpacked & 0x80) != 0) {
+              val n = 3 * (2 << (fpacked & 7))
+              if (off + n > bytes.length) fail("GIF local color table out of bounds")
+              val p = java.util.Arrays.copyOfRange(bytes, off, off + n); off += n
+              Some(p)
+            } else None
+          val minCodeSize = u8(off); off += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (u8(off) != 0) {
+            val n = u8(off)
+            if (off + 1 + n > bytes.length) fail(s"GIF image data out of bounds at $off")
+            data.write(bytes, off + 1, n); off += 1 + n
+          }
+          off += 1
+          frames += GifFrame(left, top, fw, fh, pendingDelay,
+            gifLzwDecode(minCodeSize, data.toByteArray, fw * fh), lct)
+          pendingDelay = 0
+        case b => fail(f"unknown GIF block 0x$b%02x at $off")
+      }
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) fail("GIF has no image frames")
+    Gif(width, height, palette, fs)
+  }
+
   // ------------------------------------------------------- image resize
 
   /** Nearest-neighbor resample of a decoded BMP — a REAL resampler over

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * per-partition setup amortized).
   *
   * The payloads are REAL files in public byte formats, parsed by a
-  * REAL codec ([[MediaCodec]]): images are 24 bpp BMP and 8-bit
-  * RGB/RGBA PNG (chunk walk + CRC + Inflater), audio is PCM16
-  * RIFF/WAV, video is YUV4MPEG2 (C420). The fixture generator
+  * REAL codec ([[MediaCodec]]): images are 24 bpp BMP, 8-bit RGB/RGBA
+  * PNG (chunk walk + CRC + Inflater), and animated GIF89a (full
+  * adaptive LZW), audio is PCM16 RIFF/WAV, video is YUV4MPEG2 (C420).
+  * The fixture generator
   * synthesizes genuine files from the documents table (deterministic
   * content), and the decode path validates magic/chunk bounds/geometry
   * exactly as it would against bytes from an object store — pointing
@@ -75,6 +76,19 @@ object Multimodal extends QueryModule {
           i += 1
         }
         MediaCodec.encodeWav(MediaCodec.Wav(16000, 1, samples))
+      case "gif" =>
+        val w = (nChars % 21 + 2).toInt; val h = (nChars % 13 + 2).toInt
+        val nf = (nChars % 8 + 1).toInt
+        val pal = new Array[Byte](768)                 // grayscale ramp GCT
+        var i = 0
+        while (i < 256) {
+          pal(3 * i) = i.toByte; pal(3 * i + 1) = i.toByte; pal(3 * i + 2) = i.toByte
+          i += 1
+        }
+        val frames = Vector.tabulate(nf) { f =>
+          MediaCodec.GifFrame(0, 0, w, h, 10, fill(src, w * h, f))
+        }
+        MediaCodec.encodeGif(MediaCodec.Gif(w, h, pal, frames))
       case _ =>
         val w = (nChars % 15 + 1).toInt * 2; val h = (nChars % 11 + 1).toInt * 2
         val nf = (nChars % 16 + 1).toInt
@@ -99,15 +113,18 @@ object Multimodal extends QueryModule {
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         it.map { case (id, text, nChars) =>
-          val kind = (id % 4) match {
+          val kind = (id % 5) match {
             case 0 => "image"; case 1 => "audio"; case 2 => "video"
-            case _ => "png" }
+            case 3 => "png"; case _ => "gif" }
           val payload = makePayload(kind, text, nChars)
           val (w, h, nf) = kind match {
             case "image" =>
               ((nChars % 31 + 2).toInt, (nChars % 23 + 2).toInt, 1)
             case "png" =>
               ((nChars % 29 + 2).toInt, (nChars % 19 + 2).toInt, 1)
+            case "gif" =>
+              ((nChars % 21 + 2).toInt, (nChars % 13 + 2).toInt,
+                (nChars % 8 + 1).toInt)
             case "audio" => (0, 0, 0)
             case _ => ((nChars % 15 + 1).toInt * 2, (nChars % 11 + 1).toInt * 2,
               (nChars % 16 + 1).toInt)
@@ -141,6 +158,14 @@ object Multimodal extends QueryModule {
             val mean = img.pixels.map(_ & 0xff).sum.toDouble / img.pixels.length
             AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
               img.width, img.height, 1, 0, mean, hash(img.pixels))
+          case "gif" =>
+            val g = MediaCodec.decodeGif(a.payload)
+            val idx = g.frames.iterator.flatMap(_.pixels.iterator).toArray
+            val mean =
+              if (idx.isEmpty) 0.0
+              else idx.map(_ & 0xff).sum.toDouble / idx.length
+            AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+              g.width, g.height, g.frames.size, 0, mean, hash(idx))
           case "audio" =>
             val wav = MediaCodec.decodeWav(a.payload)
             val mean =
@@ -193,17 +218,21 @@ object Multimodal extends QueryModule {
     }
   }
 
-  /** Frame sampling through the real codec: parse the Y4M stream, keep
-    * every k-th frame, emit one row per sampled frame with its luma
-    * plane. Partition-local flatMap — the generator shape with real
+  /** Frame sampling through the real codec: parse the animation stream
+    * (Y4M or animated GIF), keep every k-th frame, emit one row per
+    * sampled frame with its pixel plane (Y4M luma / GIF palette
+    * indices). Partition-local flatMap — the generator shape with real
     * frames.
     */
   def sampleFrames(assets: Dataset[Asset], everyK: Int = 4): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.filter(_.kind == "video").flatMap { a =>
-      val vid = MediaCodec.decodeY4m(a.payload)
-      (0 until vid.frames.size by everyK).map { i =>
-        (a.asset_id, i.toLong, vid.frames(i).y)
+    assets.filter(a => a.kind == "video" || a.kind == "gif").flatMap { a =>
+      val frames: IndexedSeq[Array[Byte]] = a.kind match {
+        case "video" => MediaCodec.decodeY4m(a.payload).frames.map(_.y)
+        case _ => MediaCodec.decodeGif(a.payload).frames.map(_.pixels)
+      }
+      (0 until frames.size by everyK).map { i =>
+        (a.asset_id, i.toLong, frames(i))
       }
     }.toDF("asset_id", "frame_idx", "frame_luma")
   }
@@ -219,10 +248,16 @@ object Multimodal extends QueryModule {
     // FRAME\n-delimited 4:2:0 planes, and PNG's fully-determined
     // layout: 8-byte signature + 25-byte IHDR chunk + one IDAT whose
     // level-0 zlib stream is raw + 6 + 5·⌈raw/65535⌉ bytes for
-    // raw = h·(1 + w·channels) filtered scanlines + 12-byte IEND).
+    // raw = h·(1 + w·channels) filtered scanlines + 12-byte IEND;
+    // and GIF's clear-reset LZW layout: 781 header+GCT bytes plus a
+    // trailer, and per frame an 8-byte GCE + 10-byte descriptor +
+    // 1 min-code byte + ⌈9·codes/8⌉ data bytes for
+    // codes = npix + 2 + ⌊(npix−1)/254⌋, framed in ≤255-byte
+    // sub-blocks with a terminator).
     // Two independent routes to the same numbers: a decoder bug
-    // (wrong offset, missed padding, bad inflate) and an encoder bug
-    // (wrong stride, wrong block framing) both break the match.
+    // (wrong offset, missed padding, bad inflate, broken LZW) and an
+    // encoder bug (wrong stride, wrong block framing) both break the
+    // match.
     // Decoded CONTENT stats live in q_multimodal_content (not
     // SQL-reachable).
     "q_multimodal_meta" -> QueryDef(
@@ -232,34 +267,42 @@ object Multimodal extends QueryModule {
         .orderBy("asset_id"),
       Some("""WITH g AS (
              |  SELECT doc_id,
-             |    CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             |      WHEN 2 THEN 'video' ELSE 'png' END AS kind,
+             |    CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      WHEN 2 THEN 'video' WHEN 3 THEN 'png' ELSE 'gif' END AS kind,
              |    n_chars % 31 + 2 AS iw, n_chars % 23 + 2 AS ih,
              |    n_chars % 997 + 64 AS ns,
              |    (n_chars % 15 + 1) * 2 AS vw, (n_chars % 11 + 1) * 2 AS vh,
              |    n_chars % 16 + 1 AS nf,
              |    n_chars % 29 + 2 AS pw, n_chars % 19 + 2 AS ph,
-             |    3 + n_chars % 2 AS pch
+             |    3 + n_chars % 2 AS pch,
+             |    n_chars % 21 + 2 AS gw, n_chars % 13 + 2 AS gh,
+             |    n_chars % 8 + 1 AS gnf
              |  FROM documents),
              |g2 AS (
-             |  SELECT *, ph * (1 + pw * pch) AS praw FROM g)
+             |  SELECT *, ph * (1 + pw * pch) AS praw,
+             |    gw * gh + 2 + (gw * gh - 1) // 254 AS gcodes
+             |  FROM g),
+             |g3 AS (
+             |  SELECT *, (9 * gcodes + 7) // 8 AS gdb FROM g2)
              |SELECT doc_id AS asset_id, kind,
              |  CAST(CASE kind
              |    WHEN 'image' THEN 54 + ((3 * iw + 3) // 4) * 4 * ih
              |    WHEN 'audio' THEN 44 + 2 * ns
              |    WHEN 'png' THEN 57 + praw + 6 + 5 * ((praw + 65534) // 65535)
+             |    WHEN 'gif' THEN 782
+             |      + gnf * (20 + gdb + (gdb + 254) // 255)
              |    ELSE 37 + length(CAST(vw AS VARCHAR)) + length(CAST(vh AS VARCHAR))
              |         + nf * (6 + vw * vh * 3 // 2)
              |  END AS BIGINT) AS byte_len,
              |  CAST(CASE kind WHEN 'image' THEN iw WHEN 'png' THEN pw
-             |    WHEN 'audio' THEN 0 ELSE vw END AS INTEGER) AS width,
+             |    WHEN 'gif' THEN gw WHEN 'audio' THEN 0 ELSE vw END AS INTEGER) AS width,
              |  CAST(CASE kind WHEN 'image' THEN ih WHEN 'png' THEN ph
-             |    WHEN 'audio' THEN 0 ELSE vh END AS INTEGER) AS height,
+             |    WHEN 'gif' THEN gh WHEN 'audio' THEN 0 ELSE vh END AS INTEGER) AS height,
              |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'png' THEN 1
-             |    WHEN 'audio' THEN ns ELSE nf END AS INTEGER) AS n_frames,
+             |    WHEN 'gif' THEN gnf WHEN 'audio' THEN ns ELSE nf END AS INTEGER) AS n_frames,
              |  CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0
              |    END AS INTEGER) AS sample_rate
-             |FROM g2 ORDER BY asset_id""".stripMargin)),
+             |FROM g3 ORDER BY asset_id""".stripMargin)),
 
     // Decoded-content features (mean pixel/sample/luma + content
     // hash) through the real codec; rows-only driver check (byte-level
@@ -273,8 +316,8 @@ object Multimodal extends QueryModule {
         .orderBy("asset_id"),
       None),
 
-    // Real frame sampling: every 4th decoded Y4M frame, fingerprinted
-    // by its luma plane; rows-only check.
+    // Real frame sampling: every 4th decoded animation frame (Y4M luma
+    // plane / animated-GIF index plane), fingerprinted; rows-only check.
     "q_multimodal_frames" -> QueryDef(
       (s, dir) => sampleFrames(assets(s, dir))
         .select(col("asset_id"), col("frame_idx"),

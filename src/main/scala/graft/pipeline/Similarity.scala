@@ -27,6 +27,77 @@ object Similarity extends QueryModule {
     */
   val AnnCells = 10
 
+  /** q_sim_mmr's shortlist size, pick count, and relevance/diversity
+    * trade-off. C=15 candidates per query bounds the greedy input to
+    * O(|queries|·C) rows at any corpus size.
+    */
+  val MmrCand = 15
+  val MmrK = 5
+  val MmrLambda = 0.7
+  /** The diversity weight as an explicit literal (NOT `1 − λ`, whose
+    * IEEE value is 0.30000000000000004 — both engines must parse the
+    * same decimal literal for bit-identical scores).
+    */
+  val MmrGamma = 0.3
+
+  /** The DuckDB twin of q_sim_mmr's greedy loop: one chained CTE per
+    * pick (the q_pagerank generated-oracle pattern — the step count
+    * cannot drift between engines), over the same rounded cosine grid
+    * as q_sim_topk's oracle.
+    */
+  private def mmrOracle: String = {
+    def cos(a: String, b: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))), 4)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      s"""sel$t AS (
+         |  SELECT q_id, vec_id, rel, mmr, CAST($t AS BIGINT) AS pick_rank FROM (
+         |    SELECT q_id, vec_id, rel, mmr,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id ASC) AS rn
+         |    FROM (
+         |      SELECT c.q_id, c.vec_id, c.rel,
+         |        round($MmrLambda * c.rel - $MmrGamma * max(p.psim) + 1e-9, 4) AS mmr
+         |      FROM cand c
+         |      JOIN pairs p ON p.q_id = c.q_id AND p.v1 = c.vec_id
+         |      JOIN selu${t - 1} s ON s.q_id = p.q_id AND s.vec_id = p.v2
+         |      WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} x
+         |                        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+         |      GROUP BY c.q_id, c.vec_id, c.rel) z0) z1
+         |  WHERE rn = 1),
+         |selu$t AS (SELECT * FROM selu${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.embedding,
+       |    ${cos("q", "c")} AS rel
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id, embedding, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, vec_id ASC) AS rnk
+       |    FROM scored) WHERE rnk <= $MmrCand),
+       |pairs AS (
+       |  SELECT a.q_id, a.vec_id AS v1, b.vec_id AS v2,
+       |    ${cos("a", "b")} AS psim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (
+       |  SELECT q_id, vec_id, rel,
+       |    round($MmrLambda * rel + 1e-9, 4) AS mmr, CAST(1 AS BIGINT) AS pick_rank
+       |  FROM (SELECT q_id, vec_id, rel,
+       |          row_number() OVER (PARTITION BY q_id
+       |            ORDER BY round($MmrLambda * rel + 1e-9, 4) DESC, vec_id ASC) AS rn
+       |        FROM cand) WHERE rn = 1),
+       |selu1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT q_id, pick_rank, vec_id, rel, mmr
+       |FROM selu$MmrK ORDER BY q_id, pick_rank""".stripMargin
+  }
+
   /** Multi-table hyperplane LSH: L=8 independent tables of b=8 bits,
     * all 64 hyperplane signs computed by ONE `rp_bits` call per row
     * (same cost as a SimHash). The fixture's true neighbours are weak
@@ -674,6 +745,67 @@ object Similarity extends QueryModule {
     // dimension; all math in double on both engines (hazard H1), and
     // the quantized codes are exact integers so their sum/extrema
     // compare without rounding grids.
+    // MMR (maximal marginal relevance) diversified top-k: the
+    // RAG-retrieval re-rank that trades relevance against redundancy —
+    // score λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s), greedy over K
+    // picks. Structure at scale: the EXPENSIVE part (corpus scan +
+    // per-query top-C shortlist) is the distributed q_sim_topk shape
+    // (broadcast query side, windowed top-C); the greedy re-rank then
+    // runs on the O(|queries|·C) shortlist — model-scale by
+    // construction (the k-means-centroid collect discipline), with
+    // all pair sims computed in the same IEEE order DuckDB uses so
+    // the oracle's unrolled greedy (one chained CTE per pick, the
+    // q_pagerank generated-oracle pattern) hash-matches exactly.
+    "q_sim_mmr" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val scored = emb.select(col("vec_id"), col("embedding"),
+            Vectors.norm(col("embedding")).as("c_nrm"))
+          .join(broadcast(querySide(emb)))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos_sim", cosScore)
+        val cand = rankTopK(scored, MmrCand)
+          .select(col("q_id"), col("vec_id"),
+            col("cos_sim").as("rel"), col("embedding"))
+        def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        // identical accumulation order to the oracle's list_sum
+        def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          r4(dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+        val picks = cand.collect().groupBy(_.getLong(0)).toSeq.flatMap {
+          case (q, rs) =>
+            val cs = rs.map(r => (r.getLong(1), r.getDouble(2),
+              r.getSeq[Float](3).toArray)).sortBy(_._1).toVector
+            val psim = cs.flatMap(a => cs.collect {
+              case b if a._1 != b._1 => (a._1, b._1) -> cosLocal(a._3, b._3)
+            }).toMap
+            var selected = Vector.empty[(Long, Double, Double)]
+            var remaining = cs
+            (1 to MmrK).foreach { _ =>
+              val best = remaining.map { c =>
+                val maxSim =
+                  if (selected.isEmpty) 0.0
+                  else selected.map(sel => psim((c._1, sel._1))).max
+                (c, r4(MmrLambda * c._2 - MmrGamma * maxSim + 1e-9))
+              }.minBy { case (c, m) => (-m, c._1) }
+              selected :+= ((best._1._1, best._1._2, best._2))
+              remaining = remaining.filterNot(_._1 == best._1._1)
+            }
+            selected.zipWithIndex.map { case ((id, rel, mmr), i) =>
+              (q, (i + 1).toLong, id, rel, mmr) }
+        }
+        import s.implicits._
+        picks.sortBy(p => (p._1, p._2)).toSeq
+          .toDF("q_id", "pick_rank", "vec_id", "rel", "mmr")
+      },
+      Some(mmrOracle)),
+
     "q_embed_normalize" -> QueryDef(
       (s, dir) => {
         val sq = aggregate(

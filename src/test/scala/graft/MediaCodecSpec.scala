@@ -180,6 +180,85 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  // ---- hand-built GIF: REAL adaptive-LZW stream ---------------------
+  // 5x1 image, minCodeSize=2 (4-color GCT), pixels [1,1,1,1,1]. A real
+  // compressor emits CLEAR(4), 1, 6, 6, EOI(5): code 6 is the KwKwK
+  // first-use case ("11" referenced the step it is defined), and the
+  // dictionary reaching 8 entries grows the code width 3→4 bits
+  // mid-stream, so this single stream exercises adaptive width,
+  // dictionary reuse, AND KwKwK — none of which the clear-reset
+  // encoder produces. Bits LSB-first: [4,1,6,6] at 3 bits + [5] at 4
+  // bits pack to 0x8C 0x5D.
+  private val handGif: Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    ("GIF89a".getBytes ++ le16(5) ++ le16(1) ++
+      Array[Byte](0x81.toByte, 0, 0) ++                 // GCT: 4 entries
+      Array[Byte](0, 0, 0, 127, 0, 0, 0, 127, 0, 0, 0, 127) ++
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(5) ++ le16(1) ++
+      Array[Byte](0) ++                                 // no LCT, no interlace
+      Array[Byte](2) ++                                 // LZW min code size
+      Array[Byte](2, 0x8c.toByte, 0x5d) ++              // one 2-byte sub-block
+      Array[Byte](0, 0x3b))                             // terminator + trailer
+  }
+
+  test("hand-built compressed GIF decodes through adaptive LZW (KwKwK + width growth)") {
+    val g = decodeGif(handGif)
+    assert(g.width == 5 && g.height == 1 && g.frames.size == 1)
+    assert(g.palette.length == 12)
+    assert(g.frames(0).pixels.toSeq == Seq[Byte](1, 1, 1, 1, 1))
+  }
+
+  test("GIF validation rejects malformed input") {
+    val noMagic = handGif.clone(); noMagic(0) = 'X'
+    assertThrows[MediaFormatException](decodeGif(noMagic))
+    assertThrows[MediaFormatException](decodeGif(handGif.take(20)))
+    val interlaced = handGif.clone()
+    // image-descriptor packed byte: 6 header + 7 LSD + 12 GCT + 9 into
+    // the descriptor
+    interlaced(6 + 7 + 12 + 9) = 0x40
+    assertThrows[MediaFormatException](decodeGif(interlaced))
+    val badCode = handGif.clone()
+    badCode(6 + 7 + 12 + 10 + 1 + 1) = 0x7f              // first LZW data byte
+    assertThrows[MediaFormatException](decodeGif(badCode))
+    // zero data sub-blocks: the LZW stream ends before any EOI code
+    val noEoi = handGif.take(6 + 7 + 12 + 10 + 1) ++ Array[Byte](0, 0x3b)
+    assertThrows[MediaFormatException](decodeGif(handGif.take(handGif.length - 4)))
+    assertThrows[MediaFormatException](decodeGif(noEoi))
+  }
+
+  test("GIF encoder byte length is the documented clear-reset arithmetic") {
+    val pal = Array.tabulate(768)(i => (i / 3).toByte)
+    // spans the 254-literal clear boundary and multi-subblock framing
+    Seq((3, 2, 1), (16, 16, 2), (64, 40, 3)).foreach { case (w, h, nf) =>
+      val frames = Vector.tabulate(nf)(f =>
+        GifFrame(0, 0, w, h, 10, Array.tabulate(w * h)(i => ((i + f) % 256).toByte)))
+      val npix = w * h
+      val codes = npix + 2 + (npix - 1) / 254
+      val db = (9 * codes + 7) / 8
+      val expected = 782 + nf * (20 + db + (db + 254) / 255)
+      assert(encodeGif(Gif(w, h, pal, frames)).length == expected,
+        s"GIF size formula broke at ${w}x$h x$nf")
+    }
+  }
+
+  test("decode(encode(x)) is the identity on animated GIF (delays, geometry, indices)") {
+    val rnd = new scala.util.Random(11)
+    val pal = Array.tabulate(768)(_.toByte)
+    (1 to 20).foreach { _ =>
+      val w = rnd.nextInt(40) + 1; val h = rnd.nextInt(30) + 1
+      val frames = Vector.fill(rnd.nextInt(6) + 1)(
+        GifFrame(0, 0, w, h, rnd.nextInt(100),
+          Array.fill(w * h)(rnd.nextInt.toByte)))
+      val back = decodeGif(encodeGif(Gif(w, h, pal, frames)))
+      assert(back.width == w && back.height == h &&
+        back.palette.toSeq == pal.toSeq &&
+        back.frames.size == frames.size &&
+        back.frames.zip(frames).forall { case (a, b) =>
+          a.delayCs == b.delayCs && a.width == w && a.height == h &&
+            a.pixels.toSeq == b.pixels.toSeq })
+    }
+  }
+
   // ---- round trips and the resampler --------------------------------
 
   test("decode(encode(x)) is the identity on all four formats") {

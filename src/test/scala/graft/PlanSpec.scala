@@ -77,7 +77,10 @@ class PlanSpec extends SparkSpec {
       "q_ab_ztest",
       // categorical IV: the 1-row class totals broadcast onto the
       // (category × class) count grid — grid-scale on both sides
-      "q_categorical_iv")
+      "q_categorical_iv",
+      // MMR: the ≤10-row query-side broadcast fanned across the
+      // corpus for the shortlist pass — exactly the q_sim_topk shape
+      "q_sim_mmr")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

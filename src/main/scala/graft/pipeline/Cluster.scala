@@ -284,75 +284,87 @@ object Cluster extends QueryModule {
     // per purchase weights the walk by transaction volume, and both
     // engines see the identical multiset. Scale shape: the edge list
     // (with out-degree pre-joined) is built once and persisted; each
-    // of the 8 iterations is one edge⨝rank join (zero exchange — both
-    // sides stay hash-partitioned on the node key) + one dst-keyed
-    // map-side-combined aggregate. The 8 rounds stay LAZY and execute
-    // as a single job with one node-scale materialization at the end
-    // — EXCEPT one mid-chain materialization (persist+count after
-    // round 4) that halves plan depth: genuinely-cold 5-run
-    // measurement at sf0.1 (leaked-cache reruns excluded — the r6
-    // recording was serving a cache hit) put the full 8-deep chain at
-    // median 8.2 s / worst 21.4 s (first-invocation codegen of the
-    // deep plan is the tail amplifier) vs 7.1 s / 13.3 s with the
-    // mid-chain cut — a 38 % better worst case for one extra
-    // node-scale cache that is released before returning. The
-    // per-ROUND-checkpoint discipline q_dedup_cluster needs for its
-    // UNBOUNDED round count still doesn't apply (localCheckpoint's
-    // .rdd path bypasses AQE and ~2×s the cost). Only O(k) rows reach the
-    // driver (TakeOrderedAndProject top-20); ranking compares the
-    // ROUNDED value so cross-engine ulp drift in the contribution
-    // sums can't flip an ordering. Oracle: the SAME 8 iterations
-    // unrolled as generated chained CTEs ([[pagerankOracle]]).
+    // of the 8 iterations is one edge⨝rank join (ranks are node-scale,
+    // so AQE broadcasts them at runtime where they fit — the declared
+    // plan forces nothing) + one dst-keyed map-side-combined
+    // aggregate. The rounds execute in lazy 2-round sections with a
+    // node-scale persist+count between sections (see the in-body
+    // measurement note; the per-ROUND-checkpoint discipline
+    // q_dedup_cluster needs for its UNBOUNDED round count doesn't
+    // apply — localCheckpoint's .rdd path bypasses AQE and measured
+    // worse). Only O(k) rows reach the driver (TakeOrderedAndProject
+    // top-20); ranking compares the ROUNDED value so cross-engine ulp
+    // drift in the contribution sums can't flip an ordering. Oracle:
+    // the SAME 8 iterations unrolled as generated chained CTEs
+    // ([[pagerankOracle]]) — key-encoding-independent values.
     "q_pagerank" -> QueryDef(
       (s, dir) => {
+        // INTEGER node ids through the iteration (customer 2k, supplier
+        // 2k+1): 8 rounds of hashing/shuffling a long beat the former
+        // "c123"/"s45" string keys in every interleaved rep of the r7
+        // measurement; the string label is rebuilt arithmetically only
+        // for the final 20 rows, and the oracle's values are untouched
+        // (deg and the contribution sums don't depend on the key
+        // encoding).
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+            (col("l_suppkey") * 2 + 1).cast("long").as("b"))
         val ord = Tables(s, dir, "orders")
           .select(col("o_orderkey").as("ok"),
-            concat(lit("c"), col("o_custkey").cast("string")).as("a"))
+            (col("o_custkey") * 2).cast("long").as("a"))
         val e0 = li.join(ord, "ok")
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
         val deg = edges.groupBy("src")
           .agg(count(lit(1)).cast("double").as("deg"))
         val edgesW = edges.join(deg, "src").persist()
+        edgesW.count()
         var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
-        var midCache: Option[DataFrame] = None
+        // Materialize every SECOND round (persist+count, previous
+        // rank cache released immediately): lazy 2-round sections keep
+        // each AQE job shallow — the genuinely-cold interleaved r7
+        // measurement put the full 8-deep single-job chain at median
+        // ~17 s / worst 28 s vs ~10 s / worst 14 s for the 2-stride
+        // (per-round materialization paid job overhead back as a
+        // ~18 s median; localCheckpoint's .rdd path bypasses AQE and
+        // was worse still). Each live rank cache is 16k (node, r)
+        // rows — node-scale, never edge-scale.
+        var prevCache: Option[DataFrame] = None
         (1 to PageRankIters).foreach { i =>
           ranks = edgesW
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
             .withColumnRenamed("dst", "node")
-          if (i == PageRankIters / 2) {
-            ranks = ranks.persist(); ranks.count(); midCache = Some(ranks)
+          if (i % 2 == 0) {
+            val c = ranks.persist()
+            c.count()
+            prevCache.foreach(_.unpersist(blocking = false))
+            prevCache = Some(c)
+            ranks = c
           }
         }
-        // ONE materialization at the end of the chain (not one per
-        // round): the 8 joins + aggregates run as a single AQE job
-        // (localCheckpoint is NOT used here because its .rdd path
-        // bypasses AQE). The final top-20 is then COLLECTED into a
-        // local relation and BOTH caches are released before
-        // returning — the r6 version returned the persisted `done`
-        // plan itself, so the rank cache outlived the query:
-        // CacheManager plan-matching served every rerun from it
-        // (bench "medians" of 0.68 s were cache hits, and the leaked
-        // blocks accumulated per session). Only O(k)=20 rows cross to
-        // the driver, so the local relation is free, every invocation
-        // is genuinely cold, and nothing survives the call.
-        val done = ranks.persist()
-        done.count()
+        // The final top-20 is COLLECTED into a local relation and the
+        // caches are released before returning — the r6 version
+        // returned the persisted plan itself, so the rank cache
+        // outlived the query: CacheManager plan-matching served every
+        // rerun from it (bench "medians" of 0.68 s were cache hits,
+        // and the leaked blocks accumulated per session). Only
+        // O(k)=20 rows cross to the driver, so the local relation is
+        // free, every invocation is genuinely cold, and nothing
+        // survives the call.
         edgesW.unpersist(blocking = false)
-        midCache.foreach(_.unpersist(blocking = false))
-        val top = done
-          .select(col("node"), round(col("r") + 1e-9, 4).as("pr"))
+        val top = ranks
+          .select(
+            concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+              expr("node div 2").cast("string")).as("node"),
+            round(col("r") + 1e-9, 4).as("pr"))
           .orderBy(col("pr").desc, col("node").asc)
           .limit(20)
           .orderBy("node")
         val rows = top.collect()
         val schema = top.schema
-        done.unpersist(blocking = false)
+        prevCache.foreach(_.unpersist(blocking = false))
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       },
       Some(pagerankOracle(PageRankIters)))

@@ -442,6 +442,54 @@ object Scalars extends QueryModule {
              |FROM sup JOIN nat ON s_nationkey = n_nationkey
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // ClickHouse `pointInPolygon` — even-odd ray casting against a
+    // fixed non-convex polygon, fully row-local (one strict-inequality
+    // crossing test per edge, edge count bounded by the polygon — a
+    // broadcast-scale constant, so the whole query is a zero-shuffle
+    // projection at any corpus size). Determinism: customer coords sit
+    // on the half-integer grid while every vertex is an integer, so
+    // the py≠vertex-y comparisons can never land on an edge endpoint;
+    // the crossing-x division is the same IEEE expression text on
+    // both engines.
+    "q_geo_polygon" -> QueryDef(
+      (s, dir) => {
+        val poly = Seq((-120.0, -60.0), (40.0, -70.0), (150.0, -10.0),
+          (60.0, 20.0), (110.0, 75.0), (-30.0, 40.0), (-150.0, 50.0))
+        val px = col("lon"); val py = col("lat")
+        val crossings = poly.indices.map { i =>
+          val (x1, y1) = poly(i)
+          val (x2, y2) = poly((i + 1) % poly.size)
+          when((lit(y1) > py) =!= (lit(y2) > py),
+            when(px < (lit(x2) - lit(x1)) * (py - lit(y1)) / (lit(y2) - lit(y1)) + lit(x1),
+              lit(1L)).otherwise(lit(0L))).otherwise(lit(0L))
+        }.reduce(_ + _)
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"),
+            ((col("c_custkey") % 170).cast("double") - 85 + 0.5).as("lat"),
+            (((col("c_custkey") * 7) % 350).cast("double") - 175 + 0.5).as("lon"))
+          .withColumn("inside", (crossings % 2).cast("long"))
+          .orderBy("c_custkey")
+      },
+      Some {
+        val poly = Seq((-120.0, -60.0), (40.0, -70.0), (150.0, -10.0),
+          (60.0, 20.0), (110.0, 75.0), (-30.0, 40.0), (-150.0, 50.0))
+        val terms = poly.indices.map { i =>
+          val (x1, y1) = poly(i)
+          val (x2, y2) = poly((i + 1) % poly.size)
+          s"""CASE WHEN ($y1 > lat) <> ($y2 > lat)
+             |  THEN CASE WHEN lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1
+             |    THEN 1 ELSE 0 END ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        s"""WITH c AS (
+           |  SELECT c_custkey,
+           |    CAST(c_custkey % 170 AS DOUBLE) - 85 + 0.5 AS lat,
+           |    CAST((c_custkey * 7) % 350 AS DOUBLE) - 175 + 0.5 AS lon
+           |  FROM customer)
+           |SELECT c_custkey, lat, lon,
+           |  CAST(($terms) % 2 AS BIGINT) AS inside
+           |FROM c ORDER BY c_custkey""".stripMargin
+      }),
+
     // ClickHouse ngramDistance ([CH] string-similarity family):
     // character-bigram Jaccard between each customer's name and the
     // NEXT customer's (adjacent serial names share most of their

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.L — round-4 analytics depth: ClickHouse statistical
@@ -418,6 +419,54 @@ object Analytics extends QueryModule {
              |  round(sum(net_value), 4) AS net_value,
              |  CAST(sum(net) AS BIGINT) AS net_rows
              |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Run-length collapse of the event stream — consecutive
+    // same-type events per user fold into one row per run (first id,
+    // length, value sum): ClickHouse's `neighbor`/DEDUPLICATE-
+    // consecutive habit, and the stream compaction step session
+    // pipelines apply before pattern matching. Shape: lag() marks run
+    // starts, a cumulative sum stamps run ids (both over the SAME
+    // user-partitioned sort — one shuffle, one sort), then one hash
+    // aggregate per (user, run). No self-joins, nothing global.
+    "q_collapse_runs" -> QueryDef(
+      (s, dir) => {
+        val wo = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        val wc = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Relational.eventsSec(s, dir)
+          .withColumn("is_start",
+            when(lag(col("event_type"), 1).over(wo).isNull ||
+              lag(col("event_type"), 1).over(wo) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("is_start")).over(wc))
+          .groupBy("user_id", "run_id")
+          .agg(min(col("event_id")).as("first_event_id"),
+            first(col("event_type")).as("event_type"),
+            count(lit(1)).as("run_len"),
+            round(sum(col("value")), 4).as("run_value"))
+          .orderBy("user_id", "run_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id, event_type, value, ts,
+             |    CASE WHEN lag(event_type, 1) OVER w IS NULL
+             |           OR lag(event_type, 1) OVER w <> event_type
+             |         THEN 1 ELSE 0 END AS is_start
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY date_trunc('second', ts), event_id)),
+             |r AS (
+             |  SELECT user_id, event_id, event_type, value,
+             |    CAST(sum(is_start) OVER (PARTITION BY user_id
+             |      ORDER BY date_trunc('second', ts), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+             |  FROM m)
+             |SELECT user_id, run_id,
+             |  CAST(min(event_id) AS BIGINT) AS first_event_id,
+             |  min(event_type) AS event_type,
+             |  CAST(count(*) AS BIGINT) AS run_len,
+             |  round(sum(value), 4) AS run_value
+             |FROM r GROUP BY user_id, run_id
+             |ORDER BY user_id, run_id""".stripMargin)),
 
     // ClickHouse groupBitmapAnd/Or/Xor ([CH] bitmap aggregates): EXACT
     // set algebra over the member-id sets of two segments. The bitmap

@@ -273,6 +273,49 @@ object Joins extends QueryModule {
              |  FROM events)
              |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // As-of join WITH TOLERANCE (pandas merge_asof(tolerance=…) /
+    // QuestDB ASOF … TOLERANCE): the q_join_asof union-window shape —
+    // one shuffle on user, zero self-joins — but the matched prior
+    // click is DISCARDED when its gap exceeds 10 minutes (a stale
+    // attribution). Carrying (click_ts, click_id) through one
+    // ignore-nulls last() keeps the gap computation row-local;
+    // integer-second arithmetic so the cut cannot sit on a float
+    // boundary.
+    "q_join_asof_near" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Relational.eventsSec(s, dir)
+          .withColumn("t", unix_timestamp(col("ts_s")))
+          .withColumn("click",
+            when(col("event_type") === "click",
+              struct(col("t").as("ct"), col("event_id").as("cid"))))
+          .withColumn("prior", last(col("click"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("gap_sec", col("t") - col("prior.ct"))
+          .select(col("event_id"), col("user_id"),
+            when(col("gap_sec") <= 600, col("prior.cid")).as("near_click_id"),
+            when(col("gap_sec") <= 600, col("gap_sec")).as("gap_sec"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN gap_sec <= 600 THEN prior_cid END AS near_click_id,
+             |  CASE WHEN gap_sec <= 600 THEN gap_sec END AS gap_sec
+             |FROM (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(epoch(date_trunc('second', ts)) -
+             |      last_value(CASE WHEN event_type = 'click'
+             |          THEN epoch(date_trunc('second', ts)) END IGNORE NULLS)
+             |        OVER w AS BIGINT) AS gap_sec,
+             |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             |      OVER w AS prior_cid
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY date_trunc('second', ts), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
     // Correlated LATERAL join (SQL-only surface, like
     // q_agg_grouping_sets): per outer row, a dependent subquery — here
     // each nation's top-2 customers by balance. Catalyst DECORRELATES

@@ -678,5 +678,115 @@ object TimeSeries extends QueryModule {
              |  round(lo, 4) AS fence_lo, round(hi, 4) AS fence_hi,
              |  (y < lo OR y > hi) AS is_outlier
              |FROM ser JOIN f ON event_type = ft
-             |ORDER BY event_type, d""".stripMargin)))
+             |ORDER BY event_type, d""".stripMargin)),
+
+    // Winsorized statistics — clip to [p05, p95] then aggregate, the
+    // robust-mean preprocessing step feature pipelines apply before
+    // z-scoring (q_tukey_outliers FLAGS outliers; this REPLACES them).
+    // Shape: everything runs on the per-type VALUE GRID (distinct
+    // 2-decimal values + counts — the q_agg_percentile discipline), so
+    // the percentile buffer, the broadcast fences, and the winsorized
+    // re-aggregate are all value-domain-bounded, never O(rows).
+    // Boundary safety: a clip comparison could only disagree across
+    // engines if an interpolated fence collided with a grid value
+    // within 1 ulp — but when the interpolation straddles two distinct
+    // grid points the fence sits ≥0.01/2 away from both, and when the
+    // adjacent order stats coincide both engines produce that exact
+    // grid double, so `value < lo` is engine-stable either way.
+    "q_winsorize" -> QueryDef(
+      (s, dir) => {
+        val grid = Relational.eventsSec(s, dir)
+          .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+        val fences = grid.groupBy("event_type")
+          .agg(expr("percentile(value, 0.05D, c)").as("lo"),
+            expr("percentile(value, 0.95D, c)").as("hi"))
+          .select(col("event_type").as("ft"), col("lo"), col("hi"))
+        grid.join(broadcast(fences), col("event_type") === col("ft"))
+          .select(col("event_type"), col("c"), col("lo"), col("hi"),
+            when(col("value") < col("lo"), col("lo"))
+              .when(col("value") > col("hi"), col("hi"))
+              .otherwise(col("value")).as("wv"),
+            (col("value") < col("lo")).as("clip_lo"),
+            (col("value") > col("hi")).as("clip_hi"))
+          .groupBy("event_type")
+          .agg(sum(col("c")).as("n"),
+            round(sum(col("wv") * col("c")) / sum(col("c")) + lit(1e-9), 4)
+              .as("wins_mean"),
+            sum(when(col("clip_lo"), col("c")).otherwise(lit(0L))).as("n_clip_lo"),
+            sum(when(col("clip_hi"), col("c")).otherwise(lit(0L))).as("n_clip_hi"),
+            round(min(col("lo")), 4).as("p05"),
+            round(min(col("hi")), 4).as("p95"))
+          .orderBy("event_type")
+      },
+      Some("""WITH f AS (
+             |  SELECT event_type AS ft,
+             |    quantile_cont(value, 0.05) AS lo,
+             |    quantile_cont(value, 0.95) AS hi
+             |  FROM events GROUP BY 1),
+             |w AS (
+             |  SELECT event_type, lo, hi,
+             |    CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+             |      ELSE value END AS wv,
+             |    (value < lo) AS clip_lo, (value > hi) AS clip_hi
+             |  FROM events JOIN f ON event_type = ft)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(wv) / count(*) + 1e-9, 4) AS wins_mean,
+             |  CAST(sum(CASE WHEN clip_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             |  CAST(sum(CASE WHEN clip_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             |  round(min(lo), 4) AS p05, round(min(hi), 4) AS p95
+             |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Rolling 7-day OLS trend of each type's daily count series — the
+    // windowed regression slope monitoring dashboards plot (ClickHouse
+    // `simpleLinearRegression` over a moving frame). Closed form from
+    // five shared-frame window sums (n, Σd, Σy, Σdy, Σd²) on a RANGE
+    // frame over the day index (calendar gaps don't slide the frame —
+    // the q_series_decompose discipline). d and y are integers, so
+    // every sum is EXACT integer arithmetic in doubles and the slope
+    // is one identical division on both engines; n>1 on distinct day
+    // keys guarantees a nonzero denominator. One shuffle on type; the
+    // window runs over the (type × day) grid, never the events.
+    "q_win_rolling_slope" -> QueryDef(
+      (s, dir) => {
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts_s")),
+              to_date(lit("2024-01-01"))).cast("long").as("d"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+          .rangeBetween(-6, 0)
+        val dd = col("d").cast("double")
+        ser
+          .withColumn("n", count(lit(1)).over(w).cast("double"))
+          .withColumn("sd", sum(dd).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sdy", sum(dd * col("y")).over(w))
+          .withColumn("sd2", sum(dd * dd).over(w))
+          .select(col("event_type"), col("d"), col("y").cast("long").as("y"),
+            when(col("n") > 1,
+              round((col("n") * col("sdy") - col("sd") * col("sy")) /
+                (col("n") * col("sd2") - col("sd") * col("sd")) + lit(1e-9), 4))
+              .as("slope_7d"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS BIGINT) AS d,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |f AS (
+             |  SELECT event_type, d, y,
+             |    CAST(count(*) OVER w AS DOUBLE) AS n,
+             |    sum(CAST(d AS DOUBLE)) OVER w AS sd,
+             |    sum(y) OVER w AS sy,
+             |    sum(CAST(d AS DOUBLE) * y) OVER w AS sdy,
+             |    sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) OVER w AS sd2
+             |  FROM ser
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, d, CAST(y AS BIGINT) AS y,
+             |  CASE WHEN n > 1 THEN
+             |    round((n * sdy - sd * sy) / (n * sd2 - sd * sd) + 1e-9, 4)
+             |  END AS slope_7d
+             |FROM f ORDER BY event_type, d""".stripMargin)))
 }

@@ -215,6 +215,58 @@ object Windows extends QueryModule {
              |    + 1e-9, 4) AS ema_8
              |FROM f ORDER BY user_id, event_id""".stripMargin)),
 
+    // ClickHouse `exponentialTimeDecayedSum/Count/Avg` — CONTINUOUS-
+    // time decay (weight e^{−Δt/τ}, τ = 1 day), the wall-clock-aware
+    // sibling of q_win_ema's row-count decay. Algebra: decayed_sum_i =
+    // Σ_{j≤i} v_j·e^{−(t_i−t_j)/τ} = e^{−(t_i−t0)/τ} · Σ v_j·e^{(t_j−t0)/τ}
+    // — ONE cumulative window sum of pre-scaled terms plus a row-local
+    // rescale, instead of a per-row re-walk of history. t0 = the
+    // user's first event (a same-partition window min) bounds the
+    // exponent by the per-user span (fixture ≤30 days ⇒ e^30 ≈ 1e13;
+    // doubles carry ~e^700). The avg form cancels the rescale
+    // entirely (ratio of two cumulative sums). One shuffle on user,
+    // one sort, three frames sharing it; round(…,4) absorbs windowed-
+    // sum association drift (the q_win_running_sum discipline).
+    "q_win_decayed_avg" -> QueryDef(
+      (s, dir) => {
+        val wAll = Window.partitionBy("user_id")
+        val wCum = Window.partitionBy("user_id")
+          .orderBy("t", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tau = 86400.0
+        Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_timestamp(col("ts_s")).cast("double").as("t"))
+          .withColumn("dt", (col("t") - min(col("t")).over(wAll)) / tau)
+          .withColumn("num", sum(col("value") * exp(col("dt"))).over(wCum))
+          .withColumn("den", sum(exp(col("dt"))).over(wCum))
+          .select(col("user_id"), col("event_id"),
+            round(exp(-col("dt")) * col("num") + lit(1e-9), 4).as("d_sum"),
+            round(exp(-col("dt")) * col("den") + lit(1e-9), 4).as("d_cnt"),
+            round(col("num") / col("den") + lit(1e-9), 4).as("d_avg"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id, value,
+             |    CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS t
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, event_id, value,
+             |    (t - min(t) OVER (PARTITION BY user_id)) / 86400.0 AS dt
+             |  FROM f),
+             |h AS (
+             |  SELECT user_id, event_id, dt,
+             |    sum(value * exp(dt)) OVER w AS num,
+             |    sum(exp(dt)) OVER w AS den
+             |  FROM g
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY dt, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id,
+             |  round(exp(-dt) * num + 1e-9, 4) AS d_sum,
+             |  round(exp(-dt) * den + 1e-9, 4) AS d_cnt,
+             |  round(num / den + 1e-9, 4) AS d_avg
+             |FROM h ORDER BY user_id, event_id""".stripMargin)),
+
     // ClickHouse `ORDER BY … WITH FILL` — time-series gap filling:
     // densify each event type's daily counts over its own [min, max]
     // day span, missing days as explicit zero rows. Shape: the count

@@ -98,6 +98,61 @@ object Similarity extends QueryModule {
        |FROM selu$MmrK ORDER BY q_id, pick_rank""".stripMargin
   }
 
+  /** The DuckDB twin of q_sim_lsh: the hyperplane sign matrix embedded
+    * as literals, then the same bucket/probe/verify pipeline in SQL.
+    * Nothing is approximated away — the oracle reproduces the exact
+    * candidate set the LSH tables produce, then scores it exactly.
+    */
+  private def lshOracle: String = {
+    val m = graft.expressions.RpKernels.signs(LshTables * LshBits, EmbDim)
+    val rows = m.zipWithIndex.map { case (row, b) =>
+      s"($b, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(",\n    ")
+    s"""WITH signs(b, s) AS (VALUES
+       |    $rows),
+       |bits AS (
+       |  SELECT e.vec_id, g.b,
+       |    CASE WHEN list_sum(list_transform(range(1, ${EmbDim + 1}),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * g.s[i])) >= 0
+       |      THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN signs g),
+       |keys AS (
+       |  SELECT vec_id, b // $LshBits AS tbl,
+       |    CAST(sum(bit << (b % $LshBits)) AS BIGINT) AS key
+       |  FROM bits GROUP BY vec_id, b // $LshBits),
+       |buckets AS (
+       |  SELECT vec_id, (tbl << $LshBits) | key AS bucket FROM keys),
+       |probes AS (
+       |  SELECT vec_id AS q_id, bucket FROM buckets WHERE vec_id < 10
+       |  UNION
+       |  SELECT b.vec_id AS q_id, xor(b.bucket, 1 << f.f) AS bucket
+       |  FROM buckets b CROSS JOIN
+       |    (SELECT unnest(range(0, $LshBits)) AS f) f
+       |  WHERE b.vec_id < 10),
+       |pairs AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id
+       |  FROM buckets c JOIN probes p USING (bucket)
+       |  WHERE c.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT p.q_id, p.vec_id,
+       |    round(
+       |      list_sum(list_transform(range(1, ${EmbDim + 1}),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+       |      (sqrt(list_sum(list_transform(range(1, ${EmbDim + 1}),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(range(1, ${EmbDim + 1}),
+       |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4) AS cos_sim
+       |  FROM pairs p
+       |  JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN embeddings c ON c.vec_id = p.vec_id)
+       |SELECT q_id, rank, vec_id, cos_sim FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Multi-table hyperplane LSH: L=8 independent tables of b=8 bits,
     * all 64 hyperplane signs computed by ONE `rp_bits` call per row
     * (same cost as a SimHash). The fixture's true neighbours are weak
@@ -717,8 +772,17 @@ object Similarity extends QueryModule {
     // per table. Approximate (a neighbour missing every probed bucket
     // in every table is lost) ⇒ no oracle; the ScalaTest spec checks
     // a recall floor against exact brute force and key determinism.
+    // PROMOTED r7 from rows-only to hash-checked: the Rademacher
+    // hyperplane matrix is a deterministic CONSTANT (hash-derived, see
+    // RpKernels.signs), so the oracle EMBEDS all 64×64 signs as SQL
+    // literals and rebuilds the entire pipeline — per-bit projection
+    // signs (identical IEEE accumulation order ⇒ identical sign at
+    // the >= 0 cut), per-table key packing, composite buckets,
+    // Hamming-≤1 probes, distinct candidate pairs, exact cosine
+    // re-rank — the generated-oracle pattern (q_pagerank, q_sim_mmr).
+    // The spec'd recall floor vs brute force stays in PipelineSpec.
     "q_sim_lsh" -> QueryDef(
-      (s, dir) => lshTopK(s, dir, k = 5), None),
+      (s, dir) => lshTopK(s, dir, k = 5), Some(lshOracle)),
 
     // Product-quantization ADC top-5 ([LLM] — the memory-bound ANN
     // path: the searchable corpus is one packed long per vector, a

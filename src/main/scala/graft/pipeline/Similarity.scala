@@ -870,6 +870,117 @@ object Similarity extends QueryModule {
       },
       Some(mmrOracle)),
 
+    // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et
+    // al. SIGIR'09 — the fusion every hybrid RAG stack ships): for
+    // each query document, a LEXICAL more-like-this ranking
+    // (IDF-weighted shared-word score over the (doc, word) grid — the
+    // Lucene MLT form) and a DENSE cosine ranking (the q_sim_topk
+    // broadcast-query shape over the aligned embedding row) each
+    // produce a top-20 list; fused score = Σ 1/(60 + rank) over the
+    // lists a document appears in, top-10 kept. Scale: one token-grid
+    // shuffle + one corpus scan; the fusion join runs on O(queries·20)
+    // rows. Determinism: both ranks come off rounded scores with id
+    // tie-breaks, and the fused score is a sum of exact rationals in
+    // a fixed expression order — bit-identical across engines.
+    "q_hybrid_rrf" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val eScored = emb.select(col("vec_id"), col("embedding"),
+            Vectors.norm(col("embedding")).as("c_nrm"))
+          .join(broadcast(emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              Vectors.norm(col("embedding")).as("q_nrm"))))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos_sim", cosScore)
+        val eRank = rankTopK(eScored, 20)
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            col("rank").as("e_rank"))
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(graft.functions.TextFns.words(col("text"))))
+              .as("word"))
+        val nDocs = Tables(s, dir, "documents")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
+        val dfw = toks.groupBy("word")
+          .agg(count(lit(1)).cast("double").as("df"))
+        val qToks = toks.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("word"))
+        val lScored = toks.join(dfw, "word")
+          .join(broadcast(qToks), "word")
+          .filter(col("q_id") =!= col("doc_id"))
+          .crossJoin(broadcast(nDocs))
+          .groupBy("q_id", "doc_id")
+          .agg(round(sum(log(col("n_docs") / col("df"))) + lit(1e-9), 4)
+            .as("mlt"))
+        val wl = Window.partitionBy(col("q_id"))
+          .orderBy(col("mlt").desc, col("doc_id").asc)
+        val lRank = lScored
+          .withColumn("l_rank", row_number().over(wl).cast("long"))
+          .filter(col("l_rank") <= 20)
+          .select(col("q_id"), col("doc_id"), col("l_rank"))
+        val wf = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        eRank.join(lRank, Seq("q_id", "doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("e_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("l_rank")), lit(0.0)), 6))
+          .withColumn("rank", row_number().over(wf).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH esc AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+             |    round(
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             |      (sqrt(list_sum(list_transform(range(1, 65),
+             |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+             |       sqrt(list_sum(list_transform(range(1, 65),
+             |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4) AS cos_sim
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |erank AS (
+             |  SELECT q_id, doc_id, rank AS e_rank FROM (
+             |    SELECT q_id, doc_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cos_sim DESC, doc_id ASC) AS rank
+             |    FROM esc) WHERE rank <= 20),
+             |toks AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |dfw AS (
+             |  SELECT word, CAST(count(*) AS DOUBLE) AS df FROM toks GROUP BY word),
+             |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |lsc AS (
+             |  SELECT q.doc_id AS q_id, t.doc_id,
+             |    round(sum(ln(n_docs / df)) + 1e-9, 4) AS mlt
+             |  FROM toks t
+             |  JOIN dfw USING (word)
+             |  JOIN toks q ON q.word = t.word AND q.doc_id < 5
+             |    AND q.doc_id <> t.doc_id
+             |  CROSS JOIN corpus
+             |  GROUP BY q.doc_id, t.doc_id),
+             |lrank AS (
+             |  SELECT q_id, doc_id, rank AS l_rank FROM (
+             |    SELECT q_id, doc_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY mlt DESC, doc_id ASC) AS rank
+             |    FROM lsc) WHERE rank <= 20),
+             |fused AS (
+             |  SELECT coalesce(e.q_id, l.q_id) AS q_id,
+             |    coalesce(e.doc_id, l.doc_id) AS doc_id,
+             |    round(coalesce(1.0 / (60 + e.e_rank), 0.0) +
+             |          coalesce(1.0 / (60 + l.l_rank), 0.0), 6) AS rrf
+             |  FROM erank e FULL OUTER JOIN lrank l
+             |    ON e.q_id = l.q_id AND e.doc_id = l.doc_id)
+             |SELECT q_id, rank, doc_id, rrf FROM (
+             |  SELECT q_id, doc_id, rrf,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY rrf DESC, doc_id ASC) AS rank
+             |  FROM fused)
+             |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     "q_embed_normalize" -> QueryDef(
       (s, dir) => {
         val sq = aggregate(

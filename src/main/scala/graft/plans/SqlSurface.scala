@@ -113,6 +113,30 @@ object SqlSurface extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  'full' AS source
              |FROM events
-             |GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin)),
+
+    // The WINDOW-FUNCTION path through the SQL parser — the rank-1
+    // latest-pointer shape (q_win_rank's semantics) authored as SQL
+    // text over the second-truncated events view. The view binds
+    // `Relational.eventsSec`'s ns/µs-proof projection, so SQL users
+    // inherit the timestamp discipline instead of re-solving it.
+    // SqlSurfaceSpec pins result equality against the DataFrame twin.
+    "q_sql_window" -> QueryDef(
+      (s, dir) => {
+        graft.operators.Relational.eventsSec(s, dir)
+          .createOrReplaceTempView("events_sec_sqlv")
+        s.sql("""SELECT event_type, rn, event_id FROM (
+                |  SELECT event_type, event_id,
+                |         CAST(row_number() OVER (PARTITION BY event_type
+                |           ORDER BY ts_s DESC, event_id DESC) AS BIGINT) AS rn
+                |  FROM events_sec_sqlv)
+                |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)
+      },
+      Some("""SELECT event_type, rn, event_id FROM (
+             |  SELECT event_type, event_id,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin))
   )
 }

@@ -854,6 +854,71 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bloom dedup is sound: no false negatives, candidates superset dups") {
+    val rows = SparkEntry.queries("q_dedup_bloom")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // is_dup ⇒ bloom_candidate (a Bloom filter has NO false negatives)
+    assert(rows.forall { case (_, cand, dup) => !dup || cand })
+    // independent exact ground truth: a doc is a dup iff its md5 text
+    // fingerprint appears in the historical window
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val histFps = docs.filter(col("doc_id") <= 300)
+      .select("fp").distinct().as[String].collect().toSet
+    val truth = docs.filter(col("doc_id") > 250)
+      .select(col("doc_id"), col("fp")).as[(Long, String)].collect()
+      .map { case (id, fp) => id -> histFps(fp) }.toMap
+    rows.foreach { case (id, _, dup) =>
+      assert(dup == truth(id), s"doc $id: is_dup=$dup vs exact ${truth(id)}")
+    }
+  }
+
+  test("hybrid RRF output is a fusion of its two source rankings") {
+    val out = SparkEntry.queries("q_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qs = out.map(_._1).distinct
+    assert(qs.length == 5, s"expected 5 query docs, got ${qs.length}")
+    qs.foreach { q =>
+      val picks = out.filter(_._1 == q).sortBy(_._2)
+      assert(picks.map(_._2).toSeq == (1L to picks.length))
+      assert(picks.length <= 10 && picks.nonEmpty)
+      // fused scores are sums of at most two reciprocal ranks from
+      // top-20 lists: bounded by (0, 1/61 + 1/61]
+      picks.foreach { case (_, _, _, rrf) =>
+        assert(rrf > 0.0 && rrf <= 2.0 / 61 + 1e-9)
+      }
+      // descending with id tie-break
+      assert(picks.map(_._4).toSeq == picks.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("MMR picks are greedy-consistent: top-relevance first, scores sane") {
+    val out = SparkEntry.queries("q_sim_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val qs = out.map(_._1).distinct
+    assert(qs.length == 10)
+    qs.foreach { q =>
+      val picks = out.filter(_._1 == q).sortBy(_._2)
+      assert(picks.length == Similarity.MmrK)
+      assert(picks.map(_._3).distinct.length == picks.length, "picks must be distinct docs")
+      // pick 1 maximizes pure relevance (maxSim term is zero);
+      // mmr_1 = λ·rel_1 up to the shared rounding nudge
+      val first = picks.head
+      assert(math.abs(first._5 - Similarity.MmrLambda * first._4) < 1e-3)
+      assert(picks.head._4 == picks.map(_._4).max,
+        "first pick must carry the highest relevance among picks")
+      // every later pick's score is λ·rel shifted by γ·maxSim with
+      // maxSim ∈ [−1, 1] (cosines go negative on this fixture, so the
+      // "penalty" can be a bonus — bound it, don't sign it)
+      picks.tail.foreach { p =>
+        assert(math.abs(p._5 - Similarity.MmrLambda * p._4) <=
+          Similarity.MmrGamma + 1e-3)
+      }
+    }
+  }
+
   test("pagerank ranks sit above the teleport floor and repeat exactly") {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     assert(rows.length == 20)

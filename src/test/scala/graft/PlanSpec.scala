@@ -80,7 +80,11 @@ class PlanSpec extends SparkSpec {
       "q_categorical_iv",
       // MMR: the ≤10-row query-side broadcast fanned across the
       // corpus for the shortlist pass — exactly the q_sim_topk shape
-      "q_sim_mmr")
+      "q_sim_mmr",
+      // hybrid RRF: the ≤5-row dense query-side broadcast (q_sim_topk
+      // shape) plus the 1-row corpus-count broadcast onto the token
+      // grid (the q_tfidf scalar pattern)
+      "q_hybrid_rrf")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

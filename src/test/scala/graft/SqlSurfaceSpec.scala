@@ -36,6 +36,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql.nonEmpty)
   }
 
+  test("SQL-text window query ≡ the DataFrame form, rows and window count") {
+    val sql = SparkEntry.queries("q_sql_window")(spark, sf)
+    val df = SparkEntry.queries("q_win_rank")(spark, sf)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    assert(sql.collect().toSeq == df.collect().toSeq,
+      "SQL-text window twin returned different rows than q_win_rank")
+    // same physical posture: one partitioned window, zero global ones
+    val s = plans.Introspect.summary(sql).collect()(0)
+    assert(s.getAs[Long]("n_global_windows") == 0L)
+  }
+
   test("snapshot catalog reads as a SQL view with manifest-only cost") {
     val out = SparkEntry.queries("q_sql_snapshot_parts")(spark, sf)
     val direct = operators.Snapshot

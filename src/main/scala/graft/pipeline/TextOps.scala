@@ -31,6 +31,62 @@ object TextOps extends QueryModule {
              |        len(string_split(text, ' ')), 4) AS avg_word_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Lexical TextTiling (Hearst, CL'97) — topic-shift segmentation
+    // for long-document chunking: the doc is carved into 8-word
+    // tiles, adjacent tiles score word-set Jaccard, and a boundary
+    // falls wherever similarity drops under 0.1 (a lexical valley =
+    // a topic shift). The RAG-ingestion alternative to fixed-stride
+    // q_chunk_docs: segments follow content, not offsets. Shape:
+    // ENTIRELY row-local higher-order functions over the split array
+    // (slice → distinct → intersect per adjacent pair) — a
+    // zero-shuffle projection at any corpus size. Determinism: every
+    // similarity is a small-integer ratio evaluated in the same
+    // left-to-right list order on both engines.
+    "q_text_tiling" -> QueryDef(
+      (s, dir) => {
+        val tile = 8
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+          .filter(size(col("ws")) > tile)
+          .withColumn("nt", ceil(size(col("ws")).cast("double") / tile).cast("int"))
+          .withColumn("tiles", expr(
+            s"transform(sequence(0, nt - 1), i -> array_distinct(slice(ws, i * $tile + 1, $tile)))"))
+          .withColumn("sims", expr(
+            """transform(sequence(0, nt - 2), i ->
+              |  size(array_intersect(tiles[i], tiles[i + 1])) /
+              |  CAST(size(tiles[i]) + size(tiles[i + 1])
+              |       - size(array_intersect(tiles[i], tiles[i + 1])) AS DOUBLE))"""
+              .stripMargin))
+        d.select(col("doc_id"),
+            col("nt").cast("long").as("n_tiles"),
+            size(expr("filter(sims, s -> s < 0.1)")).cast("long").as("n_boundaries"),
+            (size(expr("filter(sims, s -> s < 0.1)")) + 1).cast("long").as("n_segments"),
+            round(expr("aggregate(sims, 0D, (a, x) -> a + x)") / size(col("sims")) +
+              lit(1e-9), 4).as("avg_adj_sim"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws,
+             |    CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INTEGER) AS nt
+             |  FROM documents WHERE len(string_split(text, ' ')) > 8),
+             |t AS (
+             |  SELECT doc_id, nt,
+             |    list_transform(range(0, nt),
+             |      i -> list_distinct(ws[(i * 8 + 1):(i * 8 + 8)])) AS tiles
+             |  FROM d),
+             |s AS (
+             |  SELECT doc_id, nt,
+             |    list_transform(range(0, nt - 1), i ->
+             |      len(list_intersect(tiles[i + 1], tiles[i + 2])) /
+             |      CAST(len(tiles[i + 1]) + len(tiles[i + 2])
+             |           - len(list_intersect(tiles[i + 1], tiles[i + 2])) AS DOUBLE)) AS sims
+             |  FROM t)
+             |SELECT doc_id, CAST(nt AS BIGINT) AS n_tiles,
+             |  CAST(len(list_filter(sims, x -> x < 0.1)) AS BIGINT) AS n_boundaries,
+             |  CAST(len(list_filter(sims, x -> x < 0.1)) + 1 AS BIGINT) AS n_segments,
+             |  round(list_sum(sims) / len(sims) + 1e-9, 4) AS avg_adj_sim
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Token counting: whitespace tokens + a regex sub-word pass
     // (the BPE-ish approximation: alnum runs capped at 4 chars).
     "q_token_count" -> QueryDef(

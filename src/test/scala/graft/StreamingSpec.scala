@@ -699,4 +699,44 @@ class StreamingSpec extends SparkSpec {
     assert(c >= 30 && c - e <= 30,
       s"count $c (err $e) must overestimate the true 30 by at most err")
   }
+
+  test("streaming time-decayed features reproduce the batch window across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference on the same fixture slice (unrounded recompute:
+    // the declared query rounds to 4, so tolerate rounding + fp
+    // reassociation between the prefix-scaled window form and the
+    // streaming recurrence)
+    val batch = SparkEntry.queries("q_win_decayed_avg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts_s")).as("t"),
+        col("event_id"), col("value"))
+      .as[streaming.StreamDecay.Ev].collect().toSeq
+      .sortBy(e => (e.t, e.event_id))
+    val mem = MemoryStream[streaming.StreamDecay.Ev]
+    val got = mutable.Map[(Long, Long), (Double, Double, Double)]()
+    val q = streaming.StreamDecay.transform(mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[streaming.StreamDecay.Out], _: Long) =>
+        df.collect().foreach(o =>
+          got.synchronized { got((o.user_id, o.event_id)) = (o.d_sum, o.d_cnt, o.d_avg) })
+      }
+      .start()
+    try {
+      // THREE micro-batches split on the global time order, so state
+      // must carry correctly across batch boundaries for every user
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(got.size == batch.size, s"stream emitted ${got.size} of ${batch.size} events")
+    batch.foreach { case (k, (bs, bc, ba)) =>
+      val (ss, sc, sa) = got(k)
+      assert(math.abs(ss - bs) < 2e-4 && math.abs(sc - bc) < 2e-4 &&
+        math.abs(sa - ba) < 2e-4,
+        s"event $k: stream ($ss,$sc,$sa) vs batch ($bs,$bc,$ba)")
+    }
+  }
 }

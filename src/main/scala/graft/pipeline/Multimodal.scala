@@ -316,6 +316,68 @@ object Multimodal extends QueryModule {
         .orderBy("asset_id"),
       None),
 
+    // Decoded AUDIO CONTENT, hash-checked — the meta-oracle pattern
+    // extended to content: the Spark side parses the real RIFF/WAV
+    // container and folds the decoded PCM16 samples (RMS, mean |s|,
+    // peak, zero crossings), while the oracle re-derives every sample
+    // arithmetically from the generator's parameters (the fixture text
+    // is pure ASCII, so sample i = (ascii(text[i mod L]) − 128)·256 is
+    // SQL-computable). All folds are exact-integer sums below 2^53
+    // (order-free) plus one correctly-rounded sqrt, so a decoder bug
+    // (wrong offset, wrong endianness, dropped samples) and an encoder
+    // bug both break the match.
+    "q_multimodal_audio" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        assets(s, dir).filter(_.kind == "audio").mapPartitions { it =>
+          def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          it.map { a =>
+            val wav = MediaCodec.decodeWav(a.payload)
+            val n = wav.samples.length
+            var sumsq = 0.0; var sumabs = 0.0
+            var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < n) {
+              val v = wav.samples(i).toDouble
+              sumsq += v * v; sumabs += math.abs(v)
+              val av = math.abs(wav.samples(i).toInt).toLong
+              if (av > peak) peak = av
+              if (i > 0 && ((wav.samples(i - 1) < 0) != (wav.samples(i) < 0)))
+                zc += 1
+              i += 1
+            }
+            (a.asset_id, n.toLong,
+              r4(math.sqrt(sumsq / n) + 1e-9), r4(sumabs / n + 1e-9),
+              peak, zc)
+          }
+        }.toDF("asset_id", "n_samples", "rms", "mean_abs", "peak",
+            "zero_crossings")
+          .orderBy("asset_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text,
+             |    CAST(n_chars % 997 + 64 AS INTEGER) AS n,
+             |    length(text) AS L
+             |  FROM documents WHERE doc_id % 5 = 1),
+             |s AS (
+             |  SELECT doc_id, i.i AS i,
+             |    CAST((ascii(substring(text, CAST(i.i % L AS INTEGER) + 1, 1)) - 128) * 256
+             |      AS DOUBLE) AS v
+             |  FROM a, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+             |w AS (
+             |  SELECT doc_id, i, v,
+             |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |  FROM s)
+             |SELECT doc_id AS asset_id,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  round(sqrt(sum(v * v) / count(*)) + 1e-9, 4) AS rms,
+             |  round(sum(abs(v)) / count(*) + 1e-9, 4) AS mean_abs,
+             |  CAST(max(abs(v)) AS BIGINT) AS peak,
+             |  CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+             |FROM w GROUP BY doc_id ORDER BY asset_id""".stripMargin)),
+
     // Real frame sampling: every 4th decoded animation frame (Y4M luma
     // plane / animated-GIF index plane), fingerprinted; rows-only check.
     "q_multimodal_frames" -> QueryDef(

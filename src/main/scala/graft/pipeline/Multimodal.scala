@@ -378,6 +378,81 @@ object Multimodal extends QueryModule {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
              |FROM w GROUP BY doc_id ORDER BY asset_id""".stripMargin)),
 
+    // Decoded PIXEL CONTENT for every visual kind, hash-checked — the
+    // q_multimodal_audio trick generalized: the Spark side decodes the
+    // real container (BMP rows, PNG inflate+filters, GIF LZW, Y4M
+    // planes) and sums the decoded bytes exactly (integer sums, order-
+    // free), while the oracle computes the same sums in CLOSED FORM
+    // from the generator's cycle structure: a plane of N bytes filled
+    // by cycling the doc's ASCII text is ⌊N/L⌋·S + P(N mod L) for
+    // total char-sum S and prefix sums P, and the per-frame salt adds
+    // plane·nf·(nf−1)/2 across an animation. One decoded byte out of
+    // place anywhere in any codec breaks the per-asset mean.
+    "q_multimodal_pixels" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        assets(s, dir).filter(_.kind != "audio").mapPartitions { it =>
+          def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          def fold(planes: Iterator[Array[Byte]]): (Long, Long) = {
+            var n = 0L; var sum = 0L
+            planes.foreach { p =>
+              var i = 0
+              while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
+              n += p.length
+            }
+            (n, sum)
+          }
+          it.map { a =>
+            val (n, sum) = a.kind match {
+              case "image" => fold(Iterator(MediaCodec.decodeBmp(a.payload).pixels))
+              case "png" => fold(Iterator(MediaCodec.decodePng(a.payload).pixels))
+              case "gif" =>
+                fold(MediaCodec.decodeGif(a.payload).frames.iterator.map(_.pixels))
+              case _ =>
+                fold(MediaCodec.decodeY4m(a.payload).frames.iterator.map(_.y))
+            }
+            (a.asset_id, a.kind, n, r4(sum.toDouble / n + 1e-9))
+          }
+        }.toDF("asset_id", "kind", "n_values", "mean_val")
+          .orderBy("asset_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 2 THEN 'video'
+             |      WHEN 3 THEN 'png' ELSE 'gif' END AS kind,
+             |    text, length(text) AS L,
+             |    CAST(CASE doc_id % 5
+             |      WHEN 0 THEN (n_chars % 31 + 2) * (n_chars % 23 + 2) * 3
+             |      WHEN 2 THEN ((n_chars % 15 + 1) * 2) * ((n_chars % 11 + 1) * 2)
+             |      WHEN 3 THEN (n_chars % 29 + 2) * (n_chars % 19 + 2) * (3 + n_chars % 2)
+             |      ELSE (n_chars % 21 + 2) * (n_chars % 13 + 2)
+             |    END AS BIGINT) AS plane,
+             |    CAST(CASE doc_id % 5
+             |      WHEN 2 THEN n_chars % 16 + 1
+             |      WHEN 4 THEN n_chars % 8 + 1
+             |      ELSE 1 END AS BIGINT) AS nf
+             |  FROM documents WHERE doc_id % 5 <> 1),
+             |chars AS (
+             |  SELECT doc_id, k.k AS k,
+             |    ascii(substring(text, CAST(k.k AS INTEGER), 1)) AS c
+             |  FROM a, LATERAL (SELECT unnest(range(1, L + 1)) AS k) k),
+             |tot AS (SELECT doc_id, sum(c) AS S FROM chars GROUP BY doc_id),
+             |pre AS (
+             |  SELECT doc_id, k,
+             |    sum(c) OVER (PARTITION BY doc_id ORDER BY k) AS P
+             |  FROM chars),
+             |base AS (
+             |  SELECT a.doc_id, a.kind, a.plane, a.nf,
+             |    (a.plane // a.L) * t.S + coalesce(p.P, 0) AS plane_sum
+             |  FROM a JOIN tot t ON t.doc_id = a.doc_id
+             |  LEFT JOIN pre p ON p.doc_id = a.doc_id AND p.k = a.plane % a.L)
+             |SELECT doc_id AS asset_id, kind,
+             |  CAST(plane * nf AS BIGINT) AS n_values,
+             |  round(CAST(nf * plane_sum + plane * nf * (nf - 1) // 2 AS DOUBLE)
+             |        / (plane * nf) + 1e-9, 4) AS mean_val
+             |FROM base ORDER BY asset_id""".stripMargin)),
+
     // Real frame sampling: every 4th decoded animation frame (Y4M luma
     // plane / animated-GIF index plane), fingerprinted; rows-only check.
     "q_multimodal_frames" -> QueryDef(

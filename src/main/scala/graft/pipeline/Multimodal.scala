@@ -237,6 +237,26 @@ object Multimodal extends QueryModule {
     }.toDF("asset_id", "frame_idx", "frame_luma")
   }
 
+  /** [[sampleFrames]] reduced to per-frame integer stats (byte count +
+    * exact byte sum, order-free) — the representation whose values the
+    * q_multimodal_frames oracle re-derives in closed form.
+    */
+  def sampleFrameStats(assets: Dataset[Asset], everyK: Int = 4): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(a => a.kind == "video" || a.kind == "gif").flatMap { a =>
+      val frames: IndexedSeq[Array[Byte]] = a.kind match {
+        case "video" => MediaCodec.decodeY4m(a.payload).frames.map(_.y)
+        case _ => MediaCodec.decodeGif(a.payload).frames.map(_.pixels)
+      }
+      (0 until frames.size by everyK).map { i =>
+        val p = frames(i)
+        var sum = 0L; var j = 0
+        while (j < p.length) { sum += (p(j) & 0xff); j += 1 }
+        (a.asset_id, i.toLong, p.length.toLong, sum)
+      }
+    }.toDF("asset_id", "frame_idx", "frame_len", "frame_sum")
+  }
+
   def entries: Map[String, QueryDef] = Map(
 
     // Header geometry via the real codec — HASH-CHECKED: the Spark
@@ -453,13 +473,48 @@ object Multimodal extends QueryModule {
              |        / (plane * nf) + 1e-9, 4) AS mean_val
              |FROM base ORDER BY asset_id""".stripMargin)),
 
-    // Real frame sampling: every 4th decoded animation frame (Y4M luma
-    // plane / animated-GIF index plane), fingerprinted; rows-only check.
+    // Real frame sampling, PROMOTED r7 to hash-checked: every 4th
+    // decoded animation frame (Y4M luma plane / animated-GIF index
+    // plane) emits its exact byte count + byte sum, which the oracle
+    // re-derives in closed form (frame f's plane sums to
+    // base(plane) + f·plane under the generator's cycle+salt
+    // structure — the q_multimodal_pixels construction, per frame).
+    // The md5 plane fingerprints this row previously carried live on
+    // in [[sampleFrames]] (and content hashing in
+    // q_multimodal_content); what the driver now verifies is that the
+    // SAMPLED FRAME SET and every decoded byte behind it are right.
     "q_multimodal_frames" -> QueryDef(
-      (s, dir) => sampleFrames(assets(s, dir))
-        .select(col("asset_id"), col("frame_idx"),
-          md5(col("frame_luma")).as("frame_md5"))
+      (s, dir) => sampleFrameStats(assets(s, dir))
         .orderBy("asset_id", "frame_idx"),
-      None)
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    text, length(text) AS L,
+             |    CAST(CASE doc_id % 5
+             |      WHEN 2 THEN ((n_chars % 15 + 1) * 2) * ((n_chars % 11 + 1) * 2)
+             |      ELSE (n_chars % 21 + 2) * (n_chars % 13 + 2)
+             |    END AS BIGINT) AS plane,
+             |    CAST(CASE doc_id % 5
+             |      WHEN 2 THEN n_chars % 16 + 1
+             |      ELSE n_chars % 8 + 1 END AS BIGINT) AS nf
+             |  FROM documents WHERE doc_id % 5 IN (2, 4)),
+             |chars AS (
+             |  SELECT doc_id, k.k AS k,
+             |    ascii(substring(text, CAST(k.k AS INTEGER), 1)) AS c
+             |  FROM a, LATERAL (SELECT unnest(range(1, L + 1)) AS k) k),
+             |tot AS (SELECT doc_id, sum(c) AS S FROM chars GROUP BY doc_id),
+             |pre AS (
+             |  SELECT doc_id, k,
+             |    sum(c) OVER (PARTITION BY doc_id ORDER BY k) AS P
+             |  FROM chars),
+             |base AS (
+             |  SELECT a.doc_id, a.plane, a.nf,
+             |    (a.plane // a.L) * t.S + coalesce(p.P, 0) AS plane_sum
+             |  FROM a JOIN tot t ON t.doc_id = a.doc_id
+             |  LEFT JOIN pre p ON p.doc_id = a.doc_id AND p.k = a.plane % a.L)
+             |SELECT doc_id AS asset_id, CAST(f.f AS BIGINT) AS frame_idx,
+             |  CAST(plane AS BIGINT) AS frame_len,
+             |  CAST(plane_sum + f.f * plane AS BIGINT) AS frame_sum
+             |FROM base, LATERAL (SELECT unnest(range(0, nf, 4)) AS f) f
+             |ORDER BY asset_id, frame_idx""".stripMargin))
   )
 }

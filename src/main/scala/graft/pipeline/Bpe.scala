@@ -201,15 +201,90 @@ object Bpe extends QueryModule {
     modelCache.computeIfAbsent(dir, _ =>
       train(wordTypes(Tables(s, dir, "documents"), "text"), numMerges = 50))
 
+  /** Generated oracle: re-derives the ENTIRE training loop + encode in
+    * SQL (the pagerank chained-CTE discipline — no data-dependent
+    * literals). Key identity making this tractable: the training grid
+    * after merge i IS every word type with merges 1..i replayed in
+    * learned order, so the final grid g50 doubles as the word→tokens
+    * encode table — no separate replay pass.
+    *
+    * Symbol sequences ride as '|'-delimited cells, each symbol wrapped
+    * in its OWN pair ("low" → `|l||o||w||</w>|`): applying merge (a,b)
+    * is then `replace(symstr, '|a||b|', '|ab|')`, and because every
+    * cell carries both its delimiters, leftmost non-overlapping
+    * replace consumes exactly the cells the i+=2 loop in
+    * [[applyMerge]] consumes ("aaaa" merges to [aa,aa], not [aa,a,a] —
+    * a shared-separator encoding gets this wrong). '|' can never
+    * appear inside a symbol: [[graft.functions.TextFns.normalize]]
+    * leaves only [a-z0-9 ] and the only non-alphanumeric symbol is the
+    * `</w>` marker. Tie-break parity: ORDER BY n DESC, a, b on ASCII
+    * strings ≡ the Scala (-n, a, b) minBy; the `n >= 2` guard mirrors
+    * the stopping rule (an exhausted grid passes through unchanged —
+    * `~~` is a never-occurring pattern, so the guarded replace is a
+    * no-op). MATERIALIZED pins linear CTE evaluation (g(i-1) is
+    * referenced twice per stage; inlining would be exponential).
+    */
+  private def bpeOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |wt AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(norm, ' ')) AS word FROM norm) t
+        |  WHERE length(word) > 0 GROUP BY word),
+        |g0 AS MATERIALIZED (
+        |  SELECT word, regexp_replace(word, '(.)', '|\1|', 'g') || '|</w>|' AS symstr, cnt
+        |  FROM wt)""".stripMargin)
+    for (i <- 1 to iters) sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT s[j] AS a, s[j+1] AS b, sum(cnt) AS n
+        |  FROM (SELECT string_split(substr(symstr, 2, length(symstr)-2), '||') AS s, cnt FROM g${i - 1}) t,
+        |       UNNEST(generate_series(1, len(s)-1)) AS u(j)
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT a, b FROM p$i WHERE n >= 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |g$i AS MATERIALIZED (
+        |  SELECT word,
+        |         replace(symstr,
+        |                 coalesce((SELECT '|'||a||'||'||b||'|' FROM m$i), '~~'),
+        |                 coalesce((SELECT '|'||a||b||'|' FROM m$i), '~~')) AS symstr,
+        |         cnt
+        |  FROM g${i - 1})""".stripMargin)
+    sb.append(s""",
+        |toks AS (
+        |  SELECT word, string_split(substr(symstr, 2, length(symstr)-2), '||') AS toks
+        |  FROM g$iters),
+        |docw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM norm) t
+        |  WHERE length(word) > 0),
+        |dt AS (
+        |  SELECT d.doc_id, u.tok
+        |  FROM docw d JOIN toks g USING (word), UNNEST(g.toks) AS u(tok)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+        |         CAST(count(DISTINCT tok) AS BIGINT) AS n_bpe_types
+        |  FROM dt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+        |       coalesce(a.n_bpe_types, 0) AS n_bpe_types
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
+    sb.toString
+  }
+
   def entries: Map[String, QueryDef] = Map(
 
     // BPE tokenization declared end-to-end: train on the corpus' own
     // word-type grid (memoized — iterative model fit, like KMeans),
     // encode every document, emit the per-doc scalar surface
-    // (token/type counts + compression vs whitespace tokens). Iterative
-    // model output — not SQL-expressible, rows-only by design
-    // (SURVEY §5.3.4); BpeSpec pins the algorithm against a
-    // hand-computed reference and the encode round trip.
+    // (token/type counts + compression vs whitespace tokens).
+    // Hash-checked since r8: [[bpeOracle]] re-derives the 50-merge
+    // training loop AND the encode replay as a chained SQL CTE — the
+    // "iterative model ⇒ rows-only" assumption retired, like pagerank.
+    // BpeSpec still pins the algorithm against a hand-computed
+    // reference and the encode round trip.
     "q_bpe_encode" -> QueryDef(
       (s, dir) => {
         val m = modelFor(s, dir)
@@ -219,6 +294,6 @@ object Bpe extends QueryModule {
             size(array_distinct(col("tokens"))).cast("long").as("n_bpe_types"))
           .orderBy("doc_id")
       },
-      None)
+      Some(bpeOracle(50)))
   )
 }

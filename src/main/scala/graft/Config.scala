@@ -40,7 +40,8 @@ object Config {
       backupOnStart: Boolean,
       latestType: operators.Retention.LatestMode,
       schedule: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(24L * 3600 * 1000))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(24L * 3600 * 1000),
+      suffix: String = "")
 
   /** `SCHEDULE` string → micro-batch trigger, mapping the reference's
     * go-cron config surface (Dockerfile:20 `SCHEDULE="@daily"`,
@@ -148,6 +149,15 @@ object Config {
       .fold(e => { errs += s"GRAFT_LATEST_TYPE: $e"
                    operators.Retention.LatestMode.Symlink },
         identity)
+    // BACKUP_SUFFIX (Dockerfile:23): the artifact-format axis. ""
+    // keeps the engine-native partitioned parquet snapshot only;
+    // ".zip" additionally publishes the reference's single-file
+    // archive per (db, day bucket) — Snapshot.Formats' archive arm.
+    val suffix = env.getOrElse("GRAFT_SUFFIX", "") match {
+      case s @ ("" | ".zip") => s
+      case other =>
+        errs += s"GRAFT_SUFFIX must be '' or '.zip', got '$other'"; ""
+    }
 
     val collected = errs.result()
     if (collected.nonEmpty) Left(collected)
@@ -160,7 +170,8 @@ object Config {
       keepMonthsAsDays = keepMonths * 31 + 1, // env.sh:29
       backupOnStart = onStart,
       latestType = latestType,
-      schedule = schedule))
+      schedule = schedule,
+      suffix = suffix))
   }
 
   /** The exit-1 form (init.sh behavior): throw with every problem

@@ -28,7 +28,8 @@ object BackupLoop {
       rows: Long,
       latestDay: String,
       deletedDays: Seq[String],
-      keptDays: Seq[String])
+      keptDays: Seq[String],
+      archive: Option[String] = None)
 
   private val LatestDir = "_graft_latest"
 
@@ -61,8 +62,22 @@ object BackupLoop {
         // partition-column max: a listing-scale aggregate, no data read
         val latestDay = snap.agg(max(col("bucket_day"))).head.getString(0)
         writeLatest(snap, dest, latestDay, settings.latestType)
+        // BACKUP_SUFFIX=".zip" (Dockerfile:23): publish the
+        // reference's literal artifact — ONE compressed object named
+        // ${db}-<bucket>${suffix} (backup.sh:26–34) holding the
+        // latest day, next to the partitioned snapshot. GC of the
+        // day partitions never touches published archives (the
+        // reference prunes those by mtime on its own find pass).
+        // (underscore prefix: Spark's file index skips `_*` paths, so
+        // the archive never pollutes restore()'s partition discovery)
+        val archive =
+          if (settings.suffix == ".zip") {
+            val path = s"$dest/_graft_archive/$db-$latestDay${settings.suffix}"
+            Snapshot.exportAs(Snapshot.dayView(snap, latestDay), path, "zip")
+            Some(path)
+          } else None
         val gc = Snapshot.gc(spark, dest, settings.keepDays)
-        DbReport(db, rows, latestDay, gc.deletedDays, gc.keptDays)
+        DbReport(db, rows, latestDay, gc.deletedDays, gc.keptDays, archive)
       }
       catch { case t: Throwable => hooks.fireError(t.getMessage); throw t }
     hooks.firePost(s"dbs=${reports.size}")

@@ -896,12 +896,81 @@ object Snapshot {
     * import requires the original schema for a lossless round trip,
     * which [[importFrom]] enforces by taking it explicitly).
     */
-  val Formats: Set[String] = Set("parquet", "orc", "json", "csv")
+  val Formats: Set[String] = Set("parquet", "orc", "json", "csv", "zip")
 
   def exportAs(df: DataFrame, dest: String, format: String): Unit = {
     require(Formats(format), s"unsupported snapshot format '$format' (one of $Formats)")
+    if (format == "zip") { exportZip(df, dest); return }
     val w = df.write.mode("overwrite").format(format)
     (if (format == "csv") w.option("header", "true") else w).save(dest)
+  }
+
+  /** Single-file compressed archive — the reference's literal artifact
+    * shape (`BACKUP_SUFFIX=".zip"`, Dockerfile:23; one object per
+    * (db, bucket), backup.sh:26–34). The rows are staged as the
+    * engine's native parquet next to `dest`, then streamed into ONE
+    * zip object through the Hadoop [[FileSystem]] of the destination
+    * (URI-portable — a bucket URI works wherever a connector is on the
+    * classpath). Entries are name-sorted with zeroed timestamps
+    * (archive layout independent of listing order and wall clock;
+    * part-file names still carry the write's job id, as in any Spark
+    * sink). Parquet pages are
+    * already compressed, so entries are STORED, not deflated — the zip
+    * is the container (single PUT / single download), not a second
+    * compressor. A single object is inherently single-writer: this arm
+    * is the reference-parity interchange artifact; the partitioned
+    * parquet/orc directory stays the 100 TB path.
+    */
+  private def exportZip(df: DataFrame, dest: String): Unit = {
+    val spark = df.sparkSession
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new org.apache.hadoop.fs.Path(dest + ".stage")
+    df.write.mode("overwrite").parquet(stage.toString)
+    // recursive listStatus walk, not listFiles: the latter's
+    // LocatedFileStatus eagerly loads permissions through a
+    // file:-scheme-only java.io.File path on local-backed filesystems
+    // — exactly the portability trap this layer must avoid
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+      }
+    // deterministic archive: fixed entry order whatever listing order
+    // the store returns
+    val files = walk(stage).sortBy(_.toString)
+    val out = new java.util.zip.ZipOutputStream(fs.create(destPath, true))
+    try {
+      // listStatus returns fs-qualified paths; qualify the stage the
+      // same way or the prefix strip silently yields absolute entry
+      // names on schemeless destinations
+      val stagePrefix = fs.makeQualified(stage).toString + "/"
+      val buf = new Array[Byte](64 * 1024)
+      files.foreach { f =>
+        val name = f.toString.stripPrefix(stagePrefix)
+        require(name != f.toString && !name.startsWith("/"),
+          s"archive entry $f does not relativize under $stagePrefix")
+        val st = fs.getFileStatus(f)
+        val entry = new java.util.zip.ZipEntry(name)
+        entry.setMethod(java.util.zip.ZipEntry.STORED)
+        entry.setSize(st.getLen)
+        entry.setTime(0L)
+        val in = fs.open(f)
+        val crc = new java.util.zip.CRC32
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        entry.setCrc(crc.getValue)
+        out.putNextEntry(entry)
+        val in2 = fs.open(f)
+        try {
+          var n = in2.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in2.read(buf) }
+        } finally in2.close()
+        out.closeEntry()
+      }
+    } finally out.close()
+    fs.delete(stage, true)
   }
 
   /** Schema-explicit import: text formats come back string-typed
@@ -911,8 +980,41 @@ object Snapshot {
   def importFrom(spark: SparkSession, dest: String, format: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     require(Formats(format), s"unsupported snapshot format '$format' (one of $Formats)")
+    if (format == "zip") return importZip(spark, dest, schema)
     val r = spark.read.format(format).schema(schema)
     (if (format == "csv") r.option("header", "true") else r).load(dest)
+  }
+
+  /** Unpack the archive next to itself (overwriting any previous
+    * unpack) and read the parquet back under the asserted schema.
+    * Entry names are relative paths from [[exportZip]]; each is
+    * re-rooted under the unpack dir and validated against `..`
+    * traversal before any byte lands.
+    */
+  private def importZip(spark: SparkSession,
+      dest: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val unpack = new org.apache.hadoop.fs.Path(dest + ".unpacked")
+    fs.delete(unpack, true)
+    val in = new java.util.zip.ZipInputStream(fs.open(destPath))
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var entry = in.getNextEntry
+      while (entry != null) {
+        require(!entry.getName.split('/').contains(".."),
+          s"zip entry escapes the archive root: ${entry.getName}")
+        if (!entry.isDirectory) {
+          val out = fs.create(new org.apache.hadoop.fs.Path(unpack, entry.getName), true)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally out.close()
+        }
+        entry = in.getNextEntry
+      }
+    } finally in.close()
+    spark.read.schema(schema).parquet(unpack.toString)
   }
 
   /** A retention-tier view over the snapshot: day-bucket prefix length

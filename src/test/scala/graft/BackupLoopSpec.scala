@@ -44,6 +44,33 @@ class BackupLoopSpec extends SparkSpec {
     }
   }
 
+  test("GRAFT_SUFFIX=.zip publishes one archive object per db per tick") {
+    val dir = Files.createTempDirectory("graft-loop-zip").toString
+    val reports = BackupLoop.backupAll(spark,
+      settings(dir, "GRAFT_SUFFIX" -> ".zip"), source _, "ts")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    reports.foreach { r =>
+      // the reference's literal artifact: ${DB}-<bucket>${BACKUP_SUFFIX}
+      // (backup.sh:26–34), one single object
+      val path = r.archive.getOrElse(fail(s"${r.db}: no archive published"))
+      assert(path.endsWith(s"${r.db}-${r.latestDay}.zip"))
+      assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).isFile)
+      // it holds exactly the latest day's rows
+      val snap = Snapshot.restore(spark, s"$dir/${r.db}")
+      val want = snap.filter(col("bucket_day") === r.latestDay)
+      val back = Snapshot.importFrom(spark, path, "zip", want.schema)
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+        s"${r.db}: archive must round-trip the latest day")
+      // and the underscore prefix keeps it out of restore()'s
+      // partition discovery (snap above would have thrown otherwise)
+    }
+    // default suffix "" publishes nothing
+    val dir2 = Files.createTempDirectory("graft-loop-nozip").toString
+    assert(BackupLoop.backupAll(spark, settings(dir2), source _, "ts")
+      .forall(_.archive.isEmpty))
+  }
+
   test("a failing pre-backup hook aborts the tick: no snapshot, error hook fired") {
     val dir = Files.createTempDirectory("graft-loop-gate").toString
     val fired = scala.collection.mutable.ArrayBuffer.empty[String]

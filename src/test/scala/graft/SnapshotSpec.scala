@@ -609,7 +609,10 @@ class SnapshotSpec extends SparkSpec {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), date_format(col("ts_s"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
     Snapshot.Formats.foreach { fmt =>
-      val dest = Files.createTempDirectory(s"graft-export-$fmt").toString
+      // zip is a single-FILE artifact (the reference's ${DB}-*.zip);
+      // the directory formats export into the tempdir itself
+      val root = Files.createTempDirectory(s"graft-export-$fmt").toString
+      val dest = if (fmt == "zip") s"$root/snap.zip" else root
       Snapshot.exportAs(src, dest, fmt)
       val back = Snapshot.importFrom(spark, dest, fmt, src.schema)
       assert(back.schema == src.schema, s"$fmt schema drift")

@@ -218,54 +218,72 @@ object Windows extends QueryModule {
     // ClickHouse `exponentialTimeDecayedSum/Count/Avg` — CONTINUOUS-
     // time decay (weight e^{−Δt/τ}, τ = 1 day), the wall-clock-aware
     // sibling of q_win_ema's row-count decay. Algebra: decayed_sum_i =
-    // Σ_{j≤i} v_j·e^{−(t_i−t_j)/τ} = e^{−(t_i−t0)/τ} · Σ v_j·e^{(t_j−t0)/τ}
-    // — ONE cumulative window sum of pre-scaled terms plus a row-local
-    // rescale, instead of a per-row re-walk of history. t0 = the
-    // user's first event (a same-partition window min) bounds the
-    // exponent by the per-user span (fixture ≤30 days ⇒ e^30 ≈ 1e13;
-    // doubles carry ~e^700). The avg form cancels the rescale
-    // entirely (ratio of two cumulative sums). One shuffle on user,
-    // one sort, three frames sharing it; round(…,4) absorbs windowed-
-    // sum association drift (the q_win_running_sum discipline).
+    // Σ_{j≤i} v_j·e^{−(t_i−t_j)/τ} = e^{−(t_i−a)/τ} · Σ v_j·e^{(t_j−a)/τ}
+    // for ANY fixed anchor a — ONE cumulative window sum of pre-scaled
+    // terms plus a row-local rescale, instead of a per-row re-walk of
+    // history. A single per-user anchor overflows once the span
+    // exceeds ~700τ (e^700 ≈ double max), so the anchor is re-based
+    // every SEG=400τ: rows carry seg = ⌊(t−t0)/(SEG·τ)⌋ and the
+    // within-segment exponent dtk ∈ [0, 400) (e^400 ≈ 5e173 — half of
+    // double range left for the sum itself), and history restitches
+    // through ONE previous-segment carry: contribution of segment p
+    // into segment k is e^{−(k−p)·SEG}·B_p, which for k−p ≥ 2 is
+    // < e^{−400} ≈ 1e−174 RELATIVE to the in-segment terms — below
+    // double's 1e−16 resolution, so the single lag is exact-in-double
+    // at ANY span (and the factor underflows to a clean 0.0, never
+    // NaN, when the gap is huge). The segment frame adds one
+    // segment-scale aggregate + lag + an equi-join back on
+    // (user, seg) — O(users × span/400τ) rows, metadata-scale. The
+    // avg form cancels the rescale entirely (ratio of two sums).
+    // round(…,4) absorbs windowed-sum association drift (the
+    // q_win_running_sum discipline).
     "q_win_decayed_avg" -> QueryDef(
-      (s, dir) => {
-        val wAll = Window.partitionBy("user_id")
-        val wCum = Window.partitionBy("user_id")
-          .orderBy("t", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tau = 86400.0
+      (s, dir) => decayedAvg(
         Relational.eventsSec(s, dir)
           .select(col("user_id"), col("event_id"), col("value"),
-            unix_timestamp(col("ts_s")).cast("double").as("t"))
-          .withColumn("dt", (col("t") - min(col("t")).over(wAll)) / tau)
-          .withColumn("num", sum(col("value") * exp(col("dt"))).over(wCum))
-          .withColumn("den", sum(exp(col("dt"))).over(wCum))
-          .select(col("user_id"), col("event_id"),
-            round(exp(-col("dt")) * col("num") + lit(1e-9), 4).as("d_sum"),
-            round(exp(-col("dt")) * col("den") + lit(1e-9), 4).as("d_cnt"),
-            round(col("num") / col("den") + lit(1e-9), 4).as("d_avg"))
-          .orderBy("user_id", "event_id")
-      },
+            unix_timestamp(col("ts_s")).cast("double").as("t")),
+        tau = 86400.0),
       Some("""WITH f AS (
              |  SELECT user_id, event_id, value,
              |    CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS t
              |  FROM events),
              |g AS (
-             |  SELECT user_id, event_id, value,
-             |    (t - min(t) OVER (PARTITION BY user_id)) / 86400.0 AS dt
+             |  SELECT user_id, event_id, value, t,
+             |    (t - min(t) OVER (PARTITION BY user_id)) / 86400.0 AS dtt
              |  FROM f),
+             |g2 AS (
+             |  SELECT *, floor(dtt / 400.0) AS seg,
+             |    dtt - floor(dtt / 400.0) * 400.0 AS dtk
+             |  FROM g),
              |h AS (
-             |  SELECT user_id, event_id, dt,
-             |    sum(value * exp(dt)) OVER w AS num,
-             |    sum(exp(dt)) OVER w AS den
-             |  FROM g
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY dt, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |  SELECT user_id, event_id, seg, dtk,
+             |    sum(value * exp(dtk)) OVER w AS pnum,
+             |    sum(exp(dtk)) OVER w AS pden
+             |  FROM g2
+             |  WINDOW w AS (PARTITION BY user_id, seg ORDER BY t, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |sa AS (
+             |  SELECT user_id, seg,
+             |    sum(value * exp(dtk)) AS segB, sum(exp(dtk)) AS segC
+             |  FROM g2 GROUP BY user_id, seg),
+             |sl AS (
+             |  SELECT user_id, seg,
+             |    lag(seg) OVER wl AS pseg,
+             |    lag(segB) OVER wl AS pB,
+             |    lag(segC) OVER wl AS pC
+             |  FROM sa WINDOW wl AS (PARTITION BY user_id ORDER BY seg)),
+             |j AS (
+             |  SELECT h.user_id, h.event_id, h.dtk,
+             |    h.pnum + CASE WHEN sl.pseg IS NULL THEN 0.0
+             |      ELSE exp((sl.pseg - h.seg) * 400.0) END * coalesce(sl.pB, 0.0) AS num,
+             |    h.pden + CASE WHEN sl.pseg IS NULL THEN 0.0
+             |      ELSE exp((sl.pseg - h.seg) * 400.0) END * coalesce(sl.pC, 0.0) AS den
+             |  FROM h JOIN sl USING (user_id, seg))
              |SELECT user_id, event_id,
-             |  round(exp(-dt) * num + 1e-9, 4) AS d_sum,
-             |  round(exp(-dt) * den + 1e-9, 4) AS d_cnt,
+             |  round(exp(-dtk) * num + 1e-9, 4) AS d_sum,
+             |  round(exp(-dtk) * den + 1e-9, 4) AS d_cnt,
              |  round(num / den + 1e-9, 4) AS d_avg
-             |FROM h ORDER BY user_id, event_id""".stripMargin)),
+             |FROM j ORDER BY user_id, event_id""".stripMargin)),
 
     // ClickHouse `ORDER BY … WITH FILL` — time-series gap filling:
     // densify each event type's daily counts over its own [min, max]
@@ -467,4 +485,44 @@ object Windows extends QueryModule {
              |    AND (d.price < g.price OR d.size < g.size))
              |ORDER BY price, size""".stripMargin))
   )
+
+  /** The q_win_decayed_avg kernel on an arbitrary
+    * (user_id, event_id, value, t) frame — factored out so the spec
+    * can drive spans far beyond the fixture's (the >700τ overflow
+    * regime) against a brute-force reference. See the q_win_decayed_avg
+    * entry for the segment-anchored restitch derivation; `segLen` is
+    * the re-anchor period in τ units (400 ⇒ e^400 ≈ 5e173 headroom,
+    * one-lag carry exact to double precision).
+    */
+  private[graft] def decayedAvg(events: org.apache.spark.sql.DataFrame,
+      tau: Double, segLen: Double = 400.0): org.apache.spark.sql.DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val wSeg = Window.partitionBy("user_id", "seg")
+      .orderBy("t", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy("user_id").orderBy("seg")
+    val rows = events
+      .withColumn("dtt", (col("t") - min(col("t")).over(wAll)) / tau)
+      .withColumn("seg", floor(col("dtt") / segLen))
+      .withColumn("dtk", col("dtt") - col("seg") * segLen)
+      .withColumn("pnum", sum(col("value") * exp(col("dtk"))).over(wSeg))
+      .withColumn("pden", sum(exp(col("dtk"))).over(wSeg))
+    val segs = rows.groupBy("user_id", "seg")
+      .agg(sum(col("value") * exp(col("dtk"))).as("segB"),
+        sum(exp(col("dtk"))).as("segC"))
+      .select(col("user_id"), col("seg"),
+        lag("seg", 1).over(wLag).as("pseg"),
+        lag("segB", 1).over(wLag).as("pB"),
+        lag("segC", 1).over(wLag).as("pC"))
+    val cf = when(col("pseg").isNotNull,
+      exp((col("pseg") - col("seg")) * segLen)).otherwise(lit(0.0))
+    rows.join(segs, Seq("user_id", "seg"))
+      .withColumn("num", col("pnum") + cf * coalesce(col("pB"), lit(0.0)))
+      .withColumn("den", col("pden") + cf * coalesce(col("pC"), lit(0.0)))
+      .select(col("user_id"), col("event_id"),
+        round(exp(-col("dtk")) * col("num") + lit(1e-9), 4).as("d_sum"),
+        round(exp(-col("dtk")) * col("den") + lit(1e-9), 4).as("d_cnt"),
+        round(col("num") / col("den") + lit(1e-9), 4).as("d_avg"))
+      .orderBy("user_id", "event_id")
+  }
 }

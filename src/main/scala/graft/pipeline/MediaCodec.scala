@@ -453,7 +453,16 @@ object MediaCodec {
       out.write(0x2c)                                  // image descriptor
       gifU16(out, f.left); gifU16(out, f.top)
       gifU16(out, f.width); gifU16(out, f.height)
-      out.write(0)                                     // no LCT, not interlaced
+      f.localPalette match {                           // LCT flag + table
+        case Some(p) =>
+          val entries = p.length / 3
+          require(p.length % 3 == 0 && Integer.bitCount(entries) == 1 &&
+            entries >= 2 && entries <= 256,
+            s"local color table needs a power-of-two entry count of RGB triples, got ${p.length} bytes")
+          out.write(0x80 | (Integer.numberOfTrailingZeros(entries) - 1))
+          out.write(p, 0, p.length)
+        case None => out.write(0)                      // no LCT, not interlaced
+      }
       out.write(8)                                     // LZW min code size
       val data = gifLzwClearReset(f.pixels)
       var off = 0
@@ -538,12 +547,13 @@ object MediaCodec {
     if (bytes.length < 14) fail(s"GIF truncated: ${bytes.length} bytes")
     val magic = new String(bytes, 0, 6, StandardCharsets.US_ASCII)
     if (magic != "GIF89a" && magic != "GIF87a") fail(s"GIF signature missing ('$magic')")
-    def u16(off: Int): Int =
-      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def u8(off: Int): Int = {
       if (off >= bytes.length) fail(s"GIF out of bounds at $off")
       bytes(off) & 0xff
     }
+    // through the bounds-checked u8: a GIF truncated mid-descriptor
+    // must fail with the codec's typed error, never a raw AIOOBE
+    def u16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
     val width = u16(6); val height = u16(8)
     if (width <= 0 || height <= 0) fail(s"bad GIF geometry ${width}x$height")
     val packed = u8(10)

@@ -55,10 +55,20 @@ object Multimodal extends QueryModule {
     out
   }
 
-  private[pipeline] def makePayload(kind: String, text: String,
+  private[graft] def makePayload(kind: String, text: String,
       nChars: Long): Array[Byte] = {
     val src0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val src = if (src0.isEmpty) Array[Byte](0) else src0
+    // fail loudly, don't silently diverge: the closed-form oracles of
+    // q_multimodal_audio/pixels/frames re-derive this generator in SQL
+    // as `src(i % L)` with L = length(text) and per-CHAR ascii() reads
+    // — an empty or non-ASCII document would make Spark and the oracle
+    // disagree silently instead of failing here (PipelineSpec pins the
+    // fixture preconditions)
+    require(src0.nonEmpty,
+      "multimodal payload generator: document text must be non-empty")
+    require(src0.length == text.length,
+      "multimodal payload generator: document text must be pure ASCII")
+    val src = src0
     kind match {
       case "image" =>
         val w = (nChars % 31 + 2).toInt; val h = (nChars % 23 + 2).toInt

@@ -921,9 +921,13 @@ object Similarity extends QueryModule {
         val wf = Window.partitionBy(col("q_id"))
           .orderBy(col("rrf").desc, col("doc_id").asc)
         eRank.join(lRank, Seq("q_id", "doc_id"), "full_outer")
+          // + 1e-9 before the 6-decimal round: the repo-wide tie nudge
+          // (hazard H1) — reciprocal-rank sums land near but provably
+          // never ON the grid, and the nudge makes that irrelevant
           .withColumn("rrf", round(
             coalesce(lit(1.0) / (lit(60) + col("e_rank")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("l_rank")), lit(0.0)), 6))
+              coalesce(lit(1.0) / (lit(60) + col("l_rank")), lit(0.0)) +
+              lit(1e-9), 6))
           .withColumn("rank", row_number().over(wf).cast("long"))
           .filter(col("rank") <= 10)
           .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"))
@@ -971,7 +975,7 @@ object Similarity extends QueryModule {
              |  SELECT coalesce(e.q_id, l.q_id) AS q_id,
              |    coalesce(e.doc_id, l.doc_id) AS doc_id,
              |    round(coalesce(1.0 / (60 + e.e_rank), 0.0) +
-             |          coalesce(1.0 / (60 + l.l_rank), 0.0), 6) AS rrf
+             |          coalesce(1.0 / (60 + l.l_rank), 0.0) + 1e-9, 6) AS rrf
              |  FROM erank e FULL OUTER JOIN lrank l
              |    ON e.q_id = l.q_id AND e.doc_id = l.doc_id)
              |SELECT q_id, rank, doc_id, rrf FROM (

@@ -166,4 +166,42 @@ class KernelPropertySpec extends SparkSpec {
       assert(winSkyline((pts :+ dominated).distinct) == sky,
         "dominated insertion changed the frontier")
   }
+
+  test("decayed-avg segment restitch survives spans far beyond 700·tau") {
+    import spark.implicits._
+    // spans the e^700 overflow cliff the single-anchor prefix form hit:
+    // per-user histories up to 2000·tau (tau = 1s here), event gaps
+    // both tiny (dense restitch traffic) and huge (carry underflow)
+    val rnd = new Random(42)
+    val rows = (0 until 3).flatMap { u =>
+      var t = 0.0
+      (0 until 120).map { i =>
+        t += (if (rnd.nextInt(4) == 0) rnd.nextDouble() * 900 + 100
+              else rnd.nextDouble() * 30)
+        (u.toLong, i.toLong, rnd.nextDouble() * 100, t)
+      }
+    }
+    val got = operators.Windows.decayedAvg(
+        rows.toDF("user_id", "event_id", "value", "t"), tau = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // brute force: the O(n^2) definition, numerically safe term by term
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      sorted.zipWithIndex.foreach { case ((_, id, _, ti), i) =>
+        var (ds, dc) = (0.0, 0.0)
+        (0 to i).foreach { j =>
+          val (_, _, vj, tj) = sorted(j)
+          val w = math.exp(-(ti - tj))
+          ds += vj * w; dc += w
+        }
+        val (gs, gc, ga) = got((u, id))
+        assert(!gs.isNaN && !gc.isNaN && !ga.isNaN,
+          s"user $u event $id: NaN at span ${ti}tau — the overflow cliff is back")
+        assert(math.abs(gs - ds) < 1e-3 && math.abs(gc - dc) < 1e-3 &&
+          math.abs(ga - ds / dc) < 1e-3,
+          s"user $u event $id: got ($gs,$gc,$ga) want ($ds,$dc,${ds / dc})")
+      }
+    }
+  }
 }

@@ -224,6 +224,11 @@ class MediaCodecSpec extends AnyFunSuite {
     val noEoi = handGif.take(6 + 7 + 12 + 10 + 1) ++ Array[Byte](0, 0x3b)
     assertThrows[MediaFormatException](decodeGif(handGif.take(handGif.length - 4)))
     assertThrows[MediaFormatException](decodeGif(noEoi))
+    // truncation mid image-descriptor / mid-GCE: the u16 reads must
+    // surface the codec's typed error, not a raw index exception
+    (15 to 6 + 7 + 12 + 9).foreach { n =>
+      assertThrows[MediaFormatException](decodeGif(handGif.take(n)))
+    }
   }
 
   test("GIF encoder byte length is the documented clear-reset arithmetic") {
@@ -248,15 +253,25 @@ class MediaCodecSpec extends AnyFunSuite {
       val w = rnd.nextInt(40) + 1; val h = rnd.nextInt(30) + 1
       val frames = Vector.fill(rnd.nextInt(6) + 1)(
         GifFrame(0, 0, w, h, rnd.nextInt(100),
-          Array.fill(w * h)(rnd.nextInt.toByte)))
+          Array.fill(w * h)(rnd.nextInt.toByte),
+          // every other frame carries a local color table (random
+          // power-of-two entry count) — the encoder must emit it, not
+          // silently drop it
+          if (rnd.nextBoolean())
+            Some(Array.fill(3 * (2 << rnd.nextInt(8)))(rnd.nextInt.toByte))
+          else None))
       val back = decodeGif(encodeGif(Gif(w, h, pal, frames)))
       assert(back.width == w && back.height == h &&
         back.palette.toSeq == pal.toSeq &&
         back.frames.size == frames.size &&
         back.frames.zip(frames).forall { case (a, b) =>
           a.delayCs == b.delayCs && a.width == w && a.height == h &&
-            a.pixels.toSeq == b.pixels.toSeq })
+            a.pixels.toSeq == b.pixels.toSeq &&
+            a.localPalette.map(_.toSeq) == b.localPalette.map(_.toSeq) })
     }
+    // a non-power-of-two local table is an explicit error, not a drop
+    assertThrows[IllegalArgumentException](encodeGif(Gif(1, 1, pal, Vector(
+      GifFrame(0, 0, 1, 1, 0, Array[Byte](0), Some(new Array[Byte](9)))))))
   }
 
   // ---- round trips and the resampler --------------------------------

@@ -460,6 +460,27 @@ class PipelineSpec extends SparkSpec {
     assert(sh(0) == sh(1) && sh(0) != sh(2))
   }
 
+  test("multimodal oracle preconditions hold on the fixture, and violations fail loudly") {
+    // the closed-form q_multimodal_audio/pixels/frames oracles index
+    // document text per CHAR (ascii(substring(text, i % L + 1, 1)))
+    // while the generator cycles UTF-8 BYTES — they agree iff every
+    // document is non-empty pure ASCII. Pin that on the fixture…
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val bad = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNull || length(col("text")) === 0 ||
+          length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(bad == 0, s"$dir: $bad documents break the ASCII/non-empty precondition")
+    }
+    // …and pin that a violating document fails the generator loudly
+    // instead of silently diverging from the oracle
+    assertThrows[IllegalArgumentException](
+      pipeline.Multimodal.makePayload("image", "", 10L))
+    assertThrows[IllegalArgumentException](
+      pipeline.Multimodal.makePayload("audio", "café", 10L))
+  }
+
   test("multimodal resize decodes, resamples, and re-encodes real BMPs deterministically") {
     val a = pipeline.Multimodal.assets(spark, sf)
     val nImages = a.filter(_.kind == "image").count()

@@ -527,12 +527,78 @@ object Similarity extends QueryModule {
     val (n, mean, cov) = CovAgg.covarianceOf(flat)
     val (lambda, pc1) = CovAgg.topEigen(cov)
     import s.implicits._
+    // + 1e-9 before the grid, + 0.0 after (hazard H1: tie nudge and
+    // the IEEE −0.0 that a tiny negative mean would round to on one
+    // engine only) — mirrored in [[pcaOracle]]
     mean.indices.map(i => (i.toLong,
-        math.rint(mean(i) * 1e6) / 1e6,
-        math.rint(pc1(i) * 1e6) / 1e6,
-        math.rint(lambda * 1e4) / 1e4, n))
+        math.rint((mean(i) + 1e-9) * 1e6) / 1e6 + 0.0,
+        math.rint((pc1(i) + 1e-9) * 1e6) / 1e6 + 0.0,
+        math.rint((lambda + 1e-9) * 1e4) / 1e4, n))
       .toDF("dim", "mean", "pc1_loading", "top_eigenvalue", "n_vectors")
       .orderBy("dim")
+  }
+
+  /** Generated oracle for q_embed_pca: the ENTIRE pipeline — moment
+    * pass, covariance assembly, and all `iters` rounds of the
+    * [[graft.functions.CovAgg.topEigen]] power iteration — re-derived
+    * as a chained SQL CTE (the pagerank/bpe discipline: no
+    * data-dependent literals). Per round: one 64-row mat-vec
+    * (cov ⨝ u → group), one scalar norm, one normalize; the sign
+    * canonicalization (first |loading| > 1e-12 positive) mirrors the
+    * Scala step on the RAW converged vector. The oracle replays only
+    * the FIRST start vector (sin(i+1)); topEigen prefers a start
+    * whose Rayleigh residual beats 1e-8·scale·d but falls back to the
+    * FIRST start when none does, so oracle ≡ query unless the second
+    * start alone passes — PipelineSpec replicates the selection and
+    * pins that it lands on the first-start iterate on the fixtures
+    * (the same pinned-precondition discipline as the multimodal
+    * ASCII guard). Engine drift through
+    * 200 contraction rounds stays ~1e-14 (the iteration is
+    * continuous, never threshold-based), absorbed by the 6-decimal
+    * grid + 1e-9 nudge.
+    */
+  private def pcaOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH flat AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(count(*) AS BIGINT) AS nl FROM embeddings),
+        |mu AS MATERIALIZED (
+        |  SELECT i, sum(v) / (SELECT n FROM nn) AS mu FROM flat GROUP BY i),
+        |cov AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |         sum(a.v * b.v) / (SELECT n FROM nn)
+        |           - (SELECT mu FROM mu WHERE mu.i = a.i)
+        |           * (SELECT mu FROM mu WHERE mu.i = b.i) AS c
+        |  FROM flat a JOIN flat b USING (vec_id)
+        |  GROUP BY a.i, b.i),
+        |v0 AS MATERIALIZED (
+        |  SELECT i, sin(CAST(i AS DOUBLE)) AS x FROM (SELECT DISTINCT i FROM flat)),
+        |n0 AS (SELECT sqrt(sum(x * x)) AS nrm FROM v0),
+        |u0 AS MATERIALIZED (SELECT i, x / (SELECT nrm FROM n0) AS x FROM v0)""".stripMargin)
+    for (k <- 1 to iters) sb.append(s""",
+        |w$k AS MATERIALIZED (
+        |  SELECT cov.i AS i, sum(cov.c * u${k - 1}.x) AS x
+        |  FROM cov JOIN u${k - 1} ON u${k - 1}.i = cov.j
+        |  GROUP BY cov.i),
+        |l$k AS (SELECT sqrt(sum(x * x)) AS nrm FROM w$k),
+        |u$k AS MATERIALIZED (SELECT i, x / (SELECT nrm FROM l$k) AS x FROM w$k)""".stripMargin)
+    sb.append(s""",
+        |sgn AS (
+        |  SELECT CASE WHEN (SELECT x FROM u$iters
+        |                    WHERE abs(x) > 1e-12 ORDER BY i LIMIT 1) < 0
+        |         THEN -1.0 ELSE 1.0 END AS s)
+        |SELECT CAST(m.i - 1 AS BIGINT) AS dim,
+        |       round(m.mu + 1e-9, 6) + 0.0 AS mean,
+        |       round(u.x * (SELECT s FROM sgn) + 1e-9, 6) + 0.0 AS pc1_loading,
+        |       round((SELECT nrm FROM l$iters) + 1e-9, 4) AS top_eigenvalue,
+        |       (SELECT nl FROM nn) AS n_vectors
+        |FROM mu m JOIN u$iters u USING (i)
+        |ORDER BY dim""".stripMargin)
+    sb.toString
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -630,10 +696,13 @@ object Similarity extends QueryModule {
     // mergeable CovAgg buffer — the shuffle carries d(d+3)/2+1
     // doubles per partition, never a row multiplication — and the
     // d×d eigen step is a deterministic driver-side power iteration
-    // (model-scale, the k-means-centroid collect budget). Rows-only:
-    // eigenvectors aren't SQL-expressible; SimilaritySpec pins
-    // Av = λv, unit norm, and a known-axis crafted corpus.
-    "q_embed_pca" -> QueryDef((s, dir) => embedPca(s, dir)),
+    // (model-scale, the k-means-centroid collect budget). Hash-checked
+    // since r8: [[pcaOracle]] replays the moment pass AND all 200
+    // power-iteration rounds as a chained SQL CTE — "eigenvectors
+    // aren't SQL-expressible" retired the way bpe/pagerank were; the
+    // spec still pins Av = λv, unit norm, and a known-axis corpus.
+    "q_embed_pca" -> QueryDef((s, dir) => embedPca(s, dir),
+      Some(pcaOracle(200))),
 
     // Per-label centroid — the distributed vector mean behind every
     // IVF/k-means build, surfaced as a query. VecMeanAgg keeps ONE

@@ -547,6 +547,54 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pca oracle precondition: topEigen selects the FIRST-start iterate on the fixtures") {
+    // the generated q_embed_pca oracle replays only the sin(i+1)
+    // start. topEigen picks the first start whose Rayleigh residual
+    // beats 1e-8·scale·d and falls back to the FIRST start when none
+    // does — so oracle ≡ query unless the first start fails the
+    // threshold while the cos-perturbed one passes it. Replicate the
+    // selection verbatim and pin that the selected vector IS the
+    // first-start iterate on the fixture corpora (the
+    // pinned-precondition discipline)
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val flat = pipeline.Similarity.embedPcaMoments(spark, dir)
+      val (_, _, cov) = functions.CovAgg.covarianceOf(flat)
+      val d = cov.length
+      def iterate(start: Array[Double]): (Double, Array[Double]) = {
+        val nrm0 = math.sqrt(start.map(x => x * x).sum)
+        var v = start.map(_ / nrm0)
+        var lambda = 0.0
+        (1 to 200).foreach { _ =>
+          val w = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+          lambda = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(_ / lambda)
+        }
+        (lambda, v)
+      }
+      def residual(lambda: Double, v: Array[Double]): Double = {
+        val av = cov.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+        math.sqrt(av.indices.map(i => {
+          val r = av(i) - lambda * v(i); r * r }).sum)
+      }
+      val scale = math.max(1.0, cov.indices.map(i => math.abs(cov(i)(i))).max)
+      val first = iterate(Array.tabulate(d)(i => math.sin((i + 1).toDouble)))
+      val second = iterate(Array.tabulate(d)(i => math.cos((2 * i + 1).toDouble) + 0.5))
+      val firstPasses = residual(first._1, first._2) <= 1e-8 * scale * d
+      val secondPasses = residual(second._1, second._2) <= 1e-8 * scale * d
+      assert(firstPasses || !secondPasses,
+        s"$dir: topEigen would select the SECOND start " +
+          "— the generated oracle no longer matches the query")
+      // and the query's loadings are indeed the first-start iterate
+      val want = first._2
+      val sign = want.find(math.abs(_) > 1e-12).map(x => if (x < 0) -1.0 else 1.0).getOrElse(1.0)
+      val got = SparkEntry.queries("q_embed_pca")(spark, dir)
+        .collect().sortBy(_.getLong(0)).map(_.getDouble(2))
+      got.zip(want.map(_ * sign)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-5, s"$dir: loading $g vs first-start $w")
+      }
+    }
+  }
+
   test("power iteration finds a constant-loading dominant axis at even d") {
     // cov = I + J: dominant eigenpair is (d+1, 1/√d·1) — a constant
     // axis an alternating-sign start vector is exactly orthogonal to

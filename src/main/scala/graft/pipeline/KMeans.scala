@@ -48,12 +48,21 @@ object KMeans {
     }
   }
 
-  /** Deterministic init: the k vectors with the smallest seeded hash of
-    * their id — a stable pseudo-random sample, no RNG state.
+  /** Deterministic init: the k vectors with the smallest hash of their
+    * id — a stable pseudo-random sample, no RNG state. The hash is the
+    * repo's cross-engine one (first 60 md5 bits as an integer — the
+    * q_sim_lsh/winnow discipline, exactly `('0x' ||
+    * substring(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT` in DuckDB),
+    * NOT xxhash64: since r8 the PQ code oracle re-derives the whole
+    * Lloyd fit in SQL, and the init ordering must be derivable there
+    * too.
     */
+  private[pipeline] def initHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
   private def init(emb: DataFrame, vecCol: String, idCol: String, k: Int): Model =
     Model(emb
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(initHash(col(idCol)), col(idCol))
       .limit(k)
       .select(col(vecCol))
       .collect()

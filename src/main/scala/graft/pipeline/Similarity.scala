@@ -267,6 +267,82 @@ object Similarity extends QueryModule {
     pqNormalized(emb).select(col("vec_id"),
       pqPacked(models, col("nemb")).as("code"))
 
+  /** Generated oracle for q_sim_pq_codes: the whole PQ index build
+    * re-derived in SQL (pagerank/bpe/pca discipline — zero
+    * data-dependent literals). Stage by stage it mirrors the engine
+    * exactly: float L2-normalization (double math, float cast — IEEE
+    * round-to-nearest on both engines), subvector slicing, the
+    * md5-ordered 16-row init sample ([[KMeans.initHash]]'s
+    * `('0x' || substring(md5(id), 1, 15))::BIGINT` twin), then per
+    * Lloyd round one argmin assignment in the native kernel's exact
+    * arithmetic (d = Σc² − 2·Σ sub_i·c_i, both sums sequential,
+    * strict-< ties to the lowest j) and one per-(subspace, cluster,
+    * dim) mean with empty clusters keeping their previous centroid
+    * (the LEFT JOIN + coalesce), and finally the nibble-packed
+    * encode. Cross-engine drift exists only in the cluster-mean sums
+    * (partition order vs DuckDB's), ~1 ulp on O(30)-row sums — an
+    * assignment flips only if two centroid distances agree to
+    * ~1e-15, which the spec-pinned separation of the fixture
+    * codebooks rules out.
+    */
+  private def pqCodesOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH nemb AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS FLOAT)) AS ne
+        |  FROM embeddings),
+        |subs AS MATERIALIZED (
+        |  SELECT vec_id, u.m,
+        |    list_slice(ne, u.m * $PqSubDim + 1, u.m * $PqSubDim + $PqSubDim) AS sub
+        |  FROM nemb, UNNEST(range(0, $PqM)) AS u(m)),
+        |init16 AS MATERIALIZED (
+        |  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM embeddings) WHERE rn <= $PqK),
+        |c0 AS MATERIALIZED (
+        |  SELECT s.m, i.j, list_transform(s.sub, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM subs s JOIN init16 i USING (vec_id))""".stripMargin)
+    for (r <- 1 to iters) sb.append(s""",
+        |a$r AS MATERIALIZED (
+        |  SELECT vec_id, m, j FROM (
+        |    SELECT s.vec_id, s.m, c.j,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |        list_sum(list_transform(c.c, x -> x * x))
+        |          - 2.0 * list_sum(list_transform(range(1, ${PqSubDim + 1}),
+        |              i -> CAST(s.sub[i] AS DOUBLE) * c.c[i])) ASC,
+        |        c.j ASC) AS rk
+        |    FROM subs s JOIN c${r - 1} c USING (m)) WHERE rk = 1),
+        |c$r AS MATERIALIZED (
+        |  SELECT p.m, p.j, coalesce(n.c, p.c) AS c
+        |  FROM c${r - 1} p LEFT JOIN (
+        |    SELECT m, j, list(sm / cnt ORDER BY i) AS c FROM (
+        |      SELECT a.m, a.j, u.i,
+        |        sum(CAST(s.sub[u.i] AS DOUBLE)) AS sm, count(*) AS cnt
+        |      FROM a$r a JOIN subs s USING (vec_id, m),
+        |           UNNEST(range(1, ${PqSubDim + 1})) AS u(i)
+        |      GROUP BY a.m, a.j, u.i)
+        |    GROUP BY m, j) n USING (m, j))""".stripMargin)
+    sb.append(s""",
+        |enc AS (
+        |  SELECT vec_id, m, j FROM (
+        |    SELECT s.vec_id, s.m, c.j,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+        |        list_sum(list_transform(c.c, x -> x * x))
+        |          - 2.0 * list_sum(list_transform(range(1, ${PqSubDim + 1}),
+        |              i -> CAST(s.sub[i] AS DOUBLE) * c.c[i])) ASC,
+        |        c.j ASC) AS rk
+        |    FROM subs s JOIN c$iters c USING (m)) WHERE rk = 1)
+        |SELECT vec_id,
+        |  CAST(sum(CAST(j AS BIGINT) << (4 * m)) AS BIGINT) AS pq_code
+        |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   /** Asymmetric-distance (ADC) top-k: the QUERY stays un-quantized —
     * its per-subspace dot products against every codebook centroid
     * are precomputed on the driver (M×K doubles per query, model
@@ -867,6 +943,25 @@ object Similarity extends QueryModule {
     // exact brute force.
     "q_sim_pq" -> QueryDef(
       (s, dir) => pqTopK(s, dir, k = 5), None),
+
+    // The PQ INDEX ARTIFACT itself, hash-checked (r8): one packed
+    // 8-nibble long per vector — the memory-bound scan representation
+    // q_sim_pq's ADC pass reads. The generated oracle re-derives the
+    // ENTIRE build in SQL ([[pqCodesOracle]]): float normalization,
+    // the md5-ordered init sample, all 3 Lloyd rounds of all 8
+    // subspace codebooks (argmin with the kernel's exact
+    // |c|²−2·v·c form and lowest-j ties, empty clusters keeping
+    // their centroid), and the final nibble-packed encode — so the
+    // lossy-codes layer that made q_sim_pq's shortlist un-oracle-able
+    // is itself value-checked end to end.
+    "q_sim_pq_codes" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        pqCodes(emb, pqModels(emb, dir))
+          .select(col("vec_id"), col("code").as("pq_code"))
+          .orderBy("vec_id")
+      },
+      Some(pqCodesOracle(iters = 3))),
 
     // Embedding L2-normalization + symmetric int8 quantization — the
     // storage-side half of every vector index (a quantized corpus is

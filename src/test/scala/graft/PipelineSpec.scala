@@ -280,6 +280,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pq codes oracle precondition: assignment margins dwarf cross-engine fp drift") {
+    // the generated q_sim_pq_codes oracle recomputes the Lloyd fit in
+    // DuckDB; its cluster-mean sums can differ from VecMeanAgg's by
+    // ~1 ulp (summation order), so the oracle equals the query only
+    // while every argmin decision has a margin far above that noise.
+    // Pin the margin on the fixtures: best vs second-best distance per
+    // (vector, subspace) under the kernel's exact arithmetic.
+    val subDim = 64 / Similarity.PqM
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val emb = Tables(spark, dir, "embeddings")
+      val models = Similarity.pqModels(emb, dir)
+      var minMargin = Double.MaxValue
+      emb.select("vec_id", "embedding").collect().foreach { r =>
+        val v = r.getSeq[Float](1).toArray
+        var ss = 0.0
+        v.foreach(x => ss += x.toDouble * x.toDouble)
+        val nrm = math.sqrt(ss)
+        val nv = v.map(x => (x.toDouble / nrm).toFloat)
+        (0 until Similarity.PqM).foreach { m =>
+          val ds = models(m).centroids.map { c =>
+            var dot = 0.0
+            var i = 0
+            while (i < subDim) { dot += nv(m * subDim + i).toDouble * c(i); i += 1 }
+            c.map(x => x * x).sum - 2.0 * dot
+          }.sorted
+          minMargin = math.min(minMargin, ds(1) - ds(0))
+        }
+      }
+      assert(minMargin > 1e-9,
+        s"$dir: tightest assignment margin $minMargin is within fp-drift range " +
+          "— the generated pq-codes oracle can no longer be trusted to match")
+    }
+  }
+
   test("index generations: rebuild+search exact, idempotent republish, crash recovery") {
     import graft.pipeline.IndexLifecycle
     val root = java.nio.file.Files.createTempDirectory("graft_idxgen").toString

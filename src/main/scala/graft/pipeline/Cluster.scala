@@ -329,6 +329,14 @@ object Cluster extends QueryModule {
         // ~18 s median; localCheckpoint's .rdd path bypasses AQE and
         // was worse still). Each live rank cache is 16k (node, r)
         // rows — node-scale, never edge-scale.
+        //
+        // Rank-join strategy (r8 interleaved A/B, sf0.1, warmed JVM,
+        // loadavg<1.4): broadcast-hinting the node-scale rank side
+        // median 4.64 s vs 4.64 s for the plain shuffle join over 4
+        // alternating reps — a wash. AQE already plans the small side
+        // efficiently and the per-round broadcast build (collect +
+        // rebroadcast of fresh ranks every iteration) pays back the
+        // saved exchange, so the hint-free form stays.
         var prevCache: Option[DataFrame] = None
         (1 to PageRankIters).foreach { i =>
           ranks = edgesW

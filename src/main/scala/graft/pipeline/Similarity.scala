@@ -193,10 +193,89 @@ object Similarity extends QueryModule {
   private[graft] def semDedupK(n: Long): Int =
     math.max(AnnCells, math.ceil(n.toDouble / SemDedupTarget).toInt)
 
-  private def semDedupModel(emb: DataFrame, dir: String): KMeans.Model = {
+  private[graft] def semDedupModel(emb: DataFrame, dir: String): KMeans.Model = {
     val k = semDedupK(emb.count())
     modelCache.computeIfAbsent(s"$dir#semdedup#$k",
       _ => KMeans.fit(emb, "embedding", "vec_id", k, iters = 3))
+  }
+
+  /** Generated oracle for q_semdedup (r8): the clustering that made it
+    * "rows-only by design" is re-derived in SQL with the same
+    * machinery as [[pqCodesOracle]] — md5-ordered init (k itself is
+    * computed in SQL: GREATEST(AnnCells, ⌈n/200⌉), so nothing is a
+    * data-dependent literal), 3 Lloyd rounds over the raw 64-dim
+    * float embeddings in the kernel's exact arithmetic, final
+    * assignment, then the SemDeDup rule verbatim: same-cluster pairs
+    * with round(cos, 4) ≥ τ mark the higher id. The pairwise cosines
+    * are bit-identical across engines (sequential float-to-double
+    * dots, no aggregation-order dependence); only the cluster-mean
+    * sums can drift by ulps, and the assignment-margin spec pins that
+    * no argmin sits within that noise on the fixtures.
+    */
+  private def semDedupOracle(iters: Int, tau: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        |kk AS (SELECT GREATEST($AnnCells,
+        |         CAST(ceil(count(*) / $SemDedupTarget.0) AS INTEGER)) AS k FROM e),
+        |init AS MATERIALIZED (
+        |  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM e) WHERE rn <= (SELECT k FROM kk)),
+        |c0 AS MATERIALIZED (
+        |  SELECT i.j, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM e JOIN init i USING (vec_id))""".stripMargin)
+    for (r <- 1 to iters) sb.append(s""",
+        |a$r AS MATERIALIZED (
+        |  SELECT vec_id, j FROM (
+        |    SELECT e.vec_id, c.j,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(c.c, x -> x * x))
+        |          - 2.0 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |              i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) ASC,
+        |        c.j ASC) AS rk
+        |    FROM e CROSS JOIN c${r - 1} c) WHERE rk = 1),
+        |c$r AS MATERIALIZED (
+        |  SELECT p.j, coalesce(n.c, p.c) AS c
+        |  FROM c${r - 1} p LEFT JOIN (
+        |    SELECT j, list(sm / cnt ORDER BY i) AS c FROM (
+        |      SELECT a.j, u.i,
+        |        sum(CAST(e.embedding[u.i] AS DOUBLE)) AS sm, count(*) AS cnt
+        |      FROM a$r a JOIN e USING (vec_id),
+        |           UNNEST(range(1, ${EmbDim + 1})) AS u(i)
+        |      GROUP BY a.j, u.i)
+        |    GROUP BY j) n USING (j))""".stripMargin)
+    sb.append(s""",
+        |enc AS MATERIALIZED (
+        |  SELECT vec_id, j FROM (
+        |    SELECT e.vec_id, c.j,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(c.c, x -> x * x))
+        |          - 2.0 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |              i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) ASC,
+        |        c.j ASC) AS rk
+        |    FROM e CROSS JOIN c$iters c) WHERE rk = 1),
+        |nr AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM e),
+        |dups AS (
+        |  SELECT DISTINCT a.j AS j, b.vec_id AS vec_id
+        |  FROM enc a JOIN enc b ON a.j = b.j AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  JOIN nr na ON na.vec_id = a.vec_id
+        |  JOIN nr nb ON nb.vec_id = b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        |      / (na.nrm * nb.nrm), 4) >= $tau)
+        |SELECT CAST(a.j AS BIGINT) AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(d.vec_id) AS BIGINT) AS n_dups
+        |FROM enc a LEFT JOIN dups d ON d.j = a.j AND d.vec_id = a.vec_id
+        |GROUP BY a.j ORDER BY cluster_id""".stripMargin)
+    sb.toString
   }
 
   /** Product-quantization geometry (Jégou, Douze, Schmid, "Product
@@ -721,12 +800,15 @@ object Similarity extends QueryModule {
     // SemDeDup declared as a query ([LLM]): per-cluster corpus size
     // and semantic-duplicate count at τ=0.35 (the fixture's
     // embedding-similarity band — the same threshold the pairwise
-    // `q_dedup_embed_cosine` uses). k-means output ⇒ rows-only
-    // (SURVEY §5.3.4); PipelineSpec pins the dedup rule, the
-    // survivors-pairwise-below-τ invariant, keeper preservation, and
-    // τ-monotonicity.
+    // `q_dedup_embed_cosine` uses). Hash-checked since r8:
+    // [[semDedupOracle]] re-derives the k-means (k computed in SQL,
+    // md5 init, 3 Lloyd rounds) AND the dedup rule; PipelineSpec
+    // still pins the survivors-pairwise-below-τ invariant, keeper
+    // preservation, τ-monotonicity, and the assignment margins the
+    // oracle's validity rests on.
     "q_semdedup" -> QueryDef(
-      (s, dir) => semDedup(s, dir, 0.35), None),
+      (s, dir) => semDedup(s, dir, 0.35),
+      Some(semDedupOracle(iters = 3, tau = "0.35"))),
 
     // Embedding outlier screen ([NS] — the hygiene step before ANN
     // indexing / near-dup: vectors whose per-dimension z-scores blow

@@ -311,6 +311,22 @@ class PipelineSpec extends SparkSpec {
       assert(minMargin > 1e-9,
         s"$dir: tightest assignment margin $minMargin is within fp-drift range " +
           "— the generated pq-codes oracle can no longer be trusted to match")
+      // same precondition for the semdedup clustering (full-dim model,
+      // raw float embeddings) whose oracle replays the same Lloyd fit
+      val sModel = Similarity.semDedupModel(emb, dir)
+      var sMargin = Double.MaxValue
+      emb.select("vec_id", "embedding").collect().foreach { r =>
+        val v = r.getSeq[Float](1).toArray
+        val ds = sModel.centroids.map { c =>
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i).toDouble * c(i); i += 1 }
+          c.map(x => x * x).sum - 2.0 * dot
+        }.sorted
+        sMargin = math.min(sMargin, ds(1) - ds(0))
+      }
+      assert(sMargin > 1e-9,
+        s"$dir: tightest semdedup assignment margin $sMargin is within fp-drift range")
     }
   }
 

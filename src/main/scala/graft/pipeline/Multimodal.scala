@@ -335,16 +335,97 @@ object Multimodal extends QueryModule {
              |FROM g3 ORDER BY asset_id""".stripMargin)),
 
     // Decoded-content features (mean pixel/sample/luma + content
-    // hash) through the real codec; rows-only driver check (byte-level
-    // folds over decoded planes are not SQL-expressible) — the codec
-    // itself is spec'd against hand-built files (MediaCodecSpec), and
-    // metadata↔header consistency is asserted there too.
+    // hash) through the real codec — HASH-CHECKED since r8, retiring
+    // "byte-level folds over decoded planes are not SQL-expressible":
+    // the decoded planes ARE the generator's closed-form cycle bytes
+    // (the q_multimodal_pixels identity), so the oracle rebuilds every
+    // plane byte as a SQL list ((ascii(text[i % L + 1]) + salt) % 256
+    // per kind — audio as (0, a+128) little-endian PCM16 pairs, gif/
+    // y4m as salt-per-frame concatenations) and replays the exact
+    // polynomial content hash (h = 31·h + b, seed 1125899906842597,
+    // mod 2⁶⁴) via a HUGEINT list_reduce with a final
+    // two's-complement fold back to BIGINT. A decoder bug (wrong
+    // plane order, missed filter, broken LZW) breaks the hash match
+    // byte-for-byte; the codec battery (MediaCodecSpec) still pins
+    // the formats against hand-built files.
     "q_multimodal_content" -> QueryDef(
       (s, dir) => extractFeatures(assets(s, dir)).toDF()
         .select(col("asset_id"), col("kind"), col("byte_len"),
           round(col("mean_val"), 4).as("mean_val"), col("content_hash"))
         .orderBy("asset_id"),
-      None),
+      Some("""WITH g AS (
+             |  SELECT doc_id, text, length(text) AS L,
+             |    CASE doc_id % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      WHEN 2 THEN 'video' WHEN 3 THEN 'png' ELSE 'gif' END AS kind,
+             |    n_chars % 31 + 2 AS iw, n_chars % 23 + 2 AS ih,
+             |    n_chars % 997 + 64 AS ns,
+             |    (n_chars % 15 + 1) * 2 AS vw, (n_chars % 11 + 1) * 2 AS vh,
+             |    n_chars % 16 + 1 AS nf,
+             |    n_chars % 29 + 2 AS pw, n_chars % 19 + 2 AS ph,
+             |    3 + n_chars % 2 AS pch,
+             |    n_chars % 21 + 2 AS gw, n_chars % 13 + 2 AS gh,
+             |    n_chars % 8 + 1 AS gnf
+             |  FROM documents),
+             |g2 AS (
+             |  SELECT *, ph * (1 + pw * pch) AS praw,
+             |    gw * gh + 2 + (gw * gh - 1) // 254 AS gcodes
+             |  FROM g),
+             |g3 AS (SELECT *, (9 * gcodes + 7) // 8 AS gdb FROM g2),
+             |bytes AS MATERIALIZED (
+             |  SELECT doc_id, kind,
+             |    CASE kind
+             |      WHEN 'image' THEN
+             |        list_transform(range(0, iw * ih * 3),
+             |          i -> ascii(substring(text, CAST(i % L AS INTEGER) + 1, 1)))
+             |      WHEN 'png' THEN
+             |        list_transform(range(0, pw * ph * pch),
+             |          i -> ascii(substring(text, CAST(i % L AS INTEGER) + 1, 1)))
+             |      WHEN 'gif' THEN
+             |        flatten(list_transform(range(0, gnf),
+             |          f -> list_transform(range(0, gw * gh),
+             |            i -> CAST((ascii(substring(text, CAST(i % L AS INTEGER) + 1, 1)) + f) % 256 AS BIGINT))))
+             |      WHEN 'audio' THEN
+             |        flatten(list_transform(range(0, ns),
+             |          i -> [CAST(0 AS BIGINT),
+             |                CAST(ascii(substring(text, CAST(i % L AS INTEGER) + 1, 1)) + 128 AS BIGINT)]))
+             |      ELSE
+             |        flatten(list_transform(range(0, nf),
+             |          f -> list_transform(range(0, vw * vh),
+             |            i -> CAST((ascii(substring(text, CAST(i % L AS INTEGER) + 1, 1)) + f) % 256 AS BIGINT))))
+             |    END AS bs
+             |  FROM g3),
+             |hashed AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_reduce(
+             |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |        list_transform(bs, x -> CAST(x AS HUGEINT))),
+             |      (acc, x) -> (31 * acc + x) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             |  FROM bytes),
+             |means AS (
+             |  SELECT b.doc_id,
+             |    CASE g.kind
+             |      WHEN 'audio' THEN CAST(list_sum(list_transform(range(0, g.ns),
+             |          i -> (128 - ascii(substring(g.text, CAST(i % g.L AS INTEGER) + 1, 1))) * 256)) AS DOUBLE) / g.ns
+             |      WHEN 'video' THEN CAST(list_sum(list_transform(range(0, g.vw * g.vh),
+             |          i -> ascii(substring(g.text, CAST(i % g.L AS INTEGER) + 1, 1)))) AS DOUBLE) / (g.vw * g.vh)
+             |      ELSE CAST(list_sum(b.bs) AS DOUBLE) / len(b.bs)
+             |    END AS mean_val
+             |  FROM bytes b JOIN g3 g USING (doc_id))
+             |SELECT g.doc_id AS asset_id, g.kind,
+             |  CAST(CASE g.kind
+             |    WHEN 'image' THEN 54 + ((3 * g.iw + 3) // 4) * 4 * g.ih
+             |    WHEN 'audio' THEN 44 + 2 * g.ns
+             |    WHEN 'png' THEN 57 + g.praw + 6 + 5 * ((g.praw + 65534) // 65535)
+             |    WHEN 'gif' THEN 782 + g.gnf * (20 + g.gdb + (g.gdb + 254) // 255)
+             |    ELSE 37 + length(CAST(g.vw AS VARCHAR)) + length(CAST(g.vh AS VARCHAR))
+             |         + g.nf * (6 + g.vw * g.vh * 3 // 2)
+             |  END AS BIGINT) AS byte_len,
+             |  round(m.mean_val, 4) AS mean_val,
+             |  CAST(CASE WHEN h.hu >= CAST(9223372036854775808 AS HUGEINT)
+             |       THEN h.hu - CAST(18446744073709551616 AS HUGEINT)
+             |       ELSE h.hu END AS BIGINT) AS content_hash
+             |FROM g3 g JOIN hashed h USING (doc_id) JOIN means m ON m.doc_id = g.doc_id
+             |ORDER BY asset_id""".stripMargin)),
 
     // Decoded AUDIO CONTENT, hash-checked — the meta-oracle pattern
     // extended to content: the Spark side parses the real RIFF/WAV

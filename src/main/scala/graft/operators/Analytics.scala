@@ -1256,5 +1256,99 @@ object Analytics extends QueryModule {
              |  round(1.0 - levenshtein(upper(c_name), upper(n_name))
              |    / CAST(greatest(length(c_name), length(n_name)) AS DOUBLE), 4) AS name_sim
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |ORDER BY c_custkey""".stripMargin)))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Mutual-information feature screening ([LLM] — the filter-method
+    // feature selector curation pipelines run before training a
+    // quality classifier: rank candidate features by MI with the
+    // label). Three derived features (event hour, user id mod 7,
+    // floor(value) mod 10) are screened against the event-type label:
+    // MI(L;F) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), the marginal
+    // entropies via the same cell grid (Σ_x n_xy = n_y makes
+    // H(L) = Σ_cells (n_xy/N)·(−ln(n_y/N)) — no second aggregate),
+    // and normalized MI = MI/√(H(L)·H(F)). Shape: ONE scan fans each
+    // row into 3 (feature, value) pairs row-locally; the only shuffle
+    // is the hash aggregate onto the (feature × fval × label) CELL
+    // GRID (≤ 3·24·|labels| cells — the domain, not the data);
+    // marginals are windows OVER THE GRID and the final per-feature
+    // summary is 3 rows. At 100 TB this is a map-side-combined count
+    // whose shuffle carries cells only. Determinism: every count is
+    // an exact integer, both engines evaluate the identical
+    // written-out double expressions per cell, and the ≤360-term sum
+    // reassociation is absorbed by the 1e-9 round nudge.
+    "q_mutual_info" -> QueryDef(
+      (s, dir) => {
+        val cells = Relational.eventsSec(s, dir)
+          .select(col("event_type"),
+            explode(array(
+              struct(lit("hour_of_day").as("fname"),
+                hour(col("ts_s")).cast("long").as("fval")),
+              struct(lit("user_mod7").as("fname"),
+                pmod(col("user_id"), lit(7L)).as("fval")),
+              struct(lit("value_mod10").as("fname"),
+                pmod(floor(col("value")).cast("long"), lit(10L)).as("fval"))))
+              .as("f"))
+          .groupBy(col("f.fname").as("fname"), col("f.fval").as("fval"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val g = cells
+          .withColumn("nxy", col("c").cast("double"))
+          .withColumn("n",
+            sum(col("c")).over(Window.partitionBy("fname")).cast("double"))
+          .withColumn("nx",
+            sum(col("c")).over(Window.partitionBy("fname", "fval"))
+              .cast("double"))
+          .withColumn("ny",
+            sum(col("c")).over(Window.partitionBy("fname", "event_type"))
+              .cast("double"))
+        g.groupBy("fname")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("nxy") / col("n") *
+              log(col("nxy") * col("n") / (col("nx") * col("ny"))))
+              .as("mi_r"),
+            sum(col("nxy") / col("n") * -log(col("ny") / col("n")))
+              .as("hl_r"),
+            sum(col("nxy") / col("n") * -log(col("nx") / col("n")))
+              .as("hf_r"))
+          .select(col("fname"), col("n_cells"),
+            round(col("mi_r") + 1e-9, 4).as("mi"),
+            round(col("hl_r") + 1e-9, 4).as("h_label"),
+            round(col("hf_r") + 1e-9, 4).as("h_feat"),
+            round(col("mi_r") / sqrt(col("hl_r") * col("hf_r")) + 1e-9, 4)
+              .as("nmi"))
+          .orderBy("fname")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type, date_trunc('second', ts) AS ts_s,
+             |    user_id, value
+             |  FROM events),
+             |feats AS (
+             |  SELECT event_type, 'hour_of_day' AS fname,
+             |    CAST(extract('hour' FROM ts_s) AS BIGINT) AS fval FROM base
+             |  UNION ALL
+             |  SELECT event_type, 'user_mod7', ((user_id % 7) + 7) % 7
+             |  FROM base
+             |  UNION ALL
+             |  SELECT event_type, 'value_mod10',
+             |    ((CAST(floor(value) AS BIGINT) % 10) + 10) % 10 FROM base),
+             |cells AS (
+             |  SELECT fname, fval, event_type, count(*) AS c
+             |  FROM feats GROUP BY 1, 2, 3),
+             |m AS (
+             |  SELECT fname, fval, event_type,
+             |    CAST(c AS DOUBLE) AS nxy,
+             |    CAST(sum(c) OVER (PARTITION BY fname) AS DOUBLE) AS n,
+             |    CAST(sum(c) OVER (PARTITION BY fname, fval) AS DOUBLE)
+             |      AS nx,
+             |    CAST(sum(c) OVER (PARTITION BY fname, event_type)
+             |      AS DOUBLE) AS ny
+             |  FROM cells)
+             |SELECT fname, CAST(count(*) AS BIGINT) AS n_cells,
+             |  round(sum(nxy / n * ln(nxy * n / (nx * ny))) + 1e-9, 4) AS mi,
+             |  round(sum(nxy / n * -ln(ny / n)) + 1e-9, 4) AS h_label,
+             |  round(sum(nxy / n * -ln(nx / n)) + 1e-9, 4) AS h_feat,
+             |  round(sum(nxy / n * ln(nxy * n / (nx * ny)))
+             |    / sqrt(sum(nxy / n * -ln(ny / n))
+             |      * sum(nxy / n * -ln(nx / n))) + 1e-9, 4) AS nmi
+             |FROM m GROUP BY fname ORDER BY fname""".stripMargin)))
 }

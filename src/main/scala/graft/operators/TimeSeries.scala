@@ -680,6 +680,165 @@ object TimeSeries extends QueryModule {
              |FROM ser JOIN f ON event_type = ft
              |ORDER BY event_type, d""".stripMargin)),
 
+    // CUSUM change-point detection (Page 1954) — the sequential
+    // drift monitor behind data-quality alerting: per event type, the
+    // one-sided cumulative-sum statistic S_i = max(0, S_{i-1} + (x_i −
+    // μ − slack)) with an alarm when S crosses h. The recurrence looks
+    // inherently sequential, but S_i ≡ prefix_i − min(0, min_{j≤i}
+    // prefix_j) (a running sum minus its running minimum), so the
+    // whole detector is TWO shared-sort window passes per type — no
+    // iteration, no state, one shuffle on the series key; at 100 TB
+    // each series scans independently and only the 5-row per-type
+    // summary crosses to the result. A deterministic level shift
+    // (+25 from day 20, the q_pii_scrub injection discipline) gives
+    // the detector a real change to find on both engines. Determinism:
+    // everything after the rounded per-type mean runs in EXACT integer
+    // cents — round((x − μ_r − slack)·100) is a 2-decimal-exact
+    // integer, the window sums/mins are BIGINT, and the alarm
+    // comparison cusum > h is integer-vs-integer, so the flag surface
+    // is bit-identical across engines (no epsilon anywhere); the first
+    // alarm is picked by the zero-padded (ts, id) composite-key min
+    // (the q_agg_ohlc move).
+    "q_changepoint" -> QueryDef(
+      (s, dir) => {
+        val shifted = Relational.eventsSec(s, dir)
+          .select(col("event_type"), col("ts_s"), col("event_id"),
+            (col("value") + when(datediff(date_trunc("day", col("ts_s")),
+              to_date(lit("2024-01-01"))) >= 20, lit(25.0)).otherwise(lit(0.0)))
+              .as("x"))
+        val mu = shifted.groupBy(col("event_type").as("mt"))
+          .agg(round(avg(col("x")) + lit(1e-9), 2).as("mu_r"))
+        val w = Window.partitionBy("event_type").orderBy("ts_s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dev = shifted.join(broadcast(mu), col("event_type") === col("mt"))
+          .select(col("event_type"), col("ts_s"), col("event_id"),
+            round((col("x") - col("mu_r") - lit(2.0)) * 100, 0).cast("long")
+              .as("dev_c"))
+        val cusum = dev
+          .withColumn("prefix", sum(col("dev_c")).over(w))
+          .withColumn("cusum_c",
+            col("prefix") - least(lit(0L), min(col("prefix")).over(w)))
+        cusum.groupBy("event_type")
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(col("cusum_c") > 50000L, 1L).otherwise(0L)).as("n_alarm"),
+            round(max(col("cusum_c")) / 100.0, 2).as("max_cusum"),
+            min(when(col("cusum_c") > 50000L,
+              format_string("%020d|%020d", unix_timestamp(col("ts_s")),
+                col("event_id")))).as("fk"))
+          .select(col("event_type"), col("n_points"), col("n_alarm"),
+            col("max_cusum"),
+            substring_index(col("fk"), "|", -1).cast("long").as("first_alarm_id"))
+          .orderBy("event_type")
+      },
+      Some("""WITH sh AS (
+             |  SELECT event_type, date_trunc('second', ts) AS ts_s, event_id,
+             |    value + CASE WHEN date_diff('day', TIMESTAMP '2024-01-01',
+             |      date_trunc('day', ts)) >= 20 THEN 25.0 ELSE 0.0 END AS x
+             |  FROM events),
+             |mu AS (
+             |  SELECT event_type AS mt, round(avg(x) + 1e-9, 2) AS mu_r
+             |  FROM sh GROUP BY 1),
+             |dev AS (
+             |  SELECT event_type, ts_s, event_id,
+             |    CAST(round((x - mu_r - 2.0) * 100, 0) AS BIGINT) AS dev_c
+             |  FROM sh JOIN mu ON event_type = mt),
+             |pre AS (
+             |  SELECT event_type, ts_s, event_id,
+             |    CAST(sum(dev_c) OVER w AS BIGINT) AS prefix
+             |  FROM dev
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_s, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |cs AS (
+             |  SELECT event_type, ts_s, event_id,
+             |    prefix - least(CAST(0 AS BIGINT), min(prefix) OVER w2) AS cusum_c
+             |  FROM pre
+             |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_s, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+             |  CAST(sum(CASE WHEN cusum_c > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_alarm,
+             |  round(max(cusum_c) / 100.0, 2) AS max_cusum,
+             |  CAST(string_split(min(CASE WHEN cusum_c > 50000 THEN
+             |      printf('%020d|%020d', CAST(epoch(ts_s) AS BIGINT), event_id)
+             |    END), '|')[2] AS BIGINT) AS first_alarm_id
+             |FROM cs GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Holt linear-trend exponential smoothing ([CH] — the forecasting
+    // job behind `seriesDecomposeSTL`'s sibling use cases; Holt 1957):
+    // per event type, fold level/trend state over the DAILY-COUNT
+    // series (l' = α·y + (1−α)(l+b); b' = β(l'−l) + (1−β)b, α=0.3,
+    // β=0.2, seeded l₁=y₁, b₁=0) and emit the fitted end state plus
+    // 1- and 7-day-ahead forecasts. Shape: the fact table collapses
+    // to the (type × day) grid FIRST (one map-side-combined
+    // aggregate); the "inherently sequential" recurrence then runs as
+    // a row-local `aggregate()` HOF fold over the calendar-bounded
+    // per-type day array (≤ the calendar span, never O(rows)) — at
+    // 100 TB each type's fold touches one array built from grid rows,
+    // and only the 5-row summary leaves the workers. Determinism: the
+    // series is exact integer counts in double, the fold is the SAME
+    // written-out arithmetic on both engines (the recurrence
+    // duplicates the l' expression inside b' rather than binding it,
+    // so the operation sequence is textually identical), and DuckDB
+    // replays it with list_reduce over [l, b] pairs (list_prepend
+    // supplies the seed — the q_multimodal_content pattern); final
+    // doubles carry the 1e-9 round nudge.
+    "q_series_forecast" -> QueryDef(
+      (s, dir) => {
+        val ser = Relational.eventsSec(s, dir)
+          .groupBy(col("event_type"),
+            datediff(date_trunc("day", col("ts_s")),
+              to_date(lit("2024-01-01"))).cast("long").as("d"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val st = aggregate(
+          slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+          array(element_at(col("vs"), 1), lit(0.0)),
+          (acc, x) => {
+            val l = element_at(acc, 1)
+            val b = element_at(acc, 2)
+            array(lit(0.3) * x + lit(0.7) * (l + b),
+              lit(0.2) * ((lit(0.3) * x + lit(0.7) * (l + b)) - l) +
+                lit(0.8) * b)
+          })
+        ser.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sort_array(collect_list(struct(col("d"), col("y")))).as("sv"))
+          .withColumn("vs", transform(col("sv"), p => p.getField("y")))
+          .withColumn("st", st)
+          .select(col("event_type"), col("n_days"),
+            round(element_at(col("st"), 1) + 1e-9, 4).as("level"),
+            round(element_at(col("st"), 2) + 1e-9, 4).as("trend"),
+            round(element_at(col("st"), 1) +
+              lit(1.0) * element_at(col("st"), 2) + 1e-9, 4).as("fc_1"),
+            round(element_at(col("st"), 1) +
+              lit(7.0) * element_at(col("st"), 2) + 1e-9, 4).as("fc_7"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type,
+             |    CAST(date_diff('day', TIMESTAMP '2024-01-01',
+             |      date_trunc('day', ts)) AS BIGINT) AS d,
+             |    CAST(count(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |arr AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    list(y ORDER BY d) AS vs
+             |  FROM ser GROUP BY 1),
+             |fold AS (
+             |  SELECT event_type, n_days,
+             |    list_reduce(
+             |      list_prepend([vs[1], 0.0],
+             |        list_transform(vs[2:], x -> [x, 0.0])),
+             |      (acc, e) -> [0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+             |        0.2 * ((0.3 * e[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+             |          + 0.8 * acc[2]]) AS st
+             |  FROM arr)
+             |SELECT event_type, n_days,
+             |  round(st[1] + 1e-9, 4) AS level,
+             |  round(st[2] + 1e-9, 4) AS trend,
+             |  round(st[1] + 1.0 * st[2] + 1e-9, 4) AS fc_1,
+             |  round(st[1] + 7.0 * st[2] + 1e-9, 4) AS fc_7
+             |FROM fold ORDER BY event_type""".stripMargin)),
+
     // Winsorized statistics — clip to [p05, p95] then aggregate, the
     // robust-mean preprocessing step feature pipelines apply before
     // z-scoring (q_tukey_outliers FLAGS outliers; this REPLACES them).

@@ -215,6 +215,63 @@ object Windows extends QueryModule {
              |    + 1e-9, 4) AS ema_8
              |FROM f ORDER BY user_id, event_id""".stripMargin)),
 
+    // Hampel filter (moving median + MAD) — the ROBUST outlier
+    // detector over a sliding frame: per user, the median of the last
+    // 9 values and the median absolute deviation around it; a point
+    // is a spike when |x − med| > 3.5·MAD. The mean/stddev twin
+    // (z-score) is famously poisoned by the very outliers it hunts;
+    // the median pair is what production telemetry cleaning actually
+    // uses. Shape: ONE window pass (shuffle on user, one sort — the
+    // q_win_moving exchange) collects the 9-row frame list; median,
+    // MAD, and the flag are row-local higher-order functions over
+    // that bounded list (sort of ≤9 elements), so the whole filter
+    // is codegen-friendly and O(1) state per row at any corpus size.
+    // Determinism: the frame list is identical on both engines
+    // (unique (ts, id) frame order), medians are ELEMENTS of it
+    // (lower median — no even-count interpolation), and both engines
+    // run the identical IEEE subtract/compare on identical doubles,
+    // so the flag needs no epsilon.
+    "q_win_hampel" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts_s", "event_id")
+          .rowsBetween(-8, Window.currentRow)
+        Relational.eventsSec(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            collect_list(col("value")).over(w).as("vs"))
+          .withColumn("mmed",
+            element_at(array_sort(col("vs")),
+              ((size(col("vs")) + 1) / 2).cast("int")))
+          .withColumn("mad",
+            element_at(
+              array_sort(transform(col("vs"), x => abs(x - col("mmed")))),
+              ((size(col("vs")) + 1) / 2).cast("int")))
+          .select(col("user_id"), col("event_id"),
+            round(col("mmed"), 4).as("mmed"),
+            round(col("mad"), 4).as("mad"),
+            (abs(col("value") - col("mmed")) > col("mad") * 3.5).as("is_spike"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id, value,
+             |    list(value) OVER (PARTITION BY user_id
+             |      ORDER BY date_trunc('second', ts), event_id
+             |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS vs
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, value, vs,
+             |    list_sort(vs)[(len(vs) + 1) // 2] AS mmed
+             |  FROM f),
+             |d AS (
+             |  SELECT user_id, event_id, value, mmed,
+             |    list_sort(list_transform(vs, x -> abs(x - mmed)))
+             |      [(len(vs) + 1) // 2] AS mad
+             |  FROM m)
+             |SELECT user_id, event_id,
+             |  round(mmed, 4) AS mmed, round(mad, 4) AS mad,
+             |  (abs(value - mmed) > mad * 3.5) AS is_spike
+             |FROM d ORDER BY user_id, event_id""".stripMargin)),
+
     // ClickHouse `exponentialTimeDecayedSum/Count/Avg` — CONTINUOUS-
     // time decay (weight e^{−Δt/τ}, τ = 1 day), the wall-clock-aware
     // sibling of q_win_ema's row-count decay. Algebra: decayed_sum_i =

@@ -265,6 +265,84 @@ object Dedup extends QueryModule {
              |      FROM documents)
              |GROUP BY norm_fp ORDER BY norm_fp""".stripMargin)),
 
+    // URL-canonicalization dedup ([LLM] — the FIRST dedup pass of
+    // every web-crawl pipeline: CommonCrawl/C4 collapse re-crawls of
+    // the same page whose URLs differ only in case, scheme, tracking
+    // parameters, fragments, or a trailing slash, BEFORE any content
+    // is fetched or compared). The fixtures carry no URLs, so — the
+    // q_url_funcs/q_pii_scrub injection discipline — a messy URL is
+    // synthesized deterministically from event fields identically on
+    // both engines, with the mess (upper-cased host, http:// scheme,
+    // utm_* query, #fragment, trailing slash) keyed off event_id so
+    // many raw variants share one canonical page. What the hash check
+    // then verifies is the canonicalizer itself: lower → strip
+    // fragment → strip query → unify scheme → strip trailing slash,
+    // as anchored regexes in the Java ∩ RE2 dialect. Shape: the
+    // canonicalizer is a zero-shuffle codegen'd projection; the dedup
+    // is ONE hash aggregate on the canonical key carrying counts and
+    // the min-id keeper — never the variant strings.
+    "q_dedup_url" -> QueryDef(
+      (s, dir) => {
+        val host0 = concat(lit("shop"),
+          pmod(col("user_id"), lit(10L)).cast("string"), lit(".example.com"))
+        val raw = concat(
+          when(pmod(col("event_id"), lit(5L)) === 0, lit("http://"))
+            .otherwise(lit("https://")),
+          when(pmod(col("event_id"), lit(3L)) === 0, upper(host0)).otherwise(host0),
+          lit("/"), col("event_type"),
+          lit("/p"), pmod(col("event_id"), lit(50L)).cast("string"),
+          when(pmod(col("event_id"), lit(4L)) === 2, lit("/")).otherwise(lit("")),
+          when(pmod(col("event_id"), lit(2L)) === 1,
+            concat(lit("?utm_source=u"), pmod(col("event_id"), lit(4L)).cast("string"),
+              lit("&utm_campaign=c"))).otherwise(lit("")),
+          when(pmod(col("event_id"), lit(7L)) === 0,
+            concat(lit("#sec"), pmod(col("event_id"), lit(3L)).cast("string")))
+            .otherwise(lit("")))
+        val canon = regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(raw), "#.*$", ""),
+              "\\?.*$", ""),
+            "^http://", "https://"),
+          "/$", "")
+        Tables(s, dir, "events")
+          .select(col("event_id"), raw.as("raw_url"), canon.as("url"))
+          .groupBy("url")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("raw_url")).as("n_variants"),
+            min(col("event_id")).as("keeper_event_id"))
+          .orderBy("url")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id,
+             |    (CASE WHEN event_id % 5 = 0 THEN 'http://' ELSE 'https://' END)
+             |    || (CASE WHEN event_id % 3 = 0
+             |          THEN upper('shop' || CAST(user_id % 10 AS VARCHAR) || '.example.com')
+             |          ELSE 'shop' || CAST(user_id % 10 AS VARCHAR) || '.example.com' END)
+             |    || '/' || event_type || '/p' || CAST(event_id % 50 AS VARCHAR)
+             |    || (CASE WHEN event_id % 4 = 2 THEN '/' ELSE '' END)
+             |    || (CASE WHEN event_id % 2 = 1
+             |          THEN '?utm_source=u' || CAST(event_id % 4 AS VARCHAR) || '&utm_campaign=c'
+             |          ELSE '' END)
+             |    || (CASE WHEN event_id % 7 = 0
+             |          THEN '#sec' || CAST(event_id % 3 AS VARCHAR) ELSE '' END)
+             |      AS raw_url
+             |  FROM events),
+             |c AS (
+             |  SELECT event_id, raw_url,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(lower(raw_url), '#.*$', ''),
+             |          '\?.*$', ''),
+             |        '^http://', 'https://'),
+             |      '/$', '') AS url
+             |  FROM u)
+             |SELECT url, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
+             |  CAST(min(event_id) AS BIGINT) AS keeper_event_id
+             |FROM c GROUP BY url ORDER BY url""".stripMargin)),
+
     // Keep-best-copy dedup ([LLM] — the provenance-aware variant of
     // q_dedup_docs every multi-crawl pipeline runs: Dolma/The Pile
     // keep ONE copy per content group, chosen by a quality rule, not

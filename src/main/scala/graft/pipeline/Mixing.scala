@@ -406,5 +406,72 @@ object Mixing extends QueryModule {
              |          ln(CAST(n_sources AS DOUBLE)) + 1e-9, 4) END AS evenness,
              |  round(c2 / (CAST(n_docs AS DOUBLE) * n_docs) + 1e-9, 4) AS simpson,
              |  round(CAST(c_top AS DOUBLE) / n_docs + 1e-9, 4) AS top_share
-             |FROM r ORDER BY lang""".stripMargin)))
+             |FROM r ORDER BY lang""".stripMargin)),
+
+    // Per-source token-distribution divergence ([LLM] — the mixing
+    // diagnostic behind DoReMi/DSIR-style reweighting: HOW FAR each
+    // source's unigram distribution sits from the corpus mixture
+    // decides whether its weight needs adjusting; KL in nats, plus
+    // the entropy/cross-entropy split KL = H× − H so the three
+    // numbers are internally checkable). No smoothing needed:
+    // KL(P_s ‖ P_corpus) is finite by construction because the corpus
+    // CONTAINS every source (p_c(w) > 0 wherever p_s(w) > 0), and
+    // absent-from-source words contribute exactly 0. Shape: ONE
+    // explode → hash aggregate onto the (source × word) cell grid —
+    // the vocabulary domain, not the token stream; per-source totals
+    // are a window OVER THE GRID; corpus word totals broadcast
+    // (vocab-scale dim join, the dictGet shape) and the grand total
+    // rides a 1-row broadcast crossJoin (the anchor-constant idiom).
+    // At 100 TB the only row-scale pass is the map-side-combined
+    // token count. Determinism: exact integer counts, identical
+    // written-out double terms, vocab-bounded sum reassociation
+    // absorbed by the 1e-9 round nudge.
+    "q_source_kl" -> QueryDef(
+      (s, dir) => {
+        val cells = Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.functions.TextFns.words(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val wtot = cells.groupBy(col("w").as("ww"))
+          .agg(sum(col("c")).cast("double").as("nw"))
+        val tot = cells.agg(sum(col("c")).cast("double").as("n"))
+        val g = cells
+          .withColumn("cd", col("c").cast("double"))
+          .withColumn("ns",
+            sum(col("c")).over(Window.partitionBy("source")).cast("double"))
+          .join(broadcast(wtot), col("w") === col("ww"))
+          .crossJoin(broadcast(tot))
+        g.groupBy("source")
+          .agg(count(lit(1)).as("n_vocab"),
+            sum(col("c")).as("n_tokens"),
+            sum(col("cd") / col("ns") *
+              log((col("cd") / col("ns")) / (col("nw") / col("n"))))
+              .as("kl_r"),
+            sum(col("cd") / col("ns") * -log(col("cd") / col("ns")))
+              .as("h_r"),
+            sum(col("cd") / col("ns") * -log(col("nw") / col("n")))
+              .as("x_r"))
+          .select(col("source"), col("n_vocab"), col("n_tokens"),
+            round(col("kl_r") + 1e-9, 4).as("kl"),
+            round(col("h_r") + 1e-9, 4).as("h_source"),
+            round(col("x_r") + 1e-9, 4).as("h_cross"))
+          .orderBy("source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT source, w, count(*) AS c
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |g AS (
+             |  SELECT source, w, CAST(c AS DOUBLE) AS cd, c,
+             |    CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS ns,
+             |    CAST(sum(c) OVER (PARTITION BY w) AS DOUBLE) AS nw,
+             |    CAST(sum(c) OVER () AS DOUBLE) AS n
+             |  FROM cells)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  round(sum(cd / ns * ln((cd / ns) / (nw / n))) + 1e-9, 4) AS kl,
+             |  round(sum(cd / ns * -ln(cd / ns)) + 1e-9, 4) AS h_source,
+             |  round(sum(cd / ns * -ln(nw / n)) + 1e-9, 4) AS h_cross
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -158,8 +158,16 @@ object QualityOps extends QueryModule {
     // aggregate): SpaceSaving heavy hitters with a bounded counter
     // table, map-side-combined, so the shuffle carries
     // partitions × capacity counters however large the vocabulary.
-    // Approximate by nature ⇒ no oracle; the spec checks exact
-    // agreement with q_vocab_topk where the guarantee applies.
+    // ORACLE-CHECKED (the q_topk_weighted argument, r8): SpaceSaving
+    // is EXACT (err = 0, counts = true counts) whenever its counter
+    // table covers the key domain — with capacity ≥ |vocab| no
+    // insert ever evicts, in ANY partition layout or merge order —
+    // and the fixture vocabulary is generator-fixed (31 words at
+    // every SF) under the 8·k = 80 default capacity. The declared
+    // output therefore equals the exact top-k and the driver
+    // hash-compares it; SketchAggSpec guards the capacity-covers-
+    // vocabulary precondition and keeps the eviction path honest on
+    // an over-capacity synthetic stream.
     "q_topk_sketch" -> QueryDef(
       (s, dir) => Tables(s, dir, "documents")
         .select(explode(TextFns.words(col("text"))).as("w"))
@@ -167,7 +175,10 @@ object QualityOps extends QueryModule {
         .select(explode(col("top")).as("t"))
         .select(col("t.item").as("w"), col("t.count").as("n"), col("t.err").as("err"))
         .orderBy(col("n").desc, col("w").asc),
-      None),
+      Some("""SELECT w, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(0 AS BIGINT) AS err
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |GROUP BY w ORDER BY n DESC, w ASC LIMIT 10""".stripMargin)),
 
     // topKWeighted(k) — which sources contribute the most BYTES (the
     // curation question behind training-mix decisions): each document

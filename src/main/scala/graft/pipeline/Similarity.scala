@@ -1260,6 +1260,85 @@ object Similarity extends QueryModule {
              |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
              |  CAST(list_min(qv) AS BIGINT) AS q_min,
              |  CAST(list_max(qv) AS BIGINT) AS q_max
-             |FROM q ORDER BY vec_id""".stripMargin))
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Retrieval quality evaluation ([LLM] — the metric loop every
+    // retrieval/embedding pipeline closes with: NDCG@10, DCG, and
+    // precision@10 of the brute-force cosine ranking against the
+    // fixture's class labels as binary relevance). The eval rides the
+    // SAME distributed shape as q_sim_topk (broadcast query side,
+    // windowed top-k shortlist — the expensive pass); the metric
+    // arithmetic is shortlist-scale. IDCG folds 1/log₂(r+1) over
+    // sequence(1, min(R,10)) as a row-local HOF (R = class size − 1
+    // from a vocab-scale label-count broadcast, ≥43 on the fixture so
+    // the guard never bites but the form is total). Determinism: the
+    // shortlist ranking is on ROUNDED scores (q_sim_topk's
+    // cross-engine rank identity), relevance is exact integer label
+    // equality, and the ≤10-term log₂ sums carry the 1e-9 nudge.
+    "q_rank_ndcg" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qlbl = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qq"), col("label").as("qlbl"))
+        val clbl = emb.select(col("vec_id").as("cc"), col("label").as("clbl"))
+        val ccnt = emb.groupBy(col("label").as("nl"))
+          .agg(count(lit(1)).as("ncls"))
+        val scored = bruteTopK(s, dir, 10)
+          .join(broadcast(qlbl), col("q_id") === col("qq"))
+          .join(broadcast(clbl), col("vec_id") === col("cc"))
+          .withColumn("rel",
+            when(col("qlbl") === col("clbl"), 1L).otherwise(0L))
+        val perQ = scored.groupBy(col("q_id"), col("qlbl"))
+          .agg(sum(col("rel")).as("hits"),
+            sum(col("rel").cast("double") /
+              log2(col("rank").cast("double") + lit(1.0))).as("dcg_r"))
+        perQ
+          .join(broadcast(ccnt), col("qlbl") === col("nl"))
+          .withColumn("n_rel", col("ncls") - 1L)
+          .withColumn("idcg_r", aggregate(
+            sequence(lit(1L), greatest(least(col("n_rel"), lit(10L)), lit(1L))),
+            lit(0.0),
+            (acc, r) => acc + lit(1.0) / log2(r.cast("double") + lit(1.0))))
+          .select(col("q_id"), col("n_rel"), col("hits"),
+            round(col("hits").cast("double") / lit(10.0) + 1e-9, 4)
+              .as("p_at_10"),
+            round(col("dcg_r") + 1e-9, 4).as("dcg"),
+            round(col("dcg_r") / col("idcg_r") + 1e-9, 4).as("ndcg"))
+          .orderBy("q_id")
+      },
+      Some("""WITH scored AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             |    q.label AS qlbl, c.label AS clbl,
+             |    round(
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+             |      (sqrt(list_sum(list_transform(range(1, 65),
+             |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+             |       sqrt(list_sum(list_transform(range(1, 65),
+             |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4) AS cos_sim
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT q_id, qlbl,
+             |    CASE WHEN qlbl = clbl THEN 1 ELSE 0 END AS rel,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+             |  FROM scored),
+             |perq AS (
+             |  SELECT q_id, qlbl,
+             |    CAST(sum(rel) AS BIGINT) AS hits,
+             |    sum(CAST(rel AS DOUBLE) /
+             |      log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg_r
+             |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+             |cnt AS (
+             |  SELECT label AS nl, CAST(count(*) AS BIGINT) AS ncls
+             |  FROM embeddings GROUP BY 1)
+             |SELECT q_id, ncls - 1 AS n_rel, hits,
+             |  round(CAST(hits AS DOUBLE) / 10.0 + 1e-9, 4) AS p_at_10,
+             |  round(dcg_r + 1e-9, 4) AS dcg,
+             |  round(dcg_r / list_sum(list_transform(
+             |    range(1, CAST(greatest(least(ncls - 1, 10), 1) AS INTEGER) + 1),
+             |    r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))) + 1e-9, 4) AS ndcg
+             |FROM perq JOIN cnt ON qlbl = nl ORDER BY q_id""".stripMargin))
   )
 }

@@ -292,6 +292,52 @@ object TextOps extends QueryModule {
              |          length(text) * 0.3 + 1e-9, 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Readability scoring ([LLM] — Flesch reading ease + LIX, the
+    // curriculum/difficulty signals text-complexity routing uses:
+    // WeLM/Dolma-style pipelines bucket documents by readability to
+    // schedule easy→hard training mixes). The fixture text carries no
+    // sentence punctuation, so sentence boundaries are injected
+    // deterministically (one sentence per doc_id%5+8 words — the
+    // q_pii_scrub discipline); what the hash check exercises is the
+    // linguistic machinery both engines must agree on: vowel-group
+    // syllable estimation as a regex count, long-word detection over
+    // the split array, and the two classic formulas on exact integer
+    // counts. Zero-shuffle codegen'd projection — at 100 TB this is a
+    // free column stamped during any corpus pass.
+    "q_readability" -> QueryDef(
+      (s, dir) => {
+        val ws = TextFns.words(col("text"))
+        val nw = size(ws).cast("long")
+        val sentLen = (pmod(col("doc_id"), lit(5L)) + 8L).cast("long")
+        val nSent = floor((nw + sentLen - 1) / sentLen).cast("long")
+        val syl = regexp_count(col("text"), lit("[aeiouy]+")).cast("long")
+        val longW = size(filter(ws, w => length(w) > 6)).cast("long")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), nw.as("n_words"), nSent.as("n_sentences"),
+            syl.as("n_syllables"), longW.as("n_long_words"),
+            round(lit(206.835) - lit(1.015) * (nw / nSent.cast("double"))
+              - lit(84.6) * (syl / nw.cast("double")) + 1e-9, 4).as("flesch"),
+            round(nw / nSent.cast("double")
+              + lit(100.0) * longW / nw.cast("double") + 1e-9, 4).as("lix"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             |    doc_id % 5 + 8 AS sent_len,
+             |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syl,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      w -> length(w) > 6)) AS BIGINT) AS long_w
+             |  FROM documents)
+             |SELECT doc_id, nw AS n_words,
+             |  CAST((nw + sent_len - 1) // sent_len AS BIGINT) AS n_sentences,
+             |  syl AS n_syllables, long_w AS n_long_words,
+             |  round(206.835 - 1.015 * (nw / CAST((nw + sent_len - 1) // sent_len AS DOUBLE))
+             |    - 84.6 * (syl / CAST(nw AS DOUBLE)) + 1e-9, 4) AS flesch,
+             |  round(nw / CAST((nw + sent_len - 1) // sent_len AS DOUBLE)
+             |    + 100.0 * long_w / CAST(nw AS DOUBLE) + 1e-9, 4) AS lix
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
     // ClickHouse normalizeUTF8NFC family ([CH]) / the Unicode-
     // normalization cleaning step before tokenization ([LLM]):
     // decomposed accent sequences (e + U+0301) must collapse to their

@@ -404,4 +404,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(p25 <= p50 && p50 <= p75 && p75 <= p90, s"quantiles disordered: $r")
     assert(p25 >= 0 && mean >= 0, "latency cannot be negative")
   }
+
+  test("q_mutual_info respects the information-theoretic bounds") {
+    // The oracle pins the arithmetic against DuckDB; this pins the
+    // SEMANTICS: 0 ≤ MI ≤ min(H(L), H(F)), 0 ≤ NMI ≤ 1, and the
+    // entropy of the label is the same number whichever feature it
+    // was computed alongside (it only depends on the label marginal).
+    val rows = SparkEntry.queries("q_mutual_info")(spark, sf).collect()
+    assert(rows.length == 3, s"expected 3 screened features, got ${rows.length}")
+    val hLabels = rows.map(_.getDouble(3)).distinct
+    assert(hLabels.length == 1,
+      s"H(label) must not depend on the feature: ${hLabels.mkString(",")}")
+    rows.foreach { r =>
+      val (f, mi, hl, hf, nmi) = (r.getString(0), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mi >= -1e-9, s"$f: MI negative ($mi)")
+      assert(mi <= math.min(hl, hf) + 1e-6,
+        s"$f: MI $mi exceeds min(H) ${math.min(hl, hf)}")
+      assert(nmi >= -1e-9 && nmi <= 1 + 1e-9, s"$f: NMI out of [0,1] ($nmi)")
+      assert(hl > 0 && hf > 0, s"$f: degenerate marginal entropy")
+    }
+  }
 }

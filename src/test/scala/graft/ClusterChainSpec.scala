@@ -59,4 +59,40 @@ class ClusterChainSpec extends SparkSpec {
     assert(got == Map(m -> (m - 2), (m - 1) -> (m - 2), (m - 2) -> (m - 2),
       (m - 10) -> (m - 10)))
   }
+
+  test("degree-oriented triangle count equals brute-force triple enumeration") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    // Rebuild the part-basket co-occurrence projection independently
+    // and count triangles the O(n^3) way — the oriented wedge join
+    // must agree exactly (each triangle generated once at its
+    // (deg, id) minimum vertex, closing edge probed id-canonically).
+    val os = Tables(spark, sf, "lineitem")
+      .where(pmod(col("l_partkey"), lit(3)) === 0)
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("sn"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = os.groupBy(_._1).values.flatMap { grp =>
+      val ss = grp.map(_._2).distinct.sorted.toSeq
+      for { a <- ss; b <- ss if a < b } yield (a, b)
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var tri = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if edges((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if edges((nodes(i), nodes(k))) && edges((nodes(j), nodes(k)))
+    } tri += 1
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2.0).sum
+    val r = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()(0)
+    assert(r.getLong(0) == nodes.length.toLong, s"n_nodes: $r")
+    assert(r.getLong(1) == edges.size.toLong, s"n_edges: $r")
+    assert(r.getLong(2) == tri, s"n_triangles: got ${r.getLong(2)}, want $tri")
+    assert(r.getDouble(3) ==
+      BigDecimal(3.0 * tri / wedges).setScale(6, HALF_UP).toDouble,
+      s"clustering: $r")
+    assert(tri > 0, "fixture co-purchase graph should contain triangles")
+  }
 }

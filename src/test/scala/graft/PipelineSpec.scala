@@ -474,6 +474,20 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("topK sketch equals the exact vocabulary top-k when capacity covers the vocab") {
+    // The r8 oracle promotion rests on this precondition: with
+    // capacity (8·k = 80) >= |vocab|, NO insert ever evicts in any
+    // partition layout, so the sketch output is deterministically the
+    // exact top-k. Pin |vocab| <= capacity on the fixtures the driver
+    // and the bench actually run (the generator fixes the vocabulary,
+    // so this holds at every SF — but pin it, don't assume it).
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val vocab = Tables(spark, dir, "documents")
+        .select(explode(TextFns.words(col("text"))).as("w"))
+        .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+      assert(vocab <= 80,
+        s"$dir: vocabulary $vocab exceeds sketch capacity 80 — " +
+          "the q_topk_sketch oracle promotion precondition is broken")
+    }
     val sketch = SparkEntry.queries("q_topk_sketch")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val exact = SparkEntry.queries("q_vocab_topk")(spark, sf)
@@ -1052,5 +1066,95 @@ class PipelineSpec extends SparkSpec {
     assert(rows.count(_.getString(0).startsWith("s")) >= 10)
     val again = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("URL canonicalization collapses case/scheme/tracking/slash variants") {
+    val got = SparkEntry.queries("q_dedup_url")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val u = r.getString(0)
+      assert(u == u.toLowerCase, s"canonical URL not lowercased: $u")
+      assert(u.startsWith("https://"), s"scheme not unified: $u")
+      assert(!u.contains("?") && !u.contains("#"), s"tracking/fragment kept: $u")
+      assert(!u.endsWith("/"), s"trailing slash kept: $u")
+    }
+    // the injected mess must actually exercise the collapse: at least
+    // one canonical page observed under >1 raw spelling
+    assert(got.exists(r => r.getLong(2) > 1L),
+      "no canonical URL with multiple raw variants — injection broken")
+    // keeper is the min event id of the group, so keepers are unique
+    val keepers = got.map(_.getLong(3))
+    assert(keepers.distinct.length == keepers.length)
+  }
+
+  test("readability formulas agree with a hand computation per document") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def r4(x: Double) = BigDecimal(x).setScale(4, HALF_UP).toDouble
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = SparkEntry.queries("q_readability")(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val (id, text) = (r.getLong(0), texts(r.getLong(0)))
+      val nw = text.split(" ", -1).length.toLong
+      val sentLen = id % 5 + 8
+      val nSent = (nw + sentLen - 1) / sentLen
+      val syl = "[aeiouy]+".r.findAllIn(text).length.toLong
+      val longW = text.split(" ", -1).count(_.length > 6).toLong
+      assert(r.getLong(1) == nw && r.getLong(2) == nSent &&
+        r.getLong(3) == syl && r.getLong(4) == longW, s"counts: $r")
+      assert(r.getDouble(5) == r4(206.835 - 1.015 * (nw.toDouble / nSent)
+        - 84.6 * (syl.toDouble / nw) + 1e-9), s"flesch: $r")
+      assert(r.getDouble(6) == r4(nw.toDouble / nSent
+        + 100.0 * longW / nw + 1e-9), s"lix: $r")
+    }
+  }
+
+  test("q_source_kl: KL is non-negative and splits as cross-entropy minus entropy") {
+    // The oracle pins the arithmetic; this pins the SEMANTICS of the
+    // divergence: KL(P_s ‖ P_corpus) ≥ 0 (Gibbs), the three reported
+    // numbers satisfy KL = H× − H (they are one sum split in two),
+    // and H(P_s) ≤ ln |vocab_s| (uniform bound).
+    val rows = SparkEntry.queries("q_source_kl")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nv, kl, h, hx) = (r.getString(0), r.getLong(1),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(kl >= -1e-9, s"$src: KL negative ($kl)")
+      assert(math.abs(kl - (hx - h)) < 5e-4,
+        s"$src: KL $kl != H_cross $hx - H $h")
+      assert(h <= math.log(nv.toDouble) + 1e-6,
+        s"$src: entropy $h exceeds ln($nv)")
+    }
+    // sources must not all coincide with the corpus distribution
+    assert(rows.exists(_.getDouble(3) > 1e-4),
+      "every source KL is ~0 — fixture mixture degenerate?")
+  }
+
+  test("q_rank_ndcg: metrics bounded and DCG sits between worst- and best-packing") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val rows = SparkEntry.queries("q_rank_ndcg")(spark, sf).collect()
+    assert(rows.length == 10, s"expected 10 query rows, got ${rows.length}")
+    rows.foreach { r =>
+      val (q, hits, p10, dcg, ndcg) = (r.getLong(0), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(hits >= 0 && hits <= 10, s"q$q: hits $hits")
+      assert(math.abs(p10 - hits / 10.0) < 1e-6, s"q$q: p@10 $p10 vs $hits")
+      assert(ndcg >= -1e-9 && ndcg <= 1 + 1e-6, s"q$q: ndcg $ndcg")
+      // DCG of `hits` relevant results is maximal when they occupy
+      // ranks 1..hits and minimal when they occupy ranks 10-hits+1..10
+      val best = (1 to hits.toInt).map(r => 1.0 / log2(r + 1.0)).sum
+      val worst = (10 - hits.toInt + 1 to 10).map(r => 1.0 / log2(r + 1.0)).sum
+      assert(dcg <= best + 1e-6 && dcg >= worst - 1e-6,
+        s"q$q: dcg $dcg outside [$worst, $best] for $hits hits")
+    }
+    // the fixture labels are NOT embedding-clustered (they're
+    // independent of the geometry), so mean p@10 sits AT chance
+    // (~1/|classes| = 0.1) — the eval machinery is what's under
+    // test (the oracle hash-checks it); just pin non-degeneracy:
+    // some retrieved results are relevant, not all are
+    val meanP = rows.map(_.getDouble(3)).sum / 10.0
+    assert(meanP > 0.0 && meanP < 1.0,
+      s"mean p@10 $meanP degenerate — no relevance signal at all?")
   }
 }

@@ -84,7 +84,18 @@ class PlanSpec extends SparkSpec {
       // hybrid RRF: the ≤5-row dense query-side broadcast (q_sim_topk
       // shape) plus the 1-row corpus-count broadcast onto the token
       // grid (the q_tfidf scalar pattern)
-      "q_hybrid_rrf")
+      "q_hybrid_rrf",
+      // triangles: the final assembly cross-joins THREE 1-row
+      // aggregates (edge count, node/wedge totals, triangle count) —
+      // 1-row × 1-row broadcasts by construction
+      "q_graph_triangles",
+      // source KL: the 1-row corpus grand-total aggregate broadcast
+      // onto the (source × word) cell grid — the q_tfidf scalar
+      // pattern (word totals ride an equi-join, not the NL join)
+      "q_source_kl",
+      // NDCG: the ≤10-row query-side broadcast fanned across the
+      // corpus for the shortlist pass — exactly the q_sim_topk shape
+      "q_rank_ndcg")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

@@ -739,4 +739,67 @@ class StreamingSpec extends SparkSpec {
         s"event $k: stream ($ss,$sc,$sa) vs batch ($bs,$bc,$ba)")
     }
   }
+
+  test("streaming CUSUM monitor reproduces the batch change-point statistic exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Batch reference: the q_changepoint internals re-run per event
+    // (the declared query ships only the 5-row summary) — same
+    // injection, same rounded baseline, same integer-cent fold.
+    val shifted = operators.Relational.eventsSec(spark, sf)
+      .select(col("event_type"), col("ts_s"), col("event_id"),
+        (col("value") + when(datediff(date_trunc("day", col("ts_s")),
+          to_date(lit("2024-01-01"))) >= 20, lit(25.0)).otherwise(lit(0.0)))
+          .as("x"))
+    val mu = shifted.groupBy(col("event_type").as("mt"))
+      .agg(round(avg(col("x")) + lit(1e-9), 2).as("mu_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("t", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dev = shifted.join(broadcast(mu), col("event_type") === col("mt"))
+      .select(col("event_type"), unix_timestamp(col("ts_s")).as("t"),
+        col("event_id"),
+        round((col("x") - col("mu_r") - lit(2.0)) * 100, 0).cast("long")
+          .as("dev_c"))
+    val batch = dev
+      .withColumn("prefix", sum(col("dev_c")).over(w))
+      .withColumn("cusum_c",
+        col("prefix") - least(lit(0L), min(col("prefix")).over(w)))
+      .select(col("event_type"), col("event_id"), col("cusum_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = dev.as[streaming.StreamCusum.Ev].collect().toSeq
+      .sortBy(e => (e.t, e.event_id))
+    val mem = MemoryStream[streaming.StreamCusum.Ev]
+    val got = mutable.Map[(String, Long), Long]()
+    var alarms = 0L
+    val q = streaming.StreamCusum.transform(mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[streaming.StreamCusum.Out], _: Long) =>
+        df.collect().foreach { o =>
+          got.synchronized {
+            got((o.event_type, o.event_id)) = o.cusum_c
+            if (o.alarm) alarms += 1
+          }
+        }
+      }
+      .start()
+    try {
+      // THREE micro-batches split on the global time order, so state
+      // must carry correctly across batch boundaries for every type
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(got.size == batch.size, s"stream emitted ${got.size} of ${batch.size} events")
+    batch.foreach { case (k, bc) =>
+      assert(got(k) == bc, s"event $k: stream ${got(k)} vs batch $bc — " +
+        "the integer fold must match EXACTLY")
+    }
+    // and the declared summary agrees on the alarm count
+    val declared = SparkEntry.queries("q_changepoint")(spark, sf).collect()
+      .map(r => r.getLong(2)).sum
+    assert(alarms == declared,
+      s"stream alarm count $alarms vs declared query $declared")
+  }
 }

@@ -231,4 +231,113 @@ class TimeSeriesSpec extends SparkSpec {
     val again = SparkEntry.queries("q_series_period")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("CUSUM prefix-minus-running-min identity equals the sequential recurrence") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def r2(x: Double, s: Int) = BigDecimal(x).setScale(s, HALF_UP).toDouble
+    val shiftCut = java.time.LocalDate.of(2024, 1, 21)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select("event_type", "ts_s", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      val xs = ord.map { case (_, sec, id, v) =>
+        (id, if (sec >= shiftCut) v + 25.0 else v) }
+      val mu = r2(xs.map(_._2).sum / xs.length + 1e-9, 2)
+      var s = 0L; var maxC = 0L; var nAlarm = 0L
+      var first: Option[Long] = None
+      xs.foreach { case (id, x) =>
+        val dev = BigDecimal((x - mu - 2.0) * 100).setScale(0, HALF_UP).toLong
+        s = math.max(0L, s + dev)
+        if (s > maxC) maxC = s
+        if (s > 50000L) { nAlarm += 1; if (first.isEmpty) first = Some(id) }
+      }
+      t -> (xs.length.toLong, nAlarm, r2(maxC / 100.0, 2), first)
+    }
+    val got = SparkEntry.queries("q_changepoint")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, want) =>
+      assert(got(t) == want, s"$t: got ${got(t)}, want $want")
+    }
+    assert(expected.values.exists(_._2 > 0),
+      "the injected day-20 level shift must trigger at least one alarm")
+  }
+
+  test("Hampel filter equals the brute-force sliding median/MAD") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def r4(x: Double) = BigDecimal(x).setScale(4, HALF_UP).toDouble
+    def lowerMedian(v: Seq[Double]): Double = {
+      val s = v.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val rows = operators.Relational.eventsSec(spark, sf)
+      .select("user_id", "ts_s", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      ord.indices.map { i =>
+        val frame = ord.slice(math.max(0, i - 8), i + 1).map(_._4).toSeq
+        val med = lowerMedian(frame)
+        val mad = lowerMedian(frame.map(x => math.abs(x - med)))
+        (u, ord(i)._3) ->
+          ((r4(med), r4(mad), math.abs(ord(i)._4 - med) > mad * 3.5))
+      }
+    }
+    val got = SparkEntry.queries("q_win_hampel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, want) =>
+      assert(got(k) == want, s"$k: got ${got(k)}, want $want")
+    }
+    val spikes = got.values.count(_._3)
+    assert(spikes > 0 && spikes < got.size,
+      s"fixture should show some but not all spikes ($spikes/${got.size})")
+  }
+
+  test("q_series_forecast matches a driver-side Holt replay on the fixture grid") {
+    // Recompute the (type × day) count grid and fold Holt in plain
+    // Scala with the SAME arithmetic the Column fold writes out —
+    // pins the HOF `aggregate()` against an independent
+    // implementation (the oracle pins it against DuckDB's
+    // list_reduce; this pins the semantics).
+    val grid = operators.Relational.eventsSec(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts_s")),
+          to_date(lit("2024-01-01"))).cast("long").as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toList
+      }
+    val want = grid.map { case (t, ys) =>
+      var l = ys.head; var b = 0.0
+      ys.tail.foreach { x =>
+        val nl = 0.3 * x + 0.7 * (l + b)
+        val nb = 0.2 * (nl - l) + 0.8 * b
+        l = nl; b = nb
+      }
+      t -> (ys.size.toLong, math.rint((l + 1e-9) * 1e4) / 1e4,
+        math.rint((b + 1e-9) * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("q_series_forecast")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (t, (nd, level, trend)) =>
+      val (gn, gl, gt) = got(t)
+      assert(gn == nd, s"$t n_days: $gn vs $nd")
+      assert(math.abs(gl - level) < 1e-9, s"$t level: $gl vs $level")
+      assert(math.abs(gt - trend) < 1e-9, s"$t trend: $gt vs $trend")
+    }
+    // the fixture series are non-degenerate: at least one type must
+    // carry a visible trend component
+    assert(want.values.exists { case (_, _, tr) => math.abs(tr) > 1e-4 },
+      "all fitted trends are zero — fixture grid degenerate?")
+  }
 }

@@ -530,6 +530,76 @@ object Scalars extends QueryModule {
              |  CAST(len(list_intersect(ga, gb)) AS BIGINT) AS n_common,
              |  round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
              |    / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
-             |FROM sets ORDER BY c_custkey""".stripMargin))
+             |FROM sets ORDER BY c_custkey""".stripMargin)),
+
+    // ClickHouse geohashEncode/geohashDecode ([CH] geo family): the
+    // standard 8-character geohash (40 bits: 20 longitude + 20
+    // latitude, longitude first, base-32 "0123...z" alphabet) over the
+    // q_geo_funcs synthetic supplier coordinates, plus the decoded
+    // cell center. Zero-shuffle codegen'd projection — a free column
+    // during any corpus pass. Determinism is EXACT, no rounding grid
+    // needed for the hash itself: the half-integer-grid coordinates
+    // make (coord + offset) · 2²⁰ an exact integer-valued double, the
+    // single IEEE division by the span is correctly rounded
+    // identically on both engines, and everything after floor() is
+    // integer bit arithmetic. The decoded center is likewise exact
+    // ((cell + 0.5) · span is exact, / 2²⁰ is a power-of-two scale).
+    "q_geohash" -> QueryDef(
+      (s, dir) => {
+        val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            ((col("s_suppkey") % 170).cast("double") - 85 + 0.5).as("lat"),
+            (((col("s_suppkey") * 7) % 350).cast("double") - 175 + 0.5).as("lon"))
+          .withColumn("clat",
+            floor((col("lat") + 90.0) * 1048576.0 / 180.0))
+          .withColumn("clon",
+            floor((col("lon") + 180.0) * 1048576.0 / 360.0))
+        val g = (0 until 20).map { i =>
+          shiftleft(shiftrightunsigned(col("clon"), 19 - i)
+            .bitwiseAND(lit(1L)), 39 - 2 * i)
+            .bitwiseOR(shiftleft(shiftrightunsigned(col("clat"), 19 - i)
+              .bitwiseAND(lit(1L)), 38 - 2 * i))
+        }.reduce(_.bitwiseOR(_))
+        val chars = array(alphabet.map(c => lit(c.toString)): _*)
+        val gh = concat((0 until 8).map { p =>
+          element_at(chars,
+            shiftrightunsigned(col("g"), 35 - 5 * p)
+              .bitwiseAND(lit(31L)).cast("int") + 1)
+        }: _*)
+        sup.withColumn("g", g)
+          .select(col("s_suppkey"), gh.as("geohash"),
+            round((col("clat") + 0.5) * 180.0 / 1048576.0 - 90.0, 6)
+              .as("lat_dec"),
+            round((col("clon") + 0.5) * 360.0 / 1048576.0 - 180.0, 6)
+              .as("lon_dec"))
+          .orderBy("s_suppkey")
+      },
+      Some {
+        val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val gExpr = (0 until 20).map { i =>
+          s"(((clon >> ${19 - i}) & 1) << ${39 - 2 * i}) | " +
+            s"(((clat >> ${19 - i}) & 1) << ${38 - 2 * i})"
+        }.mkString(" | ")
+        val ghExpr = (0 until 8).map { p =>
+          s"substr('$alphabet', CAST((g >> ${35 - 5 * p}) & 31 AS INTEGER) + 1, 1)"
+        }.mkString(" || ")
+        s"""WITH sup AS (
+           |  SELECT s_suppkey,
+           |    CAST(s_suppkey % 170 AS DOUBLE) - 85 + 0.5 AS lat,
+           |    CAST((s_suppkey * 7) % 350 AS DOUBLE) - 175 + 0.5 AS lon
+           |  FROM supplier),
+           |cells AS (
+           |  SELECT s_suppkey,
+           |    CAST(floor((lat + 90.0) * 1048576.0 / 180.0) AS BIGINT) AS clat,
+           |    CAST(floor((lon + 180.0) * 1048576.0 / 360.0) AS BIGINT) AS clon
+           |  FROM sup),
+           |bits AS (
+           |  SELECT s_suppkey, clat, clon, $gExpr AS g FROM cells)
+           |SELECT s_suppkey, $ghExpr AS geohash,
+           |  round((clat + 0.5) * 180.0 / 1048576.0 - 90.0, 6) AS lat_dec,
+           |  round((clon + 0.5) * 360.0 / 1048576.0 - 180.0, 6) AS lon_dec
+           |FROM bits ORDER BY s_suppkey""".stripMargin
+      })
   )
 }

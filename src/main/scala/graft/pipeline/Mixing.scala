@@ -473,5 +473,86 @@ object Mixing extends QueryModule {
              |  round(sum(cd / ns * ln((cd / ns) / (nw / n))) + 1e-9, 4) AS kl,
              |  round(sum(cd / ns * -ln(cd / ns)) + 1e-9, 4) AS h_source,
              |  round(sum(cd / ns * -ln(nw / n)) + 1e-9, 4) AS h_cross
-             |FROM g GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
+    // One DoReMi exponentiated-gradient step (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    // Algorithm 1's domain-weight update, run as a diagnostic): each
+    // source's EXCESS LOSS over the corpus baseline (bits/token under
+    // the corpus unigram LM — the q_doc_lm_score proxy at source
+    // granularity — minus corpus entropy; the reference-model role)
+    // drives a multiplicative weight update from the uniform prior,
+    //   α_s ∝ exp(η·max(0, loss_s − H)),  w_s = 0.99·α_s + 0.01/D,
+    // the published smoothing shape with η = 1. Scale: everything
+    // after the one token-explode hash-aggregate runs on the
+    // (source × word) CELL GRID (the q_source_kl discipline — the
+    // vocabulary domain, never the token stream); the softmax
+    // normalizer and baseline are 1-row broadcasts (q_tfidf scalar
+    // pattern). Determinism: exact integer cell counts, the identical
+    // written-out double expressions on both engines, grid-bounded
+    // sums absorbed by the repo-wide round+1e-9 nudge.
+    "q_mix_doremi" -> QueryDef(
+      (s, dir) => {
+        val cells = Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.functions.TextFns.words(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val wtot = cells.groupBy(col("w").as("ww"))
+          .agg(sum(col("c")).cast("double").as("nw"))
+        val tot = cells.agg(sum(col("c")).cast("double").as("n"))
+        val g = cells
+          .withColumn("cd", col("c").cast("double"))
+          .withColumn("ns",
+            sum(col("c")).over(Window.partitionBy("source")).cast("double"))
+          .join(broadcast(wtot), col("w") === col("ww"))
+          .crossJoin(broadcast(tot))
+        val perSrc = g.groupBy("source")
+          .agg(sum(col("c")).as("n_tokens"),
+            (sum(col("cd") * -log2(col("nw") / col("n"))) / max(col("ns")))
+              .as("loss"))
+        val base = wtot.crossJoin(broadcast(tot))
+          .agg((sum(col("nw") * -log2(col("nw") / col("n"))) / max(col("n")))
+            .as("h"))
+        val ex = perSrc.crossJoin(broadcast(base))
+          .withColumn("excess", greatest(col("loss") - col("h"), lit(0.0)))
+          .withColumn("e", exp(col("excess")))
+        val z = ex.agg(sum(col("e")).as("z"),
+          count(lit(1)).cast("double").as("d"))
+        ex.crossJoin(broadcast(z))
+          .select(col("source"), col("n_tokens"),
+            round(col("loss") + lit(1e-9), 4).as("loss_bits"),
+            round(col("excess") + lit(1e-9), 4).as("excess_bits"),
+            round(lit(0.99) * col("e") / col("z") + lit(0.01) / col("d")
+              + lit(1e-9), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT source, w, count(*) AS c
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |g AS (
+             |  SELECT source, w, CAST(c AS DOUBLE) AS cd, c,
+             |    CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS ns,
+             |    CAST(sum(c) OVER (PARTITION BY w) AS DOUBLE) AS nw,
+             |    CAST(sum(c) OVER () AS DOUBLE) AS n
+             |  FROM cells),
+             |src AS (
+             |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    sum(cd * -log2(nw / n)) / max(ns) AS loss
+             |  FROM g GROUP BY source),
+             |base AS (
+             |  SELECT sum(nw * -log2(nw / n)) / max(n) AS h
+             |  FROM (SELECT DISTINCT w, nw, n FROM g)),
+             |ex AS (
+             |  SELECT source, n_tokens, loss,
+             |    greatest(loss - h, 0.0) AS excess,
+             |    exp(greatest(loss - h, 0.0)) AS e
+             |  FROM src CROSS JOIN base),
+             |z AS (SELECT sum(e) AS z, CAST(count(*) AS DOUBLE) AS d FROM ex)
+             |SELECT source, n_tokens,
+             |  round(loss + 1e-9, 4) AS loss_bits,
+             |  round(excess + 1e-9, 4) AS excess_bits,
+             |  round(0.99 * e / z + 0.01 / d + 1e-9, 6) AS weight
+             |FROM ex CROSS JOIN z ORDER BY source""".stripMargin)))
 }

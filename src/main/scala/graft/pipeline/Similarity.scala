@@ -27,6 +27,12 @@ object Similarity extends QueryModule {
     */
   val AnnCells = 10
 
+  /** q_ann_recall's operating point: the PRUNED probe breadth the
+    * recall evaluation measures, and the cut-off of both rankings.
+    */
+  val AnnRecallProbe = 2
+  val AnnRecallK = 10
+
   /** q_sim_mmr's shortlist size, pick count, and relevance/diversity
     * trade-off. C=15 candidates per query bounds the greedy input to
     * O(|queries|·C) rows at any corpus size.
@@ -177,7 +183,7 @@ object Similarity extends QueryModule {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, KMeans.Model]()
 
-  private def fittedModel(emb: DataFrame, dir: String): KMeans.Model =
+  private[graft] def fittedModel(emb: DataFrame, dir: String): KMeans.Model =
     modelCache.computeIfAbsent(s"$dir#$AnnCells",
       _ => KMeans.fit(emb, "embedding", "vec_id", AnnCells, iters = 3))
 
@@ -275,6 +281,114 @@ object Similarity extends QueryModule {
         |  CAST(count(d.vec_id) AS BIGINT) AS n_dups
         |FROM enc a LEFT JOIN dups d ON d.j = a.j AND d.vec_id = a.vec_id
         |GROUP BY a.j ORDER BY cluster_id""".stripMargin)
+    sb.toString
+  }
+
+  /** Generated oracle for q_ann_recall: the PRUNED IVF operating point
+    * made driver-verifiable. The exhaustive-probe q_sim_ann bypasses
+    * cell assignment entirely (all cells probed ⇒ provably brute
+    * force), so until r8 the approximate operating point was spec-only.
+    * This oracle re-derives the ENTIRE pruned search in SQL — the
+    * [[semDedupOracle]] Lloyd machinery at the fixed ANN cell count,
+    * the per-query probe ranking (round-6 centroid cosine, cell-id
+    * ties), the candidate join against the probed cells, the exact
+    * cosine top-k over candidates — and scores it against the brute
+    * top-k re-derived the q_sim_ann way. Margin preconditions
+    * (assignment argmin gaps and probe-cosine distance from the
+    * round-6 grid vs the ulp drift of cluster-mean sums) are pinned in
+    * PipelineSpec, the same discipline as the pq-codes oracle.
+    */
+  private def annRecallOracle(iters: Int, nProbe: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        |init AS MATERIALIZED (
+        |  SELECT vec_id, CAST(rn - 1 AS INTEGER) AS j FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM e) WHERE rn <= $AnnCells),
+        |c0 AS MATERIALIZED (
+        |  SELECT i.j, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM e JOIN init i USING (vec_id))""".stripMargin)
+    for (r <- 1 to iters) sb.append(s""",
+        |a$r AS MATERIALIZED (
+        |  SELECT vec_id, j FROM (
+        |    SELECT e.vec_id, c.j,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(c.c, x -> x * x))
+        |          - 2.0 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |              i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) ASC,
+        |        c.j ASC) AS rk
+        |    FROM e CROSS JOIN c${r - 1} c) WHERE rk = 1),
+        |c$r AS MATERIALIZED (
+        |  SELECT p.j, coalesce(n.c, p.c) AS c
+        |  FROM c${r - 1} p LEFT JOIN (
+        |    SELECT j, list(sm / cnt ORDER BY i) AS c FROM (
+        |      SELECT a.j, u.i,
+        |        sum(CAST(e.embedding[u.i] AS DOUBLE)) AS sm, count(*) AS cnt
+        |      FROM a$r a JOIN e USING (vec_id),
+        |           UNNEST(range(1, ${EmbDim + 1})) AS u(i)
+        |      GROUP BY a.j, u.i)
+        |    GROUP BY j) n USING (j))""".stripMargin)
+    sb.append(s""",
+        |enc AS MATERIALIZED (
+        |  SELECT vec_id, j FROM (
+        |    SELECT e.vec_id, c.j,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(c.c, x -> x * x))
+        |          - 2.0 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |              i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])) ASC,
+        |        c.j ASC) AS rk
+        |    FROM e CROSS JOIN c$iters c) WHERE rk = 1),
+        |nr AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM e),
+        |probes AS MATERIALIZED (
+        |  SELECT q_id, j FROM (
+        |    SELECT q.vec_id AS q_id, c.j,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |            i -> CAST(q.embedding[i] AS DOUBLE) * c.c[i]))
+        |          / (nq.nrm * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6)
+        |          DESC,
+        |        c.j ASC) AS rk
+        |    FROM e q JOIN nr nq ON nq.vec_id = q.vec_id CROSS JOIN c$iters c
+        |    WHERE q.vec_id < 10) WHERE rk <= $nProbe),
+        |cand AS (
+        |  SELECT p.q_id, v.vec_id,
+        |    round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |        i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ev.embedding[i] AS DOUBLE)))
+        |      / (nq.nrm * nv.nrm), 4) AS cos_sim
+        |  FROM probes p
+        |  JOIN enc v ON v.j = p.j AND v.vec_id <> p.q_id
+        |  JOIN e eq ON eq.vec_id = p.q_id
+        |  JOIN e ev ON ev.vec_id = v.vec_id
+        |  JOIN nr nq ON nq.vec_id = p.q_id
+        |  JOIN nr nv ON nv.vec_id = v.vec_id),
+        |pruned AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM cand)
+        |  WHERE rk <= $k),
+        |bscored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (nq.nrm * nc.nrm), 4) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |  JOIN nr nq ON nq.vec_id = q.vec_id
+        |  JOIN nr nc ON nc.vec_id = c.vec_id),
+        |brute AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM bscored)
+        |  WHERE rk <= $k)
+        |SELECT b.q_id,
+        |  CAST(count(p.vec_id) AS BIGINT) AS n_hits,
+        |  round(count(p.vec_id) / $k.0 + 1e-9, 4) AS recall
+        |FROM brute b LEFT JOIN pruned p USING (q_id, vec_id)
+        |GROUP BY b.q_id ORDER BY q_id""".stripMargin)
     sb.toString
   }
 
@@ -1339,6 +1453,39 @@ object Similarity extends QueryModule {
              |  round(dcg_r / list_sum(list_transform(
              |    range(1, CAST(greatest(least(ncls - 1, 10), 1) AS INTEGER) + 1),
              |    r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))) + 1e-9, 4) AS ndcg
-             |FROM perq JOIN cnt ON qlbl = nl ORDER BY q_id""".stripMargin))
+             |FROM perq JOIN cnt ON qlbl = nl ORDER BY q_id""".stripMargin)),
+
+    // IVF recall@k at the PRUNED operating point (nProbe=2) — the
+    // acceptance test every production ANN index passes before it
+    // serves traffic: how much of the true top-10 does the probe-
+    // pruned search retain? q_rank_ndcg scores the ranking against
+    // LABELS; this scores the APPROXIMATION against exact brute force.
+    // Both sides are the established distributed shapes (broadcast
+    // query side + windowed top-k; the coarse quantizer is model
+    // state), and the comparison join runs on O(|queries|·k) rows —
+    // model scale. The oracle re-derives the whole pruned search in
+    // SQL ([[annRecallOracle]]): until r8 the approximate operating
+    // point was spec-only, because the exhaustive-probe form q_sim_ann
+    // hash-checks never exercises cell assignment or probe ranking —
+    // this query makes the driver verify BOTH (any drift in the Lloyd
+    // fit, the assignment argmin, or the round-6 probe ranking breaks
+    // the hash).
+    "q_ann_recall" -> QueryDef(
+      (s, dir) => {
+        val brute = bruteTopK(s, dir, AnnRecallK)
+          .select(col("q_id"), col("vec_id"))
+        val pruned = annTopK(s, dir, nProbe = AnnRecallProbe, k = AnnRecallK)
+          .select(col("q_id"), col("vec_id"))
+        val hits = brute.join(pruned, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        brute.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("h"), lit(0L)).cast("long").as("n_hits"),
+            round(coalesce(col("h"), lit(0L)).cast("double")
+              / lit(AnnRecallK.toDouble) + lit(1e-9), 4).as("recall"))
+          .orderBy("q_id")
+      },
+      Some(annRecallOracle(iters = 3, nProbe = AnnRecallProbe, k = AnnRecallK)))
   )
 }

@@ -327,6 +327,48 @@ class PipelineSpec extends SparkSpec {
       }
       assert(sMargin > 1e-9,
         s"$dir: tightest semdedup assignment margin $sMargin is within fp-drift range")
+      // q_ann_recall's oracle replays the ANN coarse quantizer (the
+      // fixed k = AnnCells fit) the same way, plus the per-query PROBE
+      // ranking on round-6 centroid cosines: pin (a) the assignment
+      // argmin margin and (b) every probe cosine's distance from its
+      // nearest round-6 boundary (a boundary-straddling value could
+      // round differently under the engines' ulp-level centroid
+      // drift and reorder the probed-cell set).
+      val aModel = Similarity.fittedModel(emb, dir)
+      var aMargin = Double.MaxValue
+      val vecs = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      vecs.foreach { case (_, v) =>
+        val ds = aModel.centroids.map { c =>
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i).toDouble * c(i); i += 1 }
+          c.map(x => x * x).sum - 2.0 * dot
+        }.sorted
+        aMargin = math.min(aMargin, ds(1) - ds(0))
+      }
+      assert(aMargin > 1e-9,
+        s"$dir: tightest ANN-quantizer assignment margin $aMargin is within fp-drift range")
+      var bMargin = Double.MaxValue
+      vecs.filter(_._1 < 10).foreach { case (_, q) =>
+        var qq = 0.0
+        q.foreach(x => qq += x.toDouble * x.toDouble)
+        aModel.centroids.foreach { c =>
+          var dot = 0.0
+          var cc = 0.0
+          var i = 0
+          while (i < q.length) {
+            dot += q(i).toDouble * c(i); cc += c(i) * c(i); i += 1
+          }
+          val cos = dot / (math.sqrt(qq) * math.sqrt(cc))
+          val scaled = cos * 1e6
+          val frac = scaled - math.floor(scaled)
+          bMargin = math.min(bMargin, math.abs(frac - 0.5))
+        }
+      }
+      assert(bMargin > 1e-4,
+        s"$dir: a probe cosine sits $bMargin from the round-6 boundary — " +
+          "the ann-recall oracle's probe ranking can no longer be trusted")
     }
   }
 

@@ -95,7 +95,15 @@ class PlanSpec extends SparkSpec {
       "q_source_kl",
       // NDCG: the ≤10-row query-side broadcast fanned across the
       // corpus for the shortlist pass — exactly the q_sim_topk shape
-      "q_rank_ndcg")
+      "q_rank_ndcg",
+      // ANN recall: the ≤10-row query/probe sides fanned across the
+      // corpus for BOTH rankings (the q_sim_topk / q_sim_ann shapes)
+      "q_ann_recall",
+      // DoReMi: the 1-row grand-total, baseline-entropy, and softmax
+      // normalizer aggregates broadcast onto the (source × word) cell
+      // grid and the source-scale weight rows — the q_tfidf scalar
+      // pattern three times over
+      "q_mix_doremi")
 
   test("no declared query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>

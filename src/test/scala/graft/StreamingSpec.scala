@@ -802,4 +802,66 @@ class StreamingSpec extends SparkSpec {
     assert(alarms == declared,
       s"stream alarm count $alarms vs declared query $declared")
   }
+
+  test("streaming funnel monitor reproduces the batch funnel levels exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Batch reference: the q_funnel internals per user (the declared
+    // query ships only the per-level counts) — same strict signup →
+    // click → purchase windows.
+    val e = operators.Relational.eventsSec(spark, sf)
+      .select("user_id", "event_type", "ts_s", "event_id")
+    val u1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+    val u2 = e.filter(col("event_type") === "click")
+      .join(u1, Seq("user_id"))
+      .filter(col("ts_s") > col("t1") &&
+        col("ts_s") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id")
+      .agg(min(col("ts_s")).as("t2"), first(col("t1")).as("t1b"))
+    val u3 = e.filter(col("event_type") === "purchase")
+      .join(u2, Seq("user_id"))
+      .filter(col("ts_s") > col("t2") &&
+        col("ts_s") <= col("t1b") + expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id").agg(min(col("ts_s")).as("t3"))
+    val batch = u1
+      .join(u2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(u3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + col("t2").isNotNull.cast("int")
+          + col("t3").isNotNull.cast("int")).cast("long").as("level"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = e.select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts_s")).as("t"), col("event_id"))
+      .as[streaming.StreamFunnel.Ev].collect().toSeq
+      .sortBy(ev => (ev.t, ev.event_id))
+    val mem = MemoryStream[streaming.StreamFunnel.Ev]
+    val got = mutable.Map[Long, Long]()
+    val q = streaming.StreamFunnel.transform(mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[streaming.StreamFunnel.Out], _: Long) =>
+        df.collect().foreach(o =>
+          got.synchronized { got(o.user_id) = o.level })
+      }
+      .start()
+    try {
+      // THREE micro-batches split on the global time order, so state
+      // must carry correctly across batch boundaries for every user
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(got.size == batch.size,
+      s"stream tracked ${got.size} funnel users vs batch ${batch.size}")
+    batch.foreach { case (u, lvl) =>
+      assert(got(u) == lvl, s"user $u: stream level ${got(u)} vs batch $lvl")
+    }
+    // and the declared per-level counts agree
+    val declaredLevels = SparkEntry.queries("q_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamLevels = got.values.groupBy(identity).map { case (l, vs) =>
+      l -> vs.size.toLong }
+    assert(streamLevels == declaredLevels,
+      s"stream level counts $streamLevels vs declared $declaredLevels")
+  }
 }

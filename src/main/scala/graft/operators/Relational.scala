@@ -145,6 +145,79 @@ object Relational extends QueryModule {
              |  event_type || '-' || strftime(date_trunc('second', ts), '%Y%m%d') || '.zip' AS f_daily,
              |  event_type || '-' || strftime(date_trunc('week', ts), '%Y%m%d') || '.zip' AS f_weekly,
              |  event_type || '-' || strftime(date_trunc('second', ts), '%Y%m') || '.zip' AS f_monthly
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Column-level data profiling — the ClickHouse system.columns /
+    // ANALYZE surface ([CH]/[NS]): per column, null count, exact
+    // distinct count, typed min/max, numeric mean. The shape that
+    // matters at 100 TB: ONE scan computes every column's profile
+    // (the multi-distinct aggregate — Catalyst plans one Expand ×
+    // n_cols feeding map-side partial aggs, never n_cols scans), the
+    // result is ONE row of aggregates turned into per-column rows by a
+    // row-local inline() — no re-reads, no driver loop. Determinism:
+    // exact integer counts; numeric extrema as doubles; string/time
+    // extrema as strings (ASCII byte order, midnight-clean
+    // timestamps — both engines render 'YYYY-MM-DD HH:MM:SS');
+    // means rounded on the repo grid.
+    "q_profile_table" -> QueryDef(
+      (s, dir) => {
+        val cols = Seq(
+          ("o_orderkey", "num"), ("o_custkey", "num"),
+          ("o_orderdate", "str"), ("o_orderpriority", "str"),
+          ("o_orderstatus", "str"), ("o_totalprice", "num"))
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
+          Seq(count(col(c)).as(s"${c}_nn"),
+            countDistinct(col(c)).as(s"${c}_nd")) ++ (k match {
+            case "num" => Seq(
+              min(col(c)).cast("double").as(s"${c}_mn"),
+              max(col(c)).cast("double").as(s"${c}_mx"),
+              round(avg(col(c)) + lit(1e-9), 4).as(s"${c}_av"))
+            case _ => Seq(
+              min(col(c)).cast("string").as(s"${c}_mn"),
+              max(col(c)).cast("string").as(s"${c}_mx"))
+          })
+        }
+        val one = Tables(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+        val rows = array(cols.map { case (c, k) =>
+          struct(lit(c).as("col_name"),
+            col("n_rows"),
+            (col("n_rows") - col(s"${c}_nn")).cast("long").as("n_nulls"),
+            col(s"${c}_nd").cast("long").as("n_distinct"),
+            (if (k == "str") col(s"${c}_mn") else lit(null).cast("string"))
+              .as("min_str"),
+            (if (k == "str") col(s"${c}_mx") else lit(null).cast("string"))
+              .as("max_str"),
+            (if (k == "num") col(s"${c}_mn") else lit(null).cast("double"))
+              .as("min_num"),
+            (if (k == "num") col(s"${c}_mx") else lit(null).cast("double"))
+              .as("max_num"),
+            (if (k == "num") col(s"${c}_av") else lit(null).cast("double"))
+              .as("avg_num"))
+        }: _*)
+        one.select(inline(rows)).orderBy("col_name")
+      },
+      Some {
+        val branches = Seq(
+          ("o_orderkey", "num"), ("o_custkey", "num"),
+          ("o_orderdate", "str"), ("o_orderpriority", "str"),
+          ("o_orderstatus", "str"), ("o_totalprice", "num")).map { case (c, k) =>
+          val (mns, mxs, mnn, mxn, av) =
+            if (k == "num")
+              ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)",
+                s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+                s"round(avg($c) + 1e-9, 4)")
+            else
+              (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)",
+                "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+                "CAST(NULL AS DOUBLE)")
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mns AS min_str, $mxs AS max_str,
+             |  $mnn AS min_num, $mxn AS max_num, $av AS avg_num
+             |FROM orders""".stripMargin
+        }
+        branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      })
   )
 }

@@ -20,6 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object Scalars extends QueryModule {
 
+  /** The standard base-32 geohash alphabet (no a/i/l/o). */
+  private[graft] val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** 2²⁰-cell axis quantization for q_geohash: 40 interleaved bits =
+    * exactly 8 base-32 characters.
+    */
+  private[graft] def geohashCells(lat: org.apache.spark.sql.Column,
+      lon: org.apache.spark.sql.Column): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    (floor((lat + 90.0) * 1048576.0 / 180.0),
+      floor((lon + 180.0) * 1048576.0 / 360.0))
+
+  /** The 8-char geohash of pre-quantized (clat, clon) cells: the
+    * longitude-first bit interleave then 5-bit base-32 chunks — all
+    * integer bit arithmetic (shared by the declared query and the
+    * known-value/round-trip spec).
+    */
+  private[graft] def geohash8(clat: org.apache.spark.sql.Column,
+      clon: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = (0 until 20).map { i =>
+      shiftleft(shiftrightunsigned(clon, 19 - i)
+        .bitwiseAND(lit(1L)), 39 - 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(clat, 19 - i)
+          .bitwiseAND(lit(1L)), 38 - 2 * i))
+    }.reduce(_.bitwiseOR(_))
+    val chars = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    concat((0 until 8).map { p =>
+      element_at(chars,
+        shiftrightunsigned(g, 35 - 5 * p).bitwiseAND(lit(31L)).cast("int") + 1)
+    }: _*)
+  }
+
   def entries: Map[String, QueryDef] = Map(
 
     // String surface: concat/upper/lower/substring/replace/length.
@@ -546,29 +577,16 @@ object Scalars extends QueryModule {
     // ((cell + 0.5) · span is exact, / 2²⁰ is a power-of-two scale).
     "q_geohash" -> QueryDef(
       (s, dir) => {
-        val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val (clatC, clonC) = geohashCells(col("lat"), col("lon"))
         val sup = Tables(s, dir, "supplier")
           .select(col("s_suppkey"),
             ((col("s_suppkey") % 170).cast("double") - 85 + 0.5).as("lat"),
             (((col("s_suppkey") * 7) % 350).cast("double") - 175 + 0.5).as("lon"))
-          .withColumn("clat",
-            floor((col("lat") + 90.0) * 1048576.0 / 180.0))
-          .withColumn("clon",
-            floor((col("lon") + 180.0) * 1048576.0 / 360.0))
-        val g = (0 until 20).map { i =>
-          shiftleft(shiftrightunsigned(col("clon"), 19 - i)
-            .bitwiseAND(lit(1L)), 39 - 2 * i)
-            .bitwiseOR(shiftleft(shiftrightunsigned(col("clat"), 19 - i)
-              .bitwiseAND(lit(1L)), 38 - 2 * i))
-        }.reduce(_.bitwiseOR(_))
-        val chars = array(alphabet.map(c => lit(c.toString)): _*)
-        val gh = concat((0 until 8).map { p =>
-          element_at(chars,
-            shiftrightunsigned(col("g"), 35 - 5 * p)
-              .bitwiseAND(lit(31L)).cast("int") + 1)
-        }: _*)
-        sup.withColumn("g", g)
-          .select(col("s_suppkey"), gh.as("geohash"),
+          .withColumn("clat", clatC)
+          .withColumn("clon", clonC)
+        sup
+          .select(col("s_suppkey"),
+            geohash8(col("clat"), col("clon")).as("geohash"),
             round((col("clat") + 0.5) * 180.0 / 1048576.0 - 90.0, 6)
               .as("lat_dec"),
             round((col("clon") + 0.5) * 360.0 / 1048576.0 - 180.0, 6)

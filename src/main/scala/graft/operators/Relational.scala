@@ -20,6 +20,47 @@ import org.apache.spark.sql.functions._
   */
 object Relational extends QueryModule {
 
+  /** q_profile_table's engine: per-column (name, kind) → one
+    * multi-distinct aggregate pass over `t`, inlined to per-column
+    * rows. Kind "num" profiles typed numeric extrema + mean; anything
+    * else profiles string-cast extrema. Exposed for the null-path
+    * spec (the fixture tables carry no NULLs, so the n_nulls arm is
+    * pinned against a constructed frame).
+    */
+  private[graft] def profileTable(t: DataFrame,
+      cols: Seq[(String, String)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd")) ++ (k match {
+        case "num" => Seq(
+          min(col(c)).cast("double").as(s"${c}_mn"),
+          max(col(c)).cast("double").as(s"${c}_mx"),
+          round(avg(col(c)) + lit(1e-9), 4).as(s"${c}_av"))
+        case _ => Seq(
+          min(col(c)).cast("string").as(s"${c}_mn"),
+          max(col(c)).cast("string").as(s"${c}_mx"))
+      })
+    }
+    val one = t.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { case (c, k) =>
+      struct(lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"${c}_nn")).cast("long").as("n_nulls"),
+        col(s"${c}_nd").cast("long").as("n_distinct"),
+        (if (k == "str") col(s"${c}_mn") else lit(null).cast("string"))
+          .as("min_str"),
+        (if (k == "str") col(s"${c}_mx") else lit(null).cast("string"))
+          .as("max_str"),
+        (if (k == "num") col(s"${c}_mn") else lit(null).cast("double"))
+          .as("min_num"),
+        (if (k == "num") col(s"${c}_mx") else lit(null).cast("double"))
+          .as("max_num"),
+        (if (k == "num") col(s"${c}_av") else lit(null).cast("double"))
+          .as("avg_num"))
+    }: _*)
+    one.select(inline(rows)).orderBy("col_name")
+  }
+
   /** events with a second-truncated timestamp — the only safe form of
     * `events.ts` for oracle-checked queries (FIXTURES.md hazards).
     *
@@ -160,42 +201,10 @@ object Relational extends QueryModule {
     // timestamps — both engines render 'YYYY-MM-DD HH:MM:SS');
     // means rounded on the repo grid.
     "q_profile_table" -> QueryDef(
-      (s, dir) => {
-        val cols = Seq(
-          ("o_orderkey", "num"), ("o_custkey", "num"),
-          ("o_orderdate", "str"), ("o_orderpriority", "str"),
-          ("o_orderstatus", "str"), ("o_totalprice", "num"))
-        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
-          Seq(count(col(c)).as(s"${c}_nn"),
-            countDistinct(col(c)).as(s"${c}_nd")) ++ (k match {
-            case "num" => Seq(
-              min(col(c)).cast("double").as(s"${c}_mn"),
-              max(col(c)).cast("double").as(s"${c}_mx"),
-              round(avg(col(c)) + lit(1e-9), 4).as(s"${c}_av"))
-            case _ => Seq(
-              min(col(c)).cast("string").as(s"${c}_mn"),
-              max(col(c)).cast("string").as(s"${c}_mx"))
-          })
-        }
-        val one = Tables(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
-        val rows = array(cols.map { case (c, k) =>
-          struct(lit(c).as("col_name"),
-            col("n_rows"),
-            (col("n_rows") - col(s"${c}_nn")).cast("long").as("n_nulls"),
-            col(s"${c}_nd").cast("long").as("n_distinct"),
-            (if (k == "str") col(s"${c}_mn") else lit(null).cast("string"))
-              .as("min_str"),
-            (if (k == "str") col(s"${c}_mx") else lit(null).cast("string"))
-              .as("max_str"),
-            (if (k == "num") col(s"${c}_mn") else lit(null).cast("double"))
-              .as("min_num"),
-            (if (k == "num") col(s"${c}_mx") else lit(null).cast("double"))
-              .as("max_num"),
-            (if (k == "num") col(s"${c}_av") else lit(null).cast("double"))
-              .as("avg_num"))
-        }: _*)
-        one.select(inline(rows)).orderBy("col_name")
-      },
+      (s, dir) => profileTable(Tables(s, dir, "orders"), Seq(
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_orderdate", "str"), ("o_orderpriority", "str"),
+        ("o_orderstatus", "str"), ("o_totalprice", "num"))),
       Some {
         val branches = Seq(
           ("o_orderkey", "num"), ("o_custkey", "num"),

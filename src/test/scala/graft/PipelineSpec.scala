@@ -369,6 +369,17 @@ class PipelineSpec extends SparkSpec {
       assert(bMargin > 1e-4,
         s"$dir: a probe cosine sits $bMargin from the round-6 boundary — " +
           "the ann-recall oracle's probe ranking can no longer be trusted")
+      // and the measured operating point is genuinely PRUNED: if the
+      // fixture ever degenerates to recall ≡ 1 at nProbe=2, the
+      // oracle would no longer exercise the approximate path it
+      // exists to verify (and 0 would mean the probe ranking is
+      // broken outright)
+      val recalls = SparkEntry.queries("q_ann_recall")(spark, dir)
+        .collect().map(_.getDouble(2))
+      assert(recalls.exists(_ < 1.0 - 1e-9),
+        s"$dir: every query has recall 1.0 at nProbe=2 — nothing is pruned")
+      assert(recalls.exists(_ > 0.0),
+        s"$dir: zero recall everywhere at nProbe=2 — probe ranking broken")
     }
   }
 

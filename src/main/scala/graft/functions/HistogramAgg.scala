@@ -100,6 +100,18 @@ object HistogramAgg {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BinOut]]()
   }
 
+  /** The canonical single-order fold `q_agg_histogram_fold` declares,
+    * through the kernel's own compact(): mean-sorted weighted unit
+    * bins (sum = v·w) compacted straight to n. Package-private so
+    * HistogramSpec can pin the declared HOF fold against the exact
+    * in-process kernel.
+    */
+  private[graft] def canonicalCompact(
+      bins: Seq[(Double, Long)], n: Int): Seq[BinOut] =
+    compact(bins.sortBy(_._1)
+      .map { case (v, w) => HBin(v * w, w, v, v) }.toVector, n)
+      .map(b => BinOut(b.lo, b.hi, b.weight))
+
   /** `df.agg(HistogramAgg(col("x"), n = 10))`. */
   def apply(value: Column, n: Int): Column = udaf(new AdaptiveHistogram(n)).apply(value)
 }

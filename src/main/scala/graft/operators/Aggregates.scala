@@ -26,6 +26,80 @@ object Aggregates extends QueryModule {
     */
   private val MedianBucketWidth = 1000.0
 
+  /** q_agg_histogram_fold's grid (one bin per ⌊price/100⌋ mod 53
+    * residue) and target bin count — 53 is prime so the residues mix
+    * price mass, and every residue is populated at both fixture SFs
+    * (HistogramSpec pins the precondition the 43-stage oracle needs).
+    */
+  private[graft] val HistFoldGrid = 53
+  private[graft] val HistFoldBins = 10
+
+  /** The canonical BHTT compaction as one row-local `aggregate()` HOF
+    * over the sorted (lo, hi, s, w) bin array `bs`: G − n iterations,
+    * each locating the first closest-mean adjacent pair (strict <, so
+    * the LOWEST index wins ties — HistogramAgg.compact's exact rule)
+    * and splicing in the merged bin. SQL lambdas have no let-binding,
+    * so the argmin subexpression is interpolated at each use — same
+    * arithmetic, evaluated on a ≤53-element array on ONE row.
+    */
+  private[graft] def histFoldExpr: String = {
+    def mean(i: String) = s"element_at(acc, $i).s / element_at(acc, $i).w"
+    val pick =
+      s"""aggregate(sequence(1, size(acc) - 1),
+         |  named_struct('i', 0, 'g', CAST('Infinity' AS DOUBLE)),
+         |  (st, i) -> CASE WHEN ${mean("i + 1")} - ${mean("i")} < st.g
+         |    THEN named_struct('i', i, 'g', ${mean("i + 1")} - ${mean("i")})
+         |    ELSE st END).i""".stripMargin
+    s"""aggregate(sequence(1, size(bs) - $HistFoldBins), bs, (acc, k) ->
+       |  concat(
+       |    slice(acc, 1, ($pick) - 1),
+       |    array(named_struct(
+       |      'lo', least(element_at(acc, $pick).lo,
+       |                  element_at(acc, ($pick) + 1).lo),
+       |      'hi', greatest(element_at(acc, $pick).hi,
+       |                     element_at(acc, ($pick) + 1).hi),
+       |      's', element_at(acc, $pick).s + element_at(acc, ($pick) + 1).s,
+       |      'w', element_at(acc, $pick).w + element_at(acc, ($pick) + 1).w)),
+       |    slice(acc, ($pick) + 2, size(acc) - ($pick) - 1)))""".stripMargin
+  }
+
+  /** The generated DuckDB oracle: the IDENTICAL 43-merge walk as
+    * chained materialized CTEs — stage k picks the first closest-mean
+    * adjacent pair of s_k (ORDER BY gap, idx ≡ the kernel's strict-<
+    * first-index tie rule) and renumbers after the splice. Every
+    * number in the walk is an exact-integer-valued double or the same
+    * written-out division/subtraction, so the replay is epsilon-free
+    * (the q_sim_pq_codes generated-oracle pattern).
+    */
+  private[graft] def histFoldOracle: String = {
+    val stages = (0 until (HistFoldGrid - HistFoldBins)).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a.idx AS i FROM s$k a JOIN s$k b ON b.idx = a.idx + 1
+         |  ORDER BY b.s / b.w - a.s / a.w, a.idx LIMIT 1),
+         |s${k + 1} AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY oi) AS idx, s, w, lo, hi FROM (
+         |    SELECT t.idx AS oi, t.s, t.w, t.lo, t.hi
+         |    FROM s$k t, p$k p WHERE t.idx <> p.i AND t.idx <> p.i + 1
+         |    UNION ALL
+         |    SELECT a.idx, a.s + b.s, a.w + b.w,
+         |           least(a.lo, b.lo), greatest(a.hi, b.hi)
+         |    FROM s$k a JOIN s$k b ON b.idx = a.idx + 1, p$k p
+         |    WHERE a.idx = p.i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY v) AS idx,
+       |         CAST(v AS DOUBLE) * w AS s, w,
+       |         CAST(v AS DOUBLE) AS lo, CAST(v AS DOUBLE) AS hi
+       |  FROM (SELECT (CAST(floor(o_totalprice / 100) AS BIGINT) % $HistFoldGrid) AS v,
+       |               CAST(count(*) AS BIGINT) AS w
+       |        FROM orders GROUP BY 1)),
+       |$stages
+       |SELECT CAST(idx - 1 AS BIGINT) AS bin_idx,
+       |       round(lo, 4) AS bin_lower, round(hi, 4) AS bin_upper,
+       |       CAST(w AS BIGINT) AS n
+       |FROM s${HistFoldGrid - HistFoldBins} ORDER BY bin_idx""".stripMargin
+  }
+
   /** Exact weighted median, two-phase (see the q_agg_weighted_median
     * comment). Phase 1 windows over bucket subtotals, phase 2 over the
     * crossing bucket's grid rows only; the crossing row is identical
@@ -323,6 +397,44 @@ object Aggregates extends QueryModule {
           col("b.count").as("n"))
         .orderBy("bin_idx"),
       None),
+
+    // The CANONICAL-FOLD twin of the adaptive histogram (r8 verdict
+    // item 7, the q_agg_group_array stringified-twin move): the SAME
+    // Ben-Haim–Tom-Tov compaction kernel — merge the closest-mean
+    // adjacent pair, first index wins ties — run in ONE deterministic
+    // order (all bins built, then compacted 53 → 10), so the bin
+    // VALUES are oracle-checkable. Input is the value grid
+    // ⌊price/100⌋ mod 53 (all 53 residues populated at every fixture
+    // SF — HistogramSpec pins the precondition), each residue one
+    // weighted bin with sum = v·w: every mean, gap, and merged sum is
+    // an exact-integer-valued double or one correctly-rounded
+    // division/subtraction evaluated textually identically on both
+    // engines, so the argmin walk cannot drift and the check needs no
+    // epsilon. Shape: one hash aggregate to the bounded grid, one
+    // grid-scale collect_list row, then the whole 43-merge fold is a
+    // row-local `aggregate()` HOF (the q_series_forecast recurrence
+    // pattern — never O(rows)). The distributed merge-order form
+    // above stays rows-only; HistogramSpec pins this fold against the
+    // kernel's own in-process compact().
+    "q_agg_histogram_fold" -> QueryDef(
+      (s, dir) => {
+        val grid = Tables(s, dir, "orders")
+          .select((floor(col("o_totalprice") / 100).cast("long") % HistFoldGrid)
+            .as("v"))
+          .groupBy("v").agg(count(lit(1)).as("w"))
+          .agg(sort_array(collect_list(struct(
+            col("v").cast("double").as("lo"),
+            col("v").cast("double").as("hi"),
+            (col("v").cast("double") * col("w")).as("s"),
+            col("w").as("w")))).as("bs"))
+        grid.select(posexplode(expr(histFoldExpr)).as(Seq("bin_idx", "b")))
+          .select(col("bin_idx").cast("long").as("bin_idx"),
+            round(col("b.lo"), 4).as("bin_lower"),
+            round(col("b.hi"), 4).as("bin_upper"),
+            col("b.w").as("n"))
+          .orderBy("bin_idx")
+      },
+      Some(histFoldOracle)),
 
     // ClickHouse argMax/argMin: the value of one column at the extremum
     // of another, as a single hash aggregate (no self-join, no window).

@@ -30,16 +30,33 @@ object Relational extends QueryModule {
     * Distinct counts are EXACT so the driver can hash-compare them —
     * the expensive arm of the profile (the Expand × n_cols rows carry
     * key-distinct partials through the exchange; growth measured 6.3×
-    * at 10× data — linear, gate-clean). At true 100 TB profile scale
-    * the one-line swap is `approx_count_distinct` per column, which
-    * collapses that arm to constant-size HLL partials; it stays exact
-    * here because an approx count has no oracle (SURVEY §5.3 rule 4).
+    * at 10× data — linear, gate-clean). The 100 TB scale swap is
+    * [[profileTableApprox]] — `approx_count_distinct` per column
+    * collapses that arm to constant-size mergeable HLL partials (no
+    * Expand at all: one ordinary aggregate) — spec'd against this
+    * exact form within HLL error (ProfileTableSpec); the DECLARED
+    * query stays exact because an approx count has no oracle
+    * (SURVEY §5.3 rule 4).
     */
   private[graft] def profileTable(t: DataFrame,
-      cols: Seq[(String, String)]): DataFrame = {
+      cols: Seq[(String, String)]): DataFrame =
+    profileWith(t, cols, c => countDistinct(col(c)))
+
+  /** The 100 TB form of [[profileTable]]: identical surface, but
+    * n_distinct is `approx_count_distinct` (relative sd `rsd`) — the
+    * per-column distinct partials become constant-size HLL sketches,
+    * so profiling a table costs one scan + O(n_cols) state at any
+    * size, and the multi-distinct Expand disappears from the plan.
+    */
+  private[graft] def profileTableApprox(t: DataFrame,
+      cols: Seq[(String, String)], rsd: Double = 0.05): DataFrame =
+    profileWith(t, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(t: DataFrame, cols: Seq[(String, String)],
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, k) =>
       Seq(count(col(c)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_nd")) ++ (k match {
+        distinctAgg(c).as(s"${c}_nd")) ++ (k match {
         case "num" => Seq(
           min(col(c)).cast("double").as(s"${c}_mn"),
           max(col(c)).cast("double").as(s"${c}_mx"),

@@ -26,9 +26,26 @@ object SqlSurface extends QueryModule {
     * binding, no data movement at any scale factor.
     */
   private def registerViews(s: SparkSession, dir: String): Unit =
-    Seq("customer", "orders", "lineitem", "documents").foreach { t =>
-      Tables(s, dir, t).createOrReplaceTempView(s"${t}_sqlv")
-    }
+    Seq("customer", "orders", "lineitem", "documents", "nation", "embeddings")
+      .foreach { t =>
+        Tables(s, dir, t).createOrReplaceTempView(s"${t}_sqlv")
+      }
+
+  /** The events view every timestamped twin reads: binds
+    * `Relational.eventsSec`'s ns/µs-proof projection under one name so
+    * SQL users inherit the timestamp discipline (the q_sql_window
+    * route, shared).
+    */
+  private def registerEvents(s: SparkSession, dir: String): Unit =
+    graft.operators.Relational.eventsSec(s, dir)
+      .createOrReplaceTempView("events_sec_sqlv")
+
+  /** A twin's oracle IS its DataFrame counterpart's oracle, pulled from
+    * the declaring module at map-construction time — the two rows can
+    * never drift apart, because there is only one oracle string.
+    */
+  private def twinOracle(m: QueryModule, name: String): Option[String] =
+    m.entries(name).oracle
 
   def entries: Map[String, QueryDef] = Map(
 
@@ -137,6 +154,318 @@ object SqlSurface extends QueryModule {
              |         row_number() OVER (PARTITION BY event_type
              |           ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
              |  FROM events)
-             |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin))
+             |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)),
+
+    // ── round-9 sweep: the high-traffic operator families, each as the
+    // SQL text a ClickHouse operator would actually type, result- and
+    // strategy-pinned against its DataFrame twin (SqlSurfaceSpec). The
+    // oracle is the TWIN'S oracle by reference (twinOracle), so the
+    // SQL route is held to the identical hash check. ──
+
+    // FINAL semantics as SQL text (q_replacing_final's max_by shape):
+    // one hash aggregate, map-side combined — the parser route to the
+    // engine's ReplacingMergeTree story.
+    "q_sql_replacing_final" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        s.sql("""SELECT user_id, event_type,
+                |  CAST(max(event_id) AS BIGINT) AS last_event_id,
+                |  round(max_by(value, event_id), 4) AS last_value,
+                |  date_format(max_by(ts_s, event_id), 'yyyy-MM-dd HH:mm:ss')
+                |    AS last_ts,
+                |  count(1) AS n_versions
+                |FROM events_sec_sqlv
+                |GROUP BY user_id, event_type
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      twinOracle(graft.operators.Analytics, "q_replacing_final")),
+
+    // Exact quantiles as SQL text (q_agg_percentile's frequency form):
+    // the (group, value) grid collapse then ONE percentile call with
+    // the quantile array and the count as frequency — the parser route
+    // keeps the same two-aggregate state-shrinking plan.
+    "q_sql_agg_percentile" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  round(element_at(ps, 1), 4) AS p50,
+                |  round(element_at(ps, 2), 4) AS p90,
+                |  round(element_at(ps, 3), 4) AS p99,
+                |  p_min, p_max
+                |FROM (
+                |  SELECT l_returnflag,
+                |    percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), c) AS ps,
+                |    round(min(l_extendedprice), 4) AS p_min,
+                |    round(max(l_extendedprice), 4) AS p_max
+                |  FROM (SELECT l_returnflag, l_extendedprice, count(1) AS c
+                |        FROM lineitem_sqlv
+                |        GROUP BY l_returnflag, l_extendedprice)
+                |  GROUP BY l_returnflag)
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      twinOracle(graft.operators.Aggregates, "q_agg_percentile")),
+
+    // dictGetOrDefault as SQL text (q_dict_get): broadcast left join +
+    // coalesce — the BROADCAST hint is the SQL spelling of the
+    // dictionary contract (dict ships once per executor, fact side
+    // never shuffles).
+    "q_sql_dict_get" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        s.sql("""SELECT /*+ BROADCAST(d) */ c_custkey, c_nationkey,
+                |  coalesce(d.n_name, 'UNKNOWN') AS nation_name
+                |FROM customer_sqlv
+                |LEFT JOIN (SELECT * FROM nation_sqlv WHERE n_nationkey < 20) d
+                |  ON c_nationkey = d.n_nationkey
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      twinOracle(graft.operators.Joins, "q_dict_get")),
+
+    // windowFunnel as SQL text (q_funnel's chained-CTE form): every
+    // stage shuffles on user_id — the same key each time — and no
+    // per-user event array is ever materialized; min(u1.t1) replaces
+    // the builder's first(t1) (t1 is constant per user, so the values
+    // are identical and the aggregate stays mergeable).
+    "q_sql_funnel" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        s.sql("""WITH ev AS (
+                |  SELECT user_id, event_type, ts_s FROM events_sec_sqlv),
+                |u1 AS (SELECT user_id, min(ts_s) AS t1 FROM ev
+                |       WHERE event_type = 'signup' GROUP BY user_id),
+                |u2 AS (SELECT e.user_id, min(e.ts_s) AS t2, min(u1.t1) AS t1b
+                |       FROM ev e JOIN u1 ON e.user_id = u1.user_id
+                |       WHERE e.event_type = 'click' AND e.ts_s > u1.t1
+                |         AND e.ts_s <= u1.t1 + INTERVAL 7 DAYS
+                |       GROUP BY e.user_id),
+                |u3 AS (SELECT e.user_id, min(e.ts_s) AS t3
+                |       FROM ev e JOIN u2 ON e.user_id = u2.user_id
+                |       WHERE e.event_type = 'purchase' AND e.ts_s > u2.t2
+                |         AND e.ts_s <= u2.t1b + INTERVAL 7 DAYS
+                |       GROUP BY e.user_id)
+                |SELECT level, count(1) AS n_users FROM (
+                |  SELECT CAST(1 + CASE WHEN u2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                |                + CASE WHEN u3.user_id IS NOT NULL THEN 1 ELSE 0 END
+                |           AS BIGINT) AS level
+                |  FROM u1
+                |  LEFT JOIN u2 ON u1.user_id = u2.user_id
+                |  LEFT JOIN u3 ON u1.user_id = u3.user_id)
+                |GROUP BY level ORDER BY level""".stripMargin)
+      },
+      twinOracle(graft.operators.Aggregates, "q_funnel")),
+
+    // Exact content dedup as SQL text (q_dedup_docs): the normalize →
+    // md5 fingerprint written out as the regex chain (the same Java ∩
+    // RE2 dialect), then one hash aggregate on the fingerprint.
+    "q_sql_dedup_docs" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        s.sql("""SELECT norm_fp, min(doc_id) AS keeper_doc_id,
+                |       count(1) AS n_copies
+                |FROM (SELECT doc_id,
+                |        md5(trim(regexp_replace(
+                |          regexp_replace(lower(text), '[^a-z0-9 ]', ''),
+                |          ' +', ' '))) AS norm_fp
+                |      FROM documents_sqlv)
+                |GROUP BY norm_fp ORDER BY norm_fp""".stripMargin)
+      },
+      twinOracle(graft.pipeline.Dedup, "q_dedup_docs")),
+
+    // Keep-last retention as SQL text (q_retention_keep_last): the
+    // rank-1-by-recency window per (type, day) — Spark has no QUALIFY,
+    // so the rn = 1 cut is the subquery form.
+    "q_sql_retention_keep_last" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        s.sql("""SELECT event_type, day_key, event_id FROM (
+                |  SELECT event_type,
+                |         date_format(ts_s, 'yyyyMMdd') AS day_key, event_id,
+                |         row_number() OVER (
+                |           PARTITION BY event_type, date_format(ts_s, 'yyyyMMdd')
+                |           ORDER BY ts_s DESC, event_id DESC) AS rn
+                |  FROM events_sec_sqlv)
+                |WHERE rn = 1 ORDER BY event_type, day_key""".stripMargin)
+      },
+      twinOracle(graft.operators.Windows, "q_retention_keep_last")),
+
+    // LIMIT n BY key as SQL text (q_limit_by): the ORDER-position cut
+    // per key through the parser.
+    "q_sql_limit_by" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        s.sql("""SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id,
+                |       date_format(ts_s, 'yyyy-MM-dd HH:mm:ss') AS ts_str
+                |FROM (
+                |  SELECT event_type, event_id, ts_s,
+                |         row_number() OVER (PARTITION BY event_type
+                |           ORDER BY ts_s, event_id) AS rn
+                |  FROM events_sec_sqlv)
+                |WHERE rn <= 2 ORDER BY event_type, rn""".stripMargin)
+      },
+      twinOracle(graft.operators.Windows, "q_limit_by")),
+
+    // Top-k per group as SQL text (q_topk_per_group): window + filter,
+    // never a global sort.
+    "q_sql_topk_per_group" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        s.sql("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+                |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+                |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                |           ORDER BY o_totalprice DESC, o_orderkey ASC)
+                |           AS BIGINT) AS rn
+                |  FROM orders_sqlv)
+                |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)
+      },
+      twinOracle(graft.operators.Windows, "q_topk_per_group")),
+
+    // Shannon entropy as SQL text (q_agg_entropy): the two stacked
+    // hash aggregates over the (user, type) count grid — the algebraic
+    // log₂T − (Σ c·log₂c)/T identity typed as SQL.
+    "q_sql_agg_entropy" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        s.sql("""WITH c AS (
+                |  SELECT user_id, event_type, count(1) AS c
+                |  FROM events_sec_sqlv GROUP BY user_id, event_type)
+                |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c) + 1e-9, 4)
+                |         AS entropy
+                |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      twinOracle(graft.operators.Aggregates, "q_agg_entropy")),
+
+    // As-of join as SQL text (q_join_asof): one shuffle on user, one
+    // sort, IGNORE NULLS last() carries the latest prior click forward
+    // — the sort-merge as-of shape through the parser.
+    "q_sql_join_asof" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        s.sql("""SELECT event_id, user_id, prior_click_id FROM (
+                |  SELECT event_id, user_id, event_type,
+                |    last(CASE WHEN event_type = 'click' THEN event_id END)
+                |      IGNORE NULLS OVER (PARTITION BY user_id
+                |        ORDER BY ts_s, event_id
+                |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                |      AS prior_click_id
+                |  FROM events_sec_sqlv)
+                |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+      },
+      twinOracle(graft.operators.Joins, "q_join_asof")),
+
+    // ROLLUP as SQL text (q_agg_rollup): the tier → db → grand-total
+    // hierarchy typed as GROUP BY ROLLUP.
+    "q_sql_agg_rollup" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                |       coalesce(l_linestatus, 'ALL') AS linestatus,
+                |       count(1) AS n,
+                |       round(sum(l_quantity), 4) AS sum_qty
+                |FROM lineitem_sqlv
+                |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+                |ORDER BY returnflag, linestatus""".stripMargin)
+      },
+      twinOracle(graft.operators.Aggregates, "q_agg_rollup")),
+
+    // Brute cosine top-k as SQL text (q_sim_topk), reaching the
+    // codegen'd `vec_dot` kernel BY NAME through the GraftExtensions
+    // registry — the vector-function twin of the q_sql_simhash60
+    // route. The ≤10-row query side broadcasts (the hint is the SQL
+    // spelling of the builder's broadcast()); ranking is the same
+    // window-top-k, never a global sort.
+    "q_sql_sim_topk" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        s.sql("""WITH q AS (
+                |  SELECT vec_id AS q_id, embedding AS q_emb,
+                |         sqrt(vec_dot(embedding, embedding)) AS q_nrm
+                |  FROM embeddings_sqlv WHERE vec_id < 10),
+                |scored AS (
+                |  SELECT /*+ BROADCAST(q) */ q.q_id, c.vec_id,
+                |    round(vec_dot(q.q_emb, c.embedding) /
+                |      (q.q_nrm * sqrt(vec_dot(c.embedding, c.embedding))), 4)
+                |      AS cos_sim
+                |  FROM embeddings_sqlv c JOIN q ON q.q_id <> c.vec_id)
+                |SELECT q_id, rank, vec_id, cos_sim FROM (
+                |  SELECT q_id, vec_id, cos_sim,
+                |         CAST(row_number() OVER (PARTITION BY q_id
+                |           ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+                |  FROM scored)
+                |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+      },
+      twinOracle(graft.pipeline.Similarity, "q_sim_topk")),
+
+    // MinHash-LSH dedup as SQL text — the custom-KERNEL route beyond
+    // simhash: `minhash_words` resolves by name through the parser and
+    // feeds the full banded pipeline (exact-dup collapse → 4×4 band
+    // buckets → capped in-row pair expansion → exact 3-gram Jaccard
+    // verify → dup-group expansion), all in one SQL string. Band keys
+    // here are the raw comma-joined signature slices — the builder
+    // hashes the same slices (TextFns.bandKeys), and equal slices give
+    // equal keys either way, so the bucket partition (hence recall,
+    // hence the verified output) is identical; held to the same brute
+    // -force Jaccard oracle as q_dedup_minhash. Plan posture: banded
+    // equi-joins only — the red-flag gates (no cartesian, no global
+    // window) run suite-wide over this query like any other.
+    "q_sql_dedup_minhash" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        s.sql("""WITH groups AS (
+                |  SELECT min(doc_id) AS rep_id, first(text) AS text,
+                |         sort_array(collect_list(doc_id)) AS members
+                |  FROM documents_sqlv GROUP BY md5(text)),
+                |sigs AS (
+                |  SELECT rep_id, minhash_words(split(text, ' '), 3, 16) AS sig
+                |  FROM groups),
+                |buckets AS (
+                |  SELECT band, band_key, ids FROM (
+                |    SELECT band, band_key,
+                |           sort_array(collect_list(rep_id)) AS ids
+                |    FROM sigs
+                |    LATERAL VIEW posexplode(transform(sequence(0, 3),
+                |      b -> array_join(slice(sig, b * 4 + 1, 4), ','))) bk
+                |      AS band, band_key
+                |    GROUP BY band, band_key)
+                |  WHERE size(ids) > 1 AND size(ids) <= 64),
+                |pairs AS (
+                |  SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b
+                |  FROM buckets
+                |  LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
+                |    transform(slice(ids, i + 2, size(ids) - i - 1),
+                |      b -> struct(a AS doc_a, b AS doc_b))))) pe AS p),
+                |grams AS (
+                |  SELECT rep_id,
+                |    array_distinct(transform(
+                |      sequence(1, greatest(1, size(ws) - 2)),
+                |      g -> array_join(slice(ws, g, 3), ' '))) AS g3
+                |  FROM (SELECT rep_id, split(text, ' ') AS ws FROM groups)),
+                |verified AS (
+                |  SELECT p.doc_a AS rep_a, p.doc_b AS rep_b,
+                |    size(array_intersect(ga.g3, gb.g3)) /
+                |      CAST(size(ga.g3) + size(gb.g3)
+                |        - size(array_intersect(ga.g3, gb.g3)) AS DOUBLE) AS j
+                |  FROM pairs p
+                |  JOIN grams ga ON ga.rep_id = p.doc_a
+                |  JOIN grams gb ON gb.rep_id = p.doc_b),
+                |within AS (
+                |  SELECT pw.doc_a AS doc_a, pw.doc_b AS doc_b,
+                |         CAST(1.0 AS DOUBLE) AS j
+                |  FROM (SELECT members FROM groups WHERE size(members) > 1) m
+                |  LATERAL VIEW explode(flatten(transform(members, (a, i) ->
+                |    transform(slice(members, i + 2, size(members) - i - 1),
+                |      b -> struct(a AS doc_a, b AS doc_b))))) pe AS pw),
+                |crossed AS (
+                |  SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b, v.j
+                |  FROM (SELECT * FROM verified WHERE j >= 0.5) v
+                |  JOIN groups gma ON gma.rep_id = v.rep_a
+                |  JOIN groups gmb ON gmb.rep_id = v.rep_b
+                |  LATERAL VIEW explode(gma.members) ex AS x
+                |  LATERAL VIEW explode(gmb.members) ey AS y)
+                |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+                |FROM (SELECT * FROM within UNION ALL SELECT * FROM crossed)
+                |ORDER BY doc_a, doc_b""".stripMargin)
+      },
+      twinOracle(graft.pipeline.Dedup, "q_dedup_minhash"))
   )
 }

@@ -67,4 +67,40 @@ class HistogramSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(adaptive.sameElements(exact), s"adaptive ${adaptive.toSeq} vs exact ${exact.toSeq}")
   }
+
+  test("fold-twin grid precondition: all 53 residues populated at both fixture SFs") {
+    // the generated 43-stage oracle hardcodes G = 53 initial bins; an
+    // empty residue would shift every stage
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val g = Tables(spark, dir, "orders")
+        .select((floor(col("o_totalprice") / 100).cast("long")
+          % operators.Aggregates.HistFoldGrid).as("v"))
+        .distinct().count()
+      assert(g == operators.Aggregates.HistFoldGrid.toLong,
+        s"$dir populates $g of ${operators.Aggregates.HistFoldGrid} residues")
+    }
+  }
+
+  test("declared HOF fold ≡ the kernel's own canonical compact()") {
+    // q_agg_histogram_fold's SQL-lambda walk must be the SAME
+    // arithmetic as HistogramAgg.compact run once in sorted order —
+    // pinned against the in-process kernel, unrounded
+    val grid = Tables(spark, sf, "orders")
+      .select((floor(col("o_totalprice") / 100).cast("long")
+        % operators.Aggregates.HistFoldGrid).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0).toDouble, r.getLong(1))).toSeq
+    val kernel = HistogramAgg
+      .canonicalCompact(grid, operators.Aggregates.HistFoldBins)
+      .zipWithIndex.map { case (b, i) =>
+        (i.toLong, math.rint(b.lower * 10000) / 10000,
+          math.rint(b.upper * 10000) / 10000, b.count)
+      }
+    val declared = SparkEntry.queries("q_agg_histogram_fold")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(declared == kernel,
+      s"declared fold ${declared.take(3)}… diverged from the kernel ${kernel.take(3)}…")
+  }
 }

@@ -65,6 +65,9 @@ class PlanSpec extends SparkSpec {
       // across the corpus — exactly the q_sim_topk shape (the label
       // filter applies post-fan, pre-rank)
       "q_hard_negatives",
+      // the SQL-text twin of q_sim_topk: the same ≤10-row query-side
+      // broadcast, authored as a BROADCAST hint in SQL
+      "q_sql_sim_topk",
       // tfidf: the 1-row corpus document-count aggregate broadcast
       // onto the (doc, word) tf grid — the q_doc_lm_score pattern
       "q_tfidf",

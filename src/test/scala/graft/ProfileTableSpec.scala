@@ -34,4 +34,42 @@ class ProfileTableSpec extends SparkSpec {
     assert(s.isNullAt(6) && s.isNullAt(7) && s.isNullAt(8),
       "s: numeric stats must be NULL")
   }
+
+  test("approx profile ≡ exact profile except n_distinct within HLL error, and drops the Expand") {
+    val cols = Seq(
+      ("o_orderkey", "num"), ("o_custkey", "num"),
+      ("o_orderdate", "str"), ("o_orderpriority", "str"),
+      ("o_orderstatus", "str"), ("o_totalprice", "num"))
+    val t = Tables(spark, sf, "orders")
+    val rsd = 0.05
+    val exact = Relational.profileTable(t, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Relational.profileTableApprox(t, cols, rsd)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // every non-distinct field is the IDENTICAL aggregate — equal
+      (1 to 2).foreach(i => assert(a.getLong(i) == e.getLong(i),
+        s"$c field $i drifted between exact and approx profiles"))
+      (4 to 8).foreach { i =>
+        assert(a.isNullAt(i) == e.isNullAt(i), s"$c field $i nullness drifted")
+        if (!e.isNullAt(i)) assert(a.get(i) == e.get(i),
+          s"$c field $i drifted between exact and approx profiles")
+      }
+      // n_distinct within HLL tolerance (5 standard errors — the
+      // fixture cardinalities are small enough that HLL is near-exact)
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ad - ed) <= math.max(2.0, 5 * rsd * ed),
+        s"$c: approx distinct $ad vs exact $ed exceeds HLL error")
+    }
+    // the scale claim is structural, not just numeric: the exact form
+    // pays the multi-distinct Expand; the approx form must not
+    def hasExpand(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    assert(hasExpand(Relational.profileTable(t, cols)),
+      "exact profile should plan the multi-distinct Expand (sanity)")
+    assert(!hasExpand(Relational.profileTableApprox(t, cols, rsd)),
+      "approx profile must collapse to one Expand-free aggregate pass")
+  }
 }

@@ -48,6 +48,109 @@ object Cluster extends QueryModule {
     */
   private val PageRankIters = 8
 
+  /** q_pagerank's symmetrized bipartite purchase edges with integer
+    * node ids (customer 2k, supplier 2k+1) — shared by the declared
+    * query and the edge-index build.
+    */
+  private def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"),
+        (col("o_custkey") * 2).cast("long").as("a"))
+    val e0 = li.join(ord, "ok")
+    e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The 8-round power iteration + rounded top-20, over whichever
+    * (src, dst, deg) edge relation the caller hands in — the declared
+    * query passes the persisted in-memory edge list, the indexed path
+    * passes the bucketed standing table.
+    *
+    * Materialize every SECOND round (persist+count, previous rank
+    * cache released immediately): lazy 2-round sections keep each AQE
+    * job shallow — the genuinely-cold interleaved r7 measurement put
+    * the full 8-deep single-job chain at median ~17 s / worst 28 s vs
+    * ~10 s / worst 14 s for the 2-stride (per-round materialization
+    * paid job overhead back as a ~18 s median; localCheckpoint's .rdd
+    * path bypasses AQE and was worse still). Each live rank cache is
+    * 16k (node, r) rows — node-scale, never edge-scale.
+    *
+    * The final top-20 is COLLECTED into a local relation and the
+    * caches are released before returning — the r6 version returned
+    * the persisted plan itself, so the rank cache outlived the query:
+    * CacheManager plan-matching served every rerun from it (bench
+    * "medians" of 0.68 s were cache hits, and the leaked blocks
+    * accumulated per session). Only O(k)=20 rows cross to the driver,
+    * so the local relation is free, every invocation is genuinely
+    * cold, and nothing survives the call.
+    */
+  private def pagerankIterate(s: SparkSession, edgesW: DataFrame,
+      ranks0: DataFrame, release: () => Unit): DataFrame = {
+    var ranks = ranks0
+    var prevCache: Option[DataFrame] = None
+    (1 to PageRankIters).foreach { i =>
+      ranks = edgesW
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
+        .withColumnRenamed("dst", "node")
+      if (i % 2 == 0) {
+        val c = ranks.persist()
+        c.count()
+        prevCache.foreach(_.unpersist(blocking = false))
+        prevCache = Some(c)
+        ranks = c
+      }
+    }
+    release()
+    val top = ranks
+      .select(
+        concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+          expr("node div 2").cast("string")).as("node"),
+        round(col("r") + 1e-9, 4).as("pr"))
+      .orderBy(col("pr").desc, col("node").asc)
+      .limit(20)
+      .orderBy("node")
+    val rows = top.collect()
+    val schema = top.schema
+    prevCache.foreach(_.unpersist(blocking = false))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Materialize the (src, dst, deg) edge list as a `src`-bucketed
+    * standing table — the once-per-corpus-snapshot index build (the
+    * buildSigIndex / buildIvfIndex pattern): all 8 iterations of every
+    * subsequent [[pagerankIndexed]] run read the one bucketed layout
+    * with zero edge-side exchanges. Measured r9 (interleaved, sf0.1,
+    * warmed JVM): 2.95 s median vs the declared query's 5.12 s — the
+    * 1.7× the per-invocation A/B could not honestly claim (building
+    * the table inside the invocation was a wash at 5.15 s).
+    */
+  def buildPagerankEdgeIndex(s: SparkSession, dir: String, table: String): Unit = {
+    val edges = pagerankEdges(s, dir)
+    val deg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+    graft.operators.Sources.writeBucketed(
+      edges.join(deg, "src"), table, "src", buckets = 32)
+  }
+
+  /** PageRank over a standing [[buildPagerankEdgeIndex]] table —
+    * identical semantics and output to the declared q_pagerank
+    * (ClusterChainSpec pins row equality); the edge text is never
+    * re-derived and the bucketed scan replaces the per-invocation
+    * build + persist.
+    */
+  def pagerankIndexed(s: SparkSession, table: String): DataFrame = {
+    val edgesW = s.table(table)
+    pagerankIterate(s, edgesW,
+      edgesW.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1.0).as("r")),
+      release = () => ())
+  }
+
   /** The DuckDB twin of q_pagerank's iteration loop: the same
     * symmetrized edge list, degree table, and 8 unnormalized damped
     * power-iteration steps as chained CTEs — generated, not
@@ -306,30 +409,11 @@ object Cluster extends QueryModule {
         // for the final 20 rows, and the oracle's values are untouched
         // (deg and the contribution sums don't depend on the key
         // encoding).
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"),
-            (col("l_suppkey") * 2 + 1).cast("long").as("b"))
-        val ord = Tables(s, dir, "orders")
-          .select(col("o_orderkey").as("ok"),
-            (col("o_custkey") * 2).cast("long").as("a"))
-        val e0 = li.join(ord, "ok")
-        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+        val edges = pagerankEdges(s, dir)
         val deg = edges.groupBy("src")
           .agg(count(lit(1)).cast("double").as("deg"))
         val edgesW = edges.join(deg, "src").persist()
         edgesW.count()
-        var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
-        // Materialize every SECOND round (persist+count, previous
-        // rank cache released immediately): lazy 2-round sections keep
-        // each AQE job shallow — the genuinely-cold interleaved r7
-        // measurement put the full 8-deep single-job chain at median
-        // ~17 s / worst 28 s vs ~10 s / worst 14 s for the 2-stride
-        // (per-round materialization paid job overhead back as a
-        // ~18 s median; localCheckpoint's .rdd path bypasses AQE and
-        // was worse still). Each live rank cache is 16k (node, r)
-        // rows — node-scale, never edge-scale.
-        //
         // Rank-join strategy (r8 interleaved A/B, sf0.1, warmed JVM,
         // loadavg<1.4): broadcast-hinting the node-scale rank side
         // median 4.64 s vs 4.64 s for the plain shuffle join over 4
@@ -337,43 +421,21 @@ object Cluster extends QueryModule {
         // efficiently and the per-round broadcast build (collect +
         // rebroadcast of fresh ranks every iteration) pays back the
         // saved exchange, so the hint-free form stays.
-        var prevCache: Option[DataFrame] = None
-        (1 to PageRankIters).foreach { i =>
-          ranks = edgesW
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
-            .withColumnRenamed("dst", "node")
-          if (i % 2 == 0) {
-            val c = ranks.persist()
-            c.count()
-            prevCache.foreach(_.unpersist(blocking = false))
-            prevCache = Some(c)
-            ranks = c
-          }
-        }
-        // The final top-20 is COLLECTED into a local relation and the
-        // caches are released before returning — the r6 version
-        // returned the persisted plan itself, so the rank cache
-        // outlived the query: CacheManager plan-matching served every
-        // rerun from it (bench "medians" of 0.68 s were cache hits,
-        // and the leaked blocks accumulated per session). Only
-        // O(k)=20 rows cross to the driver, so the local relation is
-        // free, every invocation is genuinely cold, and nothing
-        // survives the call.
-        edgesW.unpersist(blocking = false)
-        val top = ranks
-          .select(
-            concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
-              expr("node div 2").cast("string")).as("node"),
-            round(col("r") + 1e-9, 4).as("pr"))
-          .orderBy(col("pr").desc, col("node").asc)
-          .limit(20)
-          .orderBy("node")
-        val rows = top.collect()
-        val schema = top.schema
-        prevCache.foreach(_.unpersist(blocking = false))
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        //
+        // Edge-layout strategy (r9 interleaved A/B/C, sf0.1, warmed
+        // JVM, 5 alternating reps): pre-bucketing the edge list on
+        // `src` via Sources.writeBucketed INSIDE the invocation is a
+        // wash — 5.15 s median vs 5.12 s for this persisted-cache form
+        // (the bucket-table write costs what the removed per-round
+        // exchanges save) — so the honest-cold declared query keeps
+        // the persist. The same iterations over an ALREADY-BUILT
+        // bucketed edge table run 2.95 s median (1.7×): that
+        // amortized operating point is the 100 TB story and ships as
+        // [[buildPagerankEdgeIndex]] + [[pagerankIndexed]]
+        // (ClusterChainSpec pins indexed ≡ declared).
+        pagerankIterate(s, edgesW,
+          deg.select(col("src").as("node"), lit(1.0).as("r")),
+          release = () => { edgesW.unpersist(blocking = false); () })
       },
       Some(pagerankOracle(PageRankIters))),
 

@@ -40,6 +40,22 @@ import org.apache.spark.sql.SparkSession
   * deterministic: a torn rename can leave both halves, and the marker
   * says which half is authoritative. Callers run [[recover]] before
   * every read of the standing directory.
+  *
+  * '''Writer lease''' (`dest.lock`): the crash windows above assume ONE
+  * writer at a time, but the reference's scheduler happily overlaps
+  * ticks — go-cron forks the next backup whether or not the previous
+  * one finished (init.sh:14, no flock anywhere in backup.sh). Two
+  * interleaved swaps could interleave their renames (A's set-aside
+  * between B's set-aside and promote ⇒ B's recover promotes A's tmp
+  * over B's). So every swap — and every standing-state TICK via
+  * [[withLease]] — runs under an atomic-create lock file carrying a
+  * lease expiry: the loser of a race fails fast
+  * ([[LeaseHeldException]], retry next tick), an in-process failure
+  * releases in `finally`, and only a DEAD holder leaves the lock to
+  * expire by TTL — after which the next writer breaks it and
+  * [[recover]] repairs whatever the corpse left, exactly as for any
+  * crash ([[ContentionSpec]] drives both races over atomic and torn
+  * renames).
   */
 object AtomicDir {
 
@@ -59,14 +75,120 @@ object AtomicDir {
 
   private def markerPath(dest: String) = new Path(dest + ".commit")
 
-  /** Swap the fully-written `dest`.tmp into place over `dest`. */
-  def swap(dest: String): Unit = {
+  private def lockPath(dest: String) = new Path(dest + ".lock")
+
+  /** FileSystem for an arbitrary path string, resolved from its scheme
+    * with the active session's conf — shared with the standing-state
+    * loops so their marker/existence checks take the same URI-portable
+    * path as the swap itself (never `java.io.File`).
+    */
+  private[graft] def fileSystem(path: String): FileSystem = fsOf(new Path(path))
+
+  /** Default writer-lease TTL. A swap is a handful of renames — 60 s is
+    * generous; the TTL exists only so a lease whose holder DIED (not
+    * merely crashed its protocol — an in-process failure releases in
+    * `finally`) cannot fence the directory forever.
+    */
+  val DefaultLeaseTtlMs: Long = 60000L
+
+  /** A live writer already holds the `dest` lease — the overlapping-tick
+    * scenario (a backup slower than its schedule: go-cron forks the next
+    * tick regardless, init.sh:14). Callers fail the tick and retry on
+    * their next schedule; they must NOT break the lock.
+    */
+  final class LeaseHeldException(msg: String) extends java.io.IOException(msg)
+
+  /** Leases this thread currently holds (re-entrancy: a swap inside
+    * `withLease` must not dead-fail against its own lock).
+    */
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Acquire the writer lease on `dest`: one atomic-exclusive small-file
+    * create (the same primitive as the commit marker) whose content is
+    * the lease EXPIRY epoch-millis. A live (unexpired) lock fails fast
+    * with [[LeaseHeldException]]; an expired lock is broken and
+    * re-acquired — its holder is dead, and the swap protocol itself
+    * (marker + recover) guarantees whatever it left mid-flight repairs
+    * deterministically.
+    */
+  private def acquire(fs: FileSystem, dest: String, ttlMs: Long): Unit = {
+    val lock = lockPath(dest)
+    var attempts = 0
+    while (true) {
+      try {
+        val out = fs.create(lock, false)
+        out.write((System.currentTimeMillis() + ttlMs).toString.getBytes("UTF-8"))
+        out.close()
+        return
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException if fs.exists(lock) =>
+          val expiry: Option[Long] =
+            try {
+              val in = fs.open(lock)
+              val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+              if (s.nonEmpty) Some(s.toLong)
+              // created-but-not-yet-written race window: fall back to
+              // the file's own mtime + the caller's TTL
+              else Some(fs.getFileStatus(lock).getModificationTime + ttlMs)
+            } catch { case _: java.io.FileNotFoundException => None }
+          expiry match {
+            case Some(e) if System.currentTimeMillis() > e =>
+              fs.delete(lock, false) // stale: holder died; break and retry
+            case Some(e) =>
+              throw new LeaseHeldException(
+                s"writer lease on $dest held until epoch-ms $e — " +
+                  "concurrent swap in flight (overlapping tick?)")
+            case None => () // lock vanished between create and read: retry
+          }
+          attempts += 1
+          if (attempts > 100)
+            throw new java.io.IOException(s"livelock acquiring lease on $dest")
+      }
+    }
+  }
+
+  private def release(fs: FileSystem, dest: String): Unit =
+    fs.delete(lockPath(dest), false)
+
+  /** Run `body` holding the writer lease on `dest` — the
+    * write-new-then-swap loops wrap their WHOLE tick (recover → marker
+    * read → compute → write tmp → swap) in this, so two overlapping
+    * ticks serialize: the loser fails fast with [[LeaseHeldException]]
+    * instead of interleaving renames with the winner's protocol.
+    * Re-entrant per thread. The lock releases in `finally` (an
+    * in-process failure — including a torn rename — frees the
+    * directory immediately; only a DEAD holder leaves the lock to
+    * expire by TTL).
+    */
+  def withLease[A](dest: String, ttlMs: Long = DefaultLeaseTtlMs)(body: => A): A = {
+    if (held.get.contains(dest)) return body
+    val fs = fsOf(new Path(dest))
+    acquire(fs, dest, ttlMs)
+    held.get += dest
+    try body
+    finally {
+      held.get -= dest
+      release(fs, dest)
+    }
+  }
+
+  /** Swap the fully-written `dest`.tmp into place over `dest`.
+    * Standalone calls take the writer lease for the swap's duration;
+    * calls inside [[withLease]] ride the caller's lease.
+    */
+  def swap(dest: String): Unit = withLease(dest) {
     val d = new Path(dest)
     val fs = fsOf(d)
     val t = new Path(tmpPath(dest))
     val o = new Path(dest + ".old")
     val m = markerPath(dest)
     if (fs.exists(o)) fs.delete(o, true)
+    if (fs.exists(m))
+      throw new java.io.IOException(
+        s"swap: unrecovered commit marker at $dest — run recover first")
     // step 1 — commit point: from here the tmp content is authoritative
     fs.create(m, false).close()
     if (fs.exists(d) && !fs.rename(d, o)) {
@@ -84,11 +206,30 @@ object AtomicDir {
   }
 
   /** Repair any half-finished swap at `dest`. Idempotent; call before
-    * reading the standing state.
+    * reading the standing state. Respects a LIVE writer lease (repair
+    * while a swap is mid-protocol would steal its tmp): fails fast with
+    * [[LeaseHeldException]] unless this thread holds the lease; an
+    * EXPIRED lock (dead holder) is broken and the repair proceeds.
     */
   def recover(dest: String): Unit = {
     val d = new Path(dest)
     val fs = fsOf(d)
+    if (!held.get.contains(dest)) {
+      val lock = lockPath(dest)
+      if (fs.exists(lock)) {
+        val expiry =
+          try {
+            val in = fs.open(lock)
+            val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+            if (s.nonEmpty) s.toLong
+            else fs.getFileStatus(lock).getModificationTime + DefaultLeaseTtlMs
+          } catch { case _: java.io.FileNotFoundException => 0L }
+        if (System.currentTimeMillis() > expiry) fs.delete(lock, false)
+        else throw new LeaseHeldException(
+          s"recover($dest): writer lease live until epoch-ms $expiry — " +
+            "swap in flight, repair would steal its tmp")
+      }
+    }
     val t = new Path(tmpPath(dest))
     val o = new Path(dest + ".old")
     val m = markerPath(dest)

@@ -70,4 +70,14 @@ object Graft {
     Tables.names.foreach { n =>
       Tables(spark, dir, n).createOrReplaceTempView(n)
     }
+
+  /** The engine's SQL-text entry point: the reference's literal
+    * `BACKUP DATABASE … TO Disk('backups', '…')` statement
+    * (backup.sh:45) — plus RESTORE / ALTER-mutations / OPTIMIZE —
+    * routed onto the spec'd [[operators.Snapshot]] engines, with an
+    * exact fallthrough to `spark.sql` for everything else
+    * ([[GraftSql]]).
+    */
+  def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame =
+    GraftSql.sql(spark, text)
 }

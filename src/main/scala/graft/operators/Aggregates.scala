@@ -50,17 +50,24 @@ object Aggregates extends QueryModule {
          |  (st, i) -> CASE WHEN ${mean("i + 1")} - ${mean("i")} < st.g
          |    THEN named_struct('i', i, 'g', ${mean("i + 1")} - ${mean("i")})
          |    ELSE st END).i""".stripMargin
-    s"""aggregate(sequence(1, size(bs) - $HistFoldBins), bs, (acc, k) ->
-       |  concat(
-       |    slice(acc, 1, ($pick) - 1),
-       |    array(named_struct(
-       |      'lo', least(element_at(acc, $pick).lo,
-       |                  element_at(acc, ($pick) + 1).lo),
-       |      'hi', greatest(element_at(acc, $pick).hi,
-       |                     element_at(acc, ($pick) + 1).hi),
-       |      's', element_at(acc, $pick).s + element_at(acc, ($pick) + 1).s,
-       |      'w', element_at(acc, $pick).w + element_at(acc, ($pick) + 1).w)),
-       |    slice(acc, ($pick) + 2, size(acc) - ($pick) - 1)))""".stripMargin
+    // total over ANY grid size: with ≤ HistFoldBins populated bins
+    // there is nothing to merge, and a bare sequence(1, size - bins)
+    // would default to step -1 (sequence(1,0) = [1,0]) and run
+    // spurious merges — the CASE makes the no-op explicit instead of
+    // relying on the fixture precondition alone (r9 ADVICE item 1)
+    s"""CASE WHEN size(bs) > $HistFoldBins THEN
+       |  aggregate(sequence(1, size(bs) - $HistFoldBins), bs, (acc, k) ->
+       |    concat(
+       |      slice(acc, 1, ($pick) - 1),
+       |      array(named_struct(
+       |        'lo', least(element_at(acc, $pick).lo,
+       |                    element_at(acc, ($pick) + 1).lo),
+       |        'hi', greatest(element_at(acc, $pick).hi,
+       |                       element_at(acc, ($pick) + 1).hi),
+       |        's', element_at(acc, $pick).s + element_at(acc, ($pick) + 1).s,
+       |        'w', element_at(acc, $pick).w + element_at(acc, ($pick) + 1).w)),
+       |      slice(acc, ($pick) + 2, size(acc) - ($pick) - 1)))
+       |ELSE bs END""".stripMargin
   }
 
   /** The generated DuckDB oracle: the IDENTICAL 43-merge walk as

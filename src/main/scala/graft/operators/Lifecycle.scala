@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
 object Lifecycle extends QueryModule {
 
   /** The mutation predicate, shared between the staged delete and the
-    * oracle's complement: first week of clicks is forgotten.
+    * oracle's complement (and the SQL-text mutation route,
+    * [[graft.plans.SqlSurface]]): first week of clicks is forgotten.
     */
-  private val CutTs = "2024-01-08 00:00:00"
+  private[graft] val CutTs = "2024-01-08 00:00:00"
 
   /** Staging is check-then-write into a shared tmpdir — serialize it
     * (the bench/verify drivers are single-threaded, but a parallel

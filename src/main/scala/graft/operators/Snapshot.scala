@@ -446,9 +446,11 @@ object Snapshot {
         s"snapshot at $dest has no manifest — re-run Snapshot.backup on it"))
 
   /** Per-day content digests (day, xor, sum) — the staleness fence
-    * [[SkipIndex]] records at build time and re-checks at scan time.
+    * [[SkipIndex]] records at build time and re-checks at scan time,
+    * and the byte-identity witness [[graft.GraftSqlSpec]] compares
+    * between the SQL-text BACKUP route and the direct API.
     */
-  private[operators] def manifestDigests(
+  private[graft] def manifestDigests(
       spark: SparkSession, dest: String): Seq[(String, Long, String)] =
     requireManifest(spark, dest)._2.map(r => (r._1, r._3, r._4))
 
@@ -923,10 +925,24 @@ object Snapshot {
     */
   private def exportZip(df: DataFrame, dest: String): Unit = {
     val spark = df.sparkSession
-    val destPath = new org.apache.hadoop.fs.Path(dest)
-    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
     val stage = new org.apache.hadoop.fs.Path(dest + ".stage")
     df.write.mode("overwrite").parquet(stage.toString)
+    zipDirectory(spark, stage.toString, dest)
+    val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(stage, true)
+  }
+
+  /** Stream a whole directory tree into ONE zip object — the container
+    * arm shared by [[exportZip]] and the SQL-text `BACKUP … TO
+    * Disk('backups', '….zip')` route ([[graft.GraftSql]]). Entries are
+    * relative paths, name-sorted, STORED, zero-timestamped (see
+    * [[exportZip]]'s determinism notes).
+    */
+  private[graft] def zipDirectory(spark: SparkSession, srcDir: String,
+      dest: String): Unit = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new org.apache.hadoop.fs.Path(srcDir)
     // recursive listStatus walk, not listFiles: the latter's
     // LocatedFileStatus eagerly loads permissions through a
     // file:-scheme-only java.io.File path on local-backed filesystems
@@ -970,7 +986,6 @@ object Snapshot {
         out.closeEntry()
       }
     } finally out.close()
-    fs.delete(stage, true)
   }
 
   /** Schema-explicit import: text formats come back string-typed
@@ -993,11 +1008,24 @@ object Snapshot {
     */
   private def importZip(spark: SparkSession,
       dest: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val destPath = new org.apache.hadoop.fs.Path(dest)
-    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val unpack = new org.apache.hadoop.fs.Path(dest + ".unpacked")
+    val unpack = dest + ".unpacked"
+    unzipDirectory(spark, dest, unpack)
+    spark.read.schema(schema).parquet(unpack)
+  }
+
+  /** Unpack a zip object into `destDir` (clearing any previous unpack)
+    * — the restore half of [[zipDirectory]], shared with the SQL-text
+    * `RESTORE … FROM '….zip'` route. Entry names are relative paths;
+    * each is re-rooted under the unpack dir and validated against `..`
+    * traversal before any byte lands.
+    */
+  private[graft] def unzipDirectory(spark: SparkSession, zipFile: String,
+      destDir: String): Unit = {
+    val zipPath = new org.apache.hadoop.fs.Path(zipFile)
+    val fs = zipPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val unpack = new org.apache.hadoop.fs.Path(destDir)
     fs.delete(unpack, true)
-    val in = new java.util.zip.ZipInputStream(fs.open(destPath))
+    val in = new java.util.zip.ZipInputStream(fs.open(zipPath))
     try {
       val buf = new Array[Byte](64 * 1024)
       var entry = in.getNextEntry
@@ -1014,7 +1042,6 @@ object Snapshot {
         entry = in.getNextEntry
       }
     } finally in.close()
-    spark.read.schema(schema).parquet(unpack.toString)
   }
 
   /** A retention-tier view over the snapshot: day-bucket prefix length

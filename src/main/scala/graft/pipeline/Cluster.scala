@@ -151,6 +151,31 @@ object Cluster extends QueryModule {
       release = () => ())
   }
 
+  /** q_pagerank_indexed's once-per-session index staging (the
+    * Lifecycle fixture pattern): the first invocation pays the
+    * bucketed-table build, every later one reads it — so a bench
+    * median over repeated runs reports the AMORTIZED operating point
+    * the standing index exists for, while the cold build cost stays
+    * visible as run 1's outlier. Honest on both axes: the cold path
+    * is still measured by q_pagerank, which shares no state.
+    */
+  private val prIndexLock = new Object
+  private def pagerankIndexTable(s: SparkSession, dir: String): String =
+    prIndexLock.synchronized {
+      val tbl = "graft_pr_edges_" + Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(tbl)) {
+        // the catalog is per-JVM but the warehouse directory is not: a
+        // previous session's managed-table files would make this
+        // session's CREATE fail with LOCATION_ALREADY_EXISTS — clear
+        // the leftover location before rebuilding
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        graft.AtomicDir.fileSystem(loc.toString).delete(loc, true)
+        buildPagerankEdgeIndex(s, dir, tbl)
+      }
+      tbl
+    }
+
   /** The DuckDB twin of q_pagerank's iteration loop: the same
     * symmetrized edge list, degree table, and 8 unnormalized damped
     * power-iteration steps as chained CTEs — generated, not
@@ -437,6 +462,20 @@ object Cluster extends QueryModule {
           deg.select(col("src").as("node"), lit(1.0).as("r")),
           release = () => { edgesW.unpersist(blocking = false); () })
       },
+      Some(pagerankOracle(PageRankIters))),
+
+    // The AMORTIZED PageRank operating point declared as its own
+    // oracle-checked row (r9 verdict item 6): the same 8 damped
+    // power-iteration rounds over the STANDING src-bucketed edge
+    // index ([[buildPagerankEdgeIndex]], staged once per session the
+    // way q_projection_agg stages its partials) — per-iteration edge
+    // exchanges are gone because the bucketed layout pre-paid them,
+    // the 1.7× measured in the r9 interleaved A/B. Values are
+    // IDENTICAL to q_pagerank (same edges, same arithmetic, key
+    // encoding untouched), so the oracle is the same generated
+    // 8-stage CTE chain, shared by reference.
+    "q_pagerank_indexed" -> QueryDef(
+      (s, dir) => pagerankIndexed(s, pagerankIndexTable(s, dir)),
       Some(pagerankOracle(PageRankIters))),
 
     // Triangle count + global clustering coefficient over the

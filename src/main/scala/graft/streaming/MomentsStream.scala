@@ -31,10 +31,19 @@ object MomentsStream {
 
   private val MarkerFile = "_merged_batch"
 
+  /** Marker/existence reads resolve through the Hadoop FileSystem of
+    * `dest`'s own scheme — same URI-portability contract as the swap
+    * ([[graft.RestartSpec]] drives the restart battery over torn
+    * `tornfs://` renames).
+    */
   private[graft] def mergedBatchId(dest: String): Long = {
     graft.AtomicDir.recover(dest) // repair any half-finished swap first
-    val f = new java.io.File(dest, MarkerFile)
-    if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong else -1L
+    val fs = graft.AtomicDir.fileSystem(dest)
+    val f = new org.apache.hadoop.fs.Path(dest, MarkerFile)
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } else -1L
   }
 
   /** Standing per-day flat moment vectors at `dest` (empty if none).
@@ -42,7 +51,8 @@ object MomentsStream {
     */
   private[graft] def perDay(spark: SparkSession, dest: String): Map[String, Seq[Double]] = {
     graft.AtomicDir.recover(dest)
-    if (new java.io.File(dest).exists())
+    if (graft.AtomicDir.fileSystem(dest)
+        .exists(new org.apache.hadoop.fs.Path(dest)))
       spark.read.parquet(dest).collect()
         .map(r => r.getString(r.fieldIndex("day")) ->
           r.getSeq[Double](r.fieldIndex("moments"))).toMap
@@ -98,9 +108,11 @@ object MomentsStream {
     val tmp = graft.AtomicDir.tmpPath(dest)
     state.toSeq.sortBy(_._1).toDF("day", "moments")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    if (batchId >= 0)
-      java.nio.file.Files.writeString(
-        new java.io.File(tmp, MarkerFile).toPath, batchId.toString)
+    if (batchId >= 0) {
+      val fs = graft.AtomicDir.fileSystem(tmp)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerFile), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
     graft.AtomicDir.swap(dest)
   }
 
@@ -113,31 +125,36 @@ object MomentsStream {
     * inside the swap.
     */
   def mergeBatch(batch: DataFrame, dest: String,
-      batchId: Long = Long.MinValue, dayCol: Option[String] = None): Unit = {
-    graft.AtomicDir.recover(dest)
-    if (batchId != Long.MinValue && batchId <= mergedBatchId(dest)) return
-    val spark = batch.sparkSession
-    val keyed = dayCol match {
-      case Some(c) => batch.select(col(c).cast("string").as("day"), col("embedding"))
-      case None => batch.select(lit("").as("day"), col("embedding"))
+      batchId: Long = Long.MinValue, dayCol: Option[String] = None): Unit =
+    // whole tick under the writer lease — overlapping ticks serialize
+    // or fail fast instead of interleaving with this read-modify-write
+    graft.AtomicDir.withLease(dest) {
+      graft.AtomicDir.recover(dest)
+      if (batchId == Long.MinValue || batchId > mergedBatchId(dest)) {
+        val spark = batch.sparkSession
+        val keyed = dayCol match {
+          case Some(c) => batch.select(col(c).cast("string").as("day"), col("embedding"))
+          case None => batch.select(lit("").as("day"), col("embedding"))
+        }
+        val fresh = keyed.groupBy("day")
+          .agg(graft.functions.CovAgg(col("embedding")).as("m"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Double](1))
+          .filter(_._2.nonEmpty).toMap
+        if (fresh.nonEmpty) { // empty batch: nothing to fold
+          val standing = perDay(spark, dest)
+          val merged = (standing.keySet ++ fresh.keySet).map { d =>
+            d -> ((standing.get(d), fresh.get(d)) match {
+              case (Some(a), Some(b)) => mergeFlat(a, b)
+              case (Some(a), None) => a
+              case (None, b) => b.get
+            })
+          }.toMap
+          writeState(spark, dest, merged,
+            if (batchId != Long.MinValue) batchId else -1L)
+        }
+      }
     }
-    val fresh = keyed.groupBy("day")
-      .agg(graft.functions.CovAgg(col("embedding")).as("m"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1))
-      .filter(_._2.nonEmpty).toMap
-    if (fresh.isEmpty) return // empty batch: nothing to fold
-    val standing = perDay(spark, dest)
-    val merged = (standing.keySet ++ fresh.keySet).map { d =>
-      d -> ((standing.get(d), fresh.get(d)) match {
-        case (Some(a), Some(b)) => mergeFlat(a, b)
-        case (Some(a), None) => a
-        case (None, b) => b.get
-      })
-    }.toMap
-    writeState(spark, dest, merged,
-      if (batchId != Long.MinValue) batchId else -1L)
-  }
 
   /** Reconcile the standing moments with a MUTATION applied to the
     * day-partitioned base snapshot (`ALTER … DELETE/UPDATE` between
@@ -154,24 +171,28 @@ object MomentsStream {
     * class as the mutation's own day-partition rewrite.
     */
   def reconcile(spark: SparkSession, snapshotDest: String, embedCol: String,
-      dest: String, report: graft.operators.Snapshot.MutationReport): Unit = {
-    graft.AtomicDir.recover(dest)
-    if (!new java.io.File(dest).exists()) return
-    val standing = perDay(spark, dest)
-    val affected = (report.daysRewritten ++ report.daysDropped).distinct
-      .filter(standing.contains)
-    if (affected.isEmpty) return
-    val recomputed = graft.operators.Snapshot.resolve(spark, snapshotDest)
-      .filter(col("bucket_day").cast("string").isin(affected: _*))
-      .groupBy(col("bucket_day").cast("string").as("day"))
-      .agg(graft.functions.CovAgg(col(embedCol)).as("m"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1))
-      .filter(_._2.nonEmpty).toMap
-    // dropped / fully-deleted days simply leave the state
-    val merged = (standing -- affected) ++ recomputed
-    writeState(spark, dest, merged, mergedBatchId(dest))
-  }
+      dest: String, report: graft.operators.Snapshot.MutationReport): Unit =
+    graft.AtomicDir.withLease(dest) {
+      graft.AtomicDir.recover(dest)
+      if (graft.AtomicDir.fileSystem(dest)
+          .exists(new org.apache.hadoop.fs.Path(dest))) {
+        val standing = perDay(spark, dest)
+        val affected = (report.daysRewritten ++ report.daysDropped).distinct
+          .filter(standing.contains)
+        if (affected.nonEmpty) {
+          val recomputed = graft.operators.Snapshot.resolve(spark, snapshotDest)
+            .filter(col("bucket_day").cast("string").isin(affected: _*))
+            .groupBy(col("bucket_day").cast("string").as("day"))
+            .agg(graft.functions.CovAgg(col(embedCol)).as("m"))
+            .collect()
+            .map(r => r.getString(0) -> r.getSeq[Double](1))
+            .filter(_._2.nonEmpty).toMap
+          // dropped / fully-deleted days simply leave the state
+          val merged = (standing -- affected) ++ recomputed
+          writeState(spark, dest, merged, mergedBatchId(dest))
+        }
+      }
+    }
 
   /** foreachBatch writer maintaining the moments at `dest` from a
     * stream with an `embedding: array<float>` column (plus `dayCol`

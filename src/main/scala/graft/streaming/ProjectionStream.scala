@@ -52,12 +52,28 @@ object ProjectionStream {
 
   /** Highest batch id already folded into the projection at `dest`,
     * or -1. The marker travels INSIDE the projection directory, so
-    * the atomic swap commits data and watermark together.
+    * the atomic swap commits data and watermark together. All paths
+    * resolve through the Hadoop FileSystem of `dest`'s own scheme —
+    * the same URI-portability contract as the swap itself, so the
+    * loop runs unchanged over `file:`, a test scheme, or an
+    * object-store connector ([[graft.RestartSpec]] drives the whole
+    * restart battery over torn `tornfs://` renames).
     */
   private[graft] def mergedBatchId(dest: String): Long = {
     graft.AtomicDir.recover(dest) // repair any half-finished swap first
-    val f = new java.io.File(dest, MarkerFile)
-    if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong else -1L
+    val fs = graft.AtomicDir.fileSystem(dest)
+    val f = new org.apache.hadoop.fs.Path(dest, MarkerFile)
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } else -1L
+  }
+
+  /** Write the replay-fence marker into the staged tmp directory. */
+  private def writeMarker(tmp: String, batchId: Long): Unit = {
+    val fs = graft.AtomicDir.fileSystem(tmp)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerFile), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Fold one batch of RAW rows into the standing projection at
@@ -75,30 +91,34 @@ object ProjectionStream {
     * marker), never a half state.
     */
   def mergeBatch(batch: DataFrame, keys: Seq[String], measures: Seq[String],
-      dest: String, batchId: Long = Long.MinValue): Unit = {
-    graft.AtomicDir.recover(dest)
-    if (batchId != Long.MinValue && batchId <= mergedBatchId(dest)) return
-    val spark = batch.sparkSession
-    val fresh = batch.groupBy(keys.map(col): _*)
-      .agg(partialAggs(measures).head, partialAggs(measures).tail: _*)
-    val standingDir = new java.io.File(dest)
-    val merged =
-      if (standingDir.exists()) {
-        val standing = spark.read.parquet(dest)
-        standing.unionByName(fresh)
-          .groupBy(keys.map(col): _*)
-          .agg(mergeAggs(measures).head, mergeAggs(measures).tail: _*)
-      } else fresh
-    // write-new-then-swap via AtomicDir: the old state is renamed
-    // aside, never deleted, until the new one is live — a crash at any
-    // point leaves a recoverable standing directory (see AtomicDir)
-    val tmp = graft.AtomicDir.tmpPath(dest)
-    merged.write.mode("overwrite").parquet(tmp)
-    if (batchId != Long.MinValue)
-      java.nio.file.Files.writeString(
-        new java.io.File(tmp, MarkerFile).toPath, batchId.toString)
-    graft.AtomicDir.swap(dest)
-  }
+      dest: String, batchId: Long = Long.MinValue): Unit =
+    // the WHOLE tick holds the writer lease — recover, fence read,
+    // standing read, tmp write, swap — so an overlapping tick
+    // (go-cron forks the next run regardless, init.sh:14) fails fast
+    // instead of interleaving with this one's read-modify-write
+    graft.AtomicDir.withLease(dest) {
+      graft.AtomicDir.recover(dest)
+      if (batchId == Long.MinValue || batchId > mergedBatchId(dest)) {
+        val spark = batch.sparkSession
+        val fresh = batch.groupBy(keys.map(col): _*)
+          .agg(partialAggs(measures).head, partialAggs(measures).tail: _*)
+        val merged =
+          if (graft.AtomicDir.fileSystem(dest)
+              .exists(new org.apache.hadoop.fs.Path(dest))) {
+            val standing = spark.read.parquet(dest)
+            standing.unionByName(fresh)
+              .groupBy(keys.map(col): _*)
+              .agg(mergeAggs(measures).head, mergeAggs(measures).tail: _*)
+          } else fresh
+        // write-new-then-swap via AtomicDir: the old state is renamed
+        // aside, never deleted, until the new one is live — a crash at
+        // any point leaves a recoverable standing directory (AtomicDir)
+        val tmp = graft.AtomicDir.tmpPath(dest)
+        merged.write.mode("overwrite").parquet(tmp)
+        if (batchId != Long.MinValue) writeMarker(tmp, batchId)
+        graft.AtomicDir.swap(dest)
+      }
+    }
 
   /** Reconcile the standing projection with a MUTATION applied to the
     * day-partitioned base snapshot (`ALTER … DELETE/UPDATE` between
@@ -120,38 +140,39 @@ object ProjectionStream {
     */
   def reconcile(spark: SparkSession, snapshotDest: String, keys: Seq[String],
       measures: Seq[String], dest: String,
-      report: graft.operators.Snapshot.MutationReport): Unit = {
+      report: graft.operators.Snapshot.MutationReport): Unit = graft.AtomicDir.withLease(dest) {
     require(keys.contains("bucket_day"),
       "mutation-reconcilable projections must key on bucket_day — the " +
         "day is the snapshot's mutation granularity, so it bounds what " +
         "a reconcile may touch")
     graft.AtomicDir.recover(dest)
-    if (!new java.io.File(dest).exists()) return
-    import spark.implicits._
-    val standingDays = spark.read.parquet(dest)
-      .select(col("bucket_day").cast("string")).distinct()
-      .as[String].collect().toSet // key-domain-scale, never row-scale
-    val affected = (report.daysRewritten ++ report.daysDropped).distinct
-      .filter(standingDays)
-    if (affected.isEmpty) return
-    val marker = mergedBatchId(dest)
-    val keep = spark.read.parquet(dest)
-      .filter(!col("bucket_day").cast("string").isin(affected: _*))
-    // partition-column inference may type the snapshot's bucket_day
-    // differently from the streamed rows (yyyyMMdd reads back as int);
-    // align it to the standing projection's type before the union
-    val dayType = keep.schema("bucket_day").dataType
-    val recomputed = graft.operators.Snapshot.resolve(spark, snapshotDest)
-      .filter(col("bucket_day").cast("string").isin(affected: _*))
-      .withColumn("bucket_day", col("bucket_day").cast(dayType))
-      .groupBy(keys.map(col): _*)
-      .agg(partialAggs(measures).head, partialAggs(measures).tail: _*)
-    val tmp = graft.AtomicDir.tmpPath(dest)
-    keep.unionByName(recomputed).write.mode("overwrite").parquet(tmp)
-    if (marker >= 0)
-      java.nio.file.Files.writeString(
-        new java.io.File(tmp, MarkerFile).toPath, marker.toString)
-    graft.AtomicDir.swap(dest)
+    if (graft.AtomicDir.fileSystem(dest)
+        .exists(new org.apache.hadoop.fs.Path(dest))) {
+      import spark.implicits._
+      val standingDays = spark.read.parquet(dest)
+        .select(col("bucket_day").cast("string")).distinct()
+        .as[String].collect().toSet // key-domain-scale, never row-scale
+      val affected = (report.daysRewritten ++ report.daysDropped).distinct
+        .filter(standingDays)
+      if (affected.nonEmpty) {
+        val marker = mergedBatchId(dest)
+        val keep = spark.read.parquet(dest)
+          .filter(!col("bucket_day").cast("string").isin(affected: _*))
+        // partition-column inference may type the snapshot's bucket_day
+        // differently from the streamed rows (yyyyMMdd reads back as
+        // int); align it to the standing projection's type pre-union
+        val dayType = keep.schema("bucket_day").dataType
+        val recomputed = graft.operators.Snapshot.resolve(spark, snapshotDest)
+          .filter(col("bucket_day").cast("string").isin(affected: _*))
+          .withColumn("bucket_day", col("bucket_day").cast(dayType))
+          .groupBy(keys.map(col): _*)
+          .agg(partialAggs(measures).head, partialAggs(measures).tail: _*)
+        val tmp = graft.AtomicDir.tmpPath(dest)
+        keep.unionByName(recomputed).write.mode("overwrite").parquet(tmp)
+        if (marker >= 0) writeMarker(tmp, marker)
+        graft.AtomicDir.swap(dest)
+      }
+    }
   }
 
   /** foreachBatch writer maintaining the projection at `dest` from a

@@ -1,0 +1,179 @@
+package graft
+
+import java.io.File
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+
+/** The SQL-text COMMAND surface ([[GraftSql]]): the reference's
+  * literal `BACKUP DATABASE … TO Disk('backups', '….zip')` statement
+  * (backup.sh:45) and the rest of the snapshot-lifecycle verbs, each
+  * proven equivalent to the Scala API it routes onto — digest-
+  * identical backups, row-identical restores, mutation-identical
+  * ALTERs.
+  */
+class GraftSqlSpec extends SparkSpec {
+
+  private def withRoot[A](body: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlcmd").toString
+    try body(root) finally FileUtils.deleteDirectory(new File(root))
+  }
+
+  private def events() = operators.Relational.eventsSec(spark, sf)
+    .select("event_id", "user_id", "event_type", "value", "ts_s")
+
+  test("SQL-text BACKUP TABLE ≡ Snapshot.backup — per-day digests byte-identical") {
+    withRoot { root =>
+      val e = events()
+      e.createOrReplaceTempView("ev_graftsql")
+      val out = Graft.sql(spark, s"BACKUP TABLE ev_graftsql TO '$root/sql';")
+        .collect()(0)
+      val apiRows = operators.Snapshot.backup(e, col("ts_s"), s"$root/api")
+      assert(out.getAs[Long]("n_rows") == apiRows)
+      // byte-identity witness: the order-insensitive (count, xor, sum)
+      // content digest of every day partition matches exactly
+      val sqlDig = operators.Snapshot.manifestDigests(spark, s"$root/sql").sorted
+      val apiDig = operators.Snapshot.manifestDigests(spark, s"$root/api").sorted
+      assert(sqlDig.nonEmpty && sqlDig == apiDig,
+        "SQL-text BACKUP produced different content digests than Snapshot.backup")
+      // and the statement registered the snapshot for later ALTERs
+      assert(spark.conf.get("graft.snapshot.ev_graftsql") == s"$root/sql")
+    }
+  }
+
+  test("the reference's literal statement: BACKUP DATABASE … TO Disk('backups', '….zip') round-trips") {
+    withRoot { root =>
+      // unique managed location per run: a PREVIOUS JVM's leftover
+      // spark-warehouse/refdb.db would otherwise LOCATION_ALREADY_EXISTS
+      // the saveAsTable (the catalog is in-memory, the warehouse is not)
+      spark.sql("DROP DATABASE IF EXISTS refdb CASCADE")
+      spark.sql(s"CREATE DATABASE refdb LOCATION '$root/refdb.db'")
+      events().limit(500).write.mode("overwrite").saveAsTable("refdb.ev_small")
+      Tables(spark, sf, "nation").write.mode("overwrite").saveAsTable("refdb.nation_dim")
+      spark.conf.set("graft.disk.backups", root)
+      // backup.sh:45 verbatim, with its dated BACKUP_SUFFIX object name
+      val backed = Graft.sql(spark,
+        "BACKUP DATABASE refdb TO Disk('backups', 'refdb-20240101-000000.zip');")
+        .orderBy("table").collect()
+      assert(backed.map(_.getString(0)).toSeq == Seq("ev_small", "nation_dim"))
+      assert(new File(root, "refdb-20240101-000000.zip").isFile,
+        "the backup must land as ONE zip object, the reference's artifact shape")
+      val restored = Graft.sql(spark,
+        "RESTORE DATABASE refdb FROM Disk('backups', 'refdb-20240101-000000.zip');")
+        .orderBy("table").collect()
+      assert(restored.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        backed.map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toSeq)
+      // restored views hold the original rows exactly (dimension table:
+      // constant-epoch day bucket — one "part", dropped for the compare)
+      val got = spark.table("nation_dim").drop("bucket_day")
+        .orderBy("n_nationkey").collect().toSeq
+      val want = spark.table("refdb.nation_dim")
+        .orderBy("n_nationkey").collect().toSeq
+      assert(got == want, "zip-restored nation_dim differs from the original")
+      val gotEv = spark.table("ev_small").drop("bucket_day")
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+        .orderBy("event_id").collect().toSeq
+      val wantEv = spark.table("refdb.ev_small")
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+        .orderBy("event_id").collect().toSeq
+      assert(gotEv == wantEv, "zip-restored ev_small differs from the original")
+    }
+  }
+
+  test("SQL-text RESTORE TABLE round-trips the directory arm, day-partitioned") {
+    withRoot { root =>
+      val e = events()
+      e.createOrReplaceTempView("ev_rt_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_rt_graftsql TO '$root/snap';")
+      val back = Graft.sql(spark,
+        s"RESTORE TABLE ev_rt_graftsql FROM '$root/snap';")
+      assert(back.columns.contains("bucket_day"),
+        "a restored snapshot carries its day-partition column")
+      val got = spark.table("ev_rt_graftsql") // RESTORE re-registered the view
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+        .orderBy("event_id").collect().toSeq
+      val want = e.orderBy("event_id").collect().toSeq
+      assert(got == want, "SQL-text RESTORE lost or changed rows")
+    }
+  }
+
+  test("SQL-text ALTER TABLE DELETE ≡ Snapshot.delete, row for row") {
+    withRoot { root =>
+      val e = events()
+      val pred = "event_type = 'error' AND value < 50.0"
+      // SQL route
+      e.createOrReplaceTempView("ev_del_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_del_graftsql TO '$root/sql';")
+      val rep = Graft.sql(spark,
+        s"ALTER TABLE ev_del_graftsql DELETE WHERE $pred;").collect()(0)
+      // API route, independent snapshot
+      operators.Snapshot.backup(e, col("ts_s"), s"$root/api")
+      val apiRep = operators.Snapshot.delete(spark, s"$root/api", expr(pred))
+      assert(rep.getAs[Long]("rows_affected") == apiRep.rowsAffected)
+      assert(rep.getAs[Long]("rows_affected") > 0, "fixture must match the predicate")
+      val got = operators.Snapshot.resolve(spark, s"$root/sql")
+        .orderBy("event_id").collect().toSeq
+      val want = operators.Snapshot.resolve(spark, s"$root/api")
+        .orderBy("event_id").collect().toSeq
+      assert(got == want, "SQL-text DELETE left a different snapshot than Snapshot.delete")
+    }
+  }
+
+  test("SQL-text ALTER UPDATE and OPTIMIZE FINAL DEDUPLICATE route end-to-end") {
+    withRoot { root =>
+      val e = events()
+      // UPDATE: assignment list with a computed expression + WHERE
+      e.createOrReplaceTempView("ev_upd_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_upd_graftsql TO '$root/upd';")
+      Graft.sql(spark,
+        s"ALTER TABLE ev_upd_graftsql UPDATE value = value * 2, user_id = -1 " +
+          "WHERE event_type = 'error';")
+      operators.Snapshot.backup(e, col("ts_s"), s"$root/updapi")
+      operators.Snapshot.update(spark, s"$root/updapi",
+        col("event_type") === "error",
+        Map("value" -> (col("value") * 2), "user_id" -> lit(-1L)))
+      assert(
+        operators.Snapshot.resolve(spark, s"$root/upd").orderBy("event_id").collect().toSeq ==
+        operators.Snapshot.resolve(spark, s"$root/updapi").orderBy("event_id").collect().toSeq,
+        "SQL-text UPDATE diverged from Snapshot.update")
+      // OPTIMIZE … FINAL DEDUPLICATE over a dirty (double-ingested) snapshot
+      val dirty = e.unionByName(e.filter(col("event_type") === "error"))
+      dirty.createOrReplaceTempView("ev_dirty_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_dirty_graftsql TO '$root/dirty';")
+      val dd = Graft.sql(spark,
+        "OPTIMIZE TABLE ev_dirty_graftsql FINAL DEDUPLICATE;").collect()(0)
+      assert(dd.getAs[Long]("rows_affected") ==
+        e.filter(col("event_type") === "error").count(),
+        "DEDUPLICATE must drop exactly the double-ingested copies")
+      assert(operators.Snapshot.resolve(spark, s"$root/dirty").count() == e.count())
+    }
+  }
+
+  test("SQL-text ALTER ADD/DROP COLUMN are metadata-only schema evolution") {
+    withRoot { root =>
+      events().createOrReplaceTempView("ev_evo_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_evo_graftsql TO '$root/evo';")
+      Graft.sql(spark,
+        "ALTER TABLE ev_evo_graftsql ADD COLUMN source_tag string DEFAULT 'legacy';")
+      Graft.sql(spark, "ALTER TABLE ev_evo_graftsql DROP COLUMN user_id;")
+      val evolved = operators.Snapshot.readEvolved(spark, s"$root/evo")
+      assert(evolved.columns.contains("source_tag") && !evolved.columns.contains("user_id"))
+      assert(evolved.select("source_tag").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("legacy"))
+    }
+  }
+
+  test("command errors are actionable; non-commands fall through to spark.sql") {
+    // unknown disk: the ClickHouse unknown-disk shape, with the fix
+    val err = intercept[IllegalArgumentException] {
+      Graft.sql(spark, "BACKUP DATABASE x TO Disk('nosuchdisk', 'x.zip');")
+    }
+    assert(err.getMessage.contains("graft.disk.nosuchdisk"))
+    // mutation against an unregistered table names the SET to run
+    val err2 = intercept[IllegalArgumentException] {
+      Graft.sql(spark, "ALTER TABLE never_backed_up DELETE WHERE 1 = 1;")
+    }
+    assert(err2.getMessage.contains("graft.snapshot.never_backed_up"))
+    // exact fallthrough: plain SQL is untouched
+    assert(Graft.sql(spark, "SELECT 1 AS one;").collect()(0).getInt(0) == 1)
+  }
+}

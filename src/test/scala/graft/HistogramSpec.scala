@@ -90,11 +90,16 @@ class HistogramSpec extends SparkSpec {
         % operators.Aggregates.HistFoldGrid).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0).toDouble, r.getLong(1))).toSeq
+    // HALF_UP like Spark's round(), not math.rint's half-even: on the
+    // mod-53 grid every lo/hi is an exact integer so they agree, but
+    // the kernel side must not mask a .00005-boundary divergence if
+    // the grid ever changes (r9 ADVICE item 2)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val kernel = HistogramAgg
       .canonicalCompact(grid, operators.Aggregates.HistFoldBins)
       .zipWithIndex.map { case (b, i) =>
-        (i.toLong, math.rint(b.lower * 10000) / 10000,
-          math.rint(b.upper * 10000) / 10000, b.count)
+        (i.toLong, r4(b.lower), r4(b.upper), b.count)
       }
     val declared = SparkEntry.queries("q_agg_histogram_fold")(spark, sf)
       .collect()

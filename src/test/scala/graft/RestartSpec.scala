@@ -362,6 +362,119 @@ class RestartSpec extends SparkSpec {
     }
   }
 
+  test("projection maintenance restarts ACROSS a torn standing-state swap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the composed failure the two r9 batteries proved only separately:
+    // an object-store rename TEARS mid-swap (TornRenameFs), the stream
+    // dies mid-batch, and the checkpoint restart must replay the batch
+    // against whatever debris the tear left — recover promotes the
+    // committed tmp (its marker already carries the batch id), and the
+    // replayed batch must fence as a no-op, or sums double-count
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.tornfs.impl", classOf[TornRenameFs].getName)
+    val root = Files.createTempDirectory("graft-restart-torn").toString
+    val dest = "tornfs://" + root + "/proj"
+    val oneShot = Files.createTempDirectory("graft-restart-torn1").toString
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val measures = Seq("l_quantity")
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .as[(String, String, Double)].collect().toSeq
+    val ps = parts(rows, 4)
+    val mem = MemoryStream[(String, String, Double)]
+    val ckpt = ckptDir()
+    def start() = streaming.ProjectionStream.maintain(
+        mem.toDF().toDF("l_returnflag", "l_linestatus", "l_quantity"),
+        keys, measures, dest)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val q1 = start()
+      try {
+        mem.addData(ps.head); q1.processAllAvailable() // batch 0 lands clean
+        // batch 1's PROMOTE rename tears after one copied file
+        TornRenameFs.inject = Some(TornRenameFs.Inject("proj.tmp", copyBudget = 1))
+        mem.addData(ps(1))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally { TornRenameFs.inject = None; q1.stop() }
+      val q2 = start() // replays batch 1 over the torn debris, then continues
+      try {
+        ps.drop(2).foreach { b => mem.addData(b); q2.processAllAvailable() }
+        q2.processAllAvailable()
+      } finally q2.stop()
+      plans.Projections.materialize(
+        Tables(spark, sf, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")),
+        keys, measures, oneShot)
+      graft.AtomicDir.recover(dest)
+      val got = spark.read.parquet(dest)
+        .select(col("l_returnflag"), col("l_linestatus"), col("_cnt"),
+          col("_sum_l_quantity"))
+        .orderBy("l_returnflag", "l_linestatus").collect()
+      val want = spark.read.parquet(oneShot)
+        .select(col("l_returnflag"), col("l_linestatus"), col("_cnt"),
+          col("_sum_l_quantity"))
+        .orderBy("l_returnflag", "l_linestatus").collect()
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) && g.getString(1) == w.getString(1))
+        assert(g.getLong(2) == w.getLong(2),
+          s"key ${g.getString(0)}/${g.getString(1)}: count ${g.getLong(2)} vs " +
+            s"${w.getLong(2)} — the torn swap + replay double-counted or dropped a batch")
+        assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-6)
+      }
+    } finally TornRenameFs.inject = None
+  }
+
+  test("moments maintenance restarts ACROSS a torn standing-state swap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.tornfs.impl", classOf[TornRenameFs].getName)
+    val root = Files.createTempDirectory("graft-restart-torn-m").toString
+    val dest = "tornfs://" + root + "/m"
+    val one = Files.createTempDirectory("graft-restart-torn-m1").toString + "/m"
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("embedding")).as[Seq[Float]].collect().toSeq
+    val ps = parts(rows, 4)
+    val mem = MemoryStream[Seq[Float]]
+    val ckpt = ckptDir()
+    def start() = streaming.MomentsStream.maintain(
+        mem.toDF().toDF("embedding"), dest)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val q1 = start()
+      try {
+        mem.addData(ps.head); q1.processAllAvailable()
+        // this tear dies BETWEEN copy and delete: both halves alive —
+        // the other canonical window (the projection arm tears mid-copy)
+        TornRenameFs.inject =
+          Some(TornRenameFs.Inject("m.tmp", crashBeforeDelete = true))
+        mem.addData(ps(1))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q1.processAllAvailable()
+        }
+      } finally { TornRenameFs.inject = None; q1.stop() }
+      val q2 = start()
+      try {
+        ps.drop(2).foreach { b => mem.addData(b); q2.processAllAvailable() }
+        q2.processAllAvailable()
+      } finally q2.stop()
+      streaming.MomentsStream.mergeBatch(rows.toDF("embedding"), one, batchId = 0)
+      val got = streaming.MomentsStream.moments(spark, dest).get
+      val want = streaming.MomentsStream.moments(spark, one).get
+      assert(got(0) == want(0),
+        s"vector count ${got(0)} vs ${want(0)} — torn swap + replay lost or doubled rows")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-6 * math.max(1.0, math.abs(w)))
+      }
+    } finally TornRenameFs.inject = None
+  }
+
   test("near-dup monitor recovers band-bucket representatives from the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

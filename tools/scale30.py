@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""30x spot-rehearsal of the top-cost query families (r9 verdict item 5).
+
+The per-round gate stops at 10x (scale_check.py). This tool adds one
+more decade of measurement for the most expensive families: it benches
+them at the 10x replica (tmp/sf1) and a 30x replica (tmp/sf3, built by
+make_sf1.py with 30 copies), and records each query's 30x/10x growth
+against the 3x data ratio — growth <= ~3x is linear-or-better; anything
+above is super-linear at the second decade and must be explained by the
+query's design note.
+
+    python3 tools/scale30.py --out SCALE30_r10.json [--runs 3]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(REPO, "tmp", "sf1")    # 10x
+SF3 = os.path.join(REPO, "tmp", "sf3")    # 30x
+SF01 = "/root/testdata/sf0.1"
+
+# the top-cost families named by the r9 verdict, plus the r10 additions
+# that share their shapes
+QUERIES = [
+    "q_pagerank", "q_pagerank_indexed", "q_profile_table",
+    "q_dedup_winnow", "q_graph_triangles", "q_logreg_gd",
+    "q_agg_percentile", "q_agg_weighted_median", "q_dedup_minhash",
+    "q_dup_passages", "q_decontaminate", "q_bpe_encode",
+]
+
+
+def bench(sf_dir: str, runs: int, cpus: str) -> dict:
+    out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=cpus,
+               SPARK_GRAFT_BENCH_RUNS=str(runs),
+               SPARK_GRAFT_BENCH_ONLY=",".join(QUERIES),
+               SPARK_GRAFT_BENCH_OUT=out)
+    proc = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        cwd=REPO, env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise SystemExit(f"bench at {sf_dir} failed (rc={proc.returncode})")
+    with open(out) as f:
+        payload = json.load(f)
+    os.unlink(out)
+    return payload
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALE30_LAST.json")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--threshold", type=float, default=3.0,
+                    help="30x/10x growth gate (3.0 = linear in data)")
+    ap.add_argument("--cpus", default="32")
+    args = ap.parse_args()
+
+    for dest, copies in ((SF1, "10"), (SF3, "30")):
+        if not os.path.isdir(dest):
+            print(f"[scale30] building {copies}x replica at {dest} ...", flush=True)
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "make_sf1.py"),
+                 SF01, dest, copies], check=True)
+
+    print(f"[scale30] bench 10x ({args.runs} runs) ...", flush=True)
+    ten = bench(SF1, args.runs, args.cpus)
+    print(f"[scale30] bench 30x ({args.runs} runs) ...", flush=True)
+    thirty = bench(SF3, args.runs, args.cpus)
+
+    table = {}
+    for q in QUERIES:
+        t10 = ten["medians"].get(q)
+        t30 = thirty["medians"].get(q)
+        growth = round(t30 / t10, 2) if t10 and t30 else None
+        table[q] = {"sf1_sec": round(t10, 3) if t10 else None,
+                    "sf3_sec": round(t30, 3) if t30 else None,
+                    "growth_30x_over_10x": growth}
+    over = {q: r for q, r in table.items()
+            if r["growth_30x_over_10x"] is not None
+            and r["growth_30x_over_10x"] > args.threshold}
+    t10sum = sum(r["sf1_sec"] for r in table.values() if r["sf1_sec"])
+    t30sum = sum(r["sf3_sec"] for r in table.values() if r["sf3_sec"])
+    result = {
+        "data_ratio": 3.0,
+        "threshold": args.threshold,
+        "runs": args.runs,
+        "loadavg_10x": ten.get("loadavg"),
+        "loadavg_30x": thirty.get("loadavg"),
+        "total_sf1": round(t10sum, 3),
+        "total_sf3": round(t30sum, 3),
+        "total_growth": round(t30sum / t10sum, 2) if t10sum else None,
+        "n_queries": len(table),
+        "n_over_threshold": len(over),
+        "over_threshold": over,
+        "queries": table,
+    }
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"[scale30] {len(table)} queries: {result['total_sf1']}s -> "
+          f"{result['total_sf3']}s ({result['total_growth']}x at 3x data); "
+          f"{len(over)} over {args.threshold}x -> {args.out}", flush=True)
+    for q, r in sorted(over.items(),
+                       key=lambda kv: -kv[1]["growth_30x_over_10x"]):
+        print(f"[scale30] OVER: {q} {r['sf1_sec']}s -> {r['sf3_sec']}s "
+              f"({r['growth_30x_over_10x']}x)", flush=True)
+    return 1 if over else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -263,8 +263,9 @@ object Cluster extends QueryModule {
     * is ~5× slower — interpreted lambda per gram). Positions are
     * 0-based longs to match the oracle's `generate_series`.
     */
-  private def grams(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
+  /** Positional word 8-grams of a (doc_id, text) frame. */
+  private def gramsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), posexplode(TextFns.words(col("text"))).as(Seq("pos", "w")))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val leads = Seq(col("doc_id"), col("pos").cast("long").as("pos")) ++
@@ -273,6 +274,63 @@ object Cluster extends QueryModule {
       .filter(col(s"w${GramN - 1}").isNotNull)
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", (0 until GramN).map(i => col(s"w$i")): _*)).as("gram"))
+  }
+
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    gramsOf(Tables(s, dir, "documents"))
+
+  /** The q_dup_passages core over a positional-gram frame: capped
+    * per-gram buckets → in-row pair expansion → diagonal run
+    * detection. Shared verbatim by the declared query and the
+    * exact-collapsed operating arm.
+    */
+  private def dupPassageRuns(g: DataFrame): DataFrame = {
+    val pairs = g
+      .groupBy("gram")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= GramBucketCap)
+      .select(explode(expr(Dedup.pairExpansion("ms",
+        "a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b"))).as("p"))
+      .select("p.*")
+      .filter(col("doc_a") < col("doc_b"))
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairs
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("grp", col("pos_a") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + (GramN - 1)).cast("long").as("len_tokens"))
+      .filter(col("len_tokens") >= GramN - 1 + MinRunGrams)
+      .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+  }
+
+  /** The exact-collapse operating arm of q_dup_passages — the 100 TB
+    * posture under heavy exact duplication. The declared query's
+    * answer is inherently Θ(m²) in exact-copy multiplicity m (every
+    * copy pair of a duplicated passage IS a distinct output row — the
+    * oracle's all-pairs answer grows identically), so no algorithm
+    * can make the EXPANDED form sub-quadratic in m; the production
+    * pipeline therefore collapses exact-duplicate texts to one
+    * representative FIRST (the q_dedup_minhash pre-step — SlimPajama/
+    * RefinedWeb ordering) and reports passages at rep level with the
+    * member doc-id lists attached. Copy-count invariant by
+    * construction: 30 verbatim copies of a corpus change only the
+    * members strings, not the run set (ClusterChainSpec pins exactly
+    * that; the 30× rehearsal measures it).
+    */
+  private[graft] def dupPassagesCollapsedOf(docs: DataFrame): DataFrame = {
+    val groups = docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"), first("text").as("text"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("members"))
+    dupPassageRuns(gramsOf(groups.select(col("doc_id"), col("text"))))
+      .join(groups.select(col("doc_id").as("doc_a"), col("members").as("members_a")),
+        Seq("doc_a"))
+      .join(groups.select(col("doc_id").as("doc_b"), col("members").as("members_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("len_tokens"), col("members_a"), col("members_b"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
   }
 
   def entries: Map[String, QueryDef] = Map(
@@ -354,26 +412,8 @@ object Cluster extends QueryModule {
     // quadratic in the corpus; hot boilerplate grams are dropped by the
     // cap exactly like the MinHash/SimHash candidate buckets.
     "q_dup_passages" -> QueryDef(
-      (s, dir) => {
-        val pairs = grams(s, dir)
-          .groupBy("gram")
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ms"))
-          .filter(size(col("ms")) > 1 && size(col("ms")) <= GramBucketCap)
-          .select(explode(expr(Dedup.pairExpansion("ms",
-            "a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b"))).as("p"))
-          .select("p.*")
-          .filter(col("doc_a") < col("doc_b"))
-        val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-        pairs
-          .withColumn("diag", col("pos_a") - col("pos_b"))
-          .withColumn("grp", col("pos_a") - row_number().over(byDiag))
-          .groupBy("doc_a", "doc_b", "diag", "grp")
-          .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
-            (count(lit(1)) + (GramN - 1)).cast("long").as("len_tokens"))
-          .filter(col("len_tokens") >= GramN - 1 + MinRunGrams)
-          .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
-          .orderBy("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
-      },
+      (s, dir) => dupPassageRuns(grams(s, dir))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b", "len_tokens"),
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
               |g0 AS (
               |  SELECT doc_id, sp,
@@ -400,6 +440,58 @@ object Cluster extends QueryModule {
               |FROM r
               |GROUP BY doc_a, doc_b, diag, grp
               |HAVING count(*) >= $MinRunGrams
+              |ORDER BY doc_a, doc_b, start_a, start_b, len_tokens""".stripMargin)),
+
+    // The exact-collapse operating arm of q_dup_passages, declared as
+    // its own oracle-checked row (r10, out of the 30× rehearsal): the
+    // expanded answer is Θ(m²) in exact-copy multiplicity — EVERY copy
+    // pair is a distinct output row, so the blow-up lives in the
+    // answer, not the algorithm — and the production ordering
+    // (SlimPajama/RefinedWeb, the q_dedup_minhash pre-step) collapses
+    // exact duplicates FIRST. This row runs passage detection over one
+    // representative per distinct text and attaches the member doc-id
+    // lists; copy-count INVARIANT by construction (ClusterChainSpec
+    // pins a doubled corpus changing only the members strings; the 30×
+    // rehearsal measures the growth). Oracle: the same rep-level
+    // pipeline over DuckDB's own md5-collapse of the fixture.
+    "q_dup_passages_collapsed" -> QueryDef(
+      (s, dir) => dupPassagesCollapsedOf(Tables(s, dir, "documents")),
+      Some(s"""WITH grps AS (
+              |  SELECT min(doc_id) AS doc_id,
+              |         array_to_string(list_sort(list(doc_id)), ',') AS members,
+              |         min(text) AS text
+              |  FROM documents GROUP BY md5(text)),
+              |t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM grps),
+              |g0 AS (
+              |  SELECT doc_id, sp,
+              |         unnest(generate_series(0, len(sp) - $GramN)) AS pos
+              |  FROM t),
+              |g AS (
+              |  SELECT doc_id, pos,
+              |         md5(array_to_string(list_slice(sp, pos + 1, pos + $GramN), ' ')) AS gram
+              |  FROM g0),
+              |census AS (
+              |  SELECT gram FROM g GROUP BY gram
+              |  HAVING count(*) BETWEEN 2 AND $GramBucketCap),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+              |  FROM g a JOIN census USING (gram) JOIN g b USING (gram)
+              |  WHERE a.doc_id < b.doc_id),
+              |r AS (
+              |  SELECT *, pos_a - pos_b AS diag,
+              |         pos_a - row_number() OVER (
+              |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+              |  FROM p),
+              |runs AS (
+              |  SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+              |         CAST(count(*) + ${GramN - 1} AS BIGINT) AS len_tokens
+              |  FROM r GROUP BY doc_a, doc_b, diag, grp
+              |  HAVING count(*) >= $MinRunGrams)
+              |SELECT runs.doc_a, runs.doc_b, start_a, start_b, len_tokens,
+              |       ga.members AS members_a, gb.members AS members_b
+              |FROM runs
+              |JOIN grps ga ON ga.doc_id = runs.doc_a
+              |JOIN grps gb ON gb.doc_id = runs.doc_b
               |ORDER BY doc_a, doc_b, start_a, start_b, len_tokens""".stripMargin)),
 
     // PageRank centrality over the customer↔supplier co-purchase

@@ -118,4 +118,38 @@ class ClusterChainSpec extends SparkSpec {
       ()
     }
   }
+
+  test("collapsed dup-passages arm is copy-count invariant") {
+    // the 100 TB property the 30× rehearsal measures: verbatim-copying
+    // the corpus m× must change ONLY the members strings — the run set
+    // (rep pairs, offsets, lengths) is identical, because detection
+    // happens over one representative per distinct text. The expanded
+    // declared form is Θ(m²) BY ANSWER (every copy pair is an output
+    // row), which is exactly why the production ordering collapses
+    // exact dups first.
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val base = pipeline.Cluster.dupPassagesCollapsedOf(docs).collect()
+    assert(base.nonEmpty, "fixture must contain at least one shared passage")
+    val off = 10000000L
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + off).as("doc_id"), col("text")))
+    val dup = pipeline.Cluster.dupPassagesCollapsedOf(doubled).collect()
+    def runsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(runsOf(dup) == runsOf(base),
+      "doubling the corpus changed the rep-level run set — the collapse leaked")
+    // members gained exactly the shifted twins
+    def membersOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(5), r.getString(6))).toSeq
+    val wantMembers = base.map { r =>
+      def grow(s: String) = {
+        val ids = s.split(',').map(_.toLong)
+        (ids ++ ids.map(_ + off)).sorted.mkString(",")
+      }
+      (grow(r.getString(5)), grow(r.getString(6)))
+    }.toSeq
+    assert(membersOf(dup) == wantMembers,
+      "members strings must gain exactly the shifted copies")
+  }
 }

@@ -47,6 +47,16 @@ def shifted(table: pa.Table, keys, off: int) -> pa.Table:
     return table
 
 
+def rg_size(n_rows: int) -> int:
+    # ~64 row groups per table: pyarrow's default (1Mi rows) left the
+    # 30x documents replica as ONE row group — a parquet file is only
+    # splittable at row-group boundaries, so every row-local documents
+    # query ran as a single task however many cores were idle. Real
+    # corpora are many-file/many-group; the replica must be too, or the
+    # rehearsal measures the harness's layout, not the engine.
+    return max(4096, n_rows // 64)
+
+
 def main():
     import os
 
@@ -61,8 +71,10 @@ def main():
         parts = [shifted(t, keys, i * OFFSET) for i in range(COPIES)]
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{DEST}/{name}.parquet", version="2.6",
-                       coerce_timestamps=None)
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+                       coerce_timestamps=None,
+                       row_group_size=rg_size(out.num_rows))
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows "
+              f"(row groups ~{out.num_rows // rg_size(out.num_rows)})")
 
 
 if __name__ == "__main__":

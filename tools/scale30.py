@@ -29,7 +29,8 @@ QUERIES = [
     "q_pagerank", "q_pagerank_indexed", "q_profile_table",
     "q_dedup_winnow", "q_graph_triangles", "q_logreg_gd",
     "q_agg_percentile", "q_agg_weighted_median", "q_dedup_minhash",
-    "q_dup_passages", "q_decontaminate", "q_bpe_encode",
+    "q_dup_passages", "q_dup_passages_collapsed", "q_decontaminate",
+    "q_bpe_encode",
 ]
 
 

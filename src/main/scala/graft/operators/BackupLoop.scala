@@ -56,6 +56,13 @@ object BackupLoop {
     val reports =
       try settings.dbs.map { db =>
         val dest = s"${settings.snapshotDir}/$db"
+        // per-database writer lease for the WHOLE tick: go-cron forks
+        // the next tick whether or not this one finished (init.sh:14,
+        // and backup.sh takes no flock) — an overlapping tick on the
+        // same snapshot fails fast (LeaseHeldException → error hooks →
+        // rethrow, the reference's set -e semantics) instead of
+        // interleaving its writes with this one's backup/GC sequence
+        graft.AtomicDir.withLease(dest) {
         val df = source(spark, db)
         val rows = Snapshot.backup(df, col(tsCol), dest)
         val snap = Snapshot.restore(spark, dest)
@@ -78,6 +85,7 @@ object BackupLoop {
           } else None
         val gc = Snapshot.gc(spark, dest, settings.keepDays)
         DbReport(db, rows, latestDay, gc.deletedDays, gc.keptDays, archive)
+        }
       }
       catch { case t: Throwable => hooks.fireError(t.getMessage); throw t }
     hooks.firePost(s"dbs=${reports.size}")

@@ -23,6 +23,35 @@ class BackupLoopSpec extends SparkSpec {
       "GRAFT_DBS" -> "events,orders",
       "GRAFT_SNAPSHOT_DIR" -> dir) ++ extra)
 
+  test("an overlapping tick on the same snapshot fails fast and fires the error hooks") {
+    // the go-cron overlap (init.sh:14 forks the next tick regardless;
+    // backup.sh takes no flock): while tick A holds the events
+    // snapshot's writer lease, tick B must abort — error hooks fired,
+    // LeaseHeldException rethrown (set -e semantics) — and the next
+    // un-contended tick must succeed normally
+    val dir = Files.createTempDirectory("graft-loop-race").toString
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    val hooks = streaming.Hooks(error = Seq(ev => { errors += ev.detail; true }))
+    intercept[AtomicDir.LeaseHeldException] {
+      AtomicDir.withLease(s"$dir/events") {
+        // run tick B from another thread: the lease is per-THREAD, so
+        // the overlap is genuine even inside one JVM
+        val out = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val b = new Thread(() =>
+          try { BackupLoop.backupAll(spark, settings(dir), source _, "ts", hooks); () }
+          catch { case t: Throwable => out.set(t) })
+        b.start(); b.join()
+        assert(out.get() != null, "overlapping tick must not silently succeed")
+        throw out.get()
+      }
+    }
+    assert(errors.exists(_.contains("lease")),
+      s"error hooks must record the lease conflict, got: $errors")
+    // the loser left nothing behind; a clean tick then lands normally
+    val reports = BackupLoop.backupAll(spark, settings(dir), source _, "ts")
+    assert(reports.map(_.db) == Seq("events", "orders") && reports.forall(_.rows > 0))
+  }
+
   test("a tick snapshots every configured db, writes pointers, and GCs") {
     val dir = Files.createTempDirectory("graft-loop").toString
     val reports = BackupLoop.backupAll(spark, settings(dir), source _, "ts")

@@ -176,6 +176,104 @@ class ContentionSpec extends SparkSpec {
     }
   }
 
+  test("a dispossessed tick aborts at the commit point and never deletes the successor's lock") {
+    withRoot { dest =>
+      mkState(dest, "v1")
+      val expired = new CountDownLatch(1)
+      val successorIn = new CountDownLatch(1)
+      val successorOut = new CountDownLatch(1)
+      val firstOutcome = new java.util.concurrent.atomic.AtomicReference[String]("")
+      // tick A: tiny TTL, outlives it mid-compute, then tries to swap
+      val a = new Thread(() => {
+        try AtomicDir.withLease(dest, ttlMs = 200) {
+          mkState(AtomicDir.tmpPath(dest), "vA")
+          expired.await() // TTL elapses while "computing"
+          successorIn.await() // successor has broken + re-acquired
+          AtomicDir.swap(dest) // must abort BEFORE the marker create
+          firstOutcome.set("swapped")
+        } catch {
+          case _: AtomicDir.LeaseLostException => firstOutcome.set("lost")
+          case e: Throwable => firstOutcome.set(s"other:$e")
+        }
+      })
+      a.start()
+      Thread.sleep(300) // past A's TTL
+      expired.countDown()
+      // tick B: breaks the expired lock and holds a fresh lease
+      val bHolds = new CountDownLatch(1)
+      val bRelease = new CountDownLatch(1)
+      val b = new Thread(() => AtomicDir.withLease(dest) {
+        bHolds.countDown(); bRelease.await()
+      })
+      b.start(); bHolds.await()
+      successorIn.countDown()
+      a.join()
+      assert(firstOutcome.get() == "lost",
+        s"the dispossessed tick must abort with LeaseLostException, got: ${firstOutcome.get()}")
+      // A's finally ran release — but the lock carries B's token, so it
+      // MUST still be there (deleting it would admit a third writer)
+      assert(exists(dest + ".lock"),
+        "the dispossessed tick's release must not delete the successor's lock")
+      assert(readState(dest) == "v1", "the aborted tick must not have swapped")
+      bRelease.countDown(); b.join()
+      assert(!exists(dest + ".lock"), "the true owner's release clears its own lock")
+      fs.delete(new Path(dest + ".tmp"), true)
+    }
+  }
+
+  test("recover on a CLEAN directory returns without consulting a live lease (readers unfenced)") {
+    withRoot { dest =>
+      mkState(dest, "v1")
+      val inLease = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val holder = new Thread(() => AtomicDir.withLease(dest) {
+        inLease.countDown(); release.await()
+      })
+      holder.start(); inLease.await()
+      // no marker, no tmp, no old: a reader's pre-read recover must be a
+      // no-op even while the writer's tick lease is live — fencing every
+      // read for a whole tick was the r10 regression (ADVICE item 3)
+      AtomicDir.recover(dest)
+      assert(readState(dest) == "v1")
+      // but debris DOES fence: stage a tmp and the same call fails fast
+      mkState(AtomicDir.tmpPath(dest), "v2")
+      intercept[AtomicDir.LeaseHeldException] { AtomicDir.recover(dest) }
+      release.countDown(); holder.join()
+      AtomicDir.recover(dest) // lease gone: uncommitted tmp drops, v1 stays
+      assert(readState(dest) == "v1")
+      assertNoLeftovers(dest)
+    }
+  }
+
+  test("an expired lock is broken by exactly one of many contenders (atomic rename break)") {
+    withRoot { dest =>
+      mkState(dest, "v1")
+      // a dead holder's stale lock, already expired
+      val out = fs.create(new Path(dest + ".lock"), false)
+      out.write((System.currentTimeMillis() - 1000).toString.getBytes("UTF-8"))
+      out.close()
+      val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map { _ =>
+        new Thread(() => {
+          try AtomicDir.withLease(dest) {
+            val n = inBody.incrementAndGet()
+            maxInBody.getAndUpdate(m => math.max(m, n))
+            entered.incrementAndGet()
+            Thread.sleep(5)
+            inBody.decrementAndGet()
+          } catch { case _: AtomicDir.LeaseHeldException => () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(entered.get() >= 1, "at least one contender must break the stale lock and enter")
+      assert(maxInBody.get() == 1,
+        s"two holders were live at once (max=${maxInBody.get()}) — the break was not atomic")
+      assert(!exists(dest + ".lock"))
+    }
+  }
+
   test("a dead holder mid-TORN-swap: expired lease breaks, recover repairs the tear") {
     val root = java.nio.file.Files.createTempDirectory("graft_contend_dead").toString
     spark.sparkContext.hadoopConfiguration

@@ -8,8 +8,10 @@ payload columns (timestamps, text, embeddings) are kept verbatim;
 schemas are preserved exactly (whatever timestamp precision the
 driver shipped for events.ts rides along verbatim).
 
-Usage: python3 tools/make_sf1.py [src_dir] [dest_dir] [copies]
-Defaults: /root/testdata/sf0.1 -> /root/repo/tmp/sf1, 10 copies.
+Usage: python3 tools/make_sf1.py [src_dir] [dest_dir] [copies] [tables]
+Defaults: /root/testdata/sf0.1 -> /root/repo/tmp/sf1, 10 copies, all
+tables. `tables` is a comma list to replicate a subset (the 100x
+spot probe only needs the probed families' tables; dims always copy).
 """
 import sys
 
@@ -20,6 +22,7 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DEST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 OFFSET = 10_000_000_000  # far above any fixture key
 
 # key columns to shift per table; dims (region, nation) are NOT scaled
@@ -67,14 +70,20 @@ def main():
                        coerce_timestamps=None)
         print(f"{name}: {t.num_rows} rows (dim, unscaled)")
     for name, keys in SHIFTS.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         t = pq.read_table(f"{SRC}/{name}.parquet")
-        parts = [shifted(t, keys, i * OFFSET) for i in range(COPIES)]
-        out = pa.concat_tables(parts)
-        pq.write_table(out, f"{DEST}/{name}.parquet", version="2.6",
-                       coerce_timestamps=None,
-                       row_group_size=rg_size(out.num_rows))
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows "
-              f"(row groups ~{out.num_rows // rg_size(out.num_rows)})")
+        total = t.num_rows * COPIES
+        rg = rg_size(total)
+        # stream copy-by-copy: a 100x replica concatenated whole would
+        # hold the full output in memory; the writer flushes row groups
+        # as it goes and the row-group size keeps the file splittable
+        with pq.ParquetWriter(f"{DEST}/{name}.parquet", t.schema,
+                              version="2.6") as w:
+            for i in range(COPIES):
+                w.write_table(shifted(t, keys, i * OFFSET), row_group_size=rg)
+        print(f"{name}: {t.num_rows} -> {total} rows "
+              f"(row groups ~{max(1, total // rg)})")
 
 
 if __name__ == "__main__":

@@ -9,7 +9,15 @@ against the 3x data ratio — growth <= ~3x is linear-or-better; anything
 above is super-linear at the second decade and must be explained by the
 query's design note.
 
-    python3 tools/scale30.py --out SCALE30_r10.json [--runs 3]
+    python3 tools/scale30.py --out SCALE30_r11.json [--runs 5]
+
+Warm-up honesty (r10 verdict item 4): at 30x the first run of a heavy
+query sits in the JIT/page-cache warm-up tail (observed per-run descent
+34.8 -> 16.2 -> 12.8 s), so a median-of-3 still carries the tail. The
+bench JVM records every raw run (per_run in BENCH_OUT); this tool runs
+5 by default, DISCARDS each query's first run as warm-up, takes the
+median of the rest as the steady-state number the gate reads, and
+records first/steady per query so the discard is visible, not silent.
 """
 import argparse
 import json
@@ -54,10 +62,26 @@ def bench(sf_dir: str, runs: int, cpus: str) -> dict:
     return payload
 
 
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def steady(payload: dict, q: str):
+    """Per-query steady-state: drop the first (warm-up) run, median the
+    rest. Falls back to the all-runs median when only one run exists."""
+    runs = [r[q] for r in payload.get("per_run", []) if q in r]
+    if not runs:
+        return None, None
+    tail = runs[1:] if len(runs) > 1 else runs
+    return runs[0], median(tail)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALE30_LAST.json")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--threshold", type=float, default=3.0,
                     help="30x/10x growth gate (3.0 = linear in data)")
     ap.add_argument("--cpus", default="32")
@@ -77,11 +101,13 @@ def main() -> int:
 
     table = {}
     for q in QUERIES:
-        t10 = ten["medians"].get(q)
-        t30 = thirty["medians"].get(q)
+        first10, t10 = steady(ten, q)
+        first30, t30 = steady(thirty, q)
         growth = round(t30 / t10, 2) if t10 and t30 else None
         table[q] = {"sf1_sec": round(t10, 3) if t10 else None,
                     "sf3_sec": round(t30, 3) if t30 else None,
+                    "sf1_first_run_sec": round(first10, 3) if first10 else None,
+                    "sf3_first_run_sec": round(first30, 3) if first30 else None,
                     "growth_30x_over_10x": growth}
     over = {q: r for q, r in table.items()
             if r["growth_30x_over_10x"] is not None
@@ -91,6 +117,9 @@ def main() -> int:
     result = {
         "data_ratio": 3.0,
         "threshold": args.threshold,
+        "methodology": "per-query steady-state = median of runs 2..N "
+                       "(run 1 discarded as JIT/page-cache warm-up; "
+                       "recorded as *_first_run_sec)",
         "runs": args.runs,
         "loadavg_10x": ten.get("loadavg"),
         "loadavg_30x": thirty.get("loadavg"),

@@ -9,12 +9,16 @@ import org.apache.spark.sql.types.TimestampType
   * `BACKUP DATABASE ${DB} TO Disk('backups', '${DB}-<stamp>.zip');`
   * (backup.sh:45, sent through the client flags of backup.sh:38–44).
   * [[Graft.sql]] routes that literal statement — and the rest of
-  * ClickHouse's snapshot-lifecycle command family (RESTORE,
-  * ALTER … DELETE / UPDATE / ADD COLUMN / DROP COLUMN, OPTIMIZE …
-  * FINAL [DEDUPLICATE]) — onto the engine's fully-spec'd Scala APIs
-  * ([[operators.Snapshot]]), and passes every other statement through
-  * to `spark.sql` unchanged, so ONE entry point serves both the SELECT
-  * surface ([[plans.SqlSurface]]) and the operational command surface.
+  * ClickHouse 24.8's snapshot-lifecycle command family (RESTORE,
+  * ALTER … DELETE / UPDATE / ADD COLUMN / DROP COLUMN, the partition
+  * verbs DETACH / ATTACH / DROP / MOVE / REPLACE PARTITION,
+  * OPTIMIZE … FINAL [DEDUPLICATE], and `BACKUP … SETTINGS
+  * base_backup = …` incremental chains — the feature that makes the
+  * reference's `@daily` re-backup affordable, Dockerfile:20) — onto
+  * the engine's fully-spec'd Scala APIs ([[operators.Snapshot]]), and
+  * passes every other statement through to `spark.sql` unchanged, so
+  * ONE entry point serves both the SELECT surface
+  * ([[plans.SqlSurface]]) and the operational command surface.
   *
   * Deliberately a COMMAND ROUTER, not a Catalyst parser extension:
   * BACKUP/RESTORE/mutations are imperative side-effecting operations,
@@ -74,6 +78,31 @@ object GraftSql {
           if spark.conf.getOption(s"graft.snapshot.$table").isDefined =>
         operators.Snapshot.dropColumn(spark, snapshotDirOf(spark, table), name)
         okRow(spark, s"DROP COLUMN $name", table)
+      // the partition lifecycle family — ClickHouse 24.8's day-2
+      // operational verbs (the version the reference pins,
+      // Dockerfile:2) — routed onto the spec'd Snapshot engines:
+      // DETACH/ATTACH/DROP are one rename/delete + the one-row-per-day
+      // manifest rewrite; MOVE re-homes a day across snapshots with no
+      // data rewrite; REPLACE adopts the source's version of a day with
+      // copy semantics. All require a registered snapshot (BACKUP first
+      // or SET graft.snapshot.<table>).
+      case DetachPartRe(table, day) =>
+        operators.Snapshot.detachPartition(spark, snapshotDirOf(spark, table), day)
+        okRow(spark, s"DETACH PARTITION $day", table)
+      case AttachPartRe(table, day) =>
+        operators.Snapshot.attachPartition(spark, snapshotDirOf(spark, table), day)
+        okRow(spark, s"ATTACH PARTITION $day", table)
+      case DropPartRe(table, day) =>
+        operators.Snapshot.dropPartition(spark, snapshotDirOf(spark, table), day)
+        okRow(spark, s"DROP PARTITION $day", table)
+      case MovePartRe(table, day, dstTable) =>
+        operators.Snapshot.movePartition(spark, snapshotDirOf(spark, table),
+          snapshotDirOf(spark, dstTable), day)
+        okRow(spark, s"MOVE PARTITION $day TO TABLE $dstTable", table)
+      case ReplacePartRe(table, day, srcTable) =>
+        operators.Snapshot.replacePartition(spark, snapshotDirOf(spark, srcTable),
+          snapshotDirOf(spark, table), day)
+        okRow(spark, s"REPLACE PARTITION $day FROM $srcTable", table)
       case AlterUpdateRe(table, rest) =>
         alterUpdate(spark, table, rest)
       case OptimizeRe(table, dedup) =>
@@ -97,6 +126,18 @@ object GraftSql {
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DELETE\s+WHERE\s+(.+)$""".r
   private val AlterUpdateRe =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+UPDATE\s+(.+)$""".r
+  // partition ids are day buckets (yyyymmdd) — quoted or bare, like
+  // ClickHouse's PARTITION '<id>' / PARTITION <expr> forms
+  private val DetachPartRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DETACH\s+PARTITION\s+'?(\w+)'?$""".r
+  private val AttachPartRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+ATTACH\s+PARTITION\s+'?(\w+)'?$""".r
+  private val DropPartRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+PARTITION\s+'?(\w+)'?$""".r
+  private val MovePartRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+MOVE\s+PARTITION\s+'?(\w+)'?\s+TO\s+TABLE\s+([\w.]+)$""".r
+  private val ReplacePartRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+PARTITION\s+'?(\w+)'?\s+FROM\s+([\w.]+)$""".r
   private val AddColRe =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w(),]+)\s+DEFAULT\s+(.+)$""".r
   private val DropColRe =
@@ -106,6 +147,7 @@ object GraftSql {
   private val DiskRe = """(?is)^Disk\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)$""".r
   private val PathRe = """(?s)^'([^']*)'$""".r
   private val SettingRe = """(?is)^\s*(\w+)\s*=\s*'([^']*)'\s*$""".r
+  private val DiskSettingRe = """(?is)^\s*(\w+)\s*=\s*(Disk\(.+\))\s*$""".r
   private val AssignRe = """(?s)^\s*(\w+)\s*=(?!=)\s*(.+)$""".r
 
   /** `Disk('name', 'obj')` → `${graft.disk.name}/obj`; `'path'` → path. */
@@ -126,9 +168,26 @@ object GraftSql {
     s.fold(Map.empty[String, String]) { text =>
       splitTopLevelCommas(text).map {
         case SettingRe(k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+        // a Disk('name','obj') value stays raw; its reader resolves it
+        // through parseDest like any destination (base_backup's form)
+        case DiskSettingRe(k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
         case bad => throw new IllegalArgumentException(
-          s"cannot parse SETTINGS entry: $bad — expected key = 'value'")
+          s"cannot parse SETTINGS entry: $bad — expected key = 'value' or key = Disk('name', 'object')")
       }.toMap
+    }
+
+  /** `SETTINGS base_backup = '<dir>' | Disk('name', 'obj')` — the
+    * ClickHouse 24.8 incremental-backup knob that makes the
+    * reference's `@daily` re-backup (Dockerfile:20) affordable: only
+    * day partitions whose content digest differs from the base's
+    * manifest are re-written ([[operators.Snapshot.backupIncremental]]).
+    */
+  private def baseBackupOf(spark: SparkSession,
+      settings: Map[String, String]): Option[String] =
+    settings.get("base_backup").map { raw =>
+      if (raw.trim.toLowerCase(java.util.Locale.ROOT).startsWith("disk("))
+        parseDest(spark, raw.trim)
+      else raw // SettingRe already stripped the quotes: a plain path
     }
 
   /** The day-bucketing timestamp for a backup: explicit setting, else
@@ -147,15 +206,26 @@ object GraftSql {
     * are uniform. Returns the verified row count.
     */
   private def backupInto(spark: SparkSession, df: DataFrame,
-      settings: Map[String, String], dest: String): Long = {
-    if (dest.endsWith(".zip")) {
-      val stage = dest + ".stage"
-      val n = operators.Snapshot.backup(df, tsColumnOf(df, settings), stage)
-      operators.Snapshot.zipDirectory(spark, stage, dest)
-      AtomicDir.fileSystem(stage).delete(new org.apache.hadoop.fs.Path(stage), true)
-      n
-    } else operators.Snapshot.backup(df, tsColumnOf(df, settings), dest)
-  }
+      settings: Map[String, String], dest: String): Long =
+    baseBackupOf(spark, settings) match {
+      case Some(base) =>
+        require(!dest.endsWith(".zip"),
+          "incremental backup (SETTINGS base_backup) needs the " +
+            "partitioned-directory arm — the chain references its base " +
+            "by path, and a zip is an immutable interchange object")
+        operators.Snapshot.backupIncremental(df, tsColumnOf(df, settings), base, dest)
+        // verified row count from the resolved chain's manifest — the
+        // same metadata-scale read RESTORE DATABASE reports from
+        operators.Snapshot.parts(spark, dest)
+          .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
+      case None if dest.endsWith(".zip") =>
+        val stage = dest + ".stage"
+        val n = operators.Snapshot.backup(df, tsColumnOf(df, settings), stage)
+        operators.Snapshot.zipDirectory(spark, stage, dest)
+        AtomicDir.fileSystem(stage).delete(new org.apache.hadoop.fs.Path(stage), true)
+        n
+      case None => operators.Snapshot.backup(df, tsColumnOf(df, settings), dest)
+    }
 
   private def backupTable(spark: SparkSession, table: String, destRaw: String,
       settings: Map[String, String]): DataFrame = {
@@ -181,6 +251,14 @@ object GraftSql {
       .filter(!_.getAs[Boolean]("isTemporary"))
       .map(_.getAs[String]("tableName")).sorted.toSeq
     require(tables.nonEmpty, s"database $db has no tables to back up")
+    // incremental database backup: each table chains to ITS OWN base
+    // under `<base>/<table>` — the layout BACKUP DATABASE itself writes
+    val base = baseBackupOf(spark, settings)
+    require(base.isEmpty || !dest.endsWith(".zip"),
+      "incremental backup (SETTINGS base_backup) needs the partitioned-directory arm")
+    def tableSettings(t: String): Map[String, String] =
+      base.fold(settings)(b =>
+        settings.updated("base_backup", b.stripSuffix("/") + "/" + t))
     val rows =
       if (dest.endsWith(".zip")) {
         val stage = dest + ".stage"
@@ -196,7 +274,7 @@ object GraftSql {
         rs
       } else tables.map { t =>
         val d = s"$dest/$t"
-        val n = backupInto(spark, spark.table(s"$db.$t"), settings, d)
+        val n = backupInto(spark, spark.table(s"$db.$t"), tableSettings(t), d)
         spark.conf.set(s"graft.snapshot.$db.$t", d)
         (t, d, n)
       }

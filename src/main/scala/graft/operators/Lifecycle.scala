@@ -30,14 +30,54 @@ object Lifecycle extends QueryModule {
     */
   private val stageLock = new Object
 
-  private def mutatedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_mut_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists()) {
-      val e = Relational.eventsSec(s, dir)
-        .select("event_id", "user_id", "event_type", "value", "ts_s")
-      Snapshot.backup(e, col("ts_s"), dest)
+  /** Fixture fingerprint: the source dir's full path plus each parquet
+    * file's (name, size, mtime). Staged snapshots key on it so (a) two
+    * different fixture dirs can never collide the way a 32-bit
+    * `hashCode` could, and (b) a driver-regenerated fixture invalidates
+    * every stale staging instead of being silently served pre-mutation
+    * state.
+    */
+  private[graft] def fixtureFp(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((dir + "|" + files.mkString(",")).getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Staged-fixture cache shared by every lifecycle/SQL-surface staging
+    * helper: `build` runs once per (tmpdir, tag, fixture fingerprint).
+    * Completion is a marker file written LAST — a JVM that crashed
+    * mid-staging (e.g. between the BACKUP and the ALTER of a mutation
+    * fixture) leaves no marker, so the next run clears the debris and
+    * restages instead of silently serving a half-staged snapshot whose
+    * oracle failure would point at the wrong culprit.
+    */
+  private[graft] def staged(tag: String, dir: String)(build: String => Unit): String =
+    stageLock.synchronized {
+      val dest = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_${tag}_${fixtureFp(dir)}").toString
+      val ok = new java.io.File(dest + ".ok")
+      if (!ok.exists()) {
+        graft.AtomicDir.fileSystem(dest)
+          .delete(new org.apache.hadoop.fs.Path(dest), true)
+        build(dest)
+        require(ok.createNewFile() || ok.exists(),
+          s"cannot mark staged fixture complete at $dest")
+      }
+      dest
+    }
+
+  /** The shared events projection every staged snapshot is built from. */
+  private[graft] def eventsCols(s: SparkSession, dir: String) =
+    Relational.eventsSec(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts_s")
+
+  private def mutatedDest(s: SparkSession, dir: String): String =
+    staged("mut", dir) { dest =>
+      Snapshot.backup(eventsCols(s, dir), col("ts_s"), dest)
       // day-granular rewrite: the predicate spans 7 of the 30 day
       // partitions — delete() rewrites exactly those, leaves the other
       // 23 untouched (digests and files), and re-verifies the manifest
@@ -45,17 +85,10 @@ object Lifecycle extends QueryModule {
         col("event_type") === "click" && col("ts_s") < lit(CutTs).cast("timestamp"))
       require(report.rowsAffected > 0, s"mutation fixture deleted nothing at $dest")
     }
-    dest
-  }
 
-  private def updatedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_mutu_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists()) {
-      val e = Relational.eventsSec(s, dir)
-        .select("event_id", "user_id", "event_type", "value", "ts_s")
-      Snapshot.backup(e, col("ts_s"), dest)
+  private def updatedDest(s: SparkSession, dir: String): String =
+    staged("mutu", dir) { dest =>
+      Snapshot.backup(eventsCols(s, dir), col("ts_s"), dest)
       // value doubles on errors (×2 is exact in binary fp — no rounding
       // hazard compounds through the oracle's sum) and the user is
       // anonymized — the GDPR-update shape
@@ -63,16 +96,10 @@ object Lifecycle extends QueryModule {
         Map("value" -> (col("value") * 2), "user_id" -> lit(-1L)))
       require(report.rowsAffected > 0, s"update fixture changed nothing at $dest")
     }
-    dest
-  }
 
-  private def dedupedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_dedup_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists()) {
-      val e = Relational.eventsSec(s, dir)
-        .select("event_id", "user_id", "event_type", "value", "ts_s")
+  private def dedupedDest(s: SparkSession, dir: String): String =
+    staged("dedup", dir) { dest =>
+      val e = eventsCols(s, dir)
       // a dirty ingest: the first week's errors arrive twice
       val dirty = e.unionByName(e.filter(
         col("event_type") === "error" && col("ts_s") < lit(CutTs).cast("timestamp")))
@@ -80,102 +107,61 @@ object Lifecycle extends QueryModule {
       val report = Snapshot.deduplicate(s, dest)
       require(report.rowsAffected > 0, s"dedup fixture removed nothing at $dest")
     }
-    dest
-  }
 
   /** A clean (unmutated) staged snapshot of events — the fixture for
     * the introspection + partition-ops queries (and the SQL-text
     * surface's snapshot-catalog view, hence package-wide access).
     */
-  private[graft] def cleanDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_clean_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists()) {
-      val e = Relational.eventsSec(s, dir)
-        .select("event_id", "user_id", "event_type", "value", "ts_s")
-      Snapshot.backup(e, col("ts_s"), dest)
+  private[graft] def cleanDest(s: SparkSession, dir: String): String =
+    staged("clean", dir) { dest =>
+      Snapshot.backup(eventsCols(s, dir), col("ts_s"), dest)
     }
-    dest
-  }
 
-  private def detachedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_detach_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists()) {
-      val e = Relational.eventsSec(s, dir)
-        .select("event_id", "user_id", "event_type", "value", "ts_s")
-      Snapshot.backup(e, col("ts_s"), dest)
+  private def detachedDest(s: SparkSession, dir: String): String =
+    staged("detach", dir) { dest =>
+      Snapshot.backup(eventsCols(s, dir), col("ts_s"), dest)
       // take the oldest day out of service — one rename + a manifest
       // rewrite, no other data moves
       val firstDay = Snapshot.parts(s, dest)
         .agg(min("bucket_day")).head.getString(0)
       Snapshot.detachPartition(s, dest, firstDay)
     }
-    dest
-  }
 
-  private def evolvedDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_evolve_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists()) {
-      val e = Relational.eventsSec(s, dir)
-        .select("event_id", "user_id", "event_type", "value", "ts_s")
-      Snapshot.backup(e, col("ts_s"), dest)
+  private def evolvedDest(s: SparkSession, dir: String): String =
+    staged("evolve", dir) { dest =>
+      Snapshot.backup(eventsCols(s, dir), col("ts_s"), dest)
       // the two ALTER arms: a defaulted add + a drop, both metadata-only
       Snapshot.addColumn(s, dest, "source_tag", "'legacy'", "string")
       Snapshot.dropColumn(s, dest, "user_id")
     }
-    dest
-  }
 
   /** A staged snapshot with a data-skipping index built on it —
     * bloom on user_id, minmax on value ([[SkipIndex.build]]).
     */
-  private def skipDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_skip_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists()) {
-      val e = Relational.eventsSec(s, dir)
-        .select("event_id", "user_id", "event_type", "value", "ts_s")
-      Snapshot.backup(e, col("ts_s"), dest)
+  private def skipDest(s: SparkSession, dir: String): String =
+    staged("skip", dir) { dest =>
+      Snapshot.backup(eventsCols(s, dir), col("ts_s"), dest)
       SkipIndex.build(s, dest,
         bloomCols = Seq("user_id"), minmaxCols = Seq("value"))
     }
-    dest
-  }
 
   /** Events re-written z-order-clustered on (user_id, value) —
     * staged once per (tmpdir, sf) like every layout fixture.
     */
   private[operators] def zorderDest(s: SparkSession, dir: String): String =
-    stageLock.synchronized {
-      val dest = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_zorder_" + Integer.toHexString(dir.hashCode)).toString
-      if (!new java.io.File(dest).exists()) {
-        val e = Relational.eventsSec(s, dir)
-          .select("event_id", "user_id", "event_type", "value", "ts_s")
-        ZOrder.clusteredWrite(e, dest, Seq("user_id", "value"), numFiles = 16)
-      }
-      dest
+    staged("zorder", dir) { dest =>
+      ZOrder.clusteredWrite(eventsCols(s, dir), dest,
+        Seq("user_id", "value"), numFiles = 16)
     }
 
-  private def roundtripDest(s: SparkSession, dir: String): String = stageLock.synchronized {
-    val dest = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_rt_" + Integer.toHexString(dir.hashCode)).toString
-    if (!new java.io.File(dest).exists())
+  private def roundtripDest(s: SparkSession, dir: String): String =
+    staged("rt", dir) { dest =>
       // CSV is the LOSSIEST supported interchange format — strings,
       // longs, and doubles must all survive text and come back typed
       Snapshot.exportAs(Tables(s, dir, "customer")
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
         dest, "csv")
-    dest
-  }
+    }
 
   def entries: Map[String, QueryDef] = Map(
 

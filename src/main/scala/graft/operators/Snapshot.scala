@@ -49,7 +49,12 @@ object Snapshot {
     * that incremental backups diff against — validation and manifest
     * cost one pass together. Returns the verified row count.
     */
-  def backup(df: DataFrame, ts: Column, dest: String): Long = {
+  def backup(df: DataFrame, ts: Column, dest: String): Long = graft.AtomicDir.withLease(dest) {
+    // writer lease on the snapshot itself: two overlapping backups of
+    // one destination — the go-cron fork-regardless schedule
+    // (init.sh:14), whether both arrive via the Scala API, the SQL-text
+    // router, or one of each — serialize here; the loser fails fast
+    // with LeaseHeldException. BackupLoop's whole-tick lease re-enters.
     val expected = df.count()
     Retention.writeSnapshot(df, ts, dest)
     // an empty write leaves no readable footers — that IS the failure
@@ -83,7 +88,7 @@ object Snapshot {
     * Returns (changedDays, totalDays).
     */
   def backupIncremental(df: DataFrame, ts: Column, baseDir: String,
-      dest: String): (Int, Int) = {
+      dest: String): (Int, Int) = graft.AtomicDir.withLease(dest) {
     val spark = df.sparkSession
     val (_, baseRows) = readManifest(spark, baseDir).getOrElse(
       throw new IllegalArgumentException(

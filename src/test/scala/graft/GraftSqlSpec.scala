@@ -162,6 +162,140 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  private def days(dest: String): Seq[String] =
+    operators.Snapshot.parts(spark, dest)
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  private def resolved(dest: String) =
+    operators.Snapshot.resolve(spark, dest).orderBy("event_id").collect().toSeq
+
+  test("SQL-text DETACH/ATTACH/DROP PARTITION ≡ Snapshot API, digest-identical") {
+    withRoot { root =>
+      val e = events()
+      e.createOrReplaceTempView("ev_part_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_part_graftsql TO '$root/sql';")
+      operators.Snapshot.backup(e, col("ts_s"), s"$root/api")
+      val d = days(s"$root/sql")
+      val (first, second) = (d.head, d(1))
+      // DETACH the oldest day through both routes
+      Graft.sql(spark, s"ALTER TABLE ev_part_graftsql DETACH PARTITION '$first';")
+      operators.Snapshot.detachPartition(spark, s"$root/api", first)
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/sql").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/api").sorted)
+      assert(!days(s"$root/sql").contains(first))
+      // ATTACH it back (bare partition id — ClickHouse's unquoted form)
+      Graft.sql(spark, s"ALTER TABLE ev_part_graftsql ATTACH PARTITION $first;")
+      operators.Snapshot.attachPartition(spark, s"$root/api", first)
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/sql").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/api").sorted)
+      assert(resolved(s"$root/sql") == resolved(s"$root/api"),
+        "attach round-trip must restore identical rows on both routes")
+      // DROP another day outright
+      Graft.sql(spark, s"ALTER TABLE ev_part_graftsql DROP PARTITION '$second';")
+      operators.Snapshot.dropPartition(spark, s"$root/api", second)
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/sql").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/api").sorted)
+      assert(!days(s"$root/sql").contains(second))
+    }
+  }
+
+  test("SQL-text MOVE/REPLACE PARTITION ≡ Snapshot API across two snapshots") {
+    withRoot { root =>
+      val e = events()
+      val d0 = e.select(min(date_format(col("ts_s"), "yyyyMMdd"))).head.getString(0)
+      val tail = e.filter(date_format(col("ts_s"), "yyyyMMdd") > d0)
+      // MOVE day d0 from src to a destination snapshot lacking it
+      e.createOrReplaceTempView("ev_mv_src_graftsql")
+      tail.createOrReplaceTempView("ev_mv_dst_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_mv_src_graftsql TO '$root/mvsrc';")
+      Graft.sql(spark, s"BACKUP TABLE ev_mv_dst_graftsql TO '$root/mvdst';")
+      operators.Snapshot.backup(e, col("ts_s"), s"$root/mvsrc_api")
+      operators.Snapshot.backup(tail, col("ts_s"), s"$root/mvdst_api")
+      Graft.sql(spark,
+        s"ALTER TABLE ev_mv_src_graftsql MOVE PARTITION '$d0' TO TABLE ev_mv_dst_graftsql;")
+      operators.Snapshot.movePartition(spark, s"$root/mvsrc_api", s"$root/mvdst_api", d0)
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/mvsrc").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/mvsrc_api").sorted)
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/mvdst").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/mvdst_api").sorted)
+      assert(!days(s"$root/mvsrc").contains(d0) && days(s"$root/mvdst").contains(d0))
+      // REPLACE day d0 in a full snapshot with a doubled-value version
+      val doubled = e.withColumn("value", col("value") * 2)
+      e.createOrReplaceTempView("ev_rp_dst_graftsql")
+      doubled.createOrReplaceTempView("ev_rp_src_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_rp_dst_graftsql TO '$root/rpdst';")
+      Graft.sql(spark, s"BACKUP TABLE ev_rp_src_graftsql TO '$root/rpsrc';")
+      operators.Snapshot.backup(e, col("ts_s"), s"$root/rpdst_api")
+      operators.Snapshot.backup(doubled, col("ts_s"), s"$root/rpsrc_api")
+      Graft.sql(spark,
+        s"ALTER TABLE ev_rp_dst_graftsql REPLACE PARTITION '$d0' FROM ev_rp_src_graftsql;")
+      operators.Snapshot.replacePartition(spark, s"$root/rpsrc_api", s"$root/rpdst_api", d0)
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/rpdst").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/rpdst_api").sorted)
+      // COPY semantics: the source still serves every day untouched
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/rpsrc").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/rpsrc_api").sorted)
+      assert(resolved(s"$root/rpdst") == resolved(s"$root/rpdst_api"))
+    }
+  }
+
+  test("SQL-text BACKUP … SETTINGS base_backup ≡ Snapshot.backupIncremental, chain-resolving") {
+    withRoot { root =>
+      val e = events()
+      val cut = operators.Lifecycle.CutTs
+      val base = e.filter(col("ts_s") < lit(cut).cast("timestamp"))
+      // SQL route: base backup, then the incremental statement
+      base.createOrReplaceTempView("ev_incb_graftsql")
+      e.createOrReplaceTempView("ev_incc_graftsql")
+      Graft.sql(spark, s"BACKUP TABLE ev_incb_graftsql TO '$root/base';")
+      val rep = Graft.sql(spark,
+        s"BACKUP TABLE ev_incc_graftsql TO '$root/inc' " +
+          s"SETTINGS base_backup = '$root/base';").collect()(0)
+      assert(rep.getAs[Long]("n_rows") == e.count(),
+        "the incremental statement must report the verified CHAIN row count")
+      // API route, independent chain
+      operators.Snapshot.backup(base, col("ts_s"), s"$root/base_api")
+      operators.Snapshot.backupIncremental(e, col("ts_s"), s"$root/base_api", s"$root/inc_api")
+      assert(operators.Snapshot.manifestDigests(spark, s"$root/inc").sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/inc_api").sorted,
+        "SQL-text incremental chain diverged from the API chain")
+      // per-day source attribution identical: pre-cut days ride the base
+      def srcs(d: String) = operators.Snapshot.parts(spark, d)
+        .collect().map(r => (r.getString(0), r.getString(2))).sorted.toSeq
+      assert(srcs(s"$root/inc") == srcs(s"$root/inc_api"))
+      assert(srcs(s"$root/inc").exists(_._2 == "base") &&
+        srcs(s"$root/inc").exists(_._2 == "delta"))
+      // RESTORE resolves the chain by statement
+      Graft.sql(spark, s"RESTORE TABLE ev_chain_graftsql FROM '$root/inc';")
+      assert(spark.table("ev_chain_graftsql").count() == e.count())
+    }
+  }
+
+  test("a live lease on the snapshot fails a concurrent SQL-text BACKUP fast; winner digests clean") {
+    withRoot { root =>
+      val e = events()
+      e.createOrReplaceTempView("ev_race_graftsql")
+      val dest = s"$root/contended"
+      val inLease = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => AtomicDir.withLease(dest) {
+        inLease.countDown(); release.await()
+      })
+      holder.start(); inLease.await()
+      // the router's BACKUP rides Snapshot.backup's writer lease — the
+      // overlapping tick loses without touching the directory
+      intercept[AtomicDir.LeaseHeldException] {
+        Graft.sql(spark, s"BACKUP TABLE ev_race_graftsql TO '$dest';")
+      }
+      release.countDown(); holder.join()
+      // un-contended retry lands, digest-identical to the API route
+      Graft.sql(spark, s"BACKUP TABLE ev_race_graftsql TO '$dest';")
+      operators.Snapshot.backup(e, col("ts_s"), s"$root/api")
+      assert(operators.Snapshot.manifestDigests(spark, dest).sorted ==
+        operators.Snapshot.manifestDigests(spark, s"$root/api").sorted)
+    }
+  }
+
   test("command errors are actionable; non-commands fall through to spark.sql") {
     // unknown disk: the ClickHouse unknown-disk shape, with the fix
     val err = intercept[IllegalArgumentException] {

@@ -582,6 +582,32 @@ object Snapshot {
       .toDF("bucket_day", "n_rows", "source")
   }
 
+  /** `system.detached_parts` analog: the days currently sitting in the
+    * snapshot's `_detached/` area — the inventory a ClickHouse operator
+    * polls before deciding what to ATTACH back or delete. One row per
+    * detached day with its row count and byte size. The listing is
+    * metadata-scale; the row count reads each detached day's footers —
+    * O(detached days) day-sized reads, bounded by operator actions
+    * (DETACH is a manual verb), never by the corpus.
+    */
+  def detachedParts(spark: SparkSession, dest: String): DataFrame = {
+    import spark.implicits._
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val detachedRoot = new org.apache.hadoop.fs.Path(destPath, "_detached")
+    val rows =
+      if (!fs.exists(detachedRoot)) Seq.empty[(String, Long, Long)]
+      else fs.listStatus(detachedRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket_day="))
+        .map(_.getPath).sortBy(_.getName)
+        .map { p =>
+          val day = p.getName.stripPrefix("bucket_day=")
+          val bytes = fs.getContentSummary(p).getLength
+          (day, spark.read.parquet(p.toString).count(), bytes)
+        }.toSeq
+    rows.toDF("bucket_day", "n_rows", "bytes")
+  }
+
   /** `ALTER TABLE … DETACH PARTITION` — take one day out of service:
     * its directory moves aside to `_detached_bucket_day=<day>` (data
     * preserved, exactly ClickHouse's `detached/` area) and the manifest

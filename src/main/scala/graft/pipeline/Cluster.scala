@@ -162,7 +162,10 @@ object Cluster extends QueryModule {
   private val prIndexLock = new Object
   private def pagerankIndexTable(s: SparkSession, dir: String): String =
     prIndexLock.synchronized {
-      val tbl = "graft_pr_edges_" + Integer.toHexString(dir.hashCode)
+      // fingerprint key (not dir.hashCode): two fixture dirs can never
+      // collide, and a regenerated fixture changes the name so a stale
+      // same-JVM index is never served (the Lifecycle.staged rationale)
+      val tbl = "graft_pr_edges_" + graft.operators.Lifecycle.fixtureFp(dir)
       if (!s.catalog.tableExists(tbl)) {
         // the catalog is per-JVM but the warehouse directory is not: a
         // previous session's managed-table files would make this

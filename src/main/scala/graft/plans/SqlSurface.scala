@@ -787,6 +787,28 @@ object SqlSurface extends QueryModule {
              |  CAST(count(DISTINCT event_type) AS BIGINT) AS result_rows,
              |  CAST(count(*) AS BIGINT) AS read_rows,
              |  true AS timed
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // `system.detached_parts` as a SQL-queryable view — the other half
+    // of the partition-lifecycle observability: after the DETACH above,
+    // the operator polls WHAT is sitting in the detached area before
+    // deciding to ATTACH it back or drop it. The staged snapshot (the
+    // q_sql_partition_detach fixture) holds exactly its oldest day
+    // detached; the oracle recomputes that day's identity and row count
+    // from the raw fixture. Cost: one listing + one day-sized read per
+    // detached day — bounded by operator actions, never the corpus.
+    "q_sql_detached_parts" -> QueryDef(
+      (s, dir) => {
+        graft.operators.Snapshot.detachedParts(s, sqlDetachedDest(s, dir))
+          .createOrReplaceTempView("detached_parts_sqlv")
+        s.sql("""SELECT bucket_day, n_rows
+                |FROM detached_parts_sqlv ORDER BY bucket_day""".stripMargin)
+      },
+      Some("""SELECT strftime(ts, '%Y%m%d') AS bucket_day,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM events
+             |WHERE strftime(ts, '%Y%m%d') =
+             |  (SELECT min(strftime(ts, '%Y%m%d')) FROM events)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -132,6 +132,34 @@ class SqlSurfaceSpec extends SparkSpec {
       "SQL-text mutation route diverged from the Scala-API route")
   }
 
+  test("round-11 SQL command routes ≡ their Scala-API twins: independently staged routes agree") {
+    // each pair stages SEPARATE snapshots (the SQL one entirely through
+    // Graft.sql statements); equal aggregates prove the router lands
+    // the identical post-command state — and each pair shares ONE
+    // oracle string by reference, so the driver holds both to the same
+    // hash
+    Seq(
+      ("q_sql_mutation_update", "q_mutation_update"),
+      ("q_sql_optimize_dedup", "q_optimize_dedup"),
+      ("q_sql_partition_detach", "q_partition_detach")).foreach {
+      case (sqlName, apiName) =>
+        val sql = SparkEntry.queries(sqlName)(spark, sf)
+        val df = SparkEntry.queries(apiName)(spark, sf)
+        assert(sql.columns.toSeq == df.columns.toSeq, s"$sqlName: column drift")
+        assert(sql.collect().toSeq == df.collect().toSeq,
+          s"$sqlName diverged from $apiName")
+    }
+  }
+
+  test("detached-parts view shows exactly the detached day, attach-ready") {
+    val out = SparkEntry.queries("q_sql_detached_parts")(spark, sf).collect()
+    val e = operators.Relational.eventsSec(spark, sf)
+    val first = e.select(min(date_format(col("ts_s"), "yyyyMMdd"))).head.getString(0)
+    val n = e.filter(date_format(col("ts_s"), "yyyyMMdd") === first).count()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq((first, n)),
+      "the detached inventory must be exactly the oldest day with its full row count")
+  }
+
   test("q_sql_backup_restore round-trips every row and the day bucketing") {
     val out = SparkEntry.queries("q_sql_backup_restore")(spark, sf).collect()
     val want = operators.Relational.eventsSec(spark, sf)

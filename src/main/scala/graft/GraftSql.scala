@@ -107,7 +107,13 @@ object GraftSql {
         alterUpdate(spark, table, rest)
       case OptimizeRe(table, dedup) =>
         optimize(spark, table, dedup != null)
-      case _ => spark.sql(stmt) // exact fallthrough: the full SQL surface
+      // fallthrough: the full SQL surface, via the ClickHouse-dialect
+      // translator ([[plans.Dialect]]) — identity (byte-for-byte) on
+      // ANSI/Spark text, so native statements are untouched; dialect
+      // SELECTs (PREWHERE / FINAL / SAMPLE / LIMIT BY / ARRAY JOIN /
+      // countIf / quantile(q)(x) / …) arrive as the Catalyst plan their
+      // hand-written Spark twin would produce
+      case _ => spark.sql(plans.Dialect.translate(spark, stmt))
     }
   }
 

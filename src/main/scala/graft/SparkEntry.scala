@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Lifecycle,
     plans.ProjectionQueries,
     plans.SqlSurface,
+    plans.ChDialect,
     operators.SetOps,
     functions.Scalars,
     streaming.Shapes,

@@ -1,0 +1,322 @@
+package graft.plans
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ClickHouse-DIALECT query surface ([CH] capability layer): every
+  * query here is AUTHORED in ClickHouse 24.8 SQL — `PREWHERE`,
+  * `FROM t FINAL`, `SAMPLE f`, `LIMIT n BY`, `ARRAY JOIN`,
+  * `WITH TOTALS`, `countIf`/`argMax`/`quantile(q)(x)`/`toStartOfMonth`
+  * — and submitted through [[graft.Graft.sql]], which routes it
+  * through [[Dialect]] into plain Spark SQL. This is the last mile of
+  * "a user of the reference could switch": the reference's users type
+  * this dialect at clickhouse-client (backup.sh:38–45 is exactly such
+  * a statement); here the SAME text runs on Spark.
+  *
+  * Scale posture: translation is submit-time TEXT rewriting — the plan
+  * that executes is the plan the hand-written Spark twin produces
+  * (DialectSpec pins optimized-plan equality for representative
+  * queries), so nothing in this module has a scale story of its own:
+  * PREWHERE dissolves into pushed parquet filters, FINAL is one
+  * map-side-combined aggregate, SAMPLE is a pushable md5-bucket
+  * predicate (any engine with md5 draws the SAME rows — the oracle
+  * re-derives the sample), LIMIT BY is the per-group window (never a
+  * global sort), and GLOBAL JOIN dissolves into AQE's runtime
+  * broadcast decision.
+  *
+  * View names carry the `_chv` suffix (catalog-isolation convention,
+  * see [[SqlSurface]]).
+  */
+object ChDialect extends QueryModule {
+
+  private def registerViews(s: SparkSession, dir: String): Unit =
+    Seq("customer", "orders", "lineitem", "documents", "nation", "embeddings")
+      .foreach { t =>
+        Tables(s, dir, t).createOrReplaceTempView(s"${t}_chv")
+      }
+
+  /** Timestamped events under the engine's second-truncation discipline
+    * (ns-vs-µs hazard, SURVEY §5.3) — the dialect twin of
+    * SqlSurface.registerEvents.
+    */
+  private def registerEvents(s: SparkSession, dir: String): Unit =
+    graft.operators.Relational.eventsSec(s, dir)
+      .createOrReplaceTempView("events_ch_chv")
+
+  /** The versioned view `FINAL` collapses, with its ReplacingMergeTree
+    * metadata registered the way ClickHouse would read it from table
+    * DDL: key (user_id, event_type), version event_id.
+    */
+  private def registerFinalView(s: SparkSession, dir: String): Unit = {
+    graft.operators.Relational.eventsSec(s, dir)
+      .select("user_id", "event_type", "event_id", "value", "ts_s")
+      .createOrReplaceTempView("events_final_chv")
+    Dialect.registerFinal(s, "events_final_chv",
+      Seq("user_id", "event_type"), Seq("event_id"))
+  }
+
+  private def ch(s: SparkSession, text: String): DataFrame =
+    graft.Graft.sql(s, text)
+
+  def entries: Map[String, QueryDef] = Map(
+
+    // PREWHERE (ClickHouse's manual read-time filter) + trailing
+    // SETTINGS: both dissolve — Catalyst pushes every conjunct into the
+    // parquet scan unconditionally (DialectSpec pins PushedFilters), so
+    // the hint costs nothing to honor and nothing to drop.
+    "q_ch_prewhere" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT l_returnflag, count() AS n,
+                |       round(sum(l_extendedprice), 4) AS revenue
+                |FROM lineitem_chv
+                |PREWHERE l_shipdate >= toDate('1995-06-01')
+                |WHERE l_discount > 0.03
+                |GROUP BY l_returnflag ORDER BY l_returnflag
+                |SETTINGS max_threads = 8""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_extendedprice), 4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1995-06-01' AND l_discount > 0.03
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // LIMIT n BY g: first n rows per group in ORDER BY order —
+    // translated to the row_number window the engine's own q_limit_by
+    // uses (per-group, never a global sort).
+    "q_ch_limit_by" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        ch(s, """SELECT event_type, event_id, user_id
+                |FROM events_ch_chv
+                |ORDER BY event_type, event_id
+                |LIMIT 2 BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, event_id, user_id FROM (
+             |  SELECT event_type, event_id, user_id,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY event_id) AS rn
+             |  FROM events)
+             |WHERE rn <= 2 ORDER BY event_type, event_id""".stripMargin)),
+
+    // FROM t FINAL (ReplacingMergeTree read-time collapse): ONE
+    // aggregate max_by(struct(*), version) per key — partial-aggregated
+    // map-side (the shuffle carries one candidate row per key per
+    // partition, never every version), no per-row window; the
+    // registered key/version plays the role of the table's DDL
+    // metadata.
+    "q_ch_final" -> QueryDef(
+      (s, dir) => {
+        registerFinalView(s, dir)
+        ch(s, """SELECT user_id, event_type,
+                |       event_id AS last_event_id,
+                |       round(value, 4) AS last_value,
+                |       toString(toStartOfDay(ts_s)) AS last_day
+                |FROM events_final_chv FINAL
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type,
+             |  arg_max(event_id, event_id) AS last_event_id,
+             |  round(arg_max(value, event_id), 4) AS last_value,
+             |  CAST(CAST(date_trunc('day', arg_max(date_trunc('second', ts), event_id))
+             |    AS TIMESTAMP) AS VARCHAR) AS last_day
+             |FROM events GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // SAMPLE f: deterministic md5-bucket sample on the registered
+    // sample key — portable across engines (the oracle re-derives the
+    // EXACT same rows), pushable, and stable under repartitioning,
+    // unlike TABLESAMPLE which is split-dependent.
+    "q_ch_sample" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        Dialect.registerSample(s, "orders_chv", "o_orderkey")
+        ch(s, """SELECT count() AS n,
+                |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                |       round(sum(o_totalprice), 4) AS rev
+                |FROM orders_chv SAMPLE 0.25""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  round(sum(o_totalprice), 4) AS rev
+             |FROM orders
+             |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'""".stripMargin)),
+
+    // The -If aggregate combinator family + argMax + uniqExact:
+    // `<agg>If(x, cond)` → `<agg>(x) FILTER (WHERE cond)` — one hash
+    // aggregate for ALL branches (a scan per condition is what the
+    // combinator exists to avoid, and FILTER keeps that shape).
+    "q_ch_agg_combinators" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT o_orderpriority,
+                |  countIf(o_orderstatus = 'F') AS n_f,
+                |  round(sumIf(o_totalprice, o_orderstatus = 'O'), 4) AS rev_o,
+                |  round(avgIf(o_totalprice, o_orderstatus = 'F'), 4) AS avg_f,
+                |  argMax(o_orderstatus, o_orderkey) AS last_status,
+                |  uniqExact(o_custkey) AS n_cust
+                |FROM orders_chv
+                |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+             |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS rev_o,
+             |  round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS avg_f,
+             |  arg_max(o_orderstatus, o_orderkey) AS last_status,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+             |FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Parametric quantiles `quantile[Exact](q)(x)` → exact interpolated
+    // percentile — graft answers EXACTLY where ClickHouse's unsuffixed
+    // quantile approximates (documented upgrade; the exactness is what
+    // makes the query oracle-checkable).
+    "q_ch_quantiles" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT l_returnflag,
+                |  round(quantile(0.5)(l_extendedprice), 4) AS med_price,
+                |  round(quantileExact(0.9)(l_quantity), 4) AS p90_qty
+                |FROM lineitem_chv
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price,
+             |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // The to* date-function family: toYYYYMM / toStartOfMonth /
+    // toMonday / toDayOfWeek (ISO) / toYear — all constant-time scalar
+    // projections; week-start and day-numbering conventions are pinned
+    // to ISO (Monday) on both engines.
+    "q_ch_date_funcs" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT CAST(toYYYYMM(o_orderdate) AS BIGINT) AS ym,
+                |  toString(toStartOfMonth(o_orderdate)) AS month_start,
+                |  toString(toMonday(o_orderdate)) AS week_start,
+                |  CAST(toDayOfWeek(o_orderdate) AS BIGINT) AS dow,
+                |  count() AS n
+                |FROM orders_chv
+                |WHERE toYear(o_orderdate) = 1995
+                |GROUP BY ym, month_start, week_start, dow
+                |ORDER BY ym, week_start, dow""".stripMargin)
+      },
+      Some("""SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS ym,
+             |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+             |  CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) AS week_start,
+             |  CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY ym, week_start, dow""".stripMargin)),
+
+    // ARRAY JOIN (ClickHouse's row-expansion clause) → LATERAL VIEW
+    // explode: same per-partition pipeline, no shuffle added; the
+    // [a-z]-only token filter keeps the comparison off engine-specific
+    // Unicode case tables.
+    "q_ch_array_join" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT tok, count() AS n
+                |FROM documents_chv
+                |ARRAY JOIN splitByChar(' ', lowerUTF8(text)) AS tok
+                |WHERE doc_id % 10 = 0 AND match(tok, '^[a-z]{4,}$')
+                |GROUP BY tok HAVING count() >= 10
+                |ORDER BY n DESC, tok LIMIT 50""".stripMargin)
+      },
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents WHERE doc_id % 10 = 0)
+             |WHERE regexp_matches(tok, '^[a-z]{4,}$')
+             |GROUP BY tok HAVING count(*) >= 10
+             |ORDER BY n DESC, tok LIMIT 50""".stripMargin)),
+
+    // GROUP BY … WITH TOTALS → GROUPING SETS ((keys), ()): the grand
+    // total comes from the SAME single aggregation pass (Expand), not a
+    // second scan. Documented divergence: the totals row carries
+    // SQL-convention NULL keys where ClickHouse renders empty values.
+    "q_ch_with_totals" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT o_orderstatus, count() AS n,
+                |       round(sum(o_totalprice), 4) AS rev
+                |FROM orders_chv
+                |GROUP BY o_orderstatus WITH TOTALS
+                |ORDER BY o_orderstatus NULLS LAST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(o_totalprice), 4) AS rev
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), ())
+             |ORDER BY o_orderstatus NULLS LAST""".stripMargin)),
+
+    // String-function surface: match (re2) → regexp_like, lengthUTF8 →
+    // char_length (ClickHouse's bare length() counts BYTES — the UTF8
+    // variants are the semantically safe mappings, which is why bare
+    // `length` is deliberately NOT translated), substringUTF8,
+    // startsWith. All codegen'd scalar projections.
+    "q_ch_string_funcs" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT c_mktsegment,
+                |  countIf(match(c_name, '[0-9]{3}$')) AS n_tail_digits,
+                |  uniqExact(lowerUTF8(substringUTF8(c_name, 1, 12))) AS n_prefix,
+                |  CAST(max(lengthUTF8(c_name)) AS BIGINT) AS max_len,
+                |  countIf(startsWith(c_name, 'Customer')) AS n_std
+                |FROM customer_chv
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) FILTER (WHERE regexp_matches(c_name, '[0-9]{3}$'))
+             |    AS BIGINT) AS n_tail_digits,
+             |  CAST(count(DISTINCT lower(substring(c_name, 1, 12))) AS BIGINT) AS n_prefix,
+             |  CAST(max(length(c_name)) AS BIGINT) AS max_len,
+             |  CAST(count(*) FILTER (WHERE starts_with(c_name, 'Customer'))
+             |    AS BIGINT) AS n_std
+             |FROM customer
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Array higher-order functions with ClickHouse's LAMBDA-FIRST
+    // argument order (arrayMap(x -> …, a) → transform(a, x -> …)) plus
+    // arraySum / arrayUniq / has — all per-row projections over the
+    // embedding column, fused into the scan.
+    "q_ch_array_funcs" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT CAST(label AS BIGINT) AS label,
+                |  CAST(sum(arraySum(arrayMap(x -> if(x > 0.5, 1, 0), embedding)))
+                |    AS BIGINT) AS n_big,
+                |  CAST(max(arrayUniq(arrayFilter(x -> x > 0, embedding)))
+                |    AS BIGINT) AS max_pos_uniq,
+                |  countIf(has(embedding, 0)) AS n_with_zero
+                |FROM embeddings_chv
+                |GROUP BY label ORDER BY label""".stripMargin)
+      },
+      Some("""SELECT CAST(label AS BIGINT) AS label,
+             |  CAST(sum(len(list_filter(embedding, x -> x > 0.5))) AS BIGINT) AS n_big,
+             |  CAST(max(len(list_distinct(list_filter(embedding, x -> x > 0))))
+             |    AS BIGINT) AS max_pos_uniq,
+             |  CAST(count(*) FILTER (WHERE list_contains(embedding, 0))
+             |    AS BIGINT) AS n_with_zero
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // GLOBAL JOIN — ClickHouse's manual "ship the right side to every
+    // node" — dissolves: AQE broadcasts the 25-row nation side from
+    // RUNTIME size, which is the decision GLOBAL hand-encodes
+    // (DialectSpec pins BroadcastHashJoin in the executed plan).
+    "q_ch_global_join" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT n_name, count() AS n_cust,
+                |       round(sum(c_acctbal), 4) AS bal
+                |FROM customer_chv AS c
+                |GLOBAL INNER JOIN nation_chv AS n ON c.c_nationkey = n.n_nationkey
+                |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+             |       round(sum(c_acctbal), 4) AS bal
+             |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)))
+}

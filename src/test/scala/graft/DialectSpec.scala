@@ -1,0 +1,188 @@
+package graft
+
+import graft.plans.{ChDialect, Dialect}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The ClickHouse-dialect translator ([[plans.Dialect]]): exact
+  * translation strings per construct, byte-identity on ANSI/Spark
+  * text, fail-fast on the constructs that cannot translate exactly,
+  * and — the part that matters at 100 TB — proof that the translated
+  * text produces the SAME optimized Catalyst plan as the hand-written
+  * Spark twin (translation is submit-time; the executed plan owes it
+  * nothing).
+  */
+class DialectSpec extends SparkSpec {
+
+  private val reg = Dialect.Registry(
+    finals = Map("evf" -> (Seq("user_id", "event_type"), Seq("event_id"))),
+    samples = Map("orders_chv" -> "o_orderkey"))
+
+  private def t(sql: String): String = Dialect.translate(sql, reg)
+
+  // ── translation strings ────────────────────────────────────────────
+
+  test("PREWHERE merges into WHERE; SETTINGS and FORMAT strip") {
+    assert(t("SELECT a FROM t PREWHERE x > 1 WHERE y < 2 SETTINGS max_threads = 8")
+      == "SELECT a FROM t WHERE(x > 1) AND(y < 2)")
+    assert(t("SELECT a FROM t PREWHERE x > 1 GROUP BY a FORMAT JSONEachRow")
+      == "SELECT a FROM t WHERE x > 1 GROUP BY a")
+  }
+
+  test("FINAL becomes one max_by(struct(*)) aggregate on the registered key/version") {
+    assert(t("SELECT * FROM evf FINAL") ==
+      "SELECT * FROM (SELECT __graft_row.* FROM (SELECT max_by(struct(*), " +
+        "struct(event_id)) AS __graft_row FROM evf GROUP BY user_id, event_type)) evf")
+  }
+
+  test("SAMPLE f becomes the deterministic md5-bucket filter on the registered key") {
+    assert(t("SELECT count() FROM orders_chv SAMPLE 0.25") ==
+      "SELECT count(*) FROM (SELECT * FROM orders_chv WHERE " +
+        "substr(md5(CAST(o_orderkey AS STRING)), 1, 4) < '4000') orders_chv")
+  }
+
+  test("LIMIT n BY becomes the per-group row_number window") {
+    assert(t("SELECT k, v FROM t ORDER BY k, v LIMIT 2 BY k") ==
+      "SELECT k, v FROM (SELECT k, v, row_number() OVER (PARTITION BY k " +
+        "ORDER BY k, v) AS __graft_rn FROM t) WHERE __graft_rn <= 2 ORDER BY k, v")
+    // trailing LIMIT m survives after the window filter
+    assert(t("SELECT k, v AS w FROM t ORDER BY v LIMIT 1 BY k LIMIT 10")
+      .endsWith("ORDER BY v LIMIT 10"))
+  }
+
+  test("combinators, parametrics, renames, ARRAY JOIN, WITH TOTALS, GLOBAL") {
+    assert(t("SELECT countIf(x > 1), sumIf(v, x = 2) FROM t") ==
+      "SELECT count(*) FILTER (WHERE x > 1), sum(v) FILTER (WHERE x = 2) FROM t")
+    assert(t("SELECT quantile(0.5)(v), uniqUpTo(3)(k) FROM t") ==
+      "SELECT percentile(v, 0.5), least(count(DISTINCT k), CAST(3 AS BIGINT) + 1) FROM t")
+    assert(t("SELECT argMax(a, b), uniqExact(k), groupArray(v) FROM t") ==
+      "SELECT max_by(a, b), count(DISTINCT k), collect_list(v) FROM t")
+    assert(t("SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x") ==
+      "SELECT x FROM t LATERAL VIEW explode(split(s, ',')) __graft_aj AS x")
+    // regex metachar separators arrive escaped for Spark's regex split
+    assert(t("SELECT splitByChar('.', s) FROM t") ==
+      "SELECT split(s, '\\\\.') FROM t")
+    assert(t("SELECT k, count() FROM t GROUP BY k WITH TOTALS") ==
+      "SELECT k, count(*) FROM t GROUP BY GROUPING SETS ((k), ())")
+    assert(t("SELECT a FROM t1 GLOBAL JOIN t2 ON t1.k = t2.k") ==
+      "SELECT a FROM t1 JOIN t2 ON t1.k = t2.k")
+    assert(t("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t") ==
+      "SELECT CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' ELSE 'z' END FROM t")
+    assert(t("SELECT arrayMap(x -> x * 2, a), has(a, 1) FROM t") ==
+      "SELECT transform(a, x -> x * 2), array_contains(a, 1) FROM t")
+    assert(t("SELECT toStartOfMonth(d), toDayOfWeek(d), dateDiff('day', a, b) FROM t") ==
+      "SELECT to_date(date_trunc('MONTH', d)), CAST(pmod(dayofweek(d) + 5, 7) + 1 " +
+        "AS INT), timestampdiff(DAY, a, b) FROM t")
+  }
+
+  // ── identity and collision safety ──────────────────────────────────
+
+  test("ANSI/Spark text passes through byte-identical") {
+    val stmts = Seq(
+      "SELECT a, count(*) FROM t WHERE x LIKE '%FINAL%' GROUP BY a",
+      "SELECT position('ab' IN x), any(flag), length(s) FROM t",
+      "SELECT * FROM t WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'",
+      "SELECT extract(DAY FROM ts), substring(s FROM 1 FOR 2) FROM t",
+      // a column NAMED global / sample / final outside its clause position
+      "SELECT global, sample FROM t WHERE final = 1")
+    stmts.foreach(s => assert(t(s) eq s, s"not byte-identical: $s"))
+  }
+
+  test("string literals are never rewritten") {
+    val s = "SELECT 'countIf(x) FINAL PREWHERE toDate' AS lit, countIf(x > 0) FROM t"
+    assert(t(s) ==
+      "SELECT 'countIf(x) FINAL PREWHERE toDate' AS lit, count(*) FILTER (WHERE x > 0) FROM t")
+  }
+
+  // ── fail-fast on inexact constructs ────────────────────────────────
+
+  test("inexact constructs refuse with the construct named") {
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](t(sql)).getMessage
+    assert(err("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k AND t1.ts >= t2.ts")
+      .contains("ASOF"))
+    assert(err("SELECT a FROM t1 ANY LEFT JOIN t2 ON t1.k = t2.k").contains("ANY JOIN"))
+    assert(err("SELECT a FROM orders_chv SAMPLE 1000").contains("SAMPLE"))
+    assert(err("SELECT a FROM unregistered FINAL").contains("no key/version registered"))
+    assert(err("SELECT a FROM unregistered2 SAMPLE 0.5").contains("no sample key"))
+    assert(err("SELECT a FROM t LIMIT 2 BY a").contains("ORDER BY"))
+    assert(err("SELECT a + 1 FROM t ORDER BY a LIMIT 2 BY a").contains("alias"))
+  }
+
+  // ── plan identity: translated text == hand-written Spark twin ─────
+
+  private def optimized(sql: String) =
+    spark.sql(sql).queryExecution.optimizedPlan.canonicalized
+
+  test("translated PREWHERE and LIMIT BY produce the hand-written twin's optimized plan") {
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("li_dsp")
+    assert(optimized(t(
+      "SELECT l_returnflag, count() AS n FROM li_dsp PREWHERE l_discount > 0.03 " +
+        "WHERE l_quantity < 10 GROUP BY l_returnflag")) ==
+      optimized(
+        "SELECT l_returnflag, count(*) AS n FROM li_dsp " +
+          "WHERE l_discount > 0.03 AND l_quantity < 10 GROUP BY l_returnflag"),
+      "PREWHERE translation must optimize to the twin's plan")
+    assert(optimized(t(
+      "SELECT l_returnflag, l_orderkey FROM li_dsp ORDER BY l_returnflag, l_orderkey " +
+        "LIMIT 2 BY l_returnflag")) ==
+      optimized(
+        "SELECT l_returnflag, l_orderkey FROM (SELECT l_returnflag, l_orderkey, " +
+          "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_returnflag, " +
+          "l_orderkey) AS rn FROM li_dsp) WHERE rn <= 2 " +
+          "ORDER BY l_returnflag, l_orderkey"),
+      "LIMIT BY translation must optimize to the twin's window plan")
+  }
+
+  test("PREWHERE predicates reach the parquet scan as pushed filters") {
+    val df = ChDialect.entries("q_ch_prewhere").fn(spark, sf)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_discount"),
+      "the WHERE conjunct must push into the scan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "the PREWHERE conjunct must push into the scan")
+  }
+
+  test("GLOBAL JOIN dissolves into a broadcast hash join") {
+    val df = ChDialect.entries("q_ch_global_join").fn(spark, sf)
+    df.collect() // finalize AQE
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the 25-row nation side must broadcast")
+  }
+
+  test("FINAL is one map-side-combined aggregate — no per-row window, one shuffle") {
+    val df = ChDialect.entries("q_ch_final").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "FINAL must not plan a window")
+    // the struct-valued max_by plans as SortAggregate (struct agg
+    // buffers are not hash-aggregable), but the property that matters
+    // at scale holds: a PARTIAL aggregate runs before the exchange, so
+    // the shuffle carries one candidate row per (key, partition), not
+    // every version
+    assert(plan.contains("partial_max_by"),
+      "FINAL must partial-aggregate map-side before the exchange")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"FINAL must add exactly one key shuffle, saw $shuffles")
+  }
+
+  test("dialect FINAL ≡ the engine's replacingFinal collapse, row for row") {
+    import org.apache.spark.sql.functions._
+    val viaDialect = ChDialect.entries("q_ch_final").fn(spark, sf)
+      .select("user_id", "event_type", "last_event_id", "last_value")
+    val viaBuilder = operators.Relational.eventsSec(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(max("event_id").as("last_event_id"),
+        round(max_by(col("value"), col("event_id")), 4).as("last_value"))
+      .orderBy("user_id", "event_type")
+    assert(viaDialect.collect().toSeq == viaBuilder.collect().toSeq)
+  }
+
+  test("Graft.sql end-to-end: dialect text runs through the router fallthrough") {
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_dsp")
+    val n = Graft.sql(spark,
+      "SELECT countIf(o_orderstatus = 'F') AS n FROM orders_dsp").collect()(0)
+      .getAs[Long]("n")
+    val expected = Tables(spark, sf, "orders")
+      .filter("o_orderstatus = 'F'").count()
+    assert(n == expected)
+  }
+}

@@ -37,6 +37,23 @@ QUERIES = [
 TABLES = "lineitem,orders,documents"
 
 
+def wait_quiet(max_load: float, timeout_s: int = 900, tag: str = "") -> None:
+    """Idle until the 1-minute loadavg drops under max_load (or timeout)
+    — chained legs otherwise start in the prior JVM's teardown churn
+    and the first runs measure the neighbor, not the engine (see
+    tools/scale30.py for the r10→r11 lesson)."""
+    import time
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = os.getloadavg()[0]
+        if load < max_load:
+            print(f"[scale] {tag} starting at loadavg {load:.2f}", flush=True)
+            return
+        time.sleep(10)
+    print(f"[scale] {tag} cooldown TIMED OUT at loadavg "
+          f"{os.getloadavg()[0]:.2f} — recording anyway", flush=True)
+
+
 def bench(sf_dir: str, runs: int, cpus: str) -> dict:
     out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
     env = dict(os.environ,
@@ -78,6 +95,8 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=10.0,
                     help="100x/10x growth gate (10.0 = linear in data)")
     ap.add_argument("--cpus", default="32")
+    ap.add_argument("--max-load", type=float, default=2.0,
+                    help="wait until 1-min loadavg is below this before each leg")
     args = ap.parse_args()
 
     if not os.path.isdir(SF1):
@@ -92,8 +111,10 @@ def main() -> int:
             [sys.executable, os.path.join(REPO, "tools", "make_sf1.py"),
              SF01, SF10, "100", TABLES], check=True)
 
+    wait_quiet(args.max_load, tag="10x leg")
     print(f"[scale100] bench 10x ({args.runs} runs) ...", flush=True)
     ten = bench(SF1, args.runs, args.cpus)
+    wait_quiet(args.max_load, tag="100x leg")
     print(f"[scale100] bench 100x ({args.runs} runs) ...", flush=True)
     hundred = bench(SF10, args.runs, args.cpus)
 

@@ -302,6 +302,70 @@ object ChDialect extends QueryModule {
              |    AS BIGINT) AS n_with_zero
              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // ORDER BY … WITH FILL — ClickHouse's result densification — plus
+    // the INTERPOLATE carry-forward staple (v AS v). The fill grid is
+    // an exploded sequence bounded by the user's FROM/TO (metadata-
+    // scale), FULL-OUTER-joined to the ALREADY-AGGREGATED result;
+    // the carry is one last(IGNORE NULLS) window over the grid.
+    // Documented divergence: filled rows carry NULL in
+    // non-interpolated payload columns where ClickHouse renders
+    // column defaults.
+    "q_ch_with_fill" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        ch(s, """SELECT toInt64(floor(value / 40)) AS b, count() AS n,
+                |       round(sum(value), 4) AS v
+                |FROM events_ch_chv
+                |GROUP BY b
+                |ORDER BY b WITH FILL FROM 0 TO 16 INTERPOLATE (v AS v)""".stripMargin)
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(floor(value / 40) AS BIGINT) AS b,
+             |         CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS v
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT unnest(generate_series(0, 15)) AS b)
+             |SELECT coalesce(q.b, g.b) AS b, q.n AS n,
+             |       last_value(q.v IGNORE NULLS) OVER (ORDER BY coalesce(q.b, g.b)
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |FROM g FULL OUTER JOIN q ON q.b = g.b ORDER BY b""".stripMargin)),
+
+    // ASOF LEFT JOIN in its native ClickHouse spelling: each purchase
+    // matched to the user's latest at-or-before click. Translated to
+    // the engine's sort-merge as-of shape (union both sides into one
+    // tagged stream, ONE shuffle on the equi-key, last(IGNORE NULLS)
+    // carries the match) — no join operator in the plan at all, no
+    // per-key cross product, no range join (DialectSpec pins the
+    // shape). The click side is deduplicated to one row per
+    // (user, second) so the tie-winner is engine-independent; the
+    // oracle is DuckDB's NATIVE ASOF JOIN — two independent as-of
+    // implementations agreeing row-for-row.
+    "q_ch_asof_join" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, max}
+        val ev = graft.operators.Relational.eventsSec(s, dir)
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_s")
+          .createOrReplaceTempView("purchases_chv")
+        ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_s")
+          .agg(max("event_id").as("event_id"))
+          .createOrReplaceTempView("clicks_dedup_chv")
+        ch(s, """SELECT p.event_id, p.user_id, c.event_id AS prior_click_id
+                |FROM purchases_chv AS p
+                |ASOF LEFT JOIN clicks_dedup_chv AS c
+                |  ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+                |ORDER BY p.event_id""".stripMargin)
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS prior_click_id
+             |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s
+             |      FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, date_trunc('second', ts) AS ts_s,
+             |                       max(event_id) AS event_id
+             |                FROM events WHERE event_type = 'click'
+             |                GROUP BY 1, 2) c
+             |  ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+             |ORDER BY p.event_id""".stripMargin)),
+
     // GLOBAL JOIN — ClickHouse's manual "ship the right side to every
     // node" — dissolves: AQE broadcasts the 25-row nation side from
     // RUNTIME size, which is the decision GLOBAL hand-encodes

@@ -68,19 +68,33 @@ import scala.collection.mutable.ArrayBuffer
   *    Spark built-ins under DIFFERENT semantics (`any`, `position`,
   *    `extract`, `range`, `length`) are deliberately NOT mapped.
   *
-  * Unsupported constructs (`ANY`/`ASOF` join modifiers, integer
-  * SAMPLE, FINAL/SAMPLE on unregistered tables, LIMIT BY without
-  * ORDER BY) throw [[DialectException]] with the construct named —
-  * fail-fast beats a silently different answer.
+  *  - `ASOF [LEFT] JOIN` translates to the engine's sort-merge as-of
+  *    shape (the q_join_asof pattern): both sides union into one
+  *    tagged stream, ONE shuffle on the equi-keys, and
+  *    `last(…) IGNORE NULLS` carries the match forward — no join
+  *    operator in the plan, no per-key cross product. All four
+  *    inequality directions; inner ASOF filters a carried match flag.
+  *    Needs both sides catalog-resolvable (the union projects each
+  *    side to a common schema with typed NULL placeholders).
+  *
+  * Unsupported constructs (`ANY` join modifier, integer SAMPLE,
+  * FINAL/SAMPLE on unregistered tables, LIMIT BY without ORDER BY,
+  * ASOF over non-catalog relations) throw [[DialectException]] with
+  * the construct named — fail-fast beats a silently different answer.
   */
 object Dialect {
 
   final class DialectException(msg: String) extends IllegalArgumentException(msg)
 
-  /** Key/version registration a `FINAL` rewrite resolves against. */
+  /** Key/version registration a `FINAL` rewrite resolves against, plus
+    * the catalog-schema lookup the `ASOF JOIN` rewrite needs (it must
+    * project BOTH sides to a common union schema with typed NULL
+    * placeholders).
+    */
   final case class Registry(
       finals: Map[String, (Seq[String], Seq[String])] = Map.empty,
-      samples: Map[String, String] = Map.empty)
+      samples: Map[String, String] = Map.empty,
+      schemaOf: String => Option[Seq[(String, String)]] = _ => None)
 
   private def fail(msg: String): Nothing = throw new DialectException(msg)
 
@@ -105,7 +119,9 @@ object Dialect {
       },
       samples = all.collect { case (k, v) if k.startsWith("graft.sample.") =>
         k.stripPrefix("graft.sample.") -> v.trim
-      })
+      },
+      schemaOf = name => scala.util.Try(spark.table(name).schema).toOption
+        .map(_.fields.toSeq.map(f => (f.name, f.dataType.sql))))
   }
 
   /** Translate with the session's registrations; identity on text with
@@ -490,6 +506,211 @@ object Dialect {
     }
   }
 
+  // ── ASOF JOIN ──────────────────────────────────────────────────────
+
+  /** Alias → exposed-name maps the level's references are rewritten
+    * through after an ASOF rewrite replaced the join with a single
+    * subquery (one relation cannot carry two aliases).
+    */
+  private final case class AsofMaps(la: String, ra: String,
+      leftCols: Seq[String], rightExposed: Seq[(String, String)])
+
+  private def splitOnWord(ns: Vector[Node], up: String): Vector[Vector[Node]] = {
+    val out = ArrayBuffer(ArrayBuffer.empty[Node])
+    ns.foreach {
+      case n if isWord(n, up) => out += ArrayBuffer.empty[Node]
+      case n => out.last += n
+    }
+    out.map(_.toVector).toVector
+  }
+
+  /** Translate `<l> [AS la] ASOF [LEFT] JOIN <r> [AS ra] ON eq-keys AND
+    * time-ineq` into the engine's sort-merge as-of shape (the
+    * q_join_asof / q_sql_join_asof pattern): both sides union into one
+    * tagged stream, ONE shuffle on the equi-keys, one sort on
+    * (time, side), and `last(… ) IGNORE NULLS` carries the match
+    * forward — never a per-key cross product, never a range join.
+    * Inner ASOF (ClickHouse's default) filters on a carried match
+    * flag; LEFT keeps unmatched rows with NULLs.
+    */
+  private def rewriteAsof(span0: Vector[Node], ai: Int,
+      reg: Registry): (Vector[Node], AsofMaps) = {
+    val span = span0
+    def asofFail(msg: String): Nothing =
+      fail(s"ASOF JOIN: $msg — supported form: FROM l [AS la] ASOF [LEFT] JOIN r " +
+        "[AS ra] ON la.k = ra.k [AND …] AND la.t >=|>|<=|< ra.t, with both " +
+        "sides catalog-resolvable tables or views")
+    if (ai == 0) asofFail("no left table before ASOF")
+    // left ref [[AS] alias], scanning back from ASOF — an alias word is
+    // one whose predecessor is itself the tail of a reference (not a
+    // dot, which would make IT the reference tail)
+    val (laExplicit, lRefEnd) = span(ai - 1) match {
+      case Leaf(w: Word) if ai >= 3 && isWord(span(ai - 2), "AS") =>
+        (Some(w.text), ai - 2)
+      case Leaf(w: Word) if ai >= 2 && span(ai - 2) != Leaf(Punct(".")) &&
+          (span(ai - 2) match {
+            case Leaf(_: Word) | Leaf(_: Quoted) => true
+            case _ => false
+          }) =>
+        (Some(w.text), ai - 1)
+      case Leaf(_: Word) | Leaf(_: Quoted) => (None, ai)
+      case _ => asofFail("left side must be a named table or view")
+    }
+    var lStart = lRefEnd - 1
+    span(lStart) match {
+      case Leaf(_: Word) | Leaf(_: Quoted) => ()
+      case _ => asofFail("left side must be a named table or view")
+    }
+    while (lStart >= 2 && span(lStart - 1) == Leaf(Punct("."))) lStart -= 2
+    val lRef = emit(span.slice(lStart, lRefEnd))
+    val la = laExplicit.getOrElse(lRef.split('.').last)
+    // [LEFT|INNER] JOIN <r> [AS ra] ON
+    var j = ai + 1
+    val isLeftJoin = j < span.length && isWord(span(j), "LEFT")
+    if (isLeftJoin || (j < span.length && isWord(span(j), "INNER"))) j += 1
+    if (j >= span.length || !isWord(span(j), "JOIN")) asofFail("expected JOIN after ASOF")
+    j += 1
+    val rStart = j
+    if (j >= span.length) asofFail("missing right table")
+    span(j) match {
+      case Leaf(_: Word) | Leaf(_: Quoted) => ()
+      case _ => asofFail("right side must be a named table or view")
+    }
+    while (j + 1 < span.length && span(j + 1) == Leaf(Punct("."))) j += 2
+    j += 1
+    val rRef = emit(span.slice(rStart, j))
+    var ra = rRef.split('.').last
+    if (j < span.length && isWord(span(j), "AS")) {
+      span(j + 1) match {
+        case Leaf(w: Word) => ra = w.text; j += 2
+        case _ => asofFail("expected alias after AS")
+      }
+    } else span.lift(j) match {
+      // bare alias: any word that is not the ON keyword
+      case Some(Leaf(w: Word)) if w.up != "ON" => ra = w.text; j += 1
+      case _ => ()
+    }
+    if (j >= span.length || !isWord(span(j), "ON")) asofFail("expected ON")
+    j += 1
+    val condEnd = span.indices.drop(j)
+      .find(i => Seq("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF")
+        .exists(isWord(span(i), _)))
+      .getOrElse(span.length)
+    if (la == ra) asofFail("left and right aliases must differ")
+    // conditions: alias-qualified column-to-column comparisons
+    def qcol(v: Vector[Node]): Option[(String, String)] = v match {
+      case Vector(Leaf(a: Word), Leaf(Punct(".")), Leaf(c: Word)) =>
+        Some((a.text, c.text))
+      case _ => None
+    }
+    def flip(op: String): String = op match {
+      case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case "<" => ">"
+      case other => other
+    }
+    val condOps = Set("=", ">=", ">", "<=", "<")
+    val parsed = splitOnWord(span.slice(j, condEnd), "AND").map { c =>
+      val opI = c.indices.find(i => c(i) match {
+        case Leaf(Punct(p)) => condOps(p)
+        case _ => false
+      }).getOrElse(asofFail(s"cannot parse condition '${emit(c)}'"))
+      val op = c(opI).asInstanceOf[Leaf].t.text
+      val lhs = qcol(c.take(opI)).getOrElse(
+        asofFail(s"condition sides must be alias-qualified columns: '${emit(c)}'"))
+      val rhs = qcol(c.drop(opI + 1)).getOrElse(
+        asofFail(s"condition sides must be alias-qualified columns: '${emit(c)}'"))
+      if (lhs._1 == la && rhs._1 == ra) (op, lhs._2, rhs._2)
+      else if (lhs._1 == ra && rhs._1 == la) (flip(op), rhs._2, lhs._2)
+      else asofFail(s"each condition must compare a $la column to a $ra column")
+    }
+    val eqKeys = parsed.collect { case ("=", lk, rk) => (lk, rk) }
+    val timeConds = parsed.filter(_._1 != "=")
+    if (eqKeys.isEmpty) asofFail("at least one equi-key condition is required")
+    if (timeConds.length != 1) asofFail("exactly one inequality condition is required")
+    val (top, lt, rt) = timeConds.head
+    val lSchema = reg.schemaOf(lRef).getOrElse(
+      asofFail(s"cannot resolve the schema of '$lRef' from the session catalog"))
+    val rSchema = reg.schemaOf(rRef).getOrElse(
+      asofFail(s"cannot resolve the schema of '$rRef' from the session catalog"))
+    val leftCols = lSchema.map(_._1)
+    val leftColSet = leftCols.toSet
+    val rightExposed = rSchema.map { case (c, _) =>
+      c -> (if (leftColSet(c)) s"__r_$c" else c)
+    }
+    val keyNames = eqKeys.indices.map(i => s"__graft_k$i")
+    val lInternal = leftCols.indices.map(i => s"__graft_l_$i")
+    val rInternal = rSchema.indices.map(i => s"__graft_r_$i")
+    val lSel = (eqKeys.zipWithIndex.map { case ((lk, _), i) => s"$lk AS __graft_k$i" } ++
+      Seq(s"$lt AS __graft_t", "1 AS __graft_side") ++
+      leftCols.zip(lInternal).map { case (c, n) => s"$c AS $n" } ++
+      rSchema.zip(rInternal).map { case ((_, ddl), n) => s"CAST(NULL AS $ddl) AS $n" })
+      .mkString(", ")
+    val rSel = (eqKeys.zipWithIndex.map { case ((_, rk), i) => s"$rk AS __graft_k$i" } ++
+      Seq(s"$rt AS __graft_t", "0 AS __graft_side") ++
+      lSchema.zip(lInternal).map { case ((_, ddl), n) => s"CAST(NULL AS $ddl) AS $n" } ++
+      rSchema.map(_._1).zip(rInternal).map { case (c, n) => s"$c AS $n" })
+      .mkString(", ")
+    // sort direction: the window's "preceding" must mean "eligible" —
+    // ASC for backward-looking ops, DESC for forward-looking; the side
+    // tiebreak decides whether an EQUAL time matches (inclusive ops
+    // put right rows first)
+    val (tDir, sDir) = top match {
+      case ">=" => ("ASC", "ASC")
+      case ">" => ("ASC", "DESC")
+      case "<=" => ("DESC", "ASC")
+      case "<" => ("DESC", "DESC")
+    }
+    val win = s"OVER (PARTITION BY ${keyNames.mkString(", ")} ORDER BY " +
+      s"__graft_t $tDir, __graft_side $sDir ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND CURRENT ROW)"
+    val winSel = (Seq("__graft_side") ++ lInternal ++
+      rInternal.zip(rightExposed).map { case (n, (_, exp)) =>
+        s"last(CASE WHEN __graft_side = 0 THEN $n END) IGNORE NULLS $win AS $exp"
+      } ++
+      Seq(s"last(CASE WHEN __graft_side = 0 THEN 1 END) IGNORE NULLS $win AS __graft_m"))
+      .mkString(", ")
+    val outerSel = (leftCols.zip(lInternal).map { case (c, n) => s"$n AS $c" } ++
+      rightExposed.map(_._2)).mkString(", ")
+    val matchFilter = if (isLeftJoin) "" else " AND __graft_m = 1"
+    val sub = s"(SELECT $outerSel FROM (SELECT $winSel FROM (SELECT $lSel FROM " +
+      s"$lRef UNION ALL SELECT $rSel FROM $rRef)) WHERE __graft_side = 1" +
+      s"$matchFilter) __graft_asof"
+    (span.take(lStart) ++ Vector(raw(sub)) ++ span.drop(condEnd),
+      AsofMaps(la, ra, leftCols, rightExposed))
+  }
+
+  /** Rewrite `la.c` / `ra.c` / `la.*` / `ra.*` references into the
+    * single `__graft_asof` relation's exposed names, recursing through
+    * the level's groups.
+    */
+  private def applyAsofRefs(nodes: Vector[Node], m: AsofMaps): Vector[Node] = {
+    val rmap = m.rightExposed.toMap
+    def go(ns: Vector[Node]): Vector[Node] = {
+      val out = ArrayBuffer.empty[Node]
+      var i = 0
+      while (i < ns.length) {
+        ns(i) match {
+          case Leaf(a: Word) if (a.text == m.la || a.text == m.ra) &&
+              i + 2 < ns.length + 1 && i + 1 < ns.length &&
+              ns(i + 1) == Leaf(Punct(".")) && i + 2 < ns.length =>
+            val isLeft = a.text == m.la
+            ns(i + 2) match {
+              case Leaf(c: Word) =>
+                val exposed = if (isLeft) c.text else rmap.getOrElse(c.text, c.text)
+                out += raw(s"__graft_asof.$exposed"); i += 3
+              case Leaf(Punct("*")) =>
+                val cols = if (isLeft) m.leftCols else m.rightExposed.map(_._2)
+                out += raw(cols.mkString(", ")); i += 3
+              case _ => out += ns(i); i += 1
+            }
+          case Grp(cs) => out += Grp(go(cs)); i += 1
+          case n => out += n; i += 1
+        }
+      }
+      out.toVector
+    }
+    go(nodes)
+  }
+
   /** Rewrite the clause-level constructs of ONE select level (already
     * function-rewritten, subgroups already clause-rewritten).
     */
@@ -516,12 +737,9 @@ object Dialect {
       val drop = gIdx.toSet
       ns = ns.indices.filterNot(drop).map(ns).toVector; changed()
     }
-    // reject modifiers Spark cannot honor silently
+    // reject modifiers Spark cannot honor silently (ASOF JOIN has a
+    // real translation in the FROM section below)
     ns.indices.foreach { i =>
-      if (isWord(ns(i), "ASOF") && i + 1 < ns.length &&
-          (isWord(ns(i + 1), "JOIN") || isWord(ns(i + 1), "LEFT")))
-        fail("ASOF JOIN is not translatable SQL-side; use graft's as-of join " +
-          "operator (operators.Joins.asof / q_sql_join_asof pattern)")
       if (isWord(ns(i), "ANY") && i + 1 < ns.length &&
           (isWord(ns(i + 1), "JOIN") || isWord(ns(i + 1), "LEFT") ||
             isWord(ns(i + 1), "INNER")))
@@ -531,7 +749,8 @@ object Dialect {
 
     val selI = clauseIdx(ns, "SELECT")
 
-    // FROM-clause modifiers: FINAL / SAMPLE / ARRAY JOIN
+    // FROM-clause modifiers: ASOF JOIN / FINAL / SAMPLE / ARRAY JOIN
+    var asofMaps: Option[AsofMaps] = None
     clauseIdx(ns, "FROM").foreach { fromI =>
       val endI = ns.indices.drop(fromI + 1)
         .find(i => Seq("PREWHERE", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
@@ -539,6 +758,16 @@ object Dialect {
         .getOrElse(ns.length)
       var span = ns.slice(fromI + 1, endI)
       var spanChanged = false
+
+      // <l> [AS la] ASOF [LEFT] JOIN <r> [AS ra] ON … — translated to
+      // the union + last(IGNORE NULLS) sort-merge as-of shape; the
+      // level's la./ra. references are remapped below
+      span.indices.find(i => isWord(span(i), "ASOF")).foreach { ai =>
+        val (newSpan, maps) = rewriteAsof(span, ai, reg)
+        span = newSpan
+        asofMaps = Some(maps)
+        spanChanged = true
+      }
 
       // <ref> FINAL  — ref is the preceding Word (optionally qualified)
       var fi = span.indices.find(i => isWord(span(i), "FINAL"))
@@ -639,6 +868,10 @@ object Dialect {
       }
     }
 
+    // after an ASOF rewrite the two join aliases live in ONE relation —
+    // remap every la./ra. reference in this level to its exposed name
+    asofMaps.foreach { m => ns = applyAsofRefs(ns, m) }
+
     // PREWHERE → WHERE (merge with an existing WHERE)
     clauseIdx(ns, "PREWHERE").foreach { pi =>
       val stop = ns.indices.drop(pi + 1)
@@ -675,6 +908,84 @@ object Dialect {
           Vector(raw(s"GROUP BY GROUPING SETS (($exprs), ())")) ++
           ns.drop(stop + 2)
         changed()
+      }
+    }
+
+    // ORDER BY <key> WITH FILL FROM a TO b [STEP s]
+    //   [INTERPOLATE (col AS col)]
+    // ClickHouse's result densification: the grid [a, b) by s becomes
+    // an exploded sequence (grid-sized — bounded by the user's FROM/TO,
+    // never the fact table) FULL-OUTER-joined to the aggregated result;
+    // INTERPOLATE's carry-forward staple (col AS col) becomes one
+    // last(IGNORE NULLS) window over the grid. Documented divergence:
+    // filled rows carry NULL in non-interpolated payload columns where
+    // ClickHouse renders column defaults.
+    locally {
+      val oiOpt = clauseIdx(ns, "ORDER")
+      val fillAt = oiOpt.flatMap { oi =>
+        ns.indices.drop(oi).find(i => isWord(ns(i), "WITH") &&
+          i + 1 < ns.length && isWord(ns(i + 1), "FILL"))
+      }
+      (oiOpt, fillAt) match {
+        case (Some(oi), Some(_)) =>
+          val sel = selI.getOrElse(fail("WITH FILL outside a SELECT"))
+          val fromI = clauseIdx(ns, "FROM").getOrElse(fail("WITH FILL without FROM"))
+          var p = oi + 2
+          val key = ns(p) match {
+            case Leaf(w: Word) => w.text
+            case _ => fail("WITH FILL: the fill key must be a bare output column name")
+          }
+          p += 1
+          if (!(p + 1 < ns.length && isWord(ns(p), "WITH") && isWord(ns(p + 1), "FILL")))
+            fail("WITH FILL: only a single fill key is supported")
+          p += 2
+          def numAt(i: Int): String = ns.lift(i) match {
+            case Some(Leaf(n: Num)) => n.text
+            case _ => fail("WITH FILL requires integer-literal FROM <a> TO <b> [STEP <s>]")
+          }
+          if (!(p < ns.length && isWord(ns(p), "FROM")))
+            fail("WITH FILL requires explicit FROM <a> TO <b> [STEP <s>] " +
+              "(span inference is not supported)")
+          val lo = numAt(p + 1)
+          if (!(p + 2 < ns.length && isWord(ns(p + 2), "TO")))
+            fail("WITH FILL requires TO <b> after FROM")
+          val hi = numAt(p + 3)
+          p += 4
+          var step = "1"
+          if (p < ns.length && isWord(ns(p), "STEP")) { step = numAt(p + 1); p += 2 }
+          var interp: Option[String] = None
+          if (p < ns.length && isWord(ns(p), "INTERPOLATE")) {
+            ns.lift(p + 1) match {
+              case Some(Grp(Vector(Leaf(x: Word), asW, Leaf(y: Word))))
+                  if isWord(asW, "AS") && x.text == y.text =>
+                interp = Some(x.text); p += 2
+              case _ => fail("INTERPOLATE: only the carry-forward form " +
+                "(col AS col) is supported")
+            }
+          }
+          if (p != ns.length)
+            fail("WITH FILL: trailing clauses after the fill spec are not supported")
+          val items = splitArgs(ns.slice(sel + 1, fromI))
+          val names = items.map(outputName)
+          if (!names.contains(key))
+            fail(s"WITH FILL key '$key' must be one of the select outputs")
+          val innerBody = emit(ns.slice(fromI, oi))
+          val innerSel = items.map(emit).mkString(", ")
+          val outs = names.map { n =>
+            if (n == key) s"coalesce(__graft_q.$key, __graft_g.__graft_fill) AS $key"
+            else if (interp.contains(n))
+              s"last(__graft_q.$n) IGNORE NULLS OVER (ORDER BY " +
+                s"coalesce(__graft_q.$key, __graft_g.__graft_fill) ROWS BETWEEN " +
+                s"UNBOUNDED PRECEDING AND CURRENT ROW) AS $n"
+            else s"__graft_q.$n AS $n"
+          }
+          val rewritten = s"SELECT ${outs.mkString(", ")} FROM " +
+            s"(SELECT explode(sequence($lo, ($hi) - 1, $step)) AS __graft_fill) " +
+            s"__graft_g FULL OUTER JOIN (SELECT $innerSel $innerBody) __graft_q " +
+            s"ON __graft_q.$key = __graft_g.__graft_fill ORDER BY $key"
+          ns = ns.take(sel) ++ Vector(raw(rewritten))
+          changed()
+        case _ => ()
       }
     }
 

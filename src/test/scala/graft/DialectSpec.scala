@@ -176,6 +176,107 @@ class DialectSpec extends SparkSpec {
     assert(viaDialect.collect().toSeq == viaBuilder.collect().toSeq)
   }
 
+  // ── ASOF JOIN ──────────────────────────────────────────────────────
+
+  private def asofFixtures(): Unit = {
+    import spark.implicits._
+    Seq((1L, 5L, "a"), (1L, 10L, "b"), (2L, 3L, "c"))
+      .toDF("k", "t", "v").createOrReplaceTempView("asof_l_dsp")
+    Seq((1L, 5L, "x"), (1L, 7L, "y"), (2L, 9L, "z"))
+      .toDF("k", "t", "p").createOrReplaceTempView("asof_r_dsp")
+  }
+
+  private def asofRows(sql: String): Seq[String] = {
+    val out = Dialect.translate(spark, sql)
+    spark.sql(out).collect().toSeq.map(_.toString)
+  }
+
+  test("ASOF LEFT JOIN: latest right row at-or-before, per key, NULL when none") {
+    asofFixtures()
+    assert(asofRows(
+      "SELECT a.k, a.t, a.v, b.p FROM asof_l_dsp AS a ASOF LEFT JOIN asof_r_dsp AS b " +
+        "ON a.k = b.k AND a.t >= b.t ORDER BY a.k, a.t") ==
+      Seq("[1,5,a,x]", "[1,10,b,y]", "[2,3,c,null]"))
+  }
+
+  test("ASOF inner join drops unmatched; strict > excludes the equal-time row") {
+    asofFixtures()
+    assert(asofRows(
+      "SELECT a.k, a.t, b.p FROM asof_l_dsp AS a ASOF JOIN asof_r_dsp AS b " +
+        "ON a.k = b.k AND a.t >= b.t ORDER BY a.k, a.t") ==
+      Seq("[1,5,x]", "[1,10,y]"))
+    assert(asofRows(
+      "SELECT a.k, a.t, b.p FROM asof_l_dsp AS a ASOF LEFT JOIN asof_r_dsp AS b " +
+        "ON a.k = b.k AND a.t > b.t ORDER BY a.k, a.t") ==
+      Seq("[1,5,null]", "[1,10,y]", "[2,3,null]"))
+  }
+
+  test("forward-looking ASOF (<=) finds the earliest right row at-or-after") {
+    asofFixtures()
+    assert(asofRows(
+      "SELECT a.k, a.t, b.p FROM asof_l_dsp AS a ASOF LEFT JOIN asof_r_dsp AS b " +
+        "ON a.k = b.k AND a.t <= b.t ORDER BY a.k, a.t") ==
+      Seq("[1,5,x]", "[1,10,null]", "[2,3,z]"))
+  }
+
+  test("ASOF translation: one key shuffle + windows, no range/nested-loop join") {
+    asofFixtures()
+    val out = Dialect.translate(spark,
+      "SELECT a.k, b.p FROM asof_l_dsp AS a ASOF LEFT JOIN asof_r_dsp AS b " +
+        "ON a.k = b.k AND a.t >= b.t")
+    val plan = spark.sql(out).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "ASOF must not plan a join operator at all")
+    // flipped spellings normalize (r.t <= l.t ≡ l.t >= r.t)
+    val flipped = Dialect.translate(spark,
+      "SELECT a.k, b.p FROM asof_l_dsp AS a ASOF LEFT JOIN asof_r_dsp AS b " +
+        "ON b.k = a.k AND b.t <= a.t")
+    assert(flipped == out, "flipped condition spelling must normalize identically")
+  }
+
+  test("ASOF refuses what it cannot translate, with the defect named") {
+    asofFixtures()
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](Dialect.translate(spark, sql)).getMessage
+    assert(err("SELECT 1 FROM asof_l_dsp a ASOF JOIN asof_r_dsp b ON a.t >= b.t")
+      .contains("equi-key"))
+    assert(err("SELECT 1 FROM asof_l_dsp a ASOF JOIN asof_r_dsp b ON a.k = b.k")
+      .contains("inequality"))
+    assert(err("SELECT 1 FROM nonexistent_dsp a ASOF JOIN asof_r_dsp b " +
+      "ON a.k = b.k AND a.t >= b.t").contains("schema"))
+  }
+
+  // ── WITH FILL ──────────────────────────────────────────────────────
+
+  test("WITH FILL densifies the grid; INTERPOLATE carries the last value forward") {
+    import spark.implicits._
+    Seq((0L, 1.5), (2L, 2.5), (5L, 3.5))
+      .toDF("b", "v").createOrReplaceTempView("fill_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT b, round(sum(v), 4) AS sv FROM fill_dsp GROUP BY b " +
+        "ORDER BY b WITH FILL FROM 0 TO 7 INTERPOLATE (sv AS sv)")
+    val rows = spark.sql(out).collect().toSeq.map(_.toString)
+    assert(rows == Seq("[0,1.5]", "[1,1.5]", "[2,2.5]", "[3,2.5]", "[4,2.5]",
+      "[5,3.5]", "[6,3.5]"))
+    // without INTERPOLATE the filled rows carry NULL payloads, and rows
+    // OUTSIDE the grid survive (full-outer semantics, as in ClickHouse)
+    val plain = Dialect.translate(spark,
+      "SELECT b, round(sum(v), 4) AS sv FROM fill_dsp GROUP BY b " +
+        "ORDER BY b WITH FILL FROM 0 TO 3")
+    assert(spark.sql(plain).collect().toSeq.map(_.toString) ==
+      Seq("[0,1.5]", "[1,null]", "[2,2.5]", "[5,3.5]"))
+  }
+
+  test("WITH FILL refuses span inference and non-output keys") {
+    import spark.implicits._
+    Seq((1L, 1.0)).toDF("b", "v").createOrReplaceTempView("fill2_dsp")
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](Dialect.translate(spark, sql)).getMessage
+    assert(err("SELECT b FROM fill2_dsp ORDER BY b WITH FILL")
+      .contains("FROM"))
+    assert(err("SELECT v FROM fill2_dsp ORDER BY b WITH FILL FROM 0 TO 3")
+      .contains("select outputs"))
+  }
+
   test("Graft.sql end-to-end: dialect text runs through the router fallthrough") {
     Tables(spark, sf, "orders").createOrReplaceTempView("orders_dsp")
     val n = Graft.sql(spark,

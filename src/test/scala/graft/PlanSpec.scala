@@ -309,7 +309,11 @@ class PlanSpec extends SparkSpec {
     // global pass over LOCAL skyline survivors — O(frontier×partitions)
     "q_skyline",
     // rank stamp AFTER TakeOrderedAndProject bounds the input to 20 rows
-    "q_bm25")
+    "q_bm25",
+    // WITH FILL INTERPOLATE carry: the window input is the fill grid
+    // (bounded by the statement's own FROM/TO span) full-outer-joined
+    // to an already-aggregated bucket domain — never fact rows
+    "q_ch_with_fill")
 
   test("no single-task global window runs over unbounded input") {
     import org.apache.spark.sql.execution.window.WindowExec

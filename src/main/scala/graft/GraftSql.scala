@@ -107,6 +107,25 @@ object GraftSql {
         alterUpdate(spark, table, rest)
       case OptimizeRe(table, dedup) =>
         optimize(spark, table, dedup != null)
+      // ClickHouse's EXPLAIN family, routed onto the engine's
+      // introspection surfaces. Spark's own EXPLAIN verbs
+      // ([EXTENDED|CODEGEN|COST|FORMATTED|LOGICAL]) fall through
+      // untouched — these four spellings exist only in the dialect.
+      //  - SYNTAX: what ClickHouse's EXPLAIN SYNTAX is — the rewritten
+      //    statement. Here that is the dialect translation itself, so
+      //    users can SEE what their PREWHERE/FINAL/ASOF text became.
+      //  - PLAN / PIPELINE: one row per physical-plan node of interest
+      //    (plans.Introspect.explain — scans with pushed filters, join
+      //    strategies, exchanges, windows, codegen spans).
+      //  - ESTIMATE: the one-row plan-shape dashboard
+      //    (plans.Introspect.summary).
+      case ExplainSyntaxRe(rest) =>
+        import spark.implicits._
+        Seq(plans.Dialect.translate(spark, rest.trim)).toDF("statement")
+      case ExplainPlanRe(rest) =>
+        plans.Introspect.explain(spark.sql(plans.Dialect.translate(spark, rest.trim)))
+      case ExplainEstimateRe(rest) =>
+        plans.Introspect.summary(spark.sql(plans.Dialect.translate(spark, rest.trim)))
       // fallthrough: the full SQL surface, via the ClickHouse-dialect
       // translator ([[plans.Dialect]]) — identity (byte-for-byte) on
       // ANSI/Spark text, so native statements are untouched; dialect
@@ -150,6 +169,9 @@ object GraftSql {
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)$""".r
   private val OptimizeRe =
     """(?is)^OPTIMIZE\s+TABLE\s+([\w.]+)\s+FINAL(\s+DEDUPLICATE)?$""".r
+  private val ExplainSyntaxRe = """(?is)^EXPLAIN\s+SYNTAX\s+(.+)$""".r
+  private val ExplainPlanRe = """(?is)^EXPLAIN\s+(?:PLAN|PIPELINE)\s+(SELECT\b.+|WITH\b.+)$""".r
+  private val ExplainEstimateRe = """(?is)^EXPLAIN\s+ESTIMATE\s+(.+)$""".r
   private val DiskRe = """(?is)^Disk\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)$""".r
   private val PathRe = """(?s)^'([^']*)'$""".r
   private val SettingRe = """(?is)^\s*(\w+)\s*=\s*'([^']*)'\s*$""".r

@@ -366,6 +366,23 @@ object ChDialect extends QueryModule {
              |  ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
              |ORDER BY p.event_id""".stripMargin)),
 
+    // EXPLAIN SYNTAX — ClickHouse's "show me the rewritten statement"
+    // — routed to the dialect translation itself, so a user can SEE
+    // what their PREWHERE/combinator text became before it runs. The
+    // oracle pins the translation as a string CONSTANT: any drift in
+    // the translator's output for this statement breaks the hash.
+    "q_ch_explain_syntax" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """EXPLAIN SYNTAX SELECT o_orderpriority,
+                |  countIf(o_orderstatus = 'F') AS n_f
+                |FROM orders_chv PREWHERE o_totalprice > 1000
+                |GROUP BY o_orderpriority""".stripMargin)
+      },
+      Some("SELECT 'SELECT o_orderpriority, count(*) FILTER (WHERE " +
+        "o_orderstatus = ''F'') AS n_f FROM orders_chv WHERE " +
+        "o_totalprice > 1000 GROUP BY o_orderpriority' AS statement")),
+
     // GLOBAL JOIN — ClickHouse's manual "ship the right side to every
     // node" — dissolves: AQE broadcasts the 25-row nation side from
     // RUNTIME size, which is the decision GLOBAL hand-encodes

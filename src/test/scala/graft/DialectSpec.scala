@@ -277,6 +277,29 @@ class DialectSpec extends SparkSpec {
       .contains("select outputs"))
   }
 
+  // ── EXPLAIN family through the router ──────────────────────────────
+
+  test("EXPLAIN SYNTAX shows the translation; PLAN/ESTIMATE hit Introspect") {
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_exp_dsp")
+    val syn = Graft.sql(spark,
+      "EXPLAIN SYNTAX SELECT countIf(o_orderstatus = 'F') FROM orders_exp_dsp " +
+        "PREWHERE o_totalprice > 1000").collect()(0).getString(0)
+    assert(syn == "SELECT count(*) FILTER (WHERE o_orderstatus = 'F') FROM " +
+      "orders_exp_dsp WHERE o_totalprice > 1000")
+    val plan = Graft.sql(spark,
+      "EXPLAIN PLAN SELECT o_orderkey FROM orders_exp_dsp PREWHERE o_totalprice > 1000")
+      .collect()
+    assert(plan.exists(r => r.getAs[String]("facet") == "scan" &&
+      r.getAs[String]("detail").contains("GreaterThan(o_totalprice")),
+      "EXPLAIN PLAN must show the pushed PREWHERE predicate on the scan")
+    val est = Graft.sql(spark,
+      "EXPLAIN ESTIMATE SELECT count(*) FROM orders_exp_dsp").collect()(0)
+    assert(est.getAs[Long]("n_scans") >= 1L)
+    // Spark's own EXPLAIN verbs fall through to spark.sql untouched
+    val native = Graft.sql(spark, "EXPLAIN SELECT 1").collect()(0).getString(0)
+    assert(native.contains("== Physical Plan =="))
+  }
+
   test("Graft.sql end-to-end: dialect text runs through the router fallthrough") {
     Tables(spark, sf, "orders").createOrReplaceTempView("orders_dsp")
     val n = Graft.sql(spark,

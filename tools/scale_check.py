@@ -26,6 +26,22 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, "tmp", "sf1")
 
 
+def wait_quiet(max_load: float, timeout_s: int = 900, tag: str = "") -> None:
+    """Idle until the 1-minute loadavg drops under max_load (or timeout)
+    — chained legs otherwise start in the prior JVM's teardown churn
+    (see tools/scale30.py for the r10→r11 lesson)."""
+    import time
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = os.getloadavg()[0]
+        if load < max_load:
+            print(f"[scale] {tag} starting at loadavg {load:.2f}", flush=True)
+            return
+        time.sleep(10)
+    print(f"[scale] {tag} cooldown TIMED OUT at loadavg "
+          f"{os.getloadavg()[0]:.2f} — recording anyway", flush=True)
+
+
 def bench(sf_dir: str, runs: int, cpus: str) -> dict:
     """One graft.Bench invocation; returns the full medians payload."""
     out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
@@ -54,6 +70,8 @@ def main() -> int:
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--rebuild", action="store_true",
                     help="rebuild tmp/sf1 even if present")
+    ap.add_argument("--max-load", type=float, default=2.0,
+                    help="wait until 1-min loadavg is below this before each leg")
     args = ap.parse_args()
 
     if args.rebuild or not os.path.isdir(SF1):
@@ -62,8 +80,10 @@ def main() -> int:
             [sys.executable, os.path.join(REPO, "tools", "make_sf1.py"),
              SF01, SF1], check=True)
 
+    wait_quiet(args.max_load, tag="sf0.1 leg")
     print(f"[scale] bench sf0.1 ({args.runs} runs) ...", flush=True)
     small = bench(SF01, args.runs, args.cpus)
+    wait_quiet(args.max_load, tag="sf1 leg")
     print(f"[scale] bench sf1 ({args.runs} runs) ...", flush=True)
     big = bench(SF1, args.runs, args.cpus)
 

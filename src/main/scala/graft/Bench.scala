@@ -13,6 +13,28 @@ object Bench {
     // self-identifying. Set to 1 only for quick iteration.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    // 1-minute loadavg (shared with the stamping below).
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // Loadavg-cooldown gate (same discipline as tools/scale30.py
+    // wait_quiet, adopted per the r11 lesson: BENCH_r11 was recorded at
+    // loadavg ~3 and inflated every shared-query diff 1.32x uniformly).
+    // Wait until the host is quiet before the first timed run, bounded
+    // by a deadline so a persistently busy host still records — with
+    // the contamination visible in the stamped per-run loadavg rather
+    // than silently inflating the artifact. Disable with
+    // SPARK_GRAFT_BENCH_COOLDOWN_SEC=0 for quick iteration.
+    val cooldownMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "600").toInt
+    val cooldownLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_LOAD", "2.0").toDouble
+    val cdStart = System.currentTimeMillis()
+    while (loadavg() >= cooldownLoad &&
+        (System.currentTimeMillis() - cdStart) < cooldownMax * 1000L)
+      Thread.sleep(5000)
+    val cooldownSec = (System.currentTimeMillis() - cdStart) / 1000
+    if (loadavg() >= cooldownLoad)
+      System.err.println(f"[bench] cooldown TIMED OUT at loadavg ${loadavg()}%.2f — recording anyway")
     val spark = Graft.builder("graft-bench", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -38,10 +60,6 @@ object Bench {
     // loadavg 60 on a 32-core host is measuring the neighbors, not the
     // engine — stamping it into the artifact makes contamination
     // visible to any reader instead of silently inflating the record.
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     def timedLoop(): Map[String, Double] =
       SparkEntry.queries.toSeq.filter(q => only.forall(_(q._1)))
         .sortBy(_._1).map { case (name, fn) =>
@@ -74,7 +92,7 @@ object Bench {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val loadsJson = loads.map(r3).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"loadavg":$loadsJson,"queries":${fmtQ(results, 3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"cooldown_sec":$cooldownSec,"loadavg":$loadsJson,"queries":${fmtQ(results, 3)},"sf":"$sfDir"}"""
     println(line)
     // machine-readable medians file (SPARK_GRAFT_BENCH_OUT): the
     // regression baseline the next round diffs against — per-query
@@ -85,7 +103,7 @@ object Bench {
     // complete per-query map for the round artifact.
     val runsJson = perRun.map(m => fmtQ(m)).mkString("[", ",", "]")
     val fullJson =
-      s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"loadavg":$loadsJson,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"runs":$runs,"cooldown_sec":$cooldownSec,"loadavg":$loadsJson,"total_of_medians":$total,"medians":${fmtQ(results)},"per_run":$runsJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
@@ -95,7 +113,7 @@ object Bench {
     // though the full per-query line above overflows the window.
     val slowest = results.toSeq.sortBy(-_._2).take(10).toMap
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"loadavg":$loadsJson,"n_queries":${results.size},"slowest":${fmtQ(slowest, 3)},"queries_file":"$outPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmup)},"runs":$runs,"cooldown_sec":$cooldownSec,"loadavg":$loadsJson,"n_queries":${results.size},"slowest":${fmtQ(slowest, 3)},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,6 +55,19 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     val stmt = text.trim.stripSuffix(";").trim
     stmt match {
+      // ClickHouse table DDL: `CREATE TABLE … ENGINE = <engine> ORDER
+      // BY … [SAMPLE BY …]` — the statement every ClickHouse session
+      // starts with, and the last Scala-only step in the switch story:
+      // the ENGINE/ORDER BY/SAMPLE BY clauses carry exactly the
+      // metadata [[plans.Dialect.registerFinal]]/[[plans.Dialect
+      // .registerSample]] otherwise need from code. Routed ONLY when an
+      // ENGINE clause is present — Spark's own CREATE TABLE … USING …
+      // falls through untouched.
+      case CreateTableRe(ifne, name, colsBlock, engine, engineArgs, tail) =>
+        createTable(spark, ifne != null, name, colsBlock, engine,
+          Option(engineArgs).map(_.trim).getOrElse(""), tail)
+      case CreateDictRe(ifne, name, colsBlock, key, tail) =>
+        createDictionary(spark, ifne != null, name, colsBlock, key, tail)
       case BackupDbRe(db, destRaw, settings) =>
         backupDatabase(spark, db, destRaw.trim, parseSettings(Option(settings)))
       case BackupTableRe(table, destRaw, settings) =>
@@ -169,6 +182,12 @@ object GraftSql {
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)$""".r
   private val OptimizeRe =
     """(?is)^OPTIMIZE\s+TABLE\s+([\w.]+)\s+FINAL(\s+DEDUPLICATE)?$""".r
+  // ClickHouse DDL: the ENGINE clause is the routing discriminator —
+  // Spark's own CREATE TABLE … USING … never has one and falls through
+  private val CreateTableRe =
+    """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?(.*)$""".r
+  private val CreateDictRe =
+    """(?is)^CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*PRIMARY\s+KEY\s+(\w+)(.*)$""".r
   private val ExplainSyntaxRe = """(?is)^EXPLAIN\s+SYNTAX\s+(.+)$""".r
   private val ExplainPlanRe = """(?is)^EXPLAIN\s+(?:PLAN|PIPELINE)\s+(SELECT\b.+|WITH\b.+)$""".r
   private val ExplainEstimateRe = """(?is)^EXPLAIN\s+ESTIMATE\s+(.+)$""".r
@@ -392,6 +411,265 @@ object GraftSql {
         r.filesBefore, r.filesAfter))
         .toDF("command", "table", "days_compacted", "files_before", "files_after")
     }
+  }
+
+  // ── ClickHouse DDL (CREATE TABLE … ENGINE, CREATE DICTIONARY) ──────
+
+  /** First top-level (outside parens/strings) match of `re` in `s`. */
+  private def topLevelMatches(s: String,
+      re: scala.util.matching.Regex): Seq[scala.util.matching.Regex.Match] = {
+    // paren/string depth at each offset, precomputed once
+    val depth = new Array[Int](s.length + 1)
+    var d = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      depth(i) = d
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    depth(s.length) = d
+    re.findAllMatchIn(s).filter(m => depth(m.start) == 0).toSeq
+  }
+
+  private val DdlClauseRe =
+    """(?is)\b(PARTITION\s+BY|ORDER\s+BY|PRIMARY\s+KEY|SAMPLE\s+BY|TTL|SETTINGS|COMMENT)\b""".r
+
+  /** DDL tail `ORDER BY … PARTITION BY … SAMPLE BY …` → normalized
+    * clause name → body text (sliced between consecutive top-level
+    * clause keywords).
+    */
+  private def ddlClauses(tail: String): Map[String, String] = {
+    val ms = topLevelMatches(tail, DdlClauseRe)
+    ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.length) ms(i + 1).start else tail.length
+      m.group(1).toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ") ->
+        tail.substring(m.end, end).trim
+    }.toMap
+  }
+
+  /** ClickHouse column type → Spark SQL DDL type. Wrapper erasure
+    * (`Nullable`/`LowCardinality` are nullability/encoding metadata —
+    * Spark columns are nullable by default and dictionary encoding is
+    * parquet's own); unsigned ints widen one level (UInt8→SMALLINT …)
+    * except UInt64→BIGINT, whose top bit has no lossless home
+    * (documented: values above 2^63−1 are out of contract).
+    */
+  private[graft] def chType(t0: String): String = {
+    val t = t0.trim
+    val TypeRe = """(?s)^(\w+)\s*(?:\((.*)\))?$""".r
+    t match {
+      case TypeRe(name, argsOrNull) =>
+        val args = Option(argsOrNull).map(_.trim).getOrElse("")
+        name.toLowerCase(java.util.Locale.ROOT) match {
+          case "nullable" | "lowcardinality" => chType(args)
+          case "array" => s"ARRAY<${chType(args)}>"
+          case "map" =>
+            val kv = splitTopLevelCommas(args)
+            require(kv.length == 2, s"Map needs two type arguments: $t")
+            s"MAP<${chType(kv(0))}, ${chType(kv(1))}>"
+          case "tuple" =>
+            val fields = splitTopLevelCommas(args).zipWithIndex.map {
+              case (f, i) =>
+                val parts = f.trim.split("\\s+", 2)
+                if (parts.length == 2 && parts(0).forall(c =>
+                    c.isLetterOrDigit || c == '_'))
+                  s"${parts(0)}: ${chType(parts(1))}"
+                else s"_${i + 1}: ${chType(f)}"
+            }
+            s"STRUCT<${fields.mkString(", ")}>"
+          case "string" | "uuid" | "ipv4" | "ipv6" | "fixedstring"
+             | "enum8" | "enum16" | "enum" | "json" => "STRING"
+          case "int8" => "TINYINT"
+          case "int16" => "SMALLINT"
+          case "int32" => "INT"
+          case "int64" => "BIGINT"
+          case "uint8" => "SMALLINT"
+          case "uint16" => "INT"
+          case "uint32" | "uint64" => "BIGINT"
+          case "float32" => "FLOAT"
+          case "float64" => "DOUBLE"
+          case "bool" | "boolean" => "BOOLEAN"
+          case "date" | "date32" => "DATE"
+          case "datetime" | "datetime64" => "TIMESTAMP"
+          case "decimal" => s"DECIMAL($args)"
+          case "decimal32" => s"DECIMAL(9, $args)"
+          case "decimal64" => s"DECIMAL(18, $args)"
+          case "decimal128" => s"DECIMAL(38, $args)"
+          case _ => throw new IllegalArgumentException(
+            s"unsupported ClickHouse column type: $t0")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse ClickHouse column type: $t0")
+    }
+  }
+
+  private val ColAttrRe =
+    """(?is)\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|COMMENT|TTL)\b""".r
+
+  /** One column entry `name Type [DEFAULT lit] [CODEC(…)] [COMMENT …]`
+    * → (name, sparkType, default literal). MATERIALIZED/ALIAS columns
+    * are computed-on-read server magic — refused, not dropped. INDEX /
+    * PROJECTION / CONSTRAINT entries are physical-layout metadata with
+    * no bearing on answers and are skipped (graft's skip/z-order
+    * indexes and projections are their own registered machinery).
+    */
+  private def parseColDefs(block: String): Seq[(String, String, Option[String])] =
+    splitTopLevelCommas(block).flatMap { entry =>
+      val e = entry.trim
+      val headWord = e.split("\\s+", 2)(0).toUpperCase(java.util.Locale.ROOT)
+      if (Seq("INDEX", "PROJECTION", "CONSTRAINT").contains(headWord)) None
+      else {
+        val sp = e.indexWhere(_.isWhitespace)
+        require(sp > 0, s"cannot parse column definition: $entry")
+        val name = e.substring(0, sp).stripPrefix("`").stripSuffix("`")
+        val rest = e.substring(sp + 1).trim
+        val attrs = topLevelMatches(rest, ColAttrRe)
+        attrs.headOption.foreach { m =>
+          val kw = m.group(1).toUpperCase(java.util.Locale.ROOT)
+          require(!Seq("MATERIALIZED", "ALIAS", "EPHEMERAL").contains(kw),
+            s"$kw columns are computed server-side in ClickHouse and have no " +
+              s"table-DDL equivalent here: $entry")
+        }
+        val typeTxt = attrs.headOption.fold(rest)(m => rest.substring(0, m.start)).trim
+        val dflt = attrs.find(_.group(1).equalsIgnoreCase("DEFAULT")).map { m =>
+          val after = rest.substring(m.end)
+          val stop = topLevelMatches(after, ColAttrRe)
+            .headOption.map(_.start).getOrElse(after.length)
+          after.substring(0, stop).trim
+        }
+        Some((name, chType(typeTxt), dflt))
+      }
+    }
+
+  private val HashedSampleRe = """(?is)^\w+\s*\(\s*([\w.]+)\s*\)$""".r
+
+  /** `CREATE TABLE … ENGINE = <engine>[(args)] [ORDER BY …] [SAMPLE BY
+    * …] [PARTITION BY …]` — the first statement of every ClickHouse
+    * session, routed so that FINAL / SAMPLE / dictGet need ZERO Scala:
+    *
+    *  - the table is created in the session catalog as a managed
+    *    parquet table (columns type-mapped via [[chType]]; literal
+    *    DEFAULTs pass through to Spark's column-default support);
+    *  - `ReplacingMergeTree(ver) ORDER BY k…` registers exactly the
+    *    key/version metadata [[plans.Dialect.registerFinal]] carries —
+    *    what ClickHouse itself does with this clause pair (the
+    *    reference presumes it ran server-side before `BACKUP DATABASE`,
+    *    backup.sh:45, engine pinned Dockerfile:2);
+    *  - `SAMPLE BY col` (or `SAMPLE BY someHash(col)` — the hash is
+    *    ClickHouse's randomizer; graft's md5-bucket predicate is ours)
+    *    registers the sample key;
+    *  - `ORDER BY` / `PARTITION BY` land in session conf as layout
+    *    metadata (`graft.orderby.*` / `graft.partition.*`): physical
+    *    hints that change no answer — graft snapshots bucket by day at
+    *    BACKUP time, and Catalyst orders scans itself.
+    *
+    * Engines with read-time collapse semantics OTHER than replacing
+    * (Summing/Aggregating/Collapsing) refuse: their merge behavior is
+    * a query transform, not registrable metadata — the engine's
+    * explicit collapse operators (q_collapse_*) are the translation.
+    */
+  private def createTable(spark: SparkSession, ifNotExists: Boolean,
+      name: String, colsBlock: String, engine: String, engineArgs: String,
+      tail: String): DataFrame = {
+    import spark.implicits._
+    val cols = parseColDefs(colsBlock)
+    require(cols.nonEmpty, s"CREATE TABLE $name: no columns")
+    val clauses = ddlClauses(tail)
+    val simpleName = name.split('.').last
+    val orderKeys = clauses.get("ORDER BY").map { txt =>
+      val inner = if (txt.startsWith("(") && txt.endsWith(")"))
+        txt.substring(1, txt.length - 1) else txt
+      splitTopLevelCommas(inner).filterNot(_.equalsIgnoreCase("tuple()"))
+    }.getOrElse(Nil)
+    engine.toLowerCase(java.util.Locale.ROOT) match {
+      case "mergetree" | "memory" | "log" | "tinylog" | "stripelog" => ()
+      case "replacingmergetree" =>
+        require(engineArgs.nonEmpty,
+          "ReplacingMergeTree without an explicit version column collapses by " +
+            "INSERTION ORDER — not reproducible on a distributed engine. " +
+            "Declare ReplacingMergeTree(<version column>)")
+        require(orderKeys.nonEmpty,
+          "ReplacingMergeTree needs ORDER BY keys — they are the collapse " +
+            "key FINAL groups by")
+        plans.Dialect.registerFinal(spark, simpleName, orderKeys,
+          splitTopLevelCommas(engineArgs))
+      case "summingmergetree" =>
+        // sum-collapse IS registrable metadata: keys + summed columns.
+        // No argument list = ClickHouse's default (every numeric
+        // non-key column), resolved against the schema at FINAL time.
+        require(orderKeys.nonEmpty,
+          "SummingMergeTree needs ORDER BY keys — they are the collapse " +
+            "key FINAL sums under")
+        val summed = if (engineArgs.isEmpty) Nil
+          else splitTopLevelCommas(engineArgs)
+        require(summed.forall(c => !orderKeys.contains(c)),
+          "SummingMergeTree summed columns cannot include the ORDER BY keys")
+        plans.Dialect.registerSumFinal(spark, simpleName, orderKeys, summed)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported table engine: $engine — MergeTree, " +
+          "ReplacingMergeTree(ver), SummingMergeTree([cols]) and the plain " +
+          "engines (Memory/Log) route; Aggregating/CollapsingMergeTree " +
+          "read-time merges depend on agg-state types or insertion order — " +
+          "not reproducible as registrable metadata; use the engine's " +
+          "explicit collapse operators (q_collapse_*)")
+    }
+    clauses.get("SAMPLE BY").foreach { expr0 =>
+      val keyCol = expr0.trim match {
+        case HashedSampleRe(c) => c
+        case w if w.matches("[\\w.]+") => w
+        case other => throw new IllegalArgumentException(
+          s"SAMPLE BY must be a column or hash(column), got: $other")
+      }
+      plans.Dialect.registerSample(spark, simpleName, keyCol)
+    }
+    if (orderKeys.nonEmpty)
+      spark.conf.set(s"graft.orderby.$simpleName", orderKeys.mkString(","))
+    clauses.get("PARTITION BY").foreach(e =>
+      spark.conf.set(s"graft.partition.$simpleName", e))
+    val colDdl = cols.map { case (n, t, d) =>
+      s"$n $t" + d.fold("")(x => s" DEFAULT $x")
+    }.mkString(", ")
+    val ifne = if (ifNotExists) "IF NOT EXISTS " else ""
+    spark.sql(s"CREATE TABLE $ifne$name ($colDdl) USING parquet")
+    Seq(("CREATE TABLE", name, engine, orderKeys.mkString(","), true))
+      .toDF("command", "table", "engine", "order_by", "ok")
+  }
+
+  private val SourceTableRe = """(?is)\bTABLE\s+'([\w.]+)'""".r
+
+  /** `CREATE DICTIONARY d (k T, attr T [DEFAULT lit] …) PRIMARY KEY k
+    * SOURCE(… TABLE '<src>' …) LAYOUT(…) [LIFETIME(…)]` — registers
+    * the dictionary [[plans.Dialect]] resolves `dictGet` against. The
+    * LAYOUT/LIFETIME clauses are ClickHouse's in-memory cache tuning —
+    * here the "layout" is Catalyst's own plan for the dictGet join
+    * (aggregate + broadcast-able left outer join), so they are
+    * accepted and ignored. Attribute DEFAULTs become the key-miss
+    * values; an attribute WITHOUT one surfaces NULL on a miss where
+    * ClickHouse renders the type default (0 / '') — declare the
+    * DEFAULT to pin the exact ClickHouse behavior.
+    */
+  private def createDictionary(spark: SparkSession, ifNotExists: Boolean,
+      name: String, colsBlock: String, key: String, tail: String): DataFrame = {
+    import spark.implicits._
+    val cols = parseColDefs(colsBlock)
+    require(cols.exists(_._1 == key),
+      s"PRIMARY KEY $key is not among the dictionary's columns")
+    val src = SourceTableRe.findFirstMatchIn(tail).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE DICTIONARY needs SOURCE(… TABLE '<table>' …) — the relation " +
+          "the dictionary reads"))
+    require(scala.util.Try(spark.table(src)).isSuccess,
+      s"dictionary source table '$src' is not resolvable in the session catalog")
+    val defaults = cols.collect { case (n, _, Some(d)) => n -> d }.toMap
+    plans.Dialect.registerDictionary(spark, name.split('.').last, src, key, defaults)
+    Seq(("CREATE DICTIONARY", name, src, key, true))
+      .toDF("command", "dictionary", "source", "key", "ok")
   }
 
   private def report(spark: SparkSession, cmd: String, table: String,

@@ -399,5 +399,221 @@ object ChDialect extends QueryModule {
       Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
              |       round(sum(c_acctbal), 4) AS bal
              |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-             |GROUP BY n_name ORDER BY n_name""".stripMargin)))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // The full zero-Scala switch story (r11 verdict item 1): CREATE
+    // TABLE … ENGINE = ReplacingMergeTree(ver) ORDER BY k — the first
+    // statement of every ClickHouse session — routes through Graft.sql,
+    // registering from the DDL text exactly the key/version metadata
+    // FINAL needs (what ClickHouse itself does with this clause pair),
+    // then INSERT loads it (router fallthrough) and SELECT … FINAL
+    // collapses it: create → load → query, all SQL text. The catalog
+    // table is managed parquet under a tmpdir database; FINAL's plan is
+    // the same one-aggregate partial_max_by shape DialectSpec pins.
+    "q_ch_create_final" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_ddl")
+        // the catalog is per-JVM but the warehouse directory is not: a
+        // previous JVM's leftover table dir would LOCATION_ALREADY_EXISTS
+        // the CREATE (the session's DROP above cannot see it)
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_ddl (
+            |  user_id Int64,
+            |  event_type LowCardinality(String),
+            |  event_id Int64,
+            |  value Nullable(Float64)
+            |) ENGINE = ReplacingMergeTree(event_id)
+            |ORDER BY (user_id, event_type)""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_ddl SELECT user_id, event_type, " +
+            "event_id, value FROM events_ch_chv WHERE user_id % 10 = 0")
+        ch(s, """SELECT user_id, event_type,
+                |       event_id AS last_event_id,
+                |       round(value, 4) AS last_value
+                |FROM graft_ddl.events_ddl FINAL
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type,
+             |  arg_max(event_id, event_id) AS last_event_id,
+             |  round(arg_max(value, event_id), 4) AS last_value
+             |FROM events WHERE user_id % 10 = 0
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // CREATE DICTIONARY + dictGet in their native spellings: the DDL
+    // registers source/key/DEFAULTs, and dictGet becomes a correlated
+    // scalar subquery over internally-renamed columns that Catalyst
+    // rewrites into ONE aggregate + broadcast-able left outer join —
+    // the operators/Dictionary.scala shape, now reachable as SQL text.
+    // Keys ≥ 20 miss and surface the DDL-declared DEFAULT.
+    "q_ch_dict_get" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        registerViews(s, dir)
+        Tables(s, dir, "nation").filter(col("n_nationkey") < 20)
+          .createOrReplaceTempView("nation_dsrc_chv")
+        graft.Graft.sql(s,
+          """CREATE DICTIONARY nation_dict_chv (
+            |  n_nationkey Int64,
+            |  n_name String DEFAULT 'UNKNOWN'
+            |) PRIMARY KEY n_nationkey
+            |SOURCE(CLICKHOUSE(TABLE 'nation_dsrc_chv'))
+            |LAYOUT(FLAT()) LIFETIME(MIN 0 MAX 0)""".stripMargin)
+        ch(s, """SELECT c_custkey, c_nationkey,
+                |  dictGet('nation_dict_chv', 'n_name', c_nationkey) AS nation_name
+                |FROM customer_chv ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |  coalesce(n_name, 'UNKNOWN') AS nation_name
+             |FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) d
+             |  ON c_nationkey = d.n_nationkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Integer row-target `SAMPLE n` — the spelling ClickHouse users
+    // type habitually (`SAMPLE 1000000`): the n rows whose md5(key)
+    // rank lowest, a DETERMINISTIC split-invariant choice the oracle
+    // re-derives exactly (ClickHouse's own n is approximate). The rank
+    // filter plans map-side-pruned (WindowGroupLimit /
+    // TakeOrderedAndProject — DialectSpec pins it): each task forwards
+    // at most n candidates, never the table.
+    "q_ch_sample_rows" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        Dialect.registerSample(s, "orders_chv", "o_orderkey")
+        ch(s, """SELECT count() AS n,
+                |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                |       round(sum(o_totalprice), 4) AS rev
+                |FROM orders_chv SAMPLE 500""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  round(sum(o_totalprice), 4) AS rev
+             |FROM (SELECT * FROM orders
+             |      QUALIFY row_number() OVER (ORDER BY
+             |        md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 500)""".stripMargin)),
+
+    // WITH FILL with NO explicit bounds — ClickHouse's default: the
+    // span is inferred from the aggregated result's own min/max
+    // (TO-inclusive). The bounds subquery runs over the ALREADY-
+    // aggregated grid-scale result, never the fact table; the oracle
+    // re-derives the same inferred grid in DuckDB.
+    "q_ch_with_fill_infer" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        ch(s, """SELECT toInt64(floor(value / 40)) AS b, count() AS n,
+                |       round(sum(value), 4) AS v
+                |FROM events_ch_chv
+                |GROUP BY b
+                |ORDER BY b WITH FILL INTERPOLATE (v AS v)""".stripMargin)
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(floor(value / 40) AS BIGINT) AS b,
+             |         CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS v
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT unnest(generate_series(
+             |        (SELECT min(b) FROM q), (SELECT max(b) FROM q))) AS b)
+             |SELECT coalesce(q.b, g.b) AS b, q.n AS n,
+             |       last_value(q.v IGNORE NULLS) OVER (ORDER BY coalesce(q.b, g.b)
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |FROM g FULL OUTER JOIN q ON q.b = g.b ORDER BY b""".stripMargin)),
+
+    // Multi-array ARRAY JOIN — `ARRAY JOIN a AS x, b AS y` zips the
+    // arrays POSITIONALLY: one posexplode drives the shared position,
+    // every other array is indexed at it — still one per-partition
+    // pipeline, no shuffle, no join (DialectSpec pins Exchange-free).
+    // The flag array is derived (×2 is exact in binary FP, so the
+    // threshold compare is engine-independent).
+    "q_ch_array_join_multi" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT CAST(label AS BIGINT) AS label,
+                |  CAST(sum(if(d > 0.5, 1, 0)) AS BIGINT) AS n_big,
+                |  count() AS n_elems
+                |FROM embeddings_chv
+                |ARRAY JOIN embedding AS e, arrayMap(x -> x * 2, embedding) AS d
+                |GROUP BY label ORDER BY label""".stripMargin)
+      },
+      Some("""SELECT CAST(label AS BIGINT) AS label,
+             |  CAST(count(*) FILTER (WHERE e > 0.25) AS BIGINT) AS n_big,
+             |  CAST(count(*) AS BIGINT) AS n_elems
+             |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // SummingMergeTree in its native DDL spelling: sum-collapse IS
+    // registrable metadata (keys + summed columns), so the engine
+    // routes instead of refusing — FINAL becomes ONE sum aggregate per
+    // key (map-side partial, one shuffle; same physics as the
+    // replacing shape), with ClickHouse's all-summed-zero row deletion
+    // as a HAVING. Engine args absent = sum every numeric non-key
+    // column, resolved against the catalog schema at FINAL time.
+    "q_ch_summing_final" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_sum_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_sum_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_sum_ddl (
+            |  user_id Int64,
+            |  event_type String,
+            |  value Float64,
+            |  n Int64
+            |) ENGINE = SummingMergeTree()
+            |ORDER BY (user_id, event_type)""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_sum_ddl SELECT user_id, event_type, " +
+            "value, 1 FROM events_ch_chv WHERE user_id % 10 = 1")
+        ch(s, """SELECT user_id, event_type,
+                |       round(value, 4) AS sum_value, n AS n_rows
+                |FROM graft_ddl.events_sum_ddl FINAL
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type,
+             |  round(sum(value), 4) AS sum_value,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM events WHERE user_id % 10 = 1
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // dictHas / dictGetOrNull — the dictionary probe surface: dictHas
+    // is a coalesced existence subquery (same aggregate + broadcast
+    // left-join rewrite as dictGet), dictGetOrNull the bare lookup
+    // (NULL on miss by CONTRACT, so no type-default divergence).
+    "q_ch_dict_has" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        registerViews(s, dir)
+        Tables(s, dir, "nation").filter(col("n_nationkey") < 20)
+          .createOrReplaceTempView("nation_dsrc_chv")
+        graft.Graft.sql(s,
+          """CREATE DICTIONARY nation_dict_chv (
+            |  n_nationkey Int64,
+            |  n_name String DEFAULT 'UNKNOWN'
+            |) PRIMARY KEY n_nationkey
+            |SOURCE(CLICKHOUSE(TABLE 'nation_dsrc_chv'))
+            |LAYOUT(FLAT())""".stripMargin)
+        ch(s, """SELECT c_mktsegment,
+                |  countIf(covered) AS n_covered,
+                |  countIf(nm IS NULL) AS n_missing
+                |FROM (
+                |  SELECT c_mktsegment,
+                |    dictHas('nation_dict_chv', c_nationkey) AS covered,
+                |    dictGetOrNull('nation_dict_chv', 'n_name', c_nationkey) AS nm
+                |  FROM customer_chv)
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) FILTER (WHERE c_nationkey < 20) AS BIGINT) AS n_covered,
+             |  CAST(count(*) FILTER (WHERE c_nationkey >= 20) AS BIGINT) AS n_missing
+             |FROM customer
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
 }

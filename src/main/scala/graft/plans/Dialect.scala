@@ -43,13 +43,19 @@ import scala.collection.mutable.ArrayBuffer
   *    filter `substr(md5(key),1,4) < '<hex(f·65536)>'` on the sample
   *    key registered via [[registerSample]] — portable (any engine
   *    with md5 draws the SAME sample; the oracle re-derives it), and
-  *    a plain pushable predicate.
+  *    a plain pushable predicate; f rounding to the whole keyspace
+  *    keeps everything. Integer `SAMPLE n` becomes the n lowest
+  *    md5(key) ranks — deterministic where ClickHouse's n is
+  *    approximate — planned map-side-pruned (WindowGroupLimit /
+  *    TakeOrderedAndProject).
   *  - `LIMIT n BY e…` becomes the row_number window the engine's own
   *    q_limit_by uses (never a global sort; requires an ORDER BY to
   *    define which n survive — ClickHouse without one is
   *    nondeterministic, which graft refuses).
   *  - `ARRAY JOIN x AS a` → `LATERAL VIEW explode(x)`;
-  *    `LEFT ARRAY JOIN` → `explode_outer`.
+  *    `LEFT ARRAY JOIN` → `explode_outer`. Multi-array
+  *    `ARRAY JOIN a AS x, b AS y` zips positionally: one posexplode
+  *    drives the shared position, the other arrays are indexed at it.
   *  - `GROUP BY e… WITH TOTALS` → `GROUPING SETS ((e…), ())` — the
   *    totals row carries SQL-convention NULL group keys (documented
   *    divergence: ClickHouse renders empty-value keys).
@@ -77,23 +83,39 @@ import scala.collection.mutable.ArrayBuffer
   *    Needs both sides catalog-resolvable (the union projects each
   *    side to a common schema with typed NULL placeholders).
   *
-  * Unsupported constructs (`ANY` join modifier, integer SAMPLE,
-  * FINAL/SAMPLE on unregistered tables, LIMIT BY without ORDER BY,
-  * ASOF over non-catalog relations) throw [[DialectException]] with
-  * the construct named — fail-fast beats a silently different answer.
+  * Unsupported constructs (`ANY` join modifier, FINAL/SAMPLE on
+  * unregistered tables, LIMIT BY without ORDER BY, ASOF over
+  * non-catalog relations, the ClickHouse-value hash families, and —
+  * once any rewrite fired — the byte-vs-char ambiguous names
+  * `length`/`any`/`position`/`extract`/`range`) throw
+  * [[DialectException]] with the construct named — fail-fast beats a
+  * silently different answer.
   */
 object Dialect {
 
   final class DialectException(msg: String) extends IllegalArgumentException(msg)
 
-  /** Key/version registration a `FINAL` rewrite resolves against, plus
-    * the catalog-schema lookup the `ASOF JOIN` rewrite needs (it must
-    * project BOTH sides to a common union schema with typed NULL
-    * placeholders).
+  /** One registered dictionary: the source relation, its key column,
+    * and the per-attribute DEFAULT literals declared in the DDL (used
+    * by `dictGet` on a key miss; an attribute without one surfaces
+    * NULL — documented divergence from ClickHouse's type-default).
+    */
+  final case class Dict(src: String, key: String,
+      defaults: Map[String, String] = Map.empty)
+
+  /** Key/version registration a `FINAL` rewrite resolves against, the
+    * sample keys, the dictionary registry `dictGet` resolves against,
+    * plus the catalog-schema lookup the `ASOF JOIN` and integer-SAMPLE
+    * rewrites need.
     */
   final case class Registry(
       finals: Map[String, (Seq[String], Seq[String])] = Map.empty,
       samples: Map[String, String] = Map.empty,
+      dicts: Map[String, Dict] = Map.empty,
+      // SummingMergeTree registrations: key columns | explicitly-summed
+      // columns (empty = every numeric non-key column, ClickHouse's own
+      // default)
+      sumFinals: Map[String, (Seq[String], Seq[String])] = Map.empty,
       schemaOf: String => Option[Seq[(String, String)]] = _ => None)
 
   private def fail(msg: String): Nothing = throw new DialectException(msg)
@@ -109,6 +131,27 @@ object Dialect {
       keyCol: String): Unit =
     spark.conf.set(s"graft.sample.$table", keyCol)
 
+  /** SummingMergeTree registration — `FINAL` on such a table collapses
+    * to one sum aggregate per key. `summed` empty = every numeric
+    * non-key column (ClickHouse's default when the engine has no
+    * argument list).
+    */
+  def registerSumFinal(spark: org.apache.spark.sql.SparkSession, table: String,
+      keys: Seq[String], summed: Seq[String] = Nil): Unit =
+    spark.conf.set(s"graft.sumfinal.$table",
+      keys.mkString(",") + "|" + summed.mkString(","))
+
+  /** Dictionary registration — `CREATE DICTIONARY` routes here
+    * ([[graft.GraftSql]]); defaults are SQL literals keyed by
+    * attribute name. Encoding: `src|key|attr=<lit>;attr=<lit>` (the
+    * defaults segment may be empty).
+    */
+  def registerDictionary(spark: org.apache.spark.sql.SparkSession, name: String,
+      srcTable: String, keyCol: String,
+      defaults: Map[String, String] = Map.empty): Unit =
+    spark.conf.set(s"graft.dict.$name", s"$srcTable|$keyCol|" +
+      defaults.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";"))
+
   def registryOf(spark: org.apache.spark.sql.SparkSession): Registry = {
     val all = spark.conf.getAll
     Registry(
@@ -119,6 +162,25 @@ object Dialect {
       },
       samples = all.collect { case (k, v) if k.startsWith("graft.sample.") =>
         k.stripPrefix("graft.sample.") -> v.trim
+      },
+      sumFinals = all.collect { case (k, v) if k.startsWith("graft.sumfinal.") =>
+        val parts = v.split("\\|", 2)
+        k.stripPrefix("graft.sumfinal.") ->
+          (parts(0).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+            parts.lift(1).fold(Seq.empty[String])(
+              _.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+      },
+      dicts = all.collect { case (k, v) if k.startsWith("graft.dict.") =>
+        val parts = v.split("\\|", 3)
+        require(parts.length >= 2, s"malformed $k: $v")
+        val defaults = parts.lift(2).filter(_.nonEmpty).fold(Map.empty[String, String]) {
+          seg => seg.split(';').toSeq.map { kv =>
+            val eq = kv.indexOf('=')
+            require(eq > 0, s"malformed dictionary default: $kv")
+            kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
+          }.toMap
+        }
+        k.stripPrefix("graft.dict.") -> Dict(parts(0).trim, parts(1).trim, defaults)
       },
       schemaOf = name => scala.util.Try(spark.table(name).schema).toOption
         .map(_.fields.toSeq.map(f => (f.name, f.dataType.sql))))
@@ -154,8 +216,14 @@ object Dialect {
       else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
         while (i < n && sql(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        // optimizer-hint comments /*+ … */ survive as Raw tokens, so a
+        // statement in which a dialect rewrite fires keeps its hints in
+        // the emitted text (plain comments are still discarded)
+        val start = i
         i += 2; while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) i += 1
         i = math.min(n, i + 2)
+        if (start + 2 < n && sql(start + 2) == '+')
+          out += Raw(sql.substring(start, i))
       } else if (c == '\'') {
         val start = i; i += 1
         var done = false
@@ -302,8 +370,6 @@ object Dialect {
     "arrayMax" -> "array_max", "arrayMin" -> "array_min",
     // math / misc
     "roundBankers" -> "bround",
-    "cityHash64" -> "xxhash64", "sipHash64" -> "xxhash64",
-    "farmHash64" -> "xxhash64",
     "bitShiftLeft" -> "shiftleft", "bitShiftRight" -> "shiftright",
     "ifNull" -> "ifnull", "assumeNotNull" -> "coalesce")
 
@@ -332,7 +398,8 @@ object Dialect {
   /** Structural arg rewrites: name → args → replacement text. Args
     * arrive ALREADY translated bottom-up.
     */
-  private def argRewrite(name: String, args: Vector[Vector[Node]]): Option[String] = {
+  private def argRewrite(name: String, args: Vector[Vector[Node]],
+      reg: Registry): Option[String] = {
     def a(i: Int) = emit(args(i))
     (name, args.length) match {
       case ("count", 0) => Some("count(*)")
@@ -363,7 +430,14 @@ object Dialect {
       case ("toString", 1) => Some(s"CAST(${a(0)} AS STRING)")
       case ("toInt64", 1) | ("toUInt64", 1) => Some(s"CAST(${a(0)} AS BIGINT)")
       case ("toInt32", 1) | ("toUInt32", 1) => Some(s"CAST(${a(0)} AS INT)")
+      case ("toInt16", 1) | ("toUInt16", 1) => Some(s"CAST(${a(0)} AS SMALLINT)")
+      case ("toInt8", 1) | ("toUInt8", 1) => Some(s"CAST(${a(0)} AS TINYINT)")
       case ("toFloat64", 1) => Some(s"CAST(${a(0)} AS DOUBLE)")
+      case ("toFloat32", 1) => Some(s"CAST(${a(0)} AS FLOAT)")
+      case ("toDate32", 1) => Some(s"to_date(${a(0)})")
+      case ("exp10", 1) => Some(s"power(10, ${a(0)})")
+      case ("exp2", 1) => Some(s"power(2, ${a(0)})")
+      case ("intExp2", 1) => Some(s"CAST(power(2, ${a(0)}) AS BIGINT)")
       case ("splitByChar", 2) | ("splitByString", 2) =>
         val sep = args(0) match {
           case Vector(Leaf(s: Str)) => escapeSepLiteral(s)
@@ -402,6 +476,67 @@ object Dialect {
       case ("bitAnd", 2) => Some(s"(${a(0)} & ${a(1)})")
       case ("bitOr", 2) => Some(s"(${a(0)} | ${a(1)})")
       case ("bitXor", 2) => Some(s"(${a(0)} ^ ${a(1)})")
+      // dictGet['OrDefault']('dict', 'attr', key[, default]) — the
+      // registered dictionary becomes a correlated scalar subquery over
+      // internally-renamed columns (no capture hazard: the inner scope
+      // exposes ONLY __graft_v/__graft_k, so a key expression naming a
+      // dictionary column still resolves to the OUTER relation).
+      // Catalyst rewrites the equality-correlated scalar subquery into
+      // one aggregate + left outer join — the broadcast-dim shape of
+      // operators/Dictionary.scala; max() collapses accidental
+      // duplicate keys deterministically (the dictionary contract is
+      // one value per key).
+      case ("dictGet", 3) | ("dictGetOrDefault", 4) =>
+        def strLit(v: Vector[Node], what: String): String = v match {
+          case Vector(Leaf(s: Str)) => s.text.substring(1, s.text.length - 1)
+          case _ => fail(s"$name: $what must be a string literal")
+        }
+        val dname = strLit(args(0), "the dictionary name")
+        val attr = strLit(args(1), "the attribute name")
+        val d = reg.dicts.getOrElse(dname,
+          fail(s"$name on unregistered dictionary '$dname' — route " +
+            s"CREATE DICTIONARY $dname … through Graft.sql or call " +
+            "Dialect.registerDictionary first"))
+        val sub = s"(SELECT max(__graft_v) FROM (SELECT $attr AS __graft_v, " +
+          s"${d.key} AS __graft_k FROM ${d.src}) WHERE __graft_k = (${a(2)}))"
+        if (name == "dictGetOrDefault") Some(s"coalesce($sub, ${a(3)})")
+        // a key miss surfaces the attribute's declared DEFAULT; with
+        // none, NULL (ClickHouse renders the type default — divergence
+        // documented at the registration site)
+        else Some(d.defaults.get(attr).fold(sub)(df => s"coalesce($sub, $df)"))
+      case ("dictGetOrNull", 3) =>
+        def strLit2(v: Vector[Node], what: String): String = v match {
+          case Vector(Leaf(s: Str)) => s.text.substring(1, s.text.length - 1)
+          case _ => fail(s"$name: $what must be a string literal")
+        }
+        val d = reg.dicts.getOrElse(strLit2(args(0), "the dictionary name"),
+          fail(s"$name on unregistered dictionary — route CREATE DICTIONARY " +
+            "through Graft.sql or call Dialect.registerDictionary first"))
+        Some(s"(SELECT max(__graft_v) FROM (SELECT " +
+          s"${strLit2(args(1), "the attribute name")} AS __graft_v, " +
+          s"${d.key} AS __graft_k FROM ${d.src}) WHERE __graft_k = (${a(2)}))")
+      case ("dictHas", 2) =>
+        def strLit3(v: Vector[Node], what: String): String = v match {
+          case Vector(Leaf(s: Str)) => s.text.substring(1, s.text.length - 1)
+          case _ => fail(s"$name: $what must be a string literal")
+        }
+        val d = reg.dicts.getOrElse(strLit3(args(0), "the dictionary name"),
+          fail(s"$name on unregistered dictionary — route CREATE DICTIONARY " +
+            "through Graft.sql or call Dialect.registerDictionary first"))
+        Some(s"coalesce((SELECT max(true) FROM (SELECT ${d.key} AS __graft_k " +
+          s"FROM ${d.src}) WHERE __graft_k = (${a(1)})), false)")
+      // ClickHouse's hash families return ClickHouse-specific VALUES —
+      // an xxhash64 rename would type-check and silently produce
+      // different numbers everywhere the hash is exposed, compared, or
+      // persisted. Fail fast with the portable alternative named.
+      case ("cityHash64", _) | ("sipHash64", _) | ("farmHash64", _)
+          | ("halfMD5", _) =>
+        fail(s"$name computes a ClickHouse-specific hash value with no Spark " +
+          "equivalent — a rename would silently produce DIFFERENT values. If " +
+          "only the distribution matters (sharding, sampling, bucketing), " +
+          "write xxhash64(…) or md5(…) explicitly; if the values themselves " +
+          "are compared against stored ClickHouse hashes, they must be " +
+          "re-derived")
       case _ => None
     }
   }
@@ -427,10 +562,11 @@ object Dialect {
   /** Bottom-up function rewriting over the paren tree. Returns the new
     * nodes plus whether anything changed.
     */
-  private def rewriteFns(nodes: Vector[Node], changed: () => Unit): Vector[Node] = {
+  private def rewriteFns(nodes: Vector[Node], reg: Registry,
+      changed: () => Unit): Vector[Node] = {
     // recurse first so args arrive translated
     val rec: Vector[Node] = nodes.map {
-      case Grp(cs) => Grp(rewriteFns(cs, changed))
+      case Grp(cs) => Grp(rewriteFns(cs, reg, changed))
       case l => l
     }
     val out = ArrayBuffer.empty[Node]
@@ -461,8 +597,8 @@ object Dialect {
                 s"$mapped(${kept.map(emit).mkString(", ")})"
               }
             out += raw(s"$call FILTER (WHERE $cond)"); changed(); i += 2
-          } else if (!qualified && argRewrite(name, args).isDefined) {
-            out += raw(argRewrite(name, args).get); changed(); i += 2
+          } else if (!qualified && argRewrite(name, args, reg).isDefined) {
+            out += raw(argRewrite(name, args, reg).get); changed(); i += 2
           } else if (!qualified && Renames.contains(name)) {
             out += Leaf(Word(Renames(name))); out += Grp(g.children)
             changed(); i += 2
@@ -490,7 +626,13 @@ object Dialect {
     * re-projection): trailing `AS name`, a bare identifier, or the
     * last segment of a qualified identifier.
     */
-  private def outputName(item: Vector[Node]): String = {
+  private def outputName(item0: Vector[Node]): String = {
+    // a preserved /*+ …  */ hint Raw at the head of the first select
+    // item is presentation, not part of the expression's name
+    val item = item0.dropWhile {
+      case Leaf(Raw(t)) => t.startsWith("/*+")
+      case _ => false
+    }
     item match {
       case init :+ Leaf(w: Word) if init.lastOption.exists(isWord(_, "AS")) => w.text
       case init :+ Leaf(q: Quoted) if init.lastOption.exists(isWord(_, "AS")) => q.text
@@ -662,15 +804,23 @@ object Dialect {
     val win = s"OVER (PARTITION BY ${keyNames.mkString(", ")} ORDER BY " +
       s"__graft_t $tDir, __graft_side $sDir ROWS BETWEEN UNBOUNDED PRECEDING " +
       "AND CURRENT ROW)"
+    // ONE struct per right row is carried forward — never the columns
+    // independently: a NULL in one payload column of the matched row
+    // must surface as that NULL (ClickHouse returns the matched row
+    // verbatim), not be back-filled from an OLDER right row, which is
+    // what per-column last(col) IGNORE NULLS would silently do. The
+    // struct itself is never NULL for a right-side row (only the CASE's
+    // missing ELSE makes left rows NULL), so IGNORE NULLS skips exactly
+    // the left rows; match detection is the struct's own nullness.
     val winSel = (Seq("__graft_side") ++ lInternal ++
-      rInternal.zip(rightExposed).map { case (n, (_, exp)) =>
-        s"last(CASE WHEN __graft_side = 0 THEN $n END) IGNORE NULLS $win AS $exp"
-      } ++
-      Seq(s"last(CASE WHEN __graft_side = 0 THEN 1 END) IGNORE NULLS $win AS __graft_m"))
+      Seq(s"last(CASE WHEN __graft_side = 0 THEN " +
+        s"struct(${rInternal.mkString(", ")}) END) IGNORE NULLS $win AS __graft_rrow"))
       .mkString(", ")
     val outerSel = (leftCols.zip(lInternal).map { case (c, n) => s"$n AS $c" } ++
-      rightExposed.map(_._2)).mkString(", ")
-    val matchFilter = if (isLeftJoin) "" else " AND __graft_m = 1"
+      rInternal.zip(rightExposed).map { case (n, (_, exp)) =>
+        s"__graft_rrow.$n AS $exp"
+      }).mkString(", ")
+    val matchFilter = if (isLeftJoin) "" else " AND __graft_rrow IS NOT NULL"
     val sub = s"(SELECT $outerSel FROM (SELECT $winSel FROM (SELECT $lSel FROM " +
       s"$lRef UNION ALL SELECT $rSel FROM $rRef)) WHERE __graft_side = 1" +
       s"$matchFilter) __graft_asof"
@@ -786,17 +936,58 @@ object Dialect {
           case Leaf(q: Quoted) => q.text.substring(1, q.text.length - 1)
           case _ => fail("FINAL must directly follow a table name")
         }
-        val (keys, vers) = reg.finals.getOrElse(tname,
-          fail(s"FINAL on '$tname' but no key/version registered — call " +
-            s"Dialect.registerFinal or SET graft.final.$tname = 'keys|version'"))
         val refTxt = emit(refNodes)
         // `t FINAL AS a` keeps the user's alias; bare `t FINAL` re-binds
         // the table's own name so downstream references resolve
         val hasAlias = i + 1 < span.length && isWord(span(i + 1), "AS")
         val aliasTxt = if (hasAlias) "" else s" $tname"
-        val sub = s"(SELECT __graft_row.* FROM (SELECT max_by(struct(*), " +
-          s"struct(${vers.mkString(", ")})) AS __graft_row FROM $refTxt " +
-          s"GROUP BY ${keys.mkString(", ")}))$aliasTxt"
+        val sub = reg.finals.get(tname) match {
+          case Some((keys, vers)) =>
+            s"(SELECT __graft_row.* FROM (SELECT max_by(struct(*), " +
+              s"struct(${vers.mkString(", ")})) AS __graft_row FROM $refTxt " +
+              s"GROUP BY ${keys.mkString(", ")}))$aliasTxt"
+          case None => reg.sumFinals.get(tname) match {
+            // SummingMergeTree read-time collapse: ONE sum aggregate
+            // per key (map-side partial, one shuffle — the same physics
+            // as the replacing shape). Select list in schema order so
+            // `SELECT *` stays stable; ClickHouse deletes a key whose
+            // summed values are ALL zero after the merge, hence the
+            // HAVING.
+            case Some((keys, declared)) =>
+              val schema = reg.schemaOf(refTxt).getOrElse(
+                fail(s"FINAL on SummingMergeTree '$tname' needs the table's " +
+                  "schema from the session catalog"))
+              val numeric = Set("TINYINT", "SMALLINT", "INT", "BIGINT",
+                "FLOAT", "DOUBLE")
+              def isNumeric(ddl: String): Boolean = {
+                val up = ddl.toUpperCase
+                numeric(up) || up.startsWith("DECIMAL")
+              }
+              val keySet = keys.toSet
+              val summed = if (declared.nonEmpty) declared
+                else schema.collect { case (c, t) if !keySet(c) && isNumeric(t) => c }
+              if (summed.isEmpty)
+                fail(s"FINAL on SummingMergeTree '$tname': no summable column")
+              val summedSet = summed.toSet
+              val others = schema.map(_._1).filterNot(c => keySet(c) || summedSet(c))
+              if (others.nonEmpty)
+                fail(s"FINAL on SummingMergeTree '$tname': column(s) " +
+                  s"${others.mkString(", ")} are neither key nor summed — " +
+                  "ClickHouse keeps an ARBITRARY merged value there, which is " +
+                  "not reproducible on a distributed engine; drop them or " +
+                  "list them in the engine's summed columns")
+              val sel = schema.map { case (c, _) =>
+                if (keySet(c)) c else s"sum($c) AS $c"
+              }.mkString(", ")
+              val allZero = summed.map(c => s"coalesce(sum($c), 0) = 0")
+                .mkString(" AND ")
+              s"(SELECT $sel FROM $refTxt GROUP BY ${keys.mkString(", ")} " +
+                s"HAVING NOT ($allZero))$aliasTxt"
+            case None =>
+              fail(s"FINAL on '$tname' but no key/version registered — call " +
+                s"Dialect.registerFinal or SET graft.final.$tname = 'keys|version'")
+          }
+        }
         span = span.take(refStart) ++ Vector(raw(sub)) ++ span.drop(i + 1)
         spanChanged = true
         fi = span.indices.find(i => isWord(span(i), "FINAL"))
@@ -808,10 +999,10 @@ object Dialect {
         span(i + 1).asInstanceOf[Leaf].t.isInstanceOf[Num])
       while (si.isDefined) {
         val i = si.get
-        val frac = span(i + 1).asInstanceOf[Leaf].t.text.toDouble
-        if (frac <= 0.0 || frac >= 1.0)
-          fail(s"SAMPLE $frac: only fractional sampling (0 < f < 1) translates " +
-            "deterministically; integer row-target SAMPLE is engine-internal")
+        val numTxt = span(i + 1).asInstanceOf[Leaf].t.text
+        if (span.lift(i + 2).contains(Leaf(Punct("/"))))
+          fail(s"SAMPLE $numTxt/…: the ratio form is not supported — write the " +
+            "fraction as a decimal literal (SAMPLE 0.1)")
         if (i == 0) fail("SAMPLE without a preceding table reference")
         var s = i - 1
         span(s) match {
@@ -828,35 +1019,114 @@ object Dialect {
         val key = reg.samples.getOrElse(tname,
           fail(s"SAMPLE on '$tname' but no sample key registered — call " +
             s"Dialect.registerSample or SET graft.sample.$tname = '<col>'"))
-        val cut = math.round(frac * 65536).toInt
-        val hex = f"$cut%04x"
-        val sub = s"(SELECT * FROM ${emit(refNodes)} WHERE " +
-          s"substr(md5(CAST($key AS STRING)), 1, 4) < '$hex') $tname"
-        span = span.take(s) ++ Vector(raw(sub)) ++ span.drop(i + 2)
+        val isFraction = numTxt.exists(c => c == '.' || c == 'e' || c == 'E')
+        val subOpt: Option[String] = if (isFraction) {
+          val frac = numTxt.toDouble
+          if (frac <= 0.0 || frac >= 1.0)
+            fail(s"SAMPLE $frac: a fractional sample needs 0 < f < 1")
+          val cut = math.round(frac * 65536).toInt
+          // cut == 65536 would format as 5-hex-digit '10000', and the
+          // 4-char lexicographic compare would then select only ~6% of
+          // rows (digests starting '0') — a fraction that rounds to the
+          // whole keyspace means "keep everything": drop the clause
+          if (cut >= 65536) None
+          else {
+            val hex = f"$cut%04x"
+            Some(s"(SELECT * FROM ${emit(refNodes)} WHERE " +
+              s"substr(md5(CAST($key AS STRING)), 1, 4) < '$hex') $tname")
+          }
+        } else {
+          // integer row-target SAMPLE n — ClickHouse's habitual
+          // `SAMPLE 1000000`: the n rows whose md5(key) rank lowest, a
+          // DETERMINISTIC split-invariant choice any engine re-derives
+          // (unlike ClickHouse's own approximate n). The rank filter is
+          // the WindowGroupLimit shape: each map task prunes to its
+          // local n BEFORE the single-partition window, so the one task
+          // sees O(n × tasks) candidate rows, never the table.
+          val n = try numTxt.toLong catch {
+            case _: NumberFormatException =>
+              fail(s"SAMPLE $numTxt: cannot parse as a row count")
+          }
+          if (n <= 0) fail(s"SAMPLE $n: the row target must be positive")
+          val refTxt = emit(refNodes)
+          val cols = reg.schemaOf(refTxt).getOrElse(
+            fail(s"SAMPLE $n rows on '$refTxt' needs the table's schema from " +
+              "the session catalog (the rank column must not leak into *)"))
+            .map(_._1)
+          Some(s"(SELECT ${cols.mkString(", ")} FROM (SELECT *, row_number() " +
+            s"OVER (ORDER BY md5(CAST($key AS STRING)), $key) AS __graft_sn " +
+            s"FROM $refTxt) WHERE __graft_sn <= $n) $tname")
+        }
+        span = subOpt match {
+          case Some(sub) => span.take(s) ++ Vector(raw(sub)) ++ span.drop(i + 2)
+          // keep-everything: the bare reference survives, SAMPLE f drops
+          case None => span.take(s) ++ refNodes ++ span.drop(i + 2)
+        }
         spanChanged = true
         si = span.indices.find(i => isWord(span(i), "SAMPLE") &&
           i + 1 < span.length && span(i + 1).isInstanceOf[Leaf] &&
           span(i + 1).asInstanceOf[Leaf].t.isInstanceOf[Num])
       }
 
-      // [LEFT] ARRAY JOIN <expr> AS <alias>
+      // [LEFT] ARRAY JOIN <expr> AS <alias> [, <expr> AS <alias> …]
       var aj = span.indices.find(i => isWord(span(i), "ARRAY") &&
         i + 1 < span.length && isWord(span(i + 1), "JOIN"))
       while (aj.isDefined) {
         val i = aj.get
         val left = i > 0 && isWord(span(i - 1), "LEFT")
-        val exprStart = i + 2
-        val asI = span.indices.drop(exprStart).find(j => isWord(span(j), "AS"))
-          .getOrElse(fail("ARRAY JOIN requires 'AS <alias>'"))
-        val alias = span.lift(asI + 1) match {
-          case Some(Leaf(w: Word)) => w.text
-          case _ => fail("ARRAY JOIN requires 'AS <alias>'")
+        // item list: `<expr> AS <alias>`, comma-separated; the AS scan
+        // is [ ]-depth-aware so an array literal's commas and its AS-
+        // free body never split an item ( ( ) nesting is already a Grp)
+        val items = ArrayBuffer.empty[(String, String)]
+        var p = i + 2
+        var end = p
+        var more = true
+        while (more) {
+          var depth = 0
+          var j = p
+          var asI = -1
+          while (asI < 0 && j < span.length) {
+            span(j) match {
+              case Leaf(Punct("[")) => depth += 1
+              case Leaf(Punct("]")) => depth -= 1
+              case n if depth == 0 && isWord(n, "AS") => asI = j
+              case _ => ()
+            }
+            j += 1
+          }
+          if (asI < 0 || asI == p)
+            fail("ARRAY JOIN requires 'AS <alias>' on every item")
+          val alias = span.lift(asI + 1) match {
+            case Some(Leaf(w: Word)) => w.text
+            case _ => fail("ARRAY JOIN requires 'AS <alias>' on every item")
+          }
+          items += ((emit(span.slice(p, asI)), alias))
+          if (span.lift(asI + 2).contains(Leaf(Punct(",")))) p = asI + 3
+          else { end = asI + 2; more = false }
         }
-        val exprTxt = emit(span.slice(exprStart, asI))
-        val gen = if (left) "explode_outer" else "explode"
-        val lv = s"LATERAL VIEW $gen($exprTxt) __graft_aj AS $alias"
+        val lv = if (items.length == 1) {
+          val (exprTxt, alias) = items.head
+          val gen = if (left) "explode_outer" else "explode"
+          s"LATERAL VIEW $gen($exprTxt) __graft_aj AS $alias"
+        } else {
+          // multi-array ARRAY JOIN zips POSITIONALLY (ClickHouse
+          // semantics): the first array drives one posexplode, every
+          // other array is indexed at the shared position — still one
+          // per-partition pipeline, no shuffle, no join. get() returns
+          // NULL past a shorter array's end where ClickHouse errors on
+          // unequal sizes (documented divergence — NULL-padding is the
+          // recoverable reading of the same malformed input).
+          val (e0, a0) = items.head
+          val gen0 = if (left) "posexplode_outer" else "posexplode"
+          val head = s"LATERAL VIEW $gen0($e0) __graft_aj0 AS __graft_pos, $a0"
+          val rest = items.tail.zipWithIndex.map { case ((e, a), k) =>
+            s"LATERAL VIEW explode(array(get($e, __graft_pos))) " +
+              s"__graft_aj${k + 1} AS $a"
+          }
+          (head +: rest).mkString(" ")
+        }
         val start = if (left) i - 1 else i
-        span = span.take(start) ++ Vector(raw(lv)) ++ span.drop(asI + 2)
+        span = span.take(start) ++ Vector(raw(lv)) ++ span.drop(end)
         spanChanged = true
         aj = span.indices.find(i => isWord(span(i), "ARRAY") &&
           i + 1 < span.length && isWord(span(i + 1), "JOIN"))
@@ -872,28 +1142,35 @@ object Dialect {
     // remap every la./ra. reference in this level to its exposed name
     asofMaps.foreach { m => ns = applyAsofRefs(ns, m) }
 
-    // PREWHERE → WHERE (merge with an existing WHERE)
-    clauseIdx(ns, "PREWHERE").foreach { pi =>
+    // PREWHERE → WHERE, merged with the SAME UNION branch's WHERE only:
+    // both the predicate extraction and the merge target stop at a
+    // top-level UNION, so `… PREWHERE p UNION ALL … WHERE w` never
+    // moves p across the branch boundary (p lands as branch 1's own
+    // WHERE; branch 2's w is untouched). Looped: each branch of a
+    // UNION may carry its own PREWHERE.
+    var pw = clauseIdx(ns, "PREWHERE")
+    while (pw.isDefined) {
+      val pi = pw.get
       val stop = ns.indices.drop(pi + 1)
         .find(i => Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION")
           .exists(isWord(ns(i), _)))
         .getOrElse(ns.length)
       val pred = ns.slice(pi + 1, stop)
-      val rest = ns.take(pi) ++ ns.drop(stop)
-      ns = clauseIdx(rest, "WHERE") match {
-        case Some(wi) =>
-          val wstop = rest.indices.drop(wi + 1)
-            .find(i => Seq("GROUP", "HAVING", "ORDER", "LIMIT", "UNION")
-              .exists(isWord(rest(i), _)))
-            .getOrElse(rest.length)
-          val wpred = rest.slice(wi + 1, wstop)
-          rest.take(wi) ++ Vector(Leaf(Word("WHERE")), Grp(pred),
-            Leaf(Word("AND")), Grp(wpred)) ++ rest.drop(wstop)
-        case None =>
-          // WHERE goes where PREWHERE was (clause order is identical)
-          rest.take(pi) ++ Vector(Leaf(Word("WHERE"))) ++ pred ++ rest.drop(pi)
-      }
+      // in clause order a mergeable WHERE follows PREWHERE immediately;
+      // anything else (GROUP/…/UNION/end) means this branch has none
+      ns = if (stop < ns.length && isWord(ns(stop), "WHERE")) {
+        val wstop = ns.indices.drop(stop + 1)
+          .find(i => Seq("GROUP", "HAVING", "ORDER", "LIMIT", "UNION")
+            .exists(isWord(ns(i), _)))
+          .getOrElse(ns.length)
+        val wpred = ns.slice(stop + 1, wstop)
+        ns.take(pi) ++ Vector(Leaf(Word("WHERE")), Grp(pred),
+          Leaf(Word("AND")), Grp(wpred)) ++ ns.drop(wstop)
+      } else
+        // WHERE goes where PREWHERE was (clause order is identical)
+        ns.take(pi) ++ Vector(Leaf(Word("WHERE"))) ++ pred ++ ns.drop(stop)
       changed()
+      pw = clauseIdx(ns, "PREWHERE")
     }
 
     // GROUP BY … WITH TOTALS
@@ -943,14 +1220,20 @@ object Dialect {
             case Some(Leaf(n: Num)) => n.text
             case _ => fail("WITH FILL requires integer-literal FROM <a> TO <b> [STEP <s>]")
           }
-          if (!(p < ns.length && isWord(ns(p), "FROM")))
-            fail("WITH FILL requires explicit FROM <a> TO <b> [STEP <s>] " +
-              "(span inference is not supported)")
-          val lo = numAt(p + 1)
-          if (!(p + 2 < ns.length && isWord(ns(p + 2), "TO")))
-            fail("WITH FILL requires TO <b> after FROM")
-          val hi = numAt(p + 3)
-          p += 4
+          // FROM <a> TO <b> is optional: absent, the span is inferred
+          // from the aggregated result's own min/max (ClickHouse's
+          // default). FROM-only / TO-only still refuse.
+          var loHi: Option[(String, String)] = None
+          if (p < ns.length && isWord(ns(p), "FROM")) {
+            val lo = numAt(p + 1)
+            if (!(p + 2 < ns.length && isWord(ns(p + 2), "TO")))
+              fail("WITH FILL requires TO <b> after FROM")
+            val hi = numAt(p + 3)
+            p += 4
+            loHi = Some((lo, hi))
+          } else if (p < ns.length && isWord(ns(p), "TO"))
+            fail("WITH FILL TO without FROM is not supported — give both " +
+              "bounds or neither (full span inference)")
           var step = "1"
           if (p < ns.length && isWord(ns(p), "STEP")) { step = numAt(p + 1); p += 2 }
           var interp: Option[String] = None
@@ -959,8 +1242,12 @@ object Dialect {
               case Some(Grp(Vector(Leaf(x: Word), asW, Leaf(y: Word))))
                   if isWord(asW, "AS") && x.text == y.text =>
                 interp = Some(x.text); p += 2
+              // bare `INTERPOLATE (col)` — ClickHouse's shorthand for
+              // the same carry-forward
+              case Some(Grp(Vector(Leaf(x: Word)))) =>
+                interp = Some(x.text); p += 2
               case _ => fail("INTERPOLATE: only the carry-forward form " +
-                "(col AS col) is supported")
+                "(col [AS col]) is supported")
             }
           }
           if (p != ns.length)
@@ -979,8 +1266,21 @@ object Dialect {
                 s"UNBOUNDED PRECEDING AND CURRENT ROW) AS $n"
             else s"__graft_q.$n AS $n"
           }
-          val rewritten = s"SELECT ${outs.mkString(", ")} FROM " +
-            s"(SELECT explode(sequence($lo, ($hi) - 1, $step)) AS __graft_fill) " +
+          val gridRel = loHi match {
+            case Some((lo, hi)) =>
+              s"(SELECT explode(sequence($lo, ($hi) - 1, $step)) AS __graft_fill)"
+            case None =>
+              // inferred span: bounds from a min/max over the ALREADY-
+              // aggregated inner result (grid-scale, computed once more
+              // — the densification target, never the fact table);
+              // TO-inclusive, matching ClickHouse's fill-to-max. An
+              // empty result yields a NULL sequence → zero grid rows.
+              s"(SELECT explode(sequence(__graft_lo, __graft_hi, $step)) " +
+                s"AS __graft_fill FROM (SELECT CAST(min($key) AS BIGINT) " +
+                s"AS __graft_lo, CAST(max($key) AS BIGINT) AS __graft_hi " +
+                s"FROM (SELECT $innerSel $innerBody)))"
+          }
+          val rewritten = s"SELECT ${outs.mkString(", ")} FROM $gridRel " +
             s"__graft_g FULL OUTER JOIN (SELECT $innerSel $innerBody) __graft_q " +
             s"ON __graft_q.$key = __graft_g.__graft_fill ORDER BY $key"
           ns = ns.take(sel) ++ Vector(raw(rewritten))
@@ -989,11 +1289,15 @@ object Dialect {
       }
     }
 
-    // LIMIT n BY e… [outer ORDER BY stays; optional trailing LIMIT m]
+    // LIMIT [o,] n BY e… [outer ORDER BY stays; optional trailing
+    // LIMIT m] — the offset form skips each group's first o rows
     val limIdxs = ns.indices.filter(i => isWord(ns(i), "LIMIT"))
-    val limByI = limIdxs.find(i => i + 2 < ns.length &&
-      ns(i + 1).isInstanceOf[Leaf] &&
-      ns(i + 1).asInstanceOf[Leaf].t.isInstanceOf[Num] && isWord(ns(i + 2), "BY"))
+    def numAtIdx(i: Int): Boolean = i < ns.length &&
+      ns(i).isInstanceOf[Leaf] && ns(i).asInstanceOf[Leaf].t.isInstanceOf[Num]
+    val limByI = limIdxs.find(i =>
+      (numAtIdx(i + 1) && i + 2 < ns.length && isWord(ns(i + 2), "BY")) ||
+      (numAtIdx(i + 1) && i + 2 < ns.length && ns(i + 2) == Leaf(Punct(",")) &&
+        numAtIdx(i + 3) && i + 4 < ns.length && isWord(ns(i + 4), "BY")))
     limByI.foreach { li =>
       val sel = selI.getOrElse(fail("LIMIT BY outside a SELECT"))
       val fromI = clauseIdx(ns, "FROM").getOrElse(fail("LIMIT BY without FROM"))
@@ -1002,11 +1306,14 @@ object Dialect {
           "(ClickHouse without one is nondeterministic; graft refuses)"))
       if (ns.slice(sel + 1, fromI).headOption.exists(isWord(_, "DISTINCT")))
         fail("LIMIT BY with DISTINCT is not supported")
-      val n = ns(li + 1).asInstanceOf[Leaf].t.text
+      val offsetForm = ns(li + 2) == Leaf(Punct(","))
+      val off = if (offsetForm) ns(li + 1).asInstanceOf[Leaf].t.text else "0"
+      val n = ns(li + (if (offsetForm) 3 else 1)).asInstanceOf[Leaf].t.text
+      val byStart = li + (if (offsetForm) 5 else 3)
       // BY expr list ends at the trailing LIMIT (if any) or end
-      val byEnd = ns.indices.drop(li + 3).find(i => isWord(ns(i), "LIMIT"))
+      val byEnd = ns.indices.drop(byStart).find(i => isWord(ns(i), "LIMIT"))
         .getOrElse(ns.length)
-      val byTxt = emit(ns.slice(li + 3, byEnd))
+      val byTxt = emit(ns.slice(byStart, byEnd))
       val tailLimit = if (byEnd < ns.length)
         " " + emit(ns.slice(byEnd, ns.length)) else ""
       val items = splitArgs(ns.slice(sel + 1, fromI))
@@ -1014,10 +1321,12 @@ object Dialect {
       val orderTxt = emit(ns.slice(orderI + 2, li))
       val innerBody = emit(ns.slice(fromI, orderI))
       val innerSel = items.map(emit).mkString(", ")
+      val rnFilter = if (off == "0") s"__graft_rn <= $n"
+        else s"__graft_rn > $off AND __graft_rn <= ($off) + ($n)"
       val rewritten = s"SELECT ${names.mkString(", ")} FROM (" +
         s"SELECT $innerSel, row_number() OVER (PARTITION BY $byTxt " +
         s"ORDER BY $orderTxt) AS __graft_rn $innerBody) " +
-        s"WHERE __graft_rn <= $n ORDER BY $orderTxt$tailLimit"
+        s"WHERE $rnFilter ORDER BY $orderTxt$tailLimit"
       ns = ns.take(sel) ++ Vector(raw(rewritten))
       changed()
     }
@@ -1037,14 +1346,41 @@ object Dialect {
 
   // ── entry ──────────────────────────────────────────────────────────
 
+  /** Function names BOTH dialects own under DIFFERENT semantics:
+    * ClickHouse `length(s)` counts bytes, Spark's counts characters;
+    * `any` is first-value vs bool-or; `position` / `extract` / `range`
+    * diverge in argument convention or meaning. Never renamed — and in
+    * a statement PROVEN ClickHouse-flavored (some other rewrite fired),
+    * never silently passed through either.
+    */
+  private val Ambiguous = Set("length", "any", "position", "extract", "range")
+
   /** Translate ClickHouse-dialect SQL to Spark SQL. Identity (the
     * ORIGINAL string, byte-for-byte) when no dialect construct fires.
     */
   def translate(sql: String, reg: Registry): String = {
     var didChange = false
     val changed = () => { didChange = true }
-    val fnPass = rewriteFns(parse(lex(sql)), changed)
+    val toks = lex(sql)
+    val fnPass = rewriteFns(parse(toks), reg, changed)
     val clPass = rewriteClauses(fnPass, reg, changed)
-    if (didChange) emit(clPass) else sql
+    if (!didChange) sql
+    else {
+      // fail-fast beats a silently different answer: once any dialect
+      // construct fired, the text is ClickHouse-flavored, so a call of
+      // an ambiguous name would run under Spark's OTHER semantics
+      // (pure-ANSI statements keep byte-identical pass-through above)
+      val hit = toks.iterator.zip(toks.iterator.drop(1)).collect {
+        case (w: Word, Punct("(")) if Ambiguous(w.text.toLowerCase) => w.text
+      }.toSet
+      if (hit.nonEmpty)
+        fail(s"ambiguous function name(s) ${hit.mkString(", ")} in a " +
+          "ClickHouse-dialect statement: ClickHouse and Spark own these names " +
+          "with DIFFERENT semantics (ClickHouse length() counts bytes, " +
+          "Spark's counts characters; any() is first-value vs bool_or; …). " +
+          "Use the unambiguous spellings instead — lengthUTF8/octet_length, " +
+          "anyLast/first_value, locate, … — so the intent survives translation")
+      emit(clPass)
+    }
   }
 }

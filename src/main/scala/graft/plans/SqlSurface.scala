@@ -809,6 +809,63 @@ object SqlSurface extends QueryModule {
              |FROM events
              |WHERE strftime(ts, '%Y%m%d') =
              |  (SELECT min(strftime(ts, '%Y%m%d')) FROM events)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // `system.tables` as a SQL-queryable view (r11 verdict item 6) —
+    // the remaining polling surface: catalog relations ∪ snapshot
+    // registrations, with total_rows from the snapshot MANIFEST (one
+    // row per day, zero data footers — the same metadata-scale read
+    // RESTORE reports from). The fixture attaches the staged SQL-text
+    // backup under a fresh name (`SET graft.snapshot.<t> = <dir>`, the
+    // documented attach path); the oracle recomputes the manifest's
+    // total from the raw fixture. The query filters to its own name —
+    // the catalog is session-global and other fixtures' views are not
+    // this query's concern.
+    "q_sql_system_tables" -> QueryDef(
+      (s, dir) => {
+        val dest = sqlBackupDest(s, dir)
+        s.conf.set("graft.snapshot.ev_sys_sqlv", dest)
+        graft.operators.SystemCatalog.tables(s)
+          .createOrReplaceTempView("system_tables_sqlv")
+        s.sql("""SELECT name, total_rows FROM system_tables_sqlv
+                |WHERE name = 'ev_sys_sqlv'""".stripMargin)
+      },
+      Some("""SELECT 'ev_sys_sqlv' AS name,
+             |  CAST(count(*) AS BIGINT) AS total_rows FROM events""".stripMargin)),
+
+    // `system.columns` as a SQL-queryable view (r11 verdict item 6):
+    // per-column position/name/type plus the opt-in exact non-null
+    // counts — computed in ONE single-pass aggregate (every count(col)
+    // together; never a scan per column, no Expand). The inspected
+    // relation is the eventsCols projection — the engine's PUBLISHED
+    // event schema, whose types are stable across fixture variants
+    // (raw `ts` has shipped as both ns-parquet/LongType and
+    // µs-parquet/NTZ; `ts_s` is the second-truncated session-TZ
+    // TIMESTAMP either way, SURVEY §5.3). The type constants are the
+    // claim being checked; the counts are recomputed from the raw
+    // fixture by the oracle. profileTableApprox remains the 100 TB
+    // swap for full-profile needs.
+    "q_sql_system_columns" -> QueryDef(
+      (s, dir) => {
+        eventsCols(s, dir).createOrReplaceTempView("events_cols_sqlv")
+        graft.operators.SystemCatalog
+          .columns(s, "events_cols_sqlv", withCounts = true)
+          .createOrReplaceTempView("system_columns_sqlv")
+        s.sql("""SELECT table, name, position, type, n_nonnull
+                |FROM system_columns_sqlv ORDER BY position""".stripMargin)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'events_cols_sqlv' AS "table", 'event_id' AS "name",
+             |         CAST(1 AS BIGINT) AS "position", 'BIGINT' AS "type",
+             |         (SELECT CAST(count(event_id) AS BIGINT) FROM events) AS "n_nonnull"
+             |  UNION ALL SELECT 'events_cols_sqlv', 'user_id', CAST(2 AS BIGINT), 'BIGINT',
+             |    (SELECT CAST(count(user_id) AS BIGINT) FROM events)
+             |  UNION ALL SELECT 'events_cols_sqlv', 'event_type', CAST(3 AS BIGINT), 'STRING',
+             |    (SELECT CAST(count(event_type) AS BIGINT) FROM events)
+             |  UNION ALL SELECT 'events_cols_sqlv', 'value', CAST(4 AS BIGINT), 'DOUBLE',
+             |    (SELECT CAST(count(value) AS BIGINT) FROM events)
+             |  UNION ALL SELECT 'events_cols_sqlv', 'ts_s', CAST(5 AS BIGINT), 'TIMESTAMP',
+             |    (SELECT CAST(count(ts) AS BIGINT) FROM events)
+             |) ORDER BY "position"""".stripMargin))
   )
 }

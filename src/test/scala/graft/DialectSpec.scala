@@ -266,15 +266,202 @@ class DialectSpec extends SparkSpec {
       Seq("[0,1.5]", "[1,null]", "[2,2.5]", "[5,3.5]"))
   }
 
-  test("WITH FILL refuses span inference and non-output keys") {
+  test("WITH FILL without FROM/TO infers the span from the result's min/max") {
+    import spark.implicits._
+    Seq((2L, 1.5), (5L, 3.5)).toDF("b", "v").createOrReplaceTempView("fill3_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT b, round(sum(v), 4) AS sv FROM fill3_dsp GROUP BY b " +
+        "ORDER BY b WITH FILL")
+    // inferred bounds are TO-inclusive: [min, max] = [2, 5]
+    assert(spark.sql(out).collect().toSeq.map(_.toString) ==
+      Seq("[2,1.5]", "[3,null]", "[4,null]", "[5,3.5]"))
+  }
+
+  test("WITH FILL refuses TO-only spans and non-output keys") {
     import spark.implicits._
     Seq((1L, 1.0)).toDF("b", "v").createOrReplaceTempView("fill2_dsp")
     def err(sql: String): String =
       intercept[Dialect.DialectException](Dialect.translate(spark, sql)).getMessage
-    assert(err("SELECT b FROM fill2_dsp ORDER BY b WITH FILL")
+    assert(err("SELECT b FROM fill2_dsp ORDER BY b WITH FILL TO 3")
       .contains("FROM"))
     assert(err("SELECT v FROM fill2_dsp ORDER BY b WITH FILL FROM 0 TO 3")
       .contains("select outputs"))
+  }
+
+  test("ASOF carries the MATCHED row whole: its NULL payload stays NULL") {
+    import spark.implicits._
+    // right row (1, 7) has a NULL payload; per-column carry would
+    // back-fill it from the older (1, 5, "x") row — the matched row's
+    // own NULL must survive (ClickHouse returns the matched row verbatim)
+    Seq((1L, 10L, "l")).toDF("k", "t", "v")
+      .createOrReplaceTempView("asofn_l_dsp")
+    Seq((1L, 5L, Some("x")), (1L, 7L, None))
+      .toDF("k", "t", "p").createOrReplaceTempView("asofn_r_dsp")
+    assert(asofRows(
+      "SELECT a.k, a.t, b.t AS rt, b.p FROM asofn_l_dsp AS a " +
+        "ASOF LEFT JOIN asofn_r_dsp AS b ON a.k = b.k AND a.t >= b.t") ==
+      Seq("[1,10,7,null]"))
+  }
+
+  // ── round-12 translator hardening ──────────────────────────────────
+
+  test("PREWHERE never crosses a UNION branch boundary") {
+    assert(t("SELECT a FROM t1 PREWHERE p > 1 UNION ALL SELECT a FROM t2 WHERE w < 2")
+      == "SELECT a FROM t1 WHERE p > 1 UNION ALL SELECT a FROM t2 WHERE w < 2")
+    // each branch merges with ITS OWN WHERE only
+    assert(t("SELECT a FROM t1 PREWHERE p = 1 WHERE q = 2 UNION ALL " +
+      "SELECT a FROM t2 PREWHERE r = 3")
+      == "SELECT a FROM t1 WHERE(p = 1) AND(q = 2) UNION ALL " +
+        "SELECT a FROM t2 WHERE r = 3")
+  }
+
+  test("optimizer-hint comments survive a firing rewrite") {
+    assert(t("SELECT /*+ BROADCAST(t2) */ a, countIf(x > 0) FROM t1 " +
+      "JOIN t2 ON t1.k = t2.k")
+      == "SELECT /*+ BROADCAST(t2) */ a, count(*) FILTER (WHERE x > 0) " +
+        "FROM t1 JOIN t2 ON t1.k = t2.k")
+    // plain comments are still discarded; LIMIT BY's re-projection
+    // tolerates a hint ahead of the first select item
+    assert(t("SELECT /*+ REPARTITION(8) */ k, v FROM t ORDER BY k, v LIMIT 1 BY k")
+      .startsWith("SELECT k, v FROM"))
+  }
+
+  test("ClickHouse hash families refuse instead of renaming to different values") {
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](t(sql)).getMessage
+    assert(err("SELECT cityHash64(x) FROM t").contains("hash"))
+    assert(err("SELECT sipHash64(x) FROM t").contains("DIFFERENT values"))
+  }
+
+  test("ambiguous byte-vs-char names refuse once the text is proven dialect") {
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](t(sql)).getMessage
+    assert(err("SELECT length(s), countIf(x > 0) FROM t").contains("ambiguous"))
+    assert(err("SELECT any(v) FROM t PREWHERE x = 1").contains("ambiguous"))
+    // pure-ANSI statements keep byte-identical pass-through
+    val ansi = "SELECT length(s), any(v), position('a' IN s) FROM t"
+    assert(t(ansi) eq ansi)
+  }
+
+  test("SAMPLE f that rounds to the whole keyspace keeps everything") {
+    // f ≥ 0.9999924 rounds cut to 65536 — 5 hex chars, which the 4-char
+    // compare would read as '1000…' and keep only ~6% of rows
+    assert(t("SELECT count() FROM orders_chv SAMPLE 0.999999") ==
+      "SELECT count(*) FROM orders_chv")
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](t(sql)).getMessage
+    assert(err("SELECT a FROM orders_chv SAMPLE 1/10").contains("ratio"))
+  }
+
+  test("integer SAMPLE n: deterministic md5-rank rows, map-side pruned") {
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_si_dsp")
+    Dialect.registerSample(spark, "orders_si_dsp", "o_orderkey")
+    val out = Dialect.translate(spark,
+      "SELECT o_orderkey FROM orders_si_dsp SAMPLE 100")
+    val df = spark.sql(out)
+    val got = df.collect().map(_.getLong(0)).toSet
+    val want = spark.sql(
+      "SELECT o_orderkey FROM (SELECT o_orderkey, row_number() OVER (ORDER BY " +
+        "md5(CAST(o_orderkey AS STRING)), o_orderkey) AS rn FROM orders_si_dsp) " +
+        "WHERE rn <= 100").collect().map(_.getLong(0)).toSet
+    assert(got.size == 100 && got == want)
+    // the rank filter must prune map-side BEFORE the single-partition
+    // window: either WindowGroupLimit or (better) the rank-limit
+    // pushdown to TakeOrderedAndProject — each map task forwards at
+    // most n candidate rows, never the table
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject"),
+      s"integer SAMPLE must prune map-side, saw:\n$plan")
+    // the rank column must not leak into the sampled relation's *
+    assert(spark.sql(Dialect.translate(spark,
+      "SELECT * FROM orders_si_dsp SAMPLE 5")).columns.toSeq ==
+      Tables(spark, sf, "orders").columns.toSeq)
+  }
+
+  test("multi-array ARRAY JOIN zips positionally, NULL-padding the shorter") {
+    import spark.implicits._
+    Seq((1L, Seq(1, 2, 3), Seq("a", "b", "c")), (2L, Seq(7, 8), Seq("z")))
+      .toDF("id", "xs", "ys").createOrReplaceTempView("ajm_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT id, x, y FROM ajm_dsp ARRAY JOIN xs AS x, ys AS y ORDER BY id, x")
+    assert(spark.sql(out).collect().toSeq.map(_.toString) ==
+      Seq("[1,1,a]", "[1,2,b]", "[1,3,c]", "[2,7,z]", "[2,8,null]"))
+    // still one per-partition pipeline: no shuffle added by the zip
+    assert(!spark.sql(out.replaceAll("ORDER BY id, x$", ""))
+      .queryExecution.executedPlan.toString.contains("Exchange"),
+      "multi-array ARRAY JOIN must not shuffle")
+  }
+
+  test("dictGet resolves the registered dictionary; declared DEFAULT on miss") {
+    import spark.implicits._
+    Seq((0L, "alpha"), (1L, "beta")).toDF("k", "nm")
+      .createOrReplaceTempView("dict_src_dsp")
+    Seq((10L, 0L), (11L, 1L), (12L, 9L)).toDF("id", "fk")
+      .createOrReplaceTempView("dict_fact_dsp")
+    Graft.sql(spark,
+      "CREATE DICTIONARY d_dsp (k Int64, nm String DEFAULT 'UNKNOWN') " +
+        "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'dict_src_dsp')) LAYOUT(FLAT())")
+    val rows = Graft.sql(spark,
+      "SELECT id, dictGet('d_dsp', 'nm', fk) AS nm FROM dict_fact_dsp ORDER BY id")
+      .collect().toSeq.map(_.toString)
+    assert(rows == Seq("[10,alpha]", "[11,beta]", "[12,UNKNOWN]"))
+    // explicit-default form overrides the declared one
+    val rows2 = Graft.sql(spark,
+      "SELECT id, dictGetOrDefault('d_dsp', 'nm', fk, 'N/A') AS nm " +
+        "FROM dict_fact_dsp ORDER BY id").collect().toSeq.map(_.toString)
+    assert(rows2 == Seq("[10,alpha]", "[11,beta]", "[12,N/A]"))
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](Dialect.translate(spark, sql)).getMessage
+    assert(err("SELECT dictGet('nope', 'a', k) FROM t").contains("unregistered"))
+  }
+
+  test("LIMIT offset, n BY skips each group's first o rows; bare INTERPOLATE (col)") {
+    import spark.implicits._
+    assert(t("SELECT k, v FROM t ORDER BY k, v LIMIT 1, 2 BY k") ==
+      "SELECT k, v FROM (SELECT k, v, row_number() OVER (PARTITION BY k " +
+        "ORDER BY k, v) AS __graft_rn FROM t) WHERE __graft_rn > 1 AND " +
+        "__graft_rn <= (1) + (2) ORDER BY k, v")
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1)).toDF("g", "x")
+      .createOrReplaceTempView("lob_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT g, x FROM lob_dsp ORDER BY g, x LIMIT 1, 2 BY g")
+    assert(spark.sql(out).collect().toSeq.map(_.toString) == Seq("[a,2]", "[a,3]"))
+    // INTERPOLATE (col) — ClickHouse's shorthand for (col AS col)
+    Seq((0L, 1.0), (3L, 2.0)).toDF("b", "v").createOrReplaceTempView("interp_dsp")
+    val fill = Dialect.translate(spark,
+      "SELECT b, round(sum(v), 4) AS sv FROM interp_dsp GROUP BY b " +
+        "ORDER BY b WITH FILL INTERPOLATE (sv)")
+    assert(spark.sql(fill).collect().toSeq.map(_.toString) ==
+      Seq("[0,1.0]", "[1,1.0]", "[2,1.0]", "[3,2.0]"))
+  }
+
+  test("SummingMergeTree FINAL collapses to one sum aggregate per key") {
+    val sreg = Dialect.Registry(
+      sumFinals = Map("evs" -> (Seq("k"), Nil)),
+      schemaOf = n => if (n == "evs")
+        Some(Seq(("k", "BIGINT"), ("v", "DOUBLE"), ("n", "BIGINT"))) else None)
+    assert(Dialect.translate("SELECT * FROM evs FINAL", sreg) ==
+      "SELECT * FROM (SELECT k, sum(v) AS v, sum(n) AS n FROM evs GROUP BY k " +
+        "HAVING NOT (coalesce(sum(v), 0) = 0 AND coalesce(sum(n), 0) = 0)) evs")
+    // a non-key non-summed column refuses WITH the column named:
+    // ClickHouse keeps an arbitrary merged value there
+    val bad = Dialect.Registry(
+      sumFinals = Map("evs" -> (Seq("k"), Seq("v"))),
+      schemaOf = _ => Some(Seq(("k", "BIGINT"), ("v", "DOUBLE"), ("tag", "STRING"))))
+    val err = intercept[Dialect.DialectException](
+      Dialect.translate("SELECT * FROM evs FINAL", bad)).getMessage
+    assert(err.contains("tag"))
+  }
+
+  test("summing FINAL executes map-side-combined: partial_sum, one key shuffle") {
+    val df = ChDialect.entries("q_ch_summing_final").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      "summing FINAL must partial-aggregate map-side before the exchange")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"summing FINAL must add exactly one key shuffle, saw $shuffles")
+    assert(!plan.contains("Window"), "summing FINAL must not plan a window")
   }
 
   // ── EXPLAIN family through the router ──────────────────────────────

@@ -310,4 +310,72 @@ class GraftSqlSpec extends SparkSpec {
     // exact fallthrough: plain SQL is untouched
     assert(Graft.sql(spark, "SELECT 1 AS one;").collect()(0).getInt(0) == 1)
   }
+
+  // ── ClickHouse DDL routing (round-12 verdict item 1) ───────────────
+
+  test("routed CREATE TABLE … ReplacingMergeTree registers FINAL/SAMPLE ≡ the Scala calls") {
+    withRoot { root =>
+      spark.sql("DROP TABLE IF EXISTS ev_ddl_graftsql")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ddldb LOCATION '$root/ddldb.db'")
+      val out = Graft.sql(spark,
+        """CREATE TABLE ddldb.ev_ddl_graftsql (
+          |  user_id Int64,
+          |  event_type LowCardinality(String),
+          |  event_id Int64,
+          |  value Nullable(Float64)
+          |) ENGINE = ReplacingMergeTree(event_id)
+          |PARTITION BY toYYYYMM(ts)
+          |ORDER BY (user_id, event_type)
+          |SAMPLE BY intHash32(user_id)""".stripMargin).collect()(0)
+      assert(out.getAs[String]("engine") == "ReplacingMergeTree")
+      // the DDL registered EXACTLY what the Scala calls would
+      assert(spark.conf.get("graft.final.ev_ddl_graftsql") ==
+        "user_id,event_type|event_id")
+      assert(spark.conf.get("graft.sample.ev_ddl_graftsql") == "user_id")
+      assert(spark.conf.get("graft.orderby.ev_ddl_graftsql") == "user_id,event_type")
+      assert(spark.conf.get("graft.partition.ev_ddl_graftsql") == "toYYYYMM(ts)")
+      // types mapped: the catalog table exists with the Spark schema
+      assert(spark.table("ddldb.ev_ddl_graftsql").schema.map(f =>
+        (f.name, f.dataType.sql)).toSeq == Seq(
+        ("user_id", "BIGINT"), ("event_type", "STRING"),
+        ("event_id", "BIGINT"), ("value", "DOUBLE")))
+      // zero-Scala end-to-end: INSERT (fallthrough) then FINAL (dialect)
+      Graft.sql(spark,
+        """INSERT INTO ddldb.ev_ddl_graftsql VALUES
+          |  (1, 'click', 10, 1.5), (1, 'click', 20, 2.5), (2, 'view', 5, 9.0)""".stripMargin)
+      spark.table("ddldb.ev_ddl_graftsql")
+        .createOrReplaceTempView("ev_ddl_graftsql")
+      val rows = Graft.sql(spark,
+        "SELECT user_id, event_type, event_id, value FROM ev_ddl_graftsql FINAL " +
+          "ORDER BY user_id").collect().toSeq.map(_.toString)
+      assert(rows == Seq("[1,click,20,2.5]", "[2,view,5,9.0]"))
+      spark.sql("DROP DATABASE IF EXISTS ddldb CASCADE")
+    }
+  }
+
+  test("CREATE TABLE refusals are actionable; Spark's own CREATE falls through") {
+    val err = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "CREATE TABLE bad1 (k Int64, v Int64) ENGINE = ReplacingMergeTree ORDER BY k")
+    }
+    assert(err.getMessage.contains("version column"))
+    val err2 = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "CREATE TABLE bad2 (k Int64, sign Int8) ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+    }
+    assert(err2.getMessage.contains("unsupported table engine"))
+    val err3 = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "CREATE TABLE bad3 (k Int64, v String MATERIALIZED upper(s)) " +
+          "ENGINE = MergeTree ORDER BY k")
+    }
+    assert(err3.getMessage.contains("MATERIALIZED"))
+    // no ENGINE clause → not ClickHouse DDL → untouched fallthrough
+    spark.sql("DROP TABLE IF EXISTS plain_spark_graftsql")
+    Graft.sql(spark,
+      "CREATE TABLE plain_spark_graftsql (a INT) USING parquet")
+    assert(spark.table("plain_spark_graftsql").schema.head.name == "a")
+    spark.sql("DROP TABLE plain_spark_graftsql")
+    assert(spark.conf.getOption("graft.final.plain_spark_graftsql").isEmpty)
+  }
 }

@@ -313,7 +313,15 @@ class PlanSpec extends SparkSpec {
     // WITH FILL INTERPOLATE carry: the window input is the fill grid
     // (bounded by the statement's own FROM/TO span) full-outer-joined
     // to an already-aggregated bucket domain — never fact rows
-    "q_ch_with_fill")
+    "q_ch_with_fill",
+    // same carry, inferred-span form: grid = [min, max] of the
+    // ALREADY-aggregated bucket domain
+    "q_ch_with_fill_infer",
+    // integer SAMPLE n: the rank-limit pushdown bounds the window's
+    // input to n rows BEFORE it runs (TakeOrderedAndProject /
+    // WindowGroupLimit — DialectSpec pins the shape); the window
+    // stamps ranks on n rows, never the table
+    "q_ch_sample_rows")
 
   test("no single-task global window runs over unbounded input") {
     import org.apache.spark.sql.execution.window.WindowExec

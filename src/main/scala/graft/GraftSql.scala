@@ -68,6 +68,36 @@ object GraftSql {
           Option(engineArgs).map(_.trim).getOrElse(""), tail)
       case CreateDictRe(ifne, name, colsBlock, key, tail) =>
         createDictionary(spark, ifne != null, name, colsBlock, key, tail)
+      // the operator-UX verbs around the DDL surface. RENAME maps onto
+      // Spark's own ALTER TABLE … RENAME TO (different spelling, same
+      // catalog op) and re-homes any graft registrations; EXISTS TABLE
+      // is the ClickHouse probe (Spark has no statement form); DROP
+      // DICTIONARY unregisters; SYSTEM RELOAD DICTIONARY[IES] is a
+      // TRUE no-op here — graft dictionaries read the live source
+      // relation on every query, there is no staleness to flush — and
+      // answers OK so operator scripts keep working.
+      case RenameTableRe(from, to) =>
+        spark.sql(s"ALTER TABLE $from RENAME TO $to")
+        Seq("final", "sample", "sumfinal", "orderby", "partition", "snapshot")
+          .foreach { kind =>
+            val (f, t) = (s"graft.$kind.${from.split('.').last}",
+              s"graft.$kind.${to.split('.').last}")
+            spark.conf.getOption(f).foreach { v =>
+              spark.conf.set(t, v); spark.conf.unset(f)
+            }
+          }
+        okRow(spark, s"RENAME TABLE TO $to", from)
+      case ExistsTableRe(table) =>
+        import spark.implicits._
+        Seq(if (spark.catalog.tableExists(table)) 1 else 0).toDF("result")
+      case DropDictRe(ifex, name) =>
+        val key = s"graft.dict.${name.split('.').last}"
+        val existed = spark.conf.getOption(key).isDefined
+        require(existed || ifex != null, s"dictionary '$name' is not registered")
+        spark.conf.unset(key)
+        okRow(spark, "DROP DICTIONARY", name)
+      case ReloadDictRe(_) =>
+        okRow(spark, "SYSTEM RELOAD DICTIONARIES", "-")
       case BackupDbRe(db, destRaw, settings) =>
         backupDatabase(spark, db, destRaw.trim, parseSettings(Option(settings)))
       case BackupTableRe(table, destRaw, settings) =>
@@ -188,6 +218,13 @@ object GraftSql {
     """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?(.*)$""".r
   private val CreateDictRe =
     """(?is)^CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*PRIMARY\s+KEY\s+(\w+)(.*)$""".r
+  private val RenameTableRe =
+    """(?is)^RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)$""".r
+  private val ExistsTableRe = """(?is)^EXISTS\s+(?:TABLE\s+)?([\w.]+)$""".r
+  private val DropDictRe =
+    """(?is)^DROP\s+DICTIONARY\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
+  private val ReloadDictRe =
+    """(?is)^SYSTEM\s+RELOAD\s+(DICTIONARIES|DICTIONARY\s+[\w.]+)$""".r
   private val ExplainSyntaxRe = """(?is)^EXPLAIN\s+SYNTAX\s+(.+)$""".r
   private val ExplainPlanRe = """(?is)^EXPLAIN\s+(?:PLAN|PIPELINE)\s+(SELECT\b.+|WITH\b.+)$""".r
   private val ExplainEstimateRe = """(?is)^EXPLAIN\s+ESTIMATE\s+(.+)$""".r

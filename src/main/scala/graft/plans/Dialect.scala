@@ -559,6 +559,68 @@ object Dialect {
     case other => fail(s"unsupported parametric aggregate: $other")
   }
 
+  /** ClickHouse scalar WITH: `WITH <expr> AS <name>[, <expr> AS
+    * <name>…] SELECT …` — constant bindings substituted textually
+    * (parenthesized, shadowing same-named columns exactly as
+    * ClickHouse does). The standard CTE form `WITH name AS (SELECT …)`
+    * is Spark SQL and passes through untouched — the discriminator is
+    * what FOLLOWS the AS: a word (scalar form's binding name) vs a
+    * parenthesized subquery. Runs BEFORE the function pass: rewrites
+    * there collapse spans into opaque Raw text a later substitution
+    * could not see into. Bottom-up, so an inner level's own bindings
+    * resolve (and its WITH prefix disappears) before the outer level
+    * substitutes.
+    */
+  private def rewriteScalarWith(nodes: Vector[Node],
+      changed: () => Unit): Vector[Node] = {
+    val rec: Vector[Node] = nodes.map {
+      case Grp(cs) => Grp(rewriteScalarWith(cs, changed))
+      case l => l
+    }
+    if (rec.isEmpty || !isWord(rec(0), "WITH")) return rec
+    val bindings = ArrayBuffer.empty[(String, Vector[Node])]
+    var p = 1
+    var scalar = true
+    var done = false
+    while (!done && scalar) {
+      val asI = rec.indices.drop(p).find(i => isWord(rec(i), "AS")).getOrElse(-1)
+      if (asI < 0 || asI == p) scalar = false
+      else rec.lift(asI + 1) match {
+        case Some(Leaf(w: Word)) if w.up != "SELECT" =>
+          rec.lift(asI + 2) match {
+            case Some(Leaf(Punct(","))) =>
+              bindings += ((w.text, rec.slice(p, asI))); p = asI + 3
+            case Some(n2) if isWord(n2, "SELECT") =>
+              bindings += ((w.text, rec.slice(p, asI))); p = asI + 2; done = true
+            case _ => scalar = false
+          }
+        case _ => scalar = false
+      }
+    }
+    if (!scalar || !done || bindings.isEmpty) return rec
+    val bmap = bindings.toMap
+    def subst(ns: Vector[Node]): Vector[Node] = {
+      val out = ArrayBuffer.empty[Node]
+      var i = 0
+      while (i < ns.length) {
+        ns(i) match {
+          case Grp(cs) => out += Grp(subst(cs)); i += 1
+          // a bare reference only: never a qualified part (x.y / y.x)
+          // and never a function-call name (x(...))
+          case Leaf(w: Word) if bmap.contains(w.text) &&
+              !out.lastOption.contains(Leaf(Punct("."))) &&
+              !ns.lift(i + 1).contains(Leaf(Punct("."))) &&
+              !ns.lift(i + 1).exists(_.isInstanceOf[Grp]) =>
+            out += Grp(bmap(w.text)); i += 1
+          case n => out += n; i += 1
+        }
+      }
+      out.toVector
+    }
+    changed()
+    subst(rec.drop(p))
+  }
+
   /** Bottom-up function rewriting over the paren tree. Returns the new
     * nodes plus whether anything changed.
     */
@@ -1112,18 +1174,27 @@ object Dialect {
           // multi-array ARRAY JOIN zips POSITIONALLY (ClickHouse
           // semantics): the first array drives one posexplode, every
           // other array is indexed at the shared position — still one
-          // per-partition pipeline, no shuffle, no join. get() returns
-          // NULL past a shorter array's end where ClickHouse errors on
-          // unequal sizes (documented divergence — NULL-padding is the
-          // recoverable reading of the same malformed input).
+          // per-partition pipeline, no shuffle, no join. Each extra
+          // array expression is BOUND once per source row by a 1-row
+          // LATERAL VIEW ahead of the posexplode, so a derived array
+          // (arrayMap(…)) costs O(len) per row, not O(len²) — the
+          // getter then indexes the bound column in O(1). get()
+          // returns NULL past a shorter array's end where ClickHouse
+          // errors on unequal sizes (documented divergence —
+          // NULL-padding is the recoverable reading of the same
+          // malformed input).
           val (e0, a0) = items.head
           val gen0 = if (left) "posexplode_outer" else "posexplode"
-          val head = s"LATERAL VIEW $gen0($e0) __graft_aj0 AS __graft_pos, $a0"
-          val rest = items.tail.zipWithIndex.map { case ((e, a), k) =>
-            s"LATERAL VIEW explode(array(get($e, __graft_pos))) " +
-              s"__graft_aj${k + 1} AS $a"
+          val binders = items.tail.zipWithIndex.map { case ((e, _), k) =>
+            s"LATERAL VIEW explode(array($e)) __graft_ab${k + 1} " +
+              s"AS __graft_arr${k + 1}"
           }
-          (head +: rest).mkString(" ")
+          val head = s"LATERAL VIEW $gen0($e0) __graft_aj0 AS __graft_pos, $a0"
+          val getters = items.tail.zipWithIndex.map { case ((_, a), k) =>
+            s"LATERAL VIEW explode(array(get(__graft_arr${k + 1}, " +
+              s"__graft_pos))) __graft_aj${k + 1} AS $a"
+          }
+          (binders ++ Seq(head) ++ getters).mkString(" ")
         }
         val start = if (left) i - 1 else i
         span = span.take(start) ++ Vector(raw(lv)) ++ span.drop(end)
@@ -1362,7 +1433,8 @@ object Dialect {
     var didChange = false
     val changed = () => { didChange = true }
     val toks = lex(sql)
-    val fnPass = rewriteFns(parse(toks), reg, changed)
+    val withPass = rewriteScalarWith(parse(toks), changed)
+    val fnPass = rewriteFns(withPass, reg, changed)
     val clPass = rewriteClauses(fnPass, reg, changed)
     if (!didChange) sql
     else {

@@ -416,6 +416,17 @@ class DialectSpec extends SparkSpec {
     assert(err("SELECT dictGet('nope', 'a', k) FROM t").contains("unregistered"))
   }
 
+  test("dictGet executes as a broadcast hash join — no nested loop, no cartesian") {
+    val df = ChDialect.entries("q_ch_dict_get").fn(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the aggregated dictionary side must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "dictGet must never plan a per-row nested loop")
+  }
+
   test("LIMIT offset, n BY skips each group's first o rows; bare INTERPOLATE (col)") {
     import spark.implicits._
     assert(t("SELECT k, v FROM t ORDER BY k, v LIMIT 1, 2 BY k") ==
@@ -434,6 +445,25 @@ class DialectSpec extends SparkSpec {
         "ORDER BY b WITH FILL INTERPOLATE (sv)")
     assert(spark.sql(fill).collect().toSeq.map(_.toString) ==
       Seq("[0,1.0]", "[1,1.0]", "[2,1.0]", "[3,2.0]"))
+  }
+
+  test("scalar WITH bindings substitute; standard CTEs pass through byte-identical") {
+    import spark.implicits._
+    assert(t("WITH 0.03 AS cut, 2 AS lo SELECT countIf(x > cut) FROM t WHERE y >= lo")
+      == "SELECT count(*) FILTER (WHERE x >(0.03)) FROM t WHERE y >=(2)")
+    // the standard CTE form is Spark SQL — untouched, byte-identical
+    val cte = "WITH q AS (SELECT a FROM t) SELECT a, count(*) FROM q GROUP BY a"
+    assert(t(cte) eq cte)
+    // qualified and call positions never substitute; shadowing matches
+    // ClickHouse (the binding wins over a same-named column)
+    assert(t("WITH 7 AS v SELECT s.v, v FROM s WHERE v > 1")
+      == "SELECT s.v,(7) FROM s WHERE(7) > 1")
+    // executes end-to-end through the session translate
+    Seq((1L, 10.0), (2L, 50.0)).toDF("k", "x")
+      .createOrReplaceTempView("withs_dsp")
+    val out = Dialect.translate(spark,
+      "WITH 20 AS cut SELECT k FROM withs_dsp WHERE x > cut ORDER BY k")
+    assert(spark.sql(out).collect().toSeq.map(_.toString) == Seq("[2]"))
   }
 
   test("SummingMergeTree FINAL collapses to one sum aggregate per key") {

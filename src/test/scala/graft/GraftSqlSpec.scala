@@ -378,4 +378,39 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE plain_spark_graftsql")
     assert(spark.conf.getOption("graft.final.plain_spark_graftsql").isEmpty)
   }
+
+  test("operator-UX verbs: RENAME TABLE re-homes registrations, EXISTS, dictionary lifecycle") {
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("uxv_graftsql")
+    assert(Graft.sql(spark, "EXISTS TABLE uxv_graftsql").collect()(0).getInt(0) == 1)
+    assert(Graft.sql(spark, "EXISTS TABLE no_such_uxv").collect()(0).getInt(0) == 0)
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS uxdb CASCADE")
+      spark.sql(s"CREATE DATABASE uxdb LOCATION '$root/uxdb.db'")
+      Graft.sql(spark,
+        "CREATE TABLE uxdb.t_ux (k Int64, v Int64) " +
+          "ENGINE = ReplacingMergeTree(v) ORDER BY k")
+      assert(spark.conf.get("graft.final.t_ux") == "k|v")
+      Graft.sql(spark, "RENAME TABLE uxdb.t_ux TO uxdb.t_ux2")
+      assert(spark.catalog.tableExists("uxdb.t_ux2"))
+      assert(spark.conf.getOption("graft.final.t_ux").isEmpty &&
+        spark.conf.get("graft.final.t_ux2") == "k|v",
+        "RENAME must re-home the FINAL registration")
+      spark.sql("DROP DATABASE uxdb CASCADE")
+    }
+    // dictionary lifecycle: register → reload answers OK (a true no-op:
+    // graft dictionaries read the live source) → drop → dictGet refuses
+    Seq((1L, "a")).toDF("k", "nm").createOrReplaceTempView("uxdict_src_graftsql")
+    Graft.sql(spark,
+      "CREATE DICTIONARY ux_dict (k Int64, nm String) PRIMARY KEY k " +
+        "SOURCE(CLICKHOUSE(TABLE 'uxdict_src_graftsql')) LAYOUT(FLAT())")
+    assert(Graft.sql(spark, "SYSTEM RELOAD DICTIONARIES")
+      .collect()(0).getAs[Boolean]("ok"))
+    Graft.sql(spark, "DROP DICTIONARY ux_dict")
+    intercept[plans.Dialect.DialectException] {
+      Graft.sql(spark, "SELECT dictGet('ux_dict', 'nm', k) FROM uxdict_src_graftsql")
+    }
+    Graft.sql(spark, "DROP DICTIONARY IF EXISTS ux_dict") // absent + IF EXISTS: ok
+    intercept[IllegalArgumentException](Graft.sql(spark, "DROP DICTIONARY ux_dict"))
+  }
 }

@@ -545,6 +545,74 @@ object ChDialect extends QueryModule {
              |FROM (SELECT label, unnest(embedding) AS e FROM embeddings)
              |GROUP BY label ORDER BY label""".stripMargin)),
 
+    // WITH FILL over a DATE span — the fill clause's most common real
+    // use: daily series densified over a calendar month with
+    // `STEP INTERVAL 1 DAY`. The grid is 31 rows (bounded by the
+    // user's FROM/TO, never the fact table); `TO` stays exclusive
+    // because `(hi) - 1` is date_sub on DATE bounds.
+    "q_ch_with_fill_date" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT o_orderdate AS d, count() AS n
+                |FROM orders_chv
+                |WHERE o_orderdate >= toDate('1995-01-01')
+                |  AND o_orderdate < toDate('1995-02-01')
+                |  AND o_orderpriority = '1-URGENT'
+                |GROUP BY d
+                |ORDER BY d WITH FILL FROM toDate('1995-01-01')
+                |  TO toDate('1995-02-01') STEP INTERVAL 1 DAY""".stripMargin)
+      },
+      Some("""WITH q AS (
+             |  SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n
+             |  FROM orders
+             |  WHERE o_orderdate >= DATE '1995-01-01'
+             |    AND o_orderdate < DATE '1995-02-01'
+             |    AND o_orderpriority = '1-URGENT'
+             |  GROUP BY 1),
+             |g AS (SELECT unnest(generate_series(DATE '1995-01-01',
+             |        DATE '1995-01-31', INTERVAL 1 DAY))::DATE AS d)
+             |SELECT coalesce(q.d, g.d) AS d, q.n AS n
+             |FROM g FULL OUTER JOIN q ON q.d = g.d ORDER BY d""".stripMargin)),
+
+    // Scalar WITH — ClickHouse's constant-binding form (`WITH 0.05 AS
+    // cut … WHERE l_discount > cut`), distinct from the standard CTE:
+    // bindings substitute at translation time (pre-function-pass), so
+    // the executed plan is the constant-folded twin — zero runtime
+    // surface, and the pushed filters carry the folded constants.
+    "q_ch_scalar_with" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """WITH 0.05 AS cut, toDate('1995-06-01') AS start
+                |SELECT l_returnflag, count() AS n,
+                |       round(sum(l_extendedprice), 4) AS rev
+                |FROM lineitem_chv
+                |WHERE l_discount > cut AND l_shipdate >= start
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_extendedprice), 4) AS rev
+             |FROM lineitem
+             |WHERE l_discount > 0.05 AND l_shipdate >= DATE '1995-06-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // LIMIT offset, n BY — the page-through-each-group form: rows
+    // o+1 … o+n per group in ORDER BY order. Same single per-group
+    // window as LIMIT n BY, the filter is a rank range.
+    "q_ch_limit_by_offset" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        ch(s, """SELECT event_type, event_id, user_id
+                |FROM events_ch_chv
+                |ORDER BY event_type, event_id
+                |LIMIT 2, 3 BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, event_id, user_id FROM (
+             |  SELECT event_type, event_id, user_id,
+             |         row_number() OVER (PARTITION BY event_type
+             |           ORDER BY event_id) AS rn
+             |  FROM events)
+             |WHERE rn > 2 AND rn <= 5 ORDER BY event_type, event_id""".stripMargin)),
+
     // SummingMergeTree in its native DDL spelling: sum-collapse IS
     // registrable metadata (keys + summed columns), so the engine
     // routes instead of refusing — FINAL becomes ONE sum aggregate per

@@ -1287,26 +1287,37 @@ object Dialect {
           if (!(p + 1 < ns.length && isWord(ns(p), "WITH") && isWord(ns(p + 1), "FILL")))
             fail("WITH FILL: only a single fill key is supported")
           p += 2
-          def numAt(i: Int): String = ns.lift(i) match {
-            case Some(Leaf(n: Num)) => n.text
-            case _ => fail("WITH FILL requires integer-literal FROM <a> TO <b> [STEP <s>]")
+          // bound/step expressions run to the next fill keyword: any
+          // sequence()-able expression works — integer literals,
+          // toDate('…'), INTERVAL 7 DAY steps
+          def exprUntil(start: Int, stops: Seq[String]): (String, Int) = {
+            var q = start
+            while (q < ns.length && !stops.exists(s => isWord(ns(q), s))) q += 1
+            if (q == start) fail("WITH FILL: empty bound/step expression")
+            (emit(ns.slice(start, q)), q)
           }
           // FROM <a> TO <b> is optional: absent, the span is inferred
           // from the aggregated result's own min/max (ClickHouse's
           // default). FROM-only / TO-only still refuse.
           var loHi: Option[(String, String)] = None
           if (p < ns.length && isWord(ns(p), "FROM")) {
-            val lo = numAt(p + 1)
-            if (!(p + 2 < ns.length && isWord(ns(p + 2), "TO")))
+            val (lo, q1) = exprUntil(p + 1, Seq("TO"))
+            if (!(q1 < ns.length && isWord(ns(q1), "TO")))
               fail("WITH FILL requires TO <b> after FROM")
-            val hi = numAt(p + 3)
-            p += 4
+            val (hi, q2) = exprUntil(q1 + 1, Seq("STEP", "INTERPOLATE"))
+            p = q2
             loHi = Some((lo, hi))
           } else if (p < ns.length && isWord(ns(p), "TO"))
             fail("WITH FILL TO without FROM is not supported — give both " +
               "bounds or neither (full span inference)")
-          var step = "1"
-          if (p < ns.length && isWord(ns(p), "STEP")) { step = numAt(p + 1); p += 2 }
+          // STEP absent = sequence()'s own type default (1 for
+          // integers, 1 day for dates) — emitting no third argument is
+          // what keeps date grids working
+          var step: Option[String] = None
+          if (p < ns.length && isWord(ns(p), "STEP")) {
+            val (st, q3) = exprUntil(p + 1, Seq("INTERPOLATE"))
+            step = Some(st); p = q3
+          }
           var interp: Option[String] = None
           if (p < ns.length && isWord(ns(p), "INTERPOLATE")) {
             ns.lift(p + 1) match {
@@ -1337,16 +1348,22 @@ object Dialect {
                 s"UNBOUNDED PRECEDING AND CURRENT ROW) AS $n"
             else s"__graft_q.$n AS $n"
           }
+          val stepArg = step.fold("")(s => s", $s")
           val gridRel = loHi match {
             case Some((lo, hi)) =>
-              s"(SELECT explode(sequence($lo, ($hi) - 1, $step)) AS __graft_fill)"
+              // TO is exclusive: sequence stops at ≤ (hi − 1) for any
+              // positive step — and `- 1` is date_sub on DATE bounds,
+              // so toDate(…) FROM/TO spans densify day-granular
+              s"(SELECT explode(sequence($lo, ($hi) - 1$stepArg)) AS __graft_fill)"
             case None =>
               // inferred span: bounds from a min/max over the ALREADY-
               // aggregated inner result (grid-scale, computed once more
               // — the densification target, never the fact table);
               // TO-inclusive, matching ClickHouse's fill-to-max. An
               // empty result yields a NULL sequence → zero grid rows.
-              s"(SELECT explode(sequence(__graft_lo, __graft_hi, $step)) " +
+              // Integer keys only (the BIGINT pin keeps double-typed
+              // bucket keys from failing inside sequence()).
+              s"(SELECT explode(sequence(__graft_lo, __graft_hi$stepArg)) " +
                 s"AS __graft_fill FROM (SELECT CAST(min($key) AS BIGINT) " +
                 s"AS __graft_lo, CAST(max($key) AS BIGINT) AS __graft_hi " +
                 s"FROM (SELECT $innerSel $innerBody)))"

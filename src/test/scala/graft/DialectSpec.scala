@@ -277,6 +277,20 @@ class DialectSpec extends SparkSpec {
       Seq("[2,1.5]", "[3,null]", "[4,null]", "[5,3.5]"))
   }
 
+  test("WITH FILL densifies DATE spans with INTERVAL steps") {
+    import spark.implicits._
+    Seq(("2024-01-02", 5L), ("2024-01-05", 7L))
+      .toDF("ds", "n").selectExpr("to_date(ds) AS d", "n")
+      .createOrReplaceTempView("filld_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT d, sum(n) AS sn FROM filld_dsp GROUP BY d ORDER BY d " +
+        "WITH FILL FROM toDate('2024-01-01') TO toDate('2024-01-07') " +
+        "STEP INTERVAL 1 DAY")
+    assert(spark.sql(out).collect().toSeq.map(_.toString) ==
+      Seq("[2024-01-01,null]", "[2024-01-02,5]", "[2024-01-03,null]",
+        "[2024-01-04,null]", "[2024-01-05,7]", "[2024-01-06,null]"))
+  }
+
   test("WITH FILL refuses TO-only spans and non-output keys") {
     import spark.implicits._
     Seq((1L, 1.0)).toDF("b", "v").createOrReplaceTempView("fill2_dsp")

@@ -55,6 +55,22 @@ object SystemCatalog {
     }.toDF("name", "is_temporary", "snapshot_dest", "total_rows")
   }
 
+  /** `system.dictionaries` analog: one row per registered dictionary —
+    * (name, source, key, n_attr_defaults). Pure conf metadata,
+    * constant-time at any data size.
+    */
+  def dictionaries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("graft.dict.") =>
+        val parts = v.split("\\|", 3)
+        val nDefaults = parts.lift(2).filter(_.nonEmpty)
+          .fold(0L)(_.split(';').length.toLong)
+        (k.stripPrefix("graft.dict."), parts(0), parts(1), nDefaults)
+    }.toSeq.sortBy(_._1)
+      .toDF("name", "source", "key", "n_attr_defaults")
+  }
+
   /** One row per column of the named relation: (table, name, position,
     * type, [n_nonnull]). Metadata-only by default; `withCounts` adds
     * the exact non-null counts in one single-pass aggregate.

@@ -476,6 +476,15 @@ object Dialect {
       case ("bitAnd", 2) => Some(s"(${a(0)} & ${a(1)})")
       case ("bitOr", 2) => Some(s"(${a(0)} | ${a(1)})")
       case ("bitXor", 2) => Some(s"(${a(0)} ^ ${a(1)})")
+      // the -Array aggregate combinators whose mappings are EXACT
+      // (element-domain aggregation composed from per-row reduces —
+      // one hash aggregate, no explode): maxArray/minArray/countArray.
+      // sumArray/avgArray are deliberately absent: their result TYPE
+      // follows the array's element type, which the text layer cannot
+      // see — an unconditional double would silently widen integers.
+      case ("maxArray", 1) => Some(s"max(array_max(${a(0)}))")
+      case ("minArray", 1) => Some(s"min(array_min(${a(0)}))")
+      case ("countArray", 1) => Some(s"sum(size(${a(0)}))")
       // dictGet['OrDefault']('dict', 'attr', key[, default]) — the
       // registered dictionary becomes a correlated scalar subquery over
       // internally-renamed columns (no capture hazard: the inner scope

@@ -866,6 +866,43 @@ object SqlSurface extends QueryModule {
              |    (SELECT CAST(count(value) AS BIGINT) FROM events)
              |  UNION ALL SELECT 'events_cols_sqlv', 'ts_s', CAST(5 AS BIGINT), 'TIMESTAMP',
              |    (SELECT CAST(count(ts) AS BIGINT) FROM events)
-             |) ORDER BY "position"""".stripMargin))
+             |) ORDER BY "position"""".stripMargin)),
+
+    // `system.dictionaries` as a SQL-queryable view — completes the
+    // polling family (tables/columns/mutations/query_log/
+    // detached_parts/dictionaries). Pure conf metadata: the fixture
+    // registers two dictionaries through routed CREATE DICTIONARY
+    // statements over fixture-backed sources, then reads the registry
+    // back through SQL; the oracle pins the registrations as the
+    // constant rows the DDL declared (the DDL text IS the claim).
+    "q_sql_system_dictionaries" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        Tables(s, dir, "region").createOrReplaceTempView("region_sqlv")
+        graft.Graft.sql(s, "DROP DICTIONARY IF EXISTS sysd_nation_sqlv")
+        graft.Graft.sql(s, "DROP DICTIONARY IF EXISTS sysd_region_sqlv")
+        graft.Graft.sql(s,
+          """CREATE DICTIONARY sysd_nation_sqlv (
+            |  n_nationkey Int64, n_name String DEFAULT 'UNKNOWN'
+            |) PRIMARY KEY n_nationkey
+            |SOURCE(CLICKHOUSE(TABLE 'nation_sqlv')) LAYOUT(FLAT())""".stripMargin)
+        graft.Graft.sql(s,
+          """CREATE DICTIONARY sysd_region_sqlv (
+            |  r_regionkey Int64, r_name String
+            |) PRIMARY KEY r_regionkey
+            |SOURCE(CLICKHOUSE(TABLE 'region_sqlv')) LAYOUT(HASHED())""".stripMargin)
+        graft.operators.SystemCatalog.dictionaries(s)
+          .createOrReplaceTempView("system_dictionaries_sqlv")
+        s.sql("""SELECT name, source, key, n_attr_defaults
+                |FROM system_dictionaries_sqlv
+                |WHERE name LIKE 'sysd_%' ORDER BY name""".stripMargin)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'sysd_nation_sqlv' AS name, 'nation_sqlv' AS source,
+             |         'n_nationkey' AS "key", CAST(1 AS BIGINT) AS n_attr_defaults
+             |  UNION ALL
+             |  SELECT 'sysd_region_sqlv', 'region_sqlv', 'r_regionkey',
+             |         CAST(0 AS BIGINT)
+             |) ORDER BY name""".stripMargin))
   )
 }

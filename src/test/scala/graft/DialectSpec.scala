@@ -461,6 +461,21 @@ class DialectSpec extends SparkSpec {
       Seq("[0,1.0]", "[1,1.0]", "[2,1.0]", "[3,2.0]"))
   }
 
+  test("-Array combinators with exact mappings; sumArray stays unmapped") {
+    import spark.implicits._
+    assert(t("SELECT maxArray(a), minArray(a), countArray(a) FROM t") ==
+      "SELECT max(array_max(a)), min(array_min(a)), sum(size(a)) FROM t")
+    Seq((Seq(1, 5), 1), (Seq(7, 2), 1)).toDF("a", "g")
+      .createOrReplaceTempView("arrc_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT g, maxArray(a) AS mx, minArray(a) AS mn, countArray(a) AS n " +
+        "FROM arrc_dsp GROUP BY g")
+    assert(spark.sql(out).collect()(0).toString == "[1,7,1,4]")
+    // sumArray's result type follows the element type — unmapped, so
+    // Spark's own undefined-function error surfaces loudly
+    assert(t("SELECT sumArray(a) FROM t") eq "SELECT sumArray(a) FROM t")
+  }
+
   test("scalar WITH bindings substitute; standard CTEs pass through byte-identical") {
     import spark.implicits._
     assert(t("WITH 0.03 AS cut, 2 AS lo SELECT countIf(x > cut) FROM t WHERE y >= lo")

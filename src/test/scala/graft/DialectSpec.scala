@@ -546,6 +546,47 @@ class DialectSpec extends SparkSpec {
     assert(native.contains("== Physical Plan =="))
   }
 
+  test("CREATE VIEW and INSERT ... SELECT accept dialect-text bodies") {
+    import org.apache.spark.sql.functions.col
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders_cv_dsp")
+    // a ClickHouse user's view definitions are written in the dialect —
+    // the level rewriter translates the SELECT body under the CREATE
+    // prefix, so the registered view holds the translated plan
+    Graft.sql(spark,
+      """CREATE OR REPLACE TEMPORARY VIEW f_rev_dsp AS
+        |SELECT o_orderpriority, count() AS n,
+        |       round(sum(o_totalprice), 4) AS rev
+        |FROM orders_cv_dsp
+        |PREWHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin)
+    val got = spark.table("f_rev_dsp").orderBy("o_orderpriority")
+      .collect().toSeq.map(_.toString)
+    val want = Tables(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("o_totalprice"), 4).as("rev"))
+      .orderBy("o_orderpriority").collect().toSeq.map(_.toString)
+    assert(got == want)
+    // INSERT INTO … <dialect SELECT> rides the same fallthrough
+    spark.sql("DROP TABLE IF EXISTS ins_dialect_dsp")
+    val wh = java.nio.file.Files.createTempDirectory("ins_dsp").toString
+    spark.sql(s"CREATE TABLE ins_dialect_dsp (p STRING, n BIGINT) " +
+      s"USING parquet LOCATION '$wh/t'")
+    Graft.sql(spark,
+      """INSERT INTO ins_dialect_dsp
+        |SELECT o_orderpriority, countIf(o_orderstatus = 'F')
+        |FROM orders_cv_dsp GROUP BY o_orderpriority""".stripMargin)
+    val inserted = spark.table("ins_dialect_dsp")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    val expected = Tables(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(inserted == expected)
+    spark.sql("DROP TABLE ins_dialect_dsp")
+  }
+
   test("Graft.sql end-to-end: dialect text runs through the router fallthrough") {
     Tables(spark, sf, "orders").createOrReplaceTempView("orders_dsp")
     val n = Graft.sql(spark,

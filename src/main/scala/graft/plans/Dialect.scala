@@ -371,6 +371,7 @@ object Dialect {
     // math / misc
     "roundBankers" -> "bround",
     "bitShiftLeft" -> "shiftleft", "bitShiftRight" -> "shiftright",
+    "bitCount" -> "bit_count",
     "ifNull" -> "ifnull", "assumeNotNull" -> "coalesce")
 
   /** Aggregate bases eligible for the `<base>If` FILTER combinator. */
@@ -463,6 +464,17 @@ object Dialect {
       case ("arrayFilter", 2) if isLambda(args(0)) => Some(s"filter(${a(1)}, ${a(0)})")
       case ("arrayExists", 2) if isLambda(args(0)) => Some(s"exists(${a(1)}, ${a(0)})")
       case ("arrayAll", 2) if isLambda(args(0)) => Some(s"forall(${a(1)}, ${a(0)})")
+      // 1-based positions without a boundary hazard: the index lambda
+      // is empty-safe where sequence(1, size(a)) would flip direction
+      // on an empty array
+      case ("arrayEnumerate", 1) =>
+        Some(s"transform(${a(0)}, (__graft_x, __graft_i) -> __graft_i + 1)")
+      case ("arrayCount", 2) if isLambda(args(0)) =>
+        Some(s"size(filter(${a(1)}, ${a(0)}))")
+      case ("arrayCount", 1) => // ClickHouse's no-lambda form: non-zero count
+        Some(s"size(filter(${a(0)}, __graft_x -> __graft_x != 0))")
+      case ("countEqual", 2) =>
+        Some(s"size(filter(${a(0)}, __graft_x -> __graft_x = (${a(1)})))")
       case ("arraySum", 1) =>
         Some(s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)")
       case ("arrayUniq", 1) => Some(s"size(array_distinct(${a(0)}))")

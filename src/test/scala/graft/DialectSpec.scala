@@ -461,6 +461,23 @@ class DialectSpec extends SparkSpec {
       Seq("[0,1.0]", "[1,1.0]", "[2,1.0]", "[3,2.0]"))
   }
 
+  test("array position/count scalars map exactly and empty-safely") {
+    import spark.implicits._
+    assert(t("SELECT arrayEnumerate(a), arrayCount(x -> x > 1, a), " +
+      "arrayCount(a), countEqual(a, 2), bitCount(m) FROM t") ==
+      "SELECT transform(a, (__graft_x, __graft_i) -> __graft_i + 1), " +
+        "size(filter(a, x -> x > 1)), " +
+        "size(filter(a, __graft_x -> __graft_x != 0)), " +
+        "size(filter(a, __graft_x -> __graft_x = (2))), bit_count(m) FROM t")
+    Seq((Seq(2, 0, 2, 5), 7L), (Seq.empty[Int], 0L)).toDF("a", "m")
+      .createOrReplaceTempView("arrp_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT arrayEnumerate(a) AS e, arrayCount(a) AS nz, " +
+        "countEqual(a, 2) AS eq2, bitCount(m) AS bc FROM arrp_dsp")
+    assert(spark.sql(out).collect().toSeq.map(_.toString) ==
+      Seq("[ArraySeq(1, 2, 3, 4),3,2,3]", "[ArraySeq(),0,0,0]"))
+  }
+
   test("-Array combinators with exact mappings; sumArray stays unmapped") {
     import spark.implicits._
     assert(t("SELECT maxArray(a), minArray(a), countArray(a) FROM t") ==

@@ -68,11 +68,21 @@ import scala.collection.mutable.ArrayBuffer
   *    `quantile[Exact](q)(x)` → `percentile(x, q)` (graft answers
   *    exactly where ClickHouse approximates — documented upgrade);
   *    `uniqUpTo(k)(x)` → `least(count(DISTINCT x), k+1)`.
-  *  - ~70 scalar/aggregate function renames (argMax → max_by,
+  *  - ~80 scalar/aggregate function renames (argMax → max_by,
   *    toStartOfMonth → date_trunc, has → array_contains, …), each
   *    chosen only where semantics are exact; names that collide with
   *    Spark built-ins under DIFFERENT semantics (`any`, `position`,
   *    `extract`, `range`, `length`) are deliberately NOT mapped.
+  *  - scalar `WITH <expr> AS <name>` bindings substitute at
+  *    translation time (standard CTEs pass through untouched — the
+  *    discriminator is what follows the AS).
+  *  - `dictGet`/`dictGetOrDefault`/`dictGetOrNull`/`dictHas` resolve
+  *    the registered dictionary ([[registerDictionary]], fed by routed
+  *    `CREATE DICTIONARY` DDL) as capture-safe correlated scalar
+  *    subqueries Catalyst rewrites into one aggregate + broadcast-able
+  *    left outer join.
+  *  - `FINAL` also collapses SummingMergeTree registrations
+  *    ([[registerSumFinal]]) to one sum aggregate per key.
   *
   *  - `ASOF [LEFT] JOIN` translates to the engine's sort-merge as-of
   *    shape (the q_join_asof pattern): both sides union into one

@@ -56,6 +56,14 @@ import scala.collection.mutable.ArrayBuffer
   *    `LEFT ARRAY JOIN` → `explode_outer`. Multi-array
   *    `ARRAY JOIN a AS x, b AS y` zips positionally: one posexplode
   *    drives the shared position, the other arrays are indexed at it.
+  *    Bare `ARRAY JOIN arr` (no AS) shadows the source column with its
+  *    elements via a schema-projected subquery (needs a
+  *    catalog-resolvable FROM item); the same wrap keeps internal
+  *    columns out of `SELECT *` for the multi-array form.
+  *  - `ANY [LEFT|INNER] JOIN` pre-collapses the right side to one
+  *    deterministic row per key (`max(struct(*))`, one map-side
+  *    aggregate) — the stronger reading of ClickHouse's
+  *    ingestion-order-dependent pick (documented divergence).
   *  - `GROUP BY e… WITH TOTALS` → `GROUPING SETS ((e…), ())` — the
   *    totals row carries SQL-convention NULL group keys (documented
   *    divergence: ClickHouse renders empty-value keys).
@@ -93,10 +101,12 @@ import scala.collection.mutable.ArrayBuffer
   *    Needs both sides catalog-resolvable (the union projects each
   *    side to a common schema with typed NULL placeholders).
   *
-  * Unsupported constructs (`ANY` join modifier, FINAL/SAMPLE on
+  * Unsupported constructs (`ANY RIGHT/FULL` join, FINAL/SAMPLE on
   * unregistered tables, LIMIT BY without ORDER BY, ASOF over
-  * non-catalog relations, the ClickHouse-value hash families, and —
-  * once any rewrite fired — the byte-vs-char ambiguous names
+  * non-catalog relations, bare ARRAY JOIN over non-catalog FROM items,
+  * sumArray over anything but a bare catalog-typed array column, the
+  * ClickHouse-value hash families, and — once any rewrite fired — the
+  * byte-vs-char ambiguous names
   * `length`/`any`/`position`/`extract`/`range`) throw
   * [[DialectException]] with the construct named — fail-fast beats a
   * silently different answer.
@@ -390,7 +400,8 @@ object Dialect {
 
   /** Parametric aggregates: `name(params)(args)`. */
   private val ParamAggs = Set("quantile", "quantileExact", "quantileTDigest",
-    "quantileDeterministic", "quantiles", "quantilesExact", "uniqUpTo")
+    "quantileDeterministic", "quantiles", "quantilesExact", "uniqUpTo",
+    "groupArray", "topK")
 
   private def isLambda(arg: Vector[Node]): Boolean =
     arg.exists { case Leaf(Punct("->")) => true; case _ => false }
@@ -500,13 +511,22 @@ object Dialect {
       case ("bitXor", 2) => Some(s"(${a(0)} ^ ${a(1)})")
       // the -Array aggregate combinators whose mappings are EXACT
       // (element-domain aggregation composed from per-row reduces —
-      // one hash aggregate, no explode): maxArray/minArray/countArray.
-      // sumArray/avgArray are deliberately absent: their result TYPE
-      // follows the array's element type, which the text layer cannot
-      // see — an unconditional double would silently widen integers.
+      // one hash aggregate, no explode): maxArray/minArray/countArray/
+      // avgArray here; sumArray — whose result TYPE follows the
+      // array's element type — resolves that type from the session
+      // catalog at clause level ([[rewriteSumArray]]), the same
+      // reg.schemaOf lookup ASOF and integer-SAMPLE use.
       case ("maxArray", 1) => Some(s"max(array_max(${a(0)}))")
       case ("minArray", 1) => Some(s"min(array_min(${a(0)}))")
       case ("countArray", 1) => Some(s"sum(size(${a(0)}))")
+      // element-domain mean: DOUBLE on both engines regardless of the
+      // element type (ClickHouse avgArray → Float64), so unlike
+      // sumArray no schema lookup is needed; empty arrays contribute
+      // zero sum and zero count on both engines
+      case ("avgArray", 1) =>
+        Some(s"(sum(aggregate(${a(0)}, CAST(0 AS DOUBLE), " +
+          "(__graft_acc, __graft_x) -> __graft_acc + CAST(__graft_x AS DOUBLE)" +
+          s")) / sum(size(${a(0)})))")
       // dictGet['OrDefault']('dict', 'attr', key[, default]) — the
       // registered dictionary becomes a correlated scalar subquery over
       // internally-renamed columns (no capture hazard: the inner scope
@@ -587,6 +607,48 @@ object Dialect {
       if (params.length != 1 || args.length != 1)
         fail("uniqUpTo: expected uniqUpTo(k)(expr)")
       s"least(count(DISTINCT ${emit(args(0))}), CAST(${emit(params(0))} AS BIGINT) + 1)"
+    case "groupArray" =>
+      if (params.length != 1 || args.length != 1)
+        fail("groupArray: expected groupArray(n)(expr)")
+      // DOCUMENTED DIVERGENCE: ClickHouse's groupArray(n) keeps the
+      // first n in INSERTION order — unreproducible on a distributed
+      // engine (split-dependent). graft returns the n smallest in
+      // VALUE order: deterministic, split-invariant, oracle-derivable.
+      s"slice(sort_array(collect_list(${emit(args(0))})), 1, " +
+        s"CAST(${emit(params(0))} AS INT))"
+    case "topK" =>
+      if (params.length != 1 || args.length != 1)
+        fail("topK: expected topK(k)(expr)")
+      // EXACT top-k by frequency where ClickHouse's topK approximates
+      // (documented upgrade, like quantile→percentile); ties break by
+      // value ascending — deterministic on both engines. Shape: ONE
+      // collect_list + a run-length encode over the sorted array
+      // (O(n log n) per group, evaluated post-aggregation on the
+      // group's reducer) — no second shuffle, no explode, and the
+      // lambdas reference only their own accumulator/element (Spark
+      // refuses aggregates inside lambda bodies). slice(sorted, 1, 0)
+      // is the empty-array-of-the-element-type seed, so no catalog
+      // type lookup is needed.
+      val sorted = s"sort_array(collect_list(${emit(args(0))}))"
+      s"aggregate($sorted, named_struct('vs', slice($sorted, 1, 0), " +
+        "'ns', CAST(array() AS ARRAY<BIGINT>)), " +
+        "(__graft_acc, __graft_e) -> IF(size(__graft_acc.vs) > 0 AND " +
+        "element_at(__graft_acc.vs, -1) <=> __graft_e, " +
+        "named_struct('vs', __graft_acc.vs, 'ns', " +
+        "concat(slice(__graft_acc.ns, 1, size(__graft_acc.ns) - 1), " +
+        "array(element_at(__graft_acc.ns, -1) + 1))), " +
+        "named_struct('vs', concat(__graft_acc.vs, array(__graft_e)), " +
+        "'ns', concat(__graft_acc.ns, array(CAST(1 AS BIGINT))))), " +
+        "__graft_acc -> slice(transform(array_sort(" +
+        "zip_with(__graft_acc.ns, __graft_acc.vs, " +
+        "(__graft_n, __graft_v) -> named_struct('n', __graft_n, 'v', __graft_v)), " +
+        "(__graft_l, __graft_r) -> CASE " +
+        "WHEN __graft_l.n > __graft_r.n THEN -1 " +
+        "WHEN __graft_l.n < __graft_r.n THEN 1 " +
+        "WHEN __graft_l.v < __graft_r.v THEN -1 " +
+        "WHEN __graft_l.v > __graft_r.v THEN 1 ELSE 0 END), " +
+        "__graft_s -> __graft_s.v), 1, " +
+        s"CAST(${emit(params(0))} AS INT)))"
     case other => fail(s"unsupported parametric aggregate: $other")
   }
 
@@ -954,12 +1016,101 @@ object Dialect {
     go(nodes)
   }
 
+  /** The first named relation after this level's FROM (qualified
+    * names emitted whole), or None when the FROM item is a subquery.
+    */
+  private def levelFromTable(ns: Vector[Node]): Option[String] =
+    clauseIdx(ns, "FROM").flatMap { fi =>
+      ns.lift(fi + 1) match {
+        case Some(Leaf(_: Word)) | Some(Leaf(_: Quoted)) =>
+          var j = fi + 1
+          while (j + 2 < ns.length && ns(j + 1) == Leaf(Punct("."))) j += 2
+          Some(emit(ns.slice(fi + 1, j + 1)))
+        case _ => None
+      }
+    }
+
+  /** `sumArray(col)` — the one -Array combinator whose RESULT TYPE
+    * follows the array's element type: integers sum as BIGINT (the
+    * widening ClickHouse itself applies), floats as DOUBLE. The
+    * element type is resolved from the session catalog through the
+    * level's FROM table (the same reg.schemaOf lookup the ASOF and
+    * integer-SAMPLE rewrites use), which is why this runs at CLAUSE
+    * level, not in the FROM-blind function pass. Composed as one
+    * per-row reduce + one sum — a single hash aggregate, no explode.
+    * Runs only on levels with their own SELECT; a bare paren group's
+    * occurrence is left for the enclosing level (bottom-up order).
+    */
+  private def rewriteSumArray(ns0: Vector[Node], reg: Registry,
+      changed: () => Unit): Vector[Node] = {
+    def hasIt(ns: Vector[Node]): Boolean = ns.exists {
+      case Leaf(w: Word) => w.text == "sumArray"
+      case Grp(cs) => hasIt(cs)
+      case _ => false
+    }
+    if (clauseIdx(ns0, "SELECT").isEmpty || !hasIt(ns0)) return ns0
+    val tbl = levelFromTable(ns0)
+    lazy val schema = tbl.flatMap(reg.schemaOf)
+    val ElemRe = """(?is)^ARRAY<(.+)>$""".r
+    def accOf(colName: String): String = {
+      val sch = schema.getOrElse(fail(
+        s"sumArray($colName): the result type follows the array's ELEMENT " +
+          "type, which needs this level's FROM table resolvable in the " +
+          "session catalog — over subquery/join sources write the reduce " +
+          "explicitly: sum(aggregate(col, CAST(0 AS <T>), (a, x) -> a + x))"))
+      val ddl = sch.find(_._1 == colName).map(_._2).getOrElse(fail(
+        s"sumArray($colName): no such column on '${tbl.get}'"))
+      val elem = ddl.trim match {
+        case ElemRe(e) => e.trim.toUpperCase
+        case other => fail(s"sumArray($colName): $other is not an array column")
+      }
+      elem match {
+        case "TINYINT" | "SMALLINT" | "INT" | "BIGINT" => "CAST(0 AS BIGINT)"
+        case "FLOAT" | "DOUBLE" => "CAST(0 AS DOUBLE)"
+        case other => fail(s"sumArray($colName): unsupported element type " +
+          s"$other — integers sum as BIGINT and floats as DOUBLE; write " +
+          "the reduce explicitly for other types")
+      }
+    }
+    // recurse into paren groups, but NOT into subqueries — their own
+    // level already ran (bottom-up) against their own FROM
+    def go(ns: Vector[Node]): Vector[Node] = {
+      val out = ArrayBuffer.empty[Node]
+      var i = 0
+      while (i < ns.length) {
+        ns(i) match {
+          case Leaf(w: Word) if w.text == "sumArray" && i + 1 < ns.length &&
+              ns(i + 1).isInstanceOf[Grp] &&
+              !out.lastOption.contains(Leaf(Punct("."))) =>
+            val args = splitArgs(ns(i + 1).asInstanceOf[Grp].children)
+            val colName = args match {
+              case Vector(Vector(Leaf(c: Word))) => c.text
+              case Vector(Vector(Leaf(_: Word), Leaf(Punct(".")), Leaf(c: Word))) =>
+                c.text
+              case _ => fail("sumArray: the argument must be a bare array " +
+                "column (its catalog type decides the result type) — alias " +
+                "derived arrays into a column first, or write the reduce " +
+                "explicitly")
+            }
+            out += raw(s"sum(aggregate(${emit(args(0))}, ${accOf(colName)}, " +
+              "(__graft_acc, __graft_x) -> __graft_acc + __graft_x))")
+            changed(); i += 2
+          case Grp(cs) if !cs.exists(isWord(_, "SELECT")) =>
+            out += Grp(go(cs)); i += 1
+          case n => out += n; i += 1
+        }
+      }
+      out.toVector
+    }
+    go(ns0)
+  }
+
   /** Rewrite the clause-level constructs of ONE select level (already
     * function-rewritten, subgroups already clause-rewritten).
     */
   private def rewriteLevel(ns0: Vector[Node], reg: Registry,
       changed: () => Unit): Vector[Node] = {
-    var ns = ns0
+    var ns = rewriteSumArray(ns0, reg, changed)
 
     // trailing FORMAT <name>
     if (ns.length >= 2 && isWord(ns(ns.length - 2), "FORMAT")) {
@@ -973,23 +1124,14 @@ object Dialect {
 
     // GLOBAL join/in hint — strip only in its hint POSITION (before a
     // join keyword or IN), so a column named `global` is untouched
-    val globalFollowers = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "IN", "NOT")
+    val globalFollowers = Set("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "IN",
+      "NOT", "ANY", "ASOF")
     val gIdx = ns.indices.filter(i => isWord(ns(i), "GLOBAL") &&
       i + 1 < ns.length && globalFollowers.exists(isWord(ns(i + 1), _)))
     if (gIdx.nonEmpty) {
       val drop = gIdx.toSet
       ns = ns.indices.filterNot(drop).map(ns).toVector; changed()
     }
-    // reject modifiers Spark cannot honor silently (ASOF JOIN has a
-    // real translation in the FROM section below)
-    ns.indices.foreach { i =>
-      if (isWord(ns(i), "ANY") && i + 1 < ns.length &&
-          (isWord(ns(i + 1), "JOIN") || isWord(ns(i + 1), "LEFT") ||
-            isWord(ns(i + 1), "INNER")))
-        fail("ANY JOIN (first-match) is not translatable exactly; dedup the " +
-          "right side explicitly")
-    }
-
     val selI = clauseIdx(ns, "SELECT")
 
     // FROM-clause modifiers: ASOF JOIN / FINAL / SAMPLE / ARRAY JOIN
@@ -1001,6 +1143,87 @@ object Dialect {
         .getOrElse(ns.length)
       var span = ns.slice(fromI + 1, endI)
       var spanChanged = false
+
+      // <l> ANY [LEFT|INNER] JOIN <r> [AS ra] ON equi-keys —
+      // ClickHouse's take-one-match join. The right side pre-collapses
+      // to ONE deterministic row per join key (max(struct(*)) — a
+      // single map-side-combined aggregate, the q_ch_final physics),
+      // then the join runs plain: one aggregate + one join, no extra
+      // shuffle beyond the join's own. DOCUMENTED DIVERGENCE:
+      // ClickHouse picks an ingestion-order-dependent match
+      // (nondeterministic on a distributed engine); graft picks the
+      // GREATEST right row in whole-struct order — the stronger,
+      // split-invariant contract (the multi-ARRAY-JOIN NULL-pad
+      // reading of the same underspecified input). ANY RIGHT/FULL
+      // would collapse the left side — refused.
+      var anyI = span.indices.find(i => isWord(span(i), "ANY") &&
+        i + 1 < span.length && Seq("JOIN", "LEFT", "INNER", "RIGHT", "FULL")
+          .exists(isWord(span(i + 1), _)))
+      while (anyI.isDefined) {
+        val i = anyI.get
+        def anyFail(msg: String): Nothing =
+          fail(s"ANY JOIN: $msg — supported form: <l> ANY [LEFT|INNER] JOIN " +
+            "<r> [AS ra] ON equi-keys (each comparing one right-alias " +
+            "column); the right side pre-collapses to one deterministic " +
+            "row per key")
+        var j = i + 1
+        var kind = "INNER"
+        if (isWord(span(j), "LEFT")) { kind = "LEFT"; j += 1 }
+        else if (isWord(span(j), "INNER")) j += 1
+        else if (isWord(span(j), "RIGHT") || isWord(span(j), "FULL"))
+          anyFail("ANY RIGHT/FULL would take-one-match on the LEFT side — " +
+            "not supported; dedup the left side explicitly")
+        if (j >= span.length || !isWord(span(j), "JOIN"))
+          anyFail("expected JOIN after ANY")
+        j += 1
+        if (j >= span.length) anyFail("missing right table")
+        val rStart = j
+        span(j) match {
+          case Leaf(_: Word) | Leaf(_: Quoted) => ()
+          case _ => anyFail("right side must be a named table or view")
+        }
+        while (j + 1 < span.length && span(j + 1) == Leaf(Punct("."))) j += 2
+        j += 1
+        val rRef = emit(span.slice(rStart, j))
+        var ra = rRef.split('.').last
+        if (j < span.length && isWord(span(j), "AS")) span.lift(j + 1) match {
+          case Some(Leaf(w: Word)) => ra = w.text; j += 2
+          case _ => anyFail("expected alias after AS")
+        } else span.lift(j) match {
+          case Some(Leaf(w: Word)) if w.up != "ON" => ra = w.text; j += 1
+          case _ => ()
+        }
+        if (j >= span.length || !isWord(span(j), "ON")) anyFail("expected ON")
+        val condStart = j + 1
+        val condEnd = span.indices.drop(condStart)
+          .find(k => Seq("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+            "ASOF", "ANY").exists(isWord(span(k), _)))
+          .getOrElse(span.length)
+        val rKeys = splitOnWord(span.slice(condStart, condEnd), "AND").map { c =>
+          val eqI = c.indices.find(k => c(k) == Leaf(Punct("=")))
+            .getOrElse(anyFail(s"only equi-key conditions translate: '${emit(c)}'"))
+          def raCol(v: Vector[Node]): Option[String] = v match {
+            case Vector(Leaf(a: Word), Leaf(Punct(".")), Leaf(col: Word))
+                if a.text == ra => Some(col.text)
+            case _ => None
+          }
+          (raCol(c.take(eqI)), raCol(c.drop(eqI + 1))) match {
+            case (Some(k), None) => k
+            case (None, Some(k)) => k
+            case _ => anyFail("each condition must compare exactly one " +
+              s"$ra-qualified column: '${emit(c)}'")
+          }
+        }.distinct
+        val collapsed = s"$kind JOIN (SELECT __graft_row.* FROM (SELECT " +
+          s"max(struct(*)) AS __graft_row FROM $rRef GROUP BY " +
+          s"${rKeys.mkString(", ")})) $ra ON"
+        span = span.take(i) ++ Vector(raw(collapsed)) ++
+          span.slice(condStart, span.length)
+        spanChanged = true
+        anyI = span.indices.find(k => isWord(span(k), "ANY") &&
+          k + 1 < span.length && Seq("JOIN", "LEFT", "INNER", "RIGHT", "FULL")
+            .exists(isWord(span(k + 1), _)))
+      }
 
       // <l> [AS la] ASOF [LEFT] JOIN <r> [AS ra] ON … — translated to
       // the union + last(IGNORE NULLS) sort-merge as-of shape; the
@@ -1141,14 +1364,23 @@ object Dialect {
               fail(s"SAMPLE $numTxt: cannot parse as a row count")
           }
           if (n <= 0) fail(s"SAMPLE $n: the row target must be positive")
-          val refTxt = emit(refNodes)
-          val cols = reg.schemaOf(refTxt).getOrElse(
-            fail(s"SAMPLE $n rows on '$refTxt' needs the table's schema from " +
-              "the session catalog (the rank column must not leak into *)"))
-            .map(_._1)
-          Some(s"(SELECT ${cols.mkString(", ")} FROM (SELECT *, row_number() " +
-            s"OVER (ORDER BY md5(CAST($key AS STRING)), $key) AS __graft_sn " +
-            s"FROM $refTxt) WHERE __graft_sn <= $n) $tname")
+          if (n == 1) None
+          // ClickHouse's integer `SAMPLE 1` is the COEFFICIENT form
+          // (k ∈ [0, 1] is a fraction; only k > 1 is a row target): it
+          // means "keep everything" — common in templated queries — so
+          // the clause drops, exactly like a fraction rounding to the
+          // whole keyspace. A 1-row target is written `SAMPLE 0.…`,
+          // never `SAMPLE 1`, in ClickHouse.
+          else {
+            val refTxt = emit(refNodes)
+            val cols = reg.schemaOf(refTxt).getOrElse(
+              fail(s"SAMPLE $n rows on '$refTxt' needs the table's schema from " +
+                "the session catalog (the rank column must not leak into *)"))
+              .map(_._1)
+            Some(s"(SELECT ${cols.mkString(", ")} FROM (SELECT *, row_number() " +
+              s"OVER (ORDER BY md5(CAST($key AS STRING)), $key) AS __graft_sn " +
+              s"FROM $refTxt) WHERE __graft_sn <= $n) $tname")
+          }
         }
         span = subOpt match {
           case Some(sub) => span.take(s) ++ Vector(raw(sub)) ++ span.drop(i + 2)
@@ -1161,74 +1393,180 @@ object Dialect {
           span(i + 1).asInstanceOf[Leaf].t.isInstanceOf[Num])
       }
 
-      // [LEFT] ARRAY JOIN <expr> AS <alias> [, <expr> AS <alias> …]
+      // [LEFT] ARRAY JOIN <expr> [AS <alias>] [, <expr> [AS <alias>]…]
+      //
+      // Shapes (ClickHouse 24.8 semantics):
+      //  - single aliased item → plain LATERAL VIEW explode[_outer]
+      //    (no internal columns, so SELECT * is already clean);
+      //  - bare item (no AS) — the most common CH spelling — SHADOWS
+      //    the source column with its elements at this level: rewritten
+      //    as a schema-projected subquery that re-exposes the column
+      //    under its own name bound to the exploded element, so every
+      //    reference (and SELECT *) sees the element without any
+      //    textual substitution. Needs a catalog-resolvable FROM item.
+      //  - multi-array zips POSITIONALLY: one posexplode drives the
+      //    shared position, every other array is bound once per source
+      //    row (1-row LATERAL VIEW) and indexed at it in O(1) — one
+      //    per-partition pipeline, no shuffle. get() NULL-pads past a
+      //    shorter array where ClickHouse errors on unequal sizes
+      //    (documented divergence — the recoverable reading). The same
+      //    schema-projected wrap keeps __graft_pos/__graft_arrN out of
+      //    SELECT * when the FROM item is catalog-resolvable; over a
+      //    subquery source the internals still leak into a bare `*`
+      //    (documented divergence, SURVEY §V) — project explicitly.
       var aj = span.indices.find(i => isWord(span(i), "ARRAY") &&
         i + 1 < span.length && isWord(span(i + 1), "JOIN"))
       while (aj.isDefined) {
         val i = aj.get
         val left = i > 0 && isWord(span(i - 1), "LEFT")
-        // item list: `<expr> AS <alias>`, comma-separated; the AS scan
-        // is [ ]-depth-aware so an array literal's commas and its AS-
-        // free body never split an item ( ( ) nesting is already a Grp)
-        val items = ArrayBuffer.empty[(String, String)]
+        // item list: `<expr> [AS <alias>]`, comma-separated; the scans
+        // are [ ]-depth-aware so an array literal's commas never split
+        // an item ( ( ) nesting is already a Grp). A bare item ends at
+        // the comma, the span end, or a following join keyword.
+        val joinKws = Seq("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+        val items = ArrayBuffer.empty[(Vector[Node], Option[String])]
         var p = i + 2
-        var end = p
+        var end = span.length
         var more = true
         while (more) {
           var depth = 0
           var j = p
           var asI = -1
-          while (asI < 0 && j < span.length) {
+          var commaI = -1
+          var termI = -1
+          while (asI < 0 && commaI < 0 && termI < 0 && j < span.length) {
             span(j) match {
               case Leaf(Punct("[")) => depth += 1
               case Leaf(Punct("]")) => depth -= 1
+              case Leaf(Punct(",")) if depth == 0 => commaI = j
               case n if depth == 0 && isWord(n, "AS") => asI = j
+              case n if depth == 0 && (joinKws.exists(isWord(n, _)) ||
+                  (isWord(n, "ARRAY") && j + 1 < span.length &&
+                    isWord(span(j + 1), "JOIN"))) => termI = j
               case _ => ()
             }
             j += 1
           }
-          if (asI < 0 || asI == p)
-            fail("ARRAY JOIN requires 'AS <alias>' on every item")
-          val alias = span.lift(asI + 1) match {
-            case Some(Leaf(w: Word)) => w.text
-            case _ => fail("ARRAY JOIN requires 'AS <alias>' on every item")
+          if (asI >= 0) {
+            if (asI == p) fail("ARRAY JOIN: empty item before AS")
+            val alias = span.lift(asI + 1) match {
+              case Some(Leaf(w: Word)) => w.text
+              case _ => fail("ARRAY JOIN: expected '<alias>' after AS")
+            }
+            items += ((span.slice(p, asI), Some(alias)))
+            if (span.lift(asI + 2).contains(Leaf(Punct(",")))) p = asI + 3
+            else { end = asI + 2; more = false }
+          } else if (commaI >= 0) {
+            if (commaI == p) fail("ARRAY JOIN: empty item")
+            items += ((span.slice(p, commaI), None)); p = commaI + 1
+          } else {
+            val stop = if (termI >= 0) termI else span.length
+            if (stop == p) fail("ARRAY JOIN: empty item")
+            items += ((span.slice(p, stop), None)); end = stop; more = false
           }
-          items += ((emit(span.slice(p, asI)), alias))
-          if (span.lift(asI + 2).contains(Leaf(Punct(",")))) p = asI + 3
-          else { end = asI + 2; more = false }
-        }
-        val lv = if (items.length == 1) {
-          val (exprTxt, alias) = items.head
-          val gen = if (left) "explode_outer" else "explode"
-          s"LATERAL VIEW $gen($exprTxt) __graft_aj AS $alias"
-        } else {
-          // multi-array ARRAY JOIN zips POSITIONALLY (ClickHouse
-          // semantics): the first array drives one posexplode, every
-          // other array is indexed at the shared position — still one
-          // per-partition pipeline, no shuffle, no join. Each extra
-          // array expression is BOUND once per source row by a 1-row
-          // LATERAL VIEW ahead of the posexplode, so a derived array
-          // (arrayMap(…)) costs O(len) per row, not O(len²) — the
-          // getter then indexes the bound column in O(1). get()
-          // returns NULL past a shorter array's end where ClickHouse
-          // errors on unequal sizes (documented divergence —
-          // NULL-padding is the recoverable reading of the same
-          // malformed input).
-          val (e0, a0) = items.head
-          val gen0 = if (left) "posexplode_outer" else "posexplode"
-          val binders = items.tail.zipWithIndex.map { case ((e, _), k) =>
-            s"LATERAL VIEW explode(array($e)) __graft_ab${k + 1} " +
-              s"AS __graft_arr${k + 1}"
-          }
-          val head = s"LATERAL VIEW $gen0($e0) __graft_aj0 AS __graft_pos, $a0"
-          val getters = items.tail.zipWithIndex.map { case ((_, a), k) =>
-            s"LATERAL VIEW explode(array(get(__graft_arr${k + 1}, " +
-              s"__graft_pos))) __graft_aj${k + 1} AS $a"
-          }
-          (binders ++ Seq(head) ++ getters).mkString(" ")
         }
         val start = if (left) i - 1 else i
-        span = span.take(start) ++ Vector(raw(lv)) ++ span.drop(end)
+        val bareItems = items.filter(_._2.isEmpty)
+        val needWrap = bareItems.nonEmpty || items.length > 1
+        // the FROM item the clause expands: a named (possibly
+        // qualified) relation with an optional alias — the shape the
+        // schema-projected wrap can resolve
+        def namedRel(pre: Vector[Node]): Option[(String, String)] = {
+          if (pre.isEmpty) return None
+          pre(0) match {
+            case Leaf(_: Word) | Leaf(_: Quoted) => ()
+            case _ => return None
+          }
+          var k = 0
+          while (k + 2 < pre.length && pre(k + 1) == Leaf(Punct("."))) k += 2
+          val refTxt = emit(pre.take(k + 1))
+          pre.drop(k + 1) match {
+            case Vector() => Some((refTxt, refTxt.split('.').last))
+            case Vector(Leaf(w: Word)) => Some((refTxt, w.text))
+            case Vector(asW, Leaf(w: Word)) if isWord(asW, "AS") =>
+              Some((refTxt, w.text))
+            case _ => None
+          }
+        }
+        def bareCol(v: Vector[Node]): String = v match {
+          case Vector(Leaf(c: Word)) => c.text
+          case Vector(Leaf(_: Word), Leaf(Punct(".")), Leaf(c: Word)) => c.text
+          case other => fail("ARRAY JOIN: a bare item must be a source " +
+            s"array column (got '${emit(other)}') — alias derived " +
+            "expressions with AS <name>")
+        }
+        val relOpt = namedRel(span.take(start))
+        val schemaOpt = relOpt.flatMap { case (ref, _) =>
+          reg.schemaOf(ref).map(s => (ref, s))
+        }
+        if (!needWrap) {
+          // single aliased item: plain LATERAL VIEW, works over any
+          // FROM item, exposes nothing internal
+          val (exprNodes, alias) = (items.head._1, items.head._2.get)
+          val gen = if (left) "explode_outer" else "explode"
+          val lv = s"LATERAL VIEW $gen(${emit(exprNodes)}) __graft_aj AS $alias"
+          span = span.take(start) ++ Vector(raw(lv)) ++ span.drop(end)
+        } else if (schemaOpt.isDefined) {
+          val (refTxt, srcSchema) = schemaOpt.get
+          val outAlias = relOpt.get._2
+          val srcCols = srcSchema.map(_._1)
+          val gens: Seq[String] = (
+            if (items.length == 1) {
+              val gen = if (left) "explode_outer" else "explode"
+              Seq(s"LATERAL VIEW $gen(${emit(items(0)._1)}) __graft_aj0 " +
+                "AS __graft_e0")
+            } else {
+              val gen0 = if (left) "posexplode_outer" else "posexplode"
+              val binders = items.tail.zipWithIndex.map { case ((e, _), k) =>
+                s"LATERAL VIEW explode(array(${emit(e)})) " +
+                  s"__graft_ab${k + 1} AS __graft_arr${k + 1}"
+              }
+              val head = s"LATERAL VIEW $gen0(${emit(items(0)._1)}) " +
+                "__graft_aj0 AS __graft_pos, __graft_e0"
+              val getters = items.tail.zipWithIndex.map { case (_, k) =>
+                s"LATERAL VIEW explode(array(get(__graft_arr${k + 1}, " +
+                  s"__graft_pos))) __graft_aj${k + 1} AS __graft_e${k + 1}"
+              }
+              binders ++ Seq(head) ++ getters
+            }).toSeq
+          val shadow: Map[String, String] = items.zipWithIndex.collect {
+            case ((e, None), k) =>
+              val c = bareCol(e)
+              if (!srcCols.contains(c))
+                fail(s"ARRAY JOIN $c: no such column on '$refTxt'")
+              c -> s"__graft_e$k"
+          }.toMap
+          val proj = srcCols.map(c => shadow.get(c).fold(c)(e => s"$e AS $c")) ++
+            items.zipWithIndex.collect {
+              case ((_, Some(a)), k) => s"__graft_e$k AS $a"
+            }
+          val sub = s"(SELECT ${proj.mkString(", ")} FROM $refTxt " +
+            s"${gens.mkString(" ")}) $outAlias"
+          span = span.take(0) ++ Vector(raw(sub)) ++ span.drop(end)
+        } else if (bareItems.nonEmpty) {
+          fail("ARRAY JOIN without AS shadows the source column with its " +
+            "elements, which needs the FROM item catalog-resolvable " +
+            s"(got '${emit(span.take(start))}') — alias the item " +
+            "(ARRAY JOIN col AS x) or register the relation as a view")
+        } else {
+          // multi-array over a non-catalog FROM item: the positional
+          // zip still works, but __graft_pos/__graft_arrN leak into a
+          // bare `*` (documented divergence) — project explicitly
+          val (e0, a0) = (items.head._1, items.head._2.get)
+          val gen0 = if (left) "posexplode_outer" else "posexplode"
+          val binders = items.tail.zipWithIndex.map { case ((e, _), k) =>
+            s"LATERAL VIEW explode(array(${emit(e)})) __graft_ab${k + 1} " +
+              s"AS __graft_arr${k + 1}"
+          }
+          val head = s"LATERAL VIEW $gen0(${emit(e0)}) __graft_aj0 " +
+            s"AS __graft_pos, $a0"
+          val getters = items.tail.zipWithIndex.map { case ((it, k)) =>
+            s"LATERAL VIEW explode(array(get(__graft_arr${k + 1}, " +
+              s"__graft_pos))) __graft_aj${k + 1} AS ${it._2.get}"
+          }
+          val lv = (binders ++ Seq(head) ++ getters).mkString(" ")
+          span = span.take(start) ++ Vector(raw(lv)) ++ span.drop(end)
+        }
         spanChanged = true
         aj = span.indices.find(i => isWord(span(i), "ARRAY") &&
           i + 1 < span.length && isWord(span(i + 1), "JOIN"))

@@ -68,6 +68,33 @@ object GraftSql {
           Option(engineArgs).map(_.trim).getOrElse(""), tail)
       case CreateDictRe(ifne, name, colsBlock, key, tail) =>
         createDictionary(spark, ifne != null, name, colsBlock, key, tail)
+      // ClickHouse's most-used operational construct: the
+      // insert-maintained aggregate. `CREATE MATERIALIZED VIEW mv
+      // ENGINE = SummingMergeTree() ORDER BY keys [POPULATE] AS
+      // SELECT keys, sum(...)/count(...) FROM src [WHERE …] GROUP BY
+      // keys` creates a PARTIAL-ROW table + registrations: every
+      // INSERT INTO src (routed here) appends the batch's aggregated
+      // partials to mv — O(batch keys), no read-modify-write — and
+      // `FROM mv FINAL` sum-collapses them at read time, which is
+      // exactly SummingMergeTree's own contract (rows with equal keys
+      // COEXIST until merged; ClickHouse users query the MV with FINAL
+      // or sum() for the same reason).
+      case CreateMatViewRe(ifne, name, middle, body) =>
+        createMatView(spark, ifne != null, name, middle.trim, body.trim)
+      // INSERT INTO a table that feeds registered materialized views:
+      // the batch is computed once as a DataFrame, appended to the
+      // table, and each MV receives the batch's aggregated partials —
+      // ClickHouse's insert-block trigger semantics. Every other
+      // INSERT falls through untouched.
+      case InsertRe(table, rest) if mvsOn(spark, table).nonEmpty =>
+        insertWithMvs(spark, table, rest.trim)
+      // DROP TABLE of a materialized view unregisters its maintenance
+      // (the statement itself still runs through Spark's own DDL)
+      case DropTableRe(_, name)
+          if spark.conf.getOption(s"graft.mv.${name.split('.').last}").isDefined =>
+        spark.conf.unset(s"graft.mv.${name.split('.').last}")
+        spark.conf.unset(s"graft.sumfinal.${name.split('.').last}")
+        spark.sql(stmt)
       // the operator-UX verbs around the DDL surface. RENAME maps onto
       // Spark's own ALTER TABLE … RENAME TO (different spelling, same
       // catalog op) and re-homes any graft registrations; EXISTS TABLE
@@ -78,14 +105,32 @@ object GraftSql {
       // answers OK so operator scripts keep working.
       case RenameTableRe(from, to) =>
         spark.sql(s"ALTER TABLE $from RENAME TO $to")
-        Seq("final", "sample", "sumfinal", "orderby", "partition", "snapshot")
-          .foreach { kind =>
-            val (f, t) = (s"graft.$kind.${from.split('.').last}",
-              s"graft.$kind.${to.split('.').last}")
+        val (fromSimple, toSimple) = (from.split('.').last, to.split('.').last)
+        Seq("final", "sample", "sumfinal", "orderby", "partition", "snapshot",
+          "mv").foreach { kind =>
+            val (f, t) = (s"graft.$kind.$fromSimple", s"graft.$kind.$toSimple")
             spark.conf.getOption(f).foreach { v =>
               spark.conf.set(t, v); spark.conf.unset(f)
             }
           }
+        // registrations that NAME the renamed table inside their value
+        // re-home too: a dictionary's encoded source (src|key|defaults)
+        // and a materialized view's (mv|src|…) segments — otherwise a
+        // later dictGet / INSERT would read the old name (an error, or
+        // silently a DIFFERENT relation if that name is reused)
+        def rehome(seg: String): String =
+          if (seg == from) to else if (seg == fromSimple) toSimple else seg
+        spark.conf.getAll.foreach {
+          case (k, v) if k.startsWith("graft.dict.") =>
+            val parts = v.split("\\|", 3)
+            if (rehome(parts(0)) != parts(0))
+              spark.conf.set(k, (rehome(parts(0)) +: parts.tail.toSeq).mkString("|"))
+          case (k, v) if k.startsWith("graft.mv.") =>
+            val parts = v.split("\\|", 5)
+            val moved = Seq(rehome(parts(0)), rehome(parts(1))) ++ parts.drop(2)
+            if (moved != parts.toSeq) spark.conf.set(k, moved.mkString("|"))
+          case _ => ()
+        }
         okRow(spark, s"RENAME TABLE TO $to", from)
       case ExistsTableRe(table) =>
         import spark.implicits._
@@ -218,6 +263,14 @@ object GraftSql {
     """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?(.*)$""".r
   private val CreateDictRe =
     """(?is)^CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*PRIMARY\s+KEY\s+(\w+)(.*)$""".r
+  // non-greedy middle: everything up to the FIRST `AS SELECT` is the
+  // engine/keys/POPULATE clause block (none of those may contain AS)
+  private val CreateMatViewRe =
+    """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(.*?)\s+AS\s+(SELECT\b.+)$""".r
+  private val InsertRe =
+    """(?is)^INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+(.+)$""".r
+  private val DropTableRe =
+    """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
   private val RenameTableRe =
     """(?is)^RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)$""".r
   private val ExistsTableRe = """(?is)^EXISTS\s+(?:TABLE\s+)?([\w.]+)$""".r
@@ -573,6 +626,14 @@ object GraftSql {
             s"$kw columns are computed server-side in ClickHouse and have no " +
               s"table-DDL equivalent here: $entry")
         }
+        // a column-level TTL DELETES/zeroes expired values server-side —
+        // dropping it would silently return rows ClickHouse would have
+        // expired, a worse divergence than the MATERIALIZED refusal
+        require(!attrs.exists(_.group(1).equalsIgnoreCase("TTL")),
+          s"column TTL expires values server-side in ClickHouse — not " +
+            s"representable as registrable metadata here: $entry. Remove " +
+            "the TTL and run the engine's explicit retention operators " +
+            "(q_ttl_rollup / q_retention_filter / Snapshot drops) instead")
         val typeTxt = attrs.headOption.fold(rest)(m => rest.substring(0, m.start)).trim
         val dflt = attrs.find(_.group(1).equalsIgnoreCase("DEFAULT")).map { m =>
           val after = rest.substring(m.end)
@@ -606,10 +667,17 @@ object GraftSql {
     *    hints that change no answer — graft snapshots bucket by day at
     *    BACKUP time, and Catalyst orders scans itself.
     *
-    * Engines with read-time collapse semantics OTHER than replacing
-    * (Summing/Aggregating/Collapsing) refuse: their merge behavior is
-    * a query transform, not registrable metadata — the engine's
-    * explicit collapse operators (q_collapse_*) are the translation.
+    * Engines with read-time collapse semantics the clause pair can
+    * carry route too — ReplacingMergeTree(ver) and SummingMergeTree
+    * ([cols]) ARE registrable metadata; Aggregating/CollapsingMergeTree
+    * refuse (agg-state types / insertion-order merges are not), as does
+    * any TTL clause (row expiry is a server-side delete graft will not
+    * silently skip).
+    *
+    * Order of effects: validation first, then the Spark CREATE TABLE,
+    * then the graft.* registrations — a failing CREATE (exists without
+    * IF NOT EXISTS, bad DEFAULT) must not leave registrations for a
+    * table that was never created.
     */
   private def createTable(spark: SparkSession, ifNotExists: Boolean,
       name: String, colsBlock: String, engine: String, engineArgs: String,
@@ -618,14 +686,21 @@ object GraftSql {
     val cols = parseColDefs(colsBlock)
     require(cols.nonEmpty, s"CREATE TABLE $name: no columns")
     val clauses = ddlClauses(tail)
+    require(!clauses.contains("TTL"),
+      s"CREATE TABLE $name: a table-level TTL DELETES expired rows " +
+        "server-side in ClickHouse — dropping it would silently return " +
+        "rows ClickHouse would have expired. Remove the TTL and run the " +
+        "engine's explicit retention operators (q_ttl_rollup / " +
+        "q_retention_filter / ALTER TABLE … DROP PARTITION) instead")
     val simpleName = name.split('.').last
     val orderKeys = clauses.get("ORDER BY").map { txt =>
       val inner = if (txt.startsWith("(") && txt.endsWith(")"))
         txt.substring(1, txt.length - 1) else txt
       splitTopLevelCommas(inner).filterNot(_.equalsIgnoreCase("tuple()"))
     }.getOrElse(Nil)
-    engine.toLowerCase(java.util.Locale.ROOT) match {
-      case "mergetree" | "memory" | "log" | "tinylog" | "stripelog" => ()
+    // validate now, register only after the CREATE succeeds
+    val registerEngine: () => Unit = engine.toLowerCase(java.util.Locale.ROOT) match {
+      case "mergetree" | "memory" | "log" | "tinylog" | "stripelog" => () => ()
       case "replacingmergetree" =>
         require(engineArgs.nonEmpty,
           "ReplacingMergeTree without an explicit version column collapses by " +
@@ -634,7 +709,7 @@ object GraftSql {
         require(orderKeys.nonEmpty,
           "ReplacingMergeTree needs ORDER BY keys — they are the collapse " +
             "key FINAL groups by")
-        plans.Dialect.registerFinal(spark, simpleName, orderKeys,
+        () => plans.Dialect.registerFinal(spark, simpleName, orderKeys,
           splitTopLevelCommas(engineArgs))
       case "summingmergetree" =>
         // sum-collapse IS registrable metadata: keys + summed columns.
@@ -647,7 +722,7 @@ object GraftSql {
           else splitTopLevelCommas(engineArgs)
         require(summed.forall(c => !orderKeys.contains(c)),
           "SummingMergeTree summed columns cannot include the ORDER BY keys")
-        plans.Dialect.registerSumFinal(spark, simpleName, orderKeys, summed)
+        () => plans.Dialect.registerSumFinal(spark, simpleName, orderKeys, summed)
       case _ => throw new IllegalArgumentException(
         s"unsupported table engine: $engine — MergeTree, " +
           "ReplacingMergeTree(ver), SummingMergeTree([cols]) and the plain " +
@@ -656,24 +731,25 @@ object GraftSql {
           "not reproducible as registrable metadata; use the engine's " +
           "explicit collapse operators (q_collapse_*)")
     }
-    clauses.get("SAMPLE BY").foreach { expr0 =>
-      val keyCol = expr0.trim match {
+    val sampleKey = clauses.get("SAMPLE BY").map { expr0 =>
+      expr0.trim match {
         case HashedSampleRe(c) => c
         case w if w.matches("[\\w.]+") => w
         case other => throw new IllegalArgumentException(
           s"SAMPLE BY must be a column or hash(column), got: $other")
       }
-      plans.Dialect.registerSample(spark, simpleName, keyCol)
     }
-    if (orderKeys.nonEmpty)
-      spark.conf.set(s"graft.orderby.$simpleName", orderKeys.mkString(","))
-    clauses.get("PARTITION BY").foreach(e =>
-      spark.conf.set(s"graft.partition.$simpleName", e))
     val colDdl = cols.map { case (n, t, d) =>
       s"$n $t" + d.fold("")(x => s" DEFAULT $x")
     }.mkString(", ")
     val ifne = if (ifNotExists) "IF NOT EXISTS " else ""
     spark.sql(s"CREATE TABLE $ifne$name ($colDdl) USING parquet")
+    registerEngine()
+    sampleKey.foreach(plans.Dialect.registerSample(spark, simpleName, _))
+    if (orderKeys.nonEmpty)
+      spark.conf.set(s"graft.orderby.$simpleName", orderKeys.mkString(","))
+    clauses.get("PARTITION BY").foreach(e =>
+      spark.conf.set(s"graft.partition.$simpleName", e))
     Seq(("CREATE TABLE", name, engine, orderKeys.mkString(","), true))
       .toDF("command", "table", "engine", "order_by", "ok")
   }
@@ -707,6 +783,246 @@ object GraftSql {
     plans.Dialect.registerDictionary(spark, name.split('.').last, src, key, defaults)
     Seq(("CREATE DICTIONARY", name, src, key, true))
       .toDF("command", "dictionary", "source", "key", "ok")
+  }
+
+  // ── materialized views (SummingMergeTree, insert-maintained) ──────
+
+  /** One registered materialized view: its full catalog name, the
+    * source table INSERTs fold through, the group keys, the aggregate
+    * outputs as (name, kind, arg) with kind ∈ sum|cnt|cntc, and the
+    * optional WHERE predicate. Encoded in session conf as
+    * `graft.mv.<simple>` = `mv|src|keys|name=kind:arg;…|where`.
+    */
+  private[graft] final case class MvDef(mv: String, src: String,
+      keys: Seq[String], aggs: Seq[(String, String, String)], where: String)
+
+  private def encodeMv(d: MvDef): String =
+    Seq(d.mv, d.src, d.keys.mkString(","),
+      d.aggs.map { case (o, k, a) => s"$o=$k:$a" }.mkString(";"),
+      d.where).mkString("|")
+
+  private def decodeMv(v: String): MvDef = {
+    val p = v.split("\\|", 5)
+    MvDef(p(0), p(1), p(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+      p(3).split(';').toSeq.filter(_.nonEmpty).map { s =>
+        val eq = s.indexOf('='); val co = s.indexOf(':', eq)
+        (s.substring(0, eq), s.substring(eq + 1, co), s.substring(co + 1))
+      }, p.lift(4).getOrElse(""))
+  }
+
+  /** The materialized views fed by INSERTs into `table` (matched by
+    * the simple-name convention every graft.* registry uses).
+    */
+  private def mvsOn(spark: SparkSession, table: String): Seq[MvDef] = {
+    val simple = table.split('.').last
+    spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("graft.mv.") => decodeMv(v)
+    }.filter(d => d.src == table || d.src.split('.').last == simple).toSeq
+  }
+
+  /** One batch of SOURCE rows → the MV's partial rows (keys + summable
+    * aggregates, in the MV's declared column order) — the shape that
+    * APPENDS to the MV and sum-collapses under `FINAL`.
+    */
+  private def mvAggregate(batch: DataFrame, d: MvDef): DataFrame = {
+    val base = if (d.where.nonEmpty) batch.filter(expr(d.where)) else batch
+    val aggCols = d.aggs.map {
+      case (out, "sum", a) => sum(expr(a)).as(out)
+      case (out, "cnt", _) => count(lit(1)).as(out)
+      case (out, _, a) => count(expr(a)).as(out) // cntc: non-null count
+    }
+    base.groupBy(d.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      .select((d.keys ++ d.aggs.map(_._1)).map(col): _*)
+  }
+
+  private val MvEngineRe = """(?is)\bENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?""".r
+  private val MvAggItemRe = """(?is)^(sum|count)\s*\((.*)\)\s+AS\s+(\w+)$""".r
+  private val MvKeyItemRe = """(?is)^([\w.]+)(?:\s+AS\s+(\w+))?$""".r
+  private val MvClauseRe =
+    """(?is)\b(FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|JOIN|UNION)\b""".r
+
+  /** `CREATE MATERIALIZED VIEW mv ENGINE = SummingMergeTree() ORDER BY
+    * keys [POPULATE] AS SELECT keys…, sum/count… FROM src [WHERE …]
+    * GROUP BY keys` — the engine's projection machinery reached from
+    * SQL text. The MV is a catalog parquet table of PARTIAL rows plus
+    * two registrations: `graft.sumfinal.<mv>` (so `FROM mv FINAL`
+    * sum-collapses — the [[plans.Dialect]] SummingMergeTree arm) and
+    * `graft.mv.<mv>` (so routed INSERTs into src append the batch's
+    * aggregated partials — [[streaming.ProjectionStream]] is the same
+    * loop for streaming sources, with the read-time merge done at
+    * write time instead).
+    *
+    * Scale shape: an INSERT costs one aggregate over ITS OWN batch
+    * (map-side combined, keyed by the MV keys) and an append — never a
+    * read-modify-write of the standing MV; the standing rows collapse
+    * at read time exactly like SummingMergeTree parts. POPULATE runs
+    * the same aggregate over the current source content (ClickHouse's
+    * own semantics: without it, pre-existing rows are NOT included).
+    *
+    * Refused, each with the divergence named: `TO <table>` (graft MVs
+    * own their storage), engines other than SummingMergeTree (agg
+    * states / insertion-order merges), avg/min/max outputs (not
+    * summable — store sum + count and divide at read), and bodies with
+    * joins/HAVING/ORDER/LIMIT (an insert-block trigger over one table
+    * is the reproducible contract).
+    */
+  private def createMatView(spark: SparkSession, ifNotExists: Boolean,
+      name: String, middle: String, body: String): DataFrame = {
+    import spark.implicits._
+    require(!middle.toUpperCase(java.util.Locale.ROOT).startsWith("TO ") &&
+      !middle.toUpperCase(java.util.Locale.ROOT).startsWith("TO\t"),
+      "CREATE MATERIALIZED VIEW … TO <table> writes into a foreign table — " +
+        "not supported; let the MV own its storage (drop the TO clause)")
+    val em = MvEngineRe.findFirstMatchIn(middle).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW needs ENGINE = SummingMergeTree() — " +
+          "graft MVs are insert-maintained partial-row tables"))
+    val engine = em.group(1)
+    require(engine.equalsIgnoreCase("summingmergetree"),
+      s"unsupported materialized-view engine: $engine — only " +
+        "SummingMergeTree routes (its partials are plain sums; " +
+        "AggregatingMergeTree carries opaque agg states and " +
+        "insertion-order engines are not reproducible). For min/max " +
+        "dashboards use plans.Projections.materialize, whose partial " +
+        "states are mergeable by construction")
+    require(Option(em.group(2)).forall(_.trim.isEmpty),
+      "SummingMergeTree(<cols>) on a materialized view is redundant — the " +
+        "MV's aggregate outputs ARE the summed columns; drop the argument list")
+    val populate = "(?is)\\bPOPULATE\\s*$".r.findFirstIn(middle).isDefined
+    val tail = middle.substring(em.end)
+      .replaceAll("(?is)\\bPOPULATE\\s*$", "")
+    val clauses = ddlClauses(tail)
+    val orderKeys = clauses.get("ORDER BY").map { txt =>
+      val inner = if (txt.startsWith("(") && txt.endsWith(")"))
+        txt.substring(1, txt.length - 1) else txt
+      splitTopLevelCommas(inner)
+    }.getOrElse(throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW needs ORDER BY <keys> — the collapse key " +
+        "FINAL sums under"))
+    // SELECT body: items / FROM <one table> / [WHERE] / GROUP BY
+    val ms = topLevelMatches(body, MvClauseRe)
+    def clauseAt(kw: String): Option[(Int, Int)] =
+      ms.zipWithIndex.collectFirst {
+        case (m, i) if m.group(1).toUpperCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ") == kw =>
+          (m.end, ms.lift(i + 1).map(_.start).getOrElse(body.length))
+      }
+    Seq("HAVING", "ORDER BY", "LIMIT", "JOIN", "UNION").foreach { kw =>
+      require(clauseAt(kw).isEmpty,
+        s"materialized-view bodies with $kw are not supported — the MV is " +
+          "an insert-block trigger over ONE table (aggregate the MV at " +
+          "read time instead)")
+    }
+    val fromSpan = clauseAt("FROM").getOrElse(throw new IllegalArgumentException(
+      "materialized-view body needs FROM <table>"))
+    val groupSpan = clauseAt("GROUP BY").getOrElse(
+      throw new IllegalArgumentException(
+        "materialized-view body needs GROUP BY <keys> — SummingMergeTree " +
+          "partials are per-key aggregates"))
+    val whereSpan = clauseAt("WHERE")
+    val selEnd = ms.head.start
+    val items = splitTopLevelCommas(
+      body.substring(0, selEnd).trim.replaceFirst("(?is)^SELECT\\s+", ""))
+    val src = body.substring(fromSpan._1, fromSpan._2).trim
+    require(src.matches("[\\w.]+"),
+      s"materialized-view source must be a single named table, got: $src")
+    val where = whereSpan.fold("")(s => body.substring(s._1, s._2).trim)
+    require(!where.contains("|") && items.forall(i => !i.contains("|") && !i.contains(";")),
+      "materialized-view definitions may not contain '|' or ';' " +
+        "(the session-conf encoding reserves them)")
+    val groupCols = {
+      val g = body.substring(groupSpan._1, groupSpan._2).trim
+      val inner = if (g.startsWith("(") && g.endsWith(")"))
+        g.substring(1, g.length - 1) else g
+      splitTopLevelCommas(inner)
+    }
+    val keyItems = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aggItems = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    items.foreach {
+      case MvAggItemRe(fn, arg, out) =>
+        fn.toLowerCase(java.util.Locale.ROOT) match {
+          case "sum" =>
+            require(arg.trim.nonEmpty, s"sum() needs an argument: $out")
+            aggItems += ((out, "sum", arg.trim))
+          case _ =>
+            if (arg.trim.isEmpty || arg.trim == "*") aggItems += ((out, "cnt", ""))
+            else aggItems += ((out, "cntc", arg.trim))
+        }
+      case MvKeyItemRe(colName, aliasOrNull) =>
+        val simpleCol = colName.split('.').last
+        require(aliasOrNull == null || aliasOrNull == simpleCol,
+          s"materialized-view key '$colName AS $aliasOrNull' must keep the " +
+            "source column's name (the MV key IS the column)")
+        keyItems += simpleCol
+      case other => throw new IllegalArgumentException(
+        s"unsupported materialized-view select item: $other — keys must be " +
+          "bare columns and aggregates sum(expr)/count([expr]) with AS " +
+          "<name> (avg/min/max are not summable: store sum + count and " +
+          "divide at read)")
+    }
+    require(aggItems.nonEmpty,
+      "materialized-view body needs at least one sum()/count() output")
+    val keySet = keyItems.toSet
+    require(groupCols.map(_.split('.').last).toSet == keySet,
+      s"GROUP BY (${groupCols.mkString(", ")}) must equal the selected key " +
+        s"columns (${keyItems.mkString(", ")})")
+    require(orderKeys.map(_.split('.').last).toSet == keySet,
+      s"ORDER BY (${orderKeys.mkString(", ")}) must equal the MV keys " +
+        s"(${keyItems.mkString(", ")}) — they are the collapse key")
+    val srcDf = scala.util.Try(spark.table(src)).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized-view source table '$src' is not resolvable in the " +
+          "session catalog"))
+    val d = MvDef(name, src, keyItems.toSeq, aggItems.toSeq, where)
+    val simpleName = name.split('.').last
+    val exists = spark.catalog.tableExists(name)
+    if (exists) require(ifNotExists,
+      s"table $name already exists — CREATE MATERIALIZED VIEW IF NOT " +
+        "EXISTS to re-register, or DROP TABLE it first")
+    else mvAggregate(srcDf.limit(0), d).write.saveAsTable(name)
+    // registrations only after the catalog table exists (the
+    // create-before-register discipline, same as createTable)
+    plans.Dialect.registerSumFinal(spark, simpleName, d.keys, d.aggs.map(_._1))
+    spark.conf.set(s"graft.mv.$simpleName", encodeMv(d))
+    if (populate && !exists)
+      mvAggregate(srcDf, d).write.mode("append").insertInto(name)
+    Seq(("CREATE MATERIALIZED VIEW", name, src, d.keys.mkString(","),
+      populate, true))
+      .toDF("command", "view", "source", "keys", "populated", "ok")
+  }
+
+  /** INSERT INTO a source table with registered materialized views:
+    * the batch is computed as ONE DataFrame, appended to the table,
+    * then each MV receives the batch's aggregated partials —
+    * ClickHouse's insert-block trigger, with the same caveat
+    * ClickHouse has: the SELECT must be deterministic (it is evaluated
+    * once per sink; a rand() in the batch would diverge table vs MV).
+    */
+  private def insertWithMvs(spark: SparkSession, table: String,
+      rest: String): DataFrame = {
+    val mvs = mvsOn(spark, table)
+    val up = rest.toUpperCase(java.util.Locale.ROOT)
+    val batch0 =
+      if (up.startsWith("SELECT") || up.startsWith("WITH"))
+        spark.sql(plans.Dialect.translate(spark, rest))
+      else if (up.startsWith("VALUES")) spark.sql(s"SELECT * FROM $rest")
+      else throw new IllegalArgumentException(
+        s"INSERT INTO $table feeds materialized view(s) " +
+          s"${mvs.map(_.mv).mkString(", ")} — only the full-column " +
+          "INSERT … SELECT/VALUES forms are supported while one is " +
+          "registered (a partial column list would skew the partials)")
+    val target = spark.table(table).schema
+    require(batch0.columns.length == target.fields.length,
+      s"INSERT INTO $table: ${batch0.columns.length} columns for a " +
+        s"${target.fields.length}-column table — materialized-view " +
+        "maintenance needs the full-column positional form")
+    val batch = batch0.toDF(target.fieldNames.toSeq: _*)
+      .select(target.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+    batch.write.mode("append").insertInto(table)
+    mvs.foreach { d =>
+      mvAggregate(batch, d).write.mode("append").insertInto(d.mv)
+    }
+    okRow(spark, s"INSERT (+${mvs.length} MV)", table)
   }
 
   private def report(spark: SparkSession, cmd: String, table: String,

@@ -35,14 +35,16 @@ object SystemCatalog {
     */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // both sides key by SIMPLE name — the convention every other
+    // graft.* registry uses — so a snapshotted catalog table surfaces
+    // as ONE joined row whether its snapshot was registered under
+    // `db.t` (BACKUP DATABASE's spelling) or `t`
     val cat = spark.catalog.listTables().collect().map { t =>
-      val qualified = Option(t.database).filter(_.nonEmpty)
-        .fold(t.name)(d => s"$d.${t.name}")
-      qualified -> t.isTemporary
+      t.name -> t.isTemporary
     }.toMap
     val snaps = spark.conf.getAll.collect {
       case (k, v) if k.startsWith("graft.snapshot.") =>
-        k.stripPrefix("graft.snapshot.") -> v
+        k.stripPrefix("graft.snapshot.").split('.').last -> v
     }
     val names = (cat.keySet ++ snaps.keySet).toSeq.sorted
     names.map { name =>

@@ -100,7 +100,8 @@ class DialectSpec extends SparkSpec {
       intercept[Dialect.DialectException](t(sql)).getMessage
     assert(err("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k AND t1.ts >= t2.ts")
       .contains("ASOF"))
-    assert(err("SELECT a FROM t1 ANY LEFT JOIN t2 ON t1.k = t2.k").contains("ANY JOIN"))
+    assert(err("SELECT a FROM t1 ANY RIGHT JOIN t2 ON t1.k = t2.k")
+      .contains("ANY RIGHT"))
     assert(err("SELECT a FROM orders_chv SAMPLE 1000").contains("SAMPLE"))
     assert(err("SELECT a FROM unregistered FINAL").contains("no key/version registered"))
     assert(err("SELECT a FROM unregistered2 SAMPLE 0.5").contains("no sample key"))
@@ -362,6 +363,11 @@ class DialectSpec extends SparkSpec {
     // compare would read as '1000…' and keep only ~6% of rows
     assert(t("SELECT count() FROM orders_chv SAMPLE 0.999999") ==
       "SELECT count(*) FROM orders_chv")
+    // integer SAMPLE 1 is ClickHouse's COEFFICIENT form (k ∈ [0, 1] is
+    // a fraction; only k > 1 is a row target): keep everything, never
+    // a silent 1-row answer
+    assert(t("SELECT count() FROM orders_chv SAMPLE 1") ==
+      "SELECT count(*) FROM orders_chv")
     def err(sql: String): String =
       intercept[Dialect.DialectException](t(sql)).getMessage
     assert(err("SELECT a FROM orders_chv SAMPLE 1/10").contains("ratio"))
@@ -405,6 +411,130 @@ class DialectSpec extends SparkSpec {
     assert(!spark.sql(out.replaceAll("ORDER BY id, x$", ""))
       .queryExecution.executedPlan.toString.contains("Exchange"),
       "multi-array ARRAY JOIN must not shuffle")
+  }
+
+  test("multi-array and bare ARRAY JOIN keep internal columns out of SELECT *") {
+    import spark.implicits._
+    Seq((1L, Seq(1, 2), Seq("a", "b"))).toDF("id", "xs", "ys")
+      .createOrReplaceTempView("ajw_dsp")
+    // the r12 leak: __graft_pos/__graft_arrN must NOT surface — the
+    // schema-projected wrap exposes exactly source columns + aliases
+    val multi = spark.sql(Dialect.translate(spark,
+      "SELECT * FROM ajw_dsp ARRAY JOIN xs AS x, ys AS y"))
+    assert(multi.columns.toSeq == Seq("id", "xs", "ys", "x", "y"),
+      s"SELECT * leaked internals: ${multi.columns.mkString(",")}")
+    // bare form: the array column itself is REPLACED by its elements
+    val bare = spark.sql(Dialect.translate(spark,
+      "SELECT * FROM ajw_dsp ARRAY JOIN xs"))
+    assert(bare.columns.toSeq == Seq("id", "xs", "ys"))
+    assert(bare.select("xs").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("bare ARRAY JOIN shadows the source column, including inside expressions") {
+    import spark.implicits._
+    Seq((1L, Seq(1, 2, 3)), (2L, Seq(10, 20))).toDF("id", "xs")
+      .createOrReplaceTempView("ajb_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT id, xs, xs * 2 AS dbl FROM ajb_dsp ARRAY JOIN xs ORDER BY id, xs")
+    assert(spark.sql(out).collect().toSeq.map(_.toString) ==
+      Seq("[1,1,2]", "[1,2,4]", "[1,3,6]", "[2,10,20]", "[2,20,40]"))
+    // WHERE and GROUP BY see the element too (ClickHouse's shadowing)
+    val agg = Dialect.translate(spark,
+      "SELECT id, count() AS n FROM ajb_dsp ARRAY JOIN xs WHERE xs > 1 " +
+        "GROUP BY id ORDER BY id")
+    assert(spark.sql(agg).collect().toSeq.map(_.toString) == Seq("[1,2]", "[2,2]"))
+    // over a non-catalog FROM item the shadowing projection is
+    // unresolvable → named refusal, never a silently different answer
+    val err = intercept[Dialect.DialectException](Dialect.translate(spark,
+      "SELECT xs FROM (SELECT xs FROM ajb_dsp) q ARRAY JOIN xs")).getMessage
+    assert(err.contains("catalog-resolvable"))
+    // a bare derived expression cannot shadow anything → named refusal
+    val err2 = intercept[Dialect.DialectException](Dialect.translate(spark,
+      "SELECT id FROM ajb_dsp ARRAY JOIN arrayMap(x -> x + 1, xs)")).getMessage
+    assert(err2.contains("AS"))
+  }
+
+  test("ANY JOIN pre-collapses the right side to one deterministic row per key") {
+    assert(t("SELECT a FROM t1 ANY LEFT JOIN t2 AS r ON t1.k = r.k") ==
+      "SELECT a FROM t1 LEFT JOIN (SELECT __graft_row.* FROM (SELECT " +
+        "max(struct(*)) AS __graft_row FROM t2 GROUP BY k)) r ON t1.k = r.k")
+    // bare ANY JOIN = ANY INNER; multi-key conditions group by all keys
+    assert(t("SELECT a FROM t1 ANY JOIN t2 ON t1.k = t2.k AND t1.j = t2.j")
+      .contains("GROUP BY k, j"))
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](t(sql)).getMessage
+    assert(err("SELECT a FROM t1 ANY LEFT JOIN t2 ON t1.k > t2.k")
+      .contains("equi-key"))
+  }
+
+  test("ANY LEFT JOIN executes as one right-side aggregate + one join") {
+    import spark.implicits._
+    Seq((1L, 10L, "x"), (1L, 11L, "y"), (2L, 20L, "z"))
+      .toDF("k", "eid", "tag").createOrReplaceTempView("anyr_dsp")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "nm")
+      .createOrReplaceTempView("anyl_dsp")
+    val df = spark.sql(Dialect.translate(spark,
+      "SELECT l.k, l.nm, r.eid, r.tag FROM anyl_dsp AS l ANY LEFT JOIN " +
+        "anyr_dsp AS r ON l.k = r.k ORDER BY l.k"))
+    // the deterministic pick: greatest right row in whole-struct order
+    assert(df.collect().toSeq.map(_.toString) ==
+      Seq("[1,a,11,y]", "[2,b,20,z]", "[3,c,null,null]"))
+    val plan = df.queryExecution.executedPlan.toString
+    // one join (broadcast at this size), NEVER a nested-loop product,
+    // and the right side collapsed by an aggregate before it
+    assert("(?i)join".r.findAllIn(plan).size >= 1 &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join strategy:\n$plan")
+    assert(plan.contains("Aggregate"), "right side must pre-collapse")
+  }
+
+  test("sumArray resolves the element type from the catalog; avgArray is DOUBLE") {
+    val sreg = Dialect.Registry(schemaOf = n => if (n == "arr_t")
+      Some(Seq(("g", "BIGINT"), ("ia", "ARRAY<INT>"),
+        ("fa", "ARRAY<FLOAT>"))) else None)
+    // integral elements sum INTEGRAL (BIGINT, ClickHouse's own widening)
+    assert(Dialect.translate("SELECT g, sumArray(ia) FROM arr_t GROUP BY g", sreg)
+      .contains("CAST(0 AS BIGINT)"))
+    assert(Dialect.translate("SELECT sumArray(fa) FROM arr_t", sreg)
+      .contains("CAST(0 AS DOUBLE)"))
+    assert(Dialect.translate("SELECT avgArray(fa) FROM arr_t", sreg)
+      .contains("/ sum(size(fa))"))
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](Dialect.translate(sql, sreg)).getMessage
+    assert(err("SELECT sumArray(g) FROM arr_t").contains("not an array"))
+    assert(err("SELECT sumArray(nope) FROM arr_t").contains("no such column"))
+    assert(err("SELECT sumArray(ia) FROM (SELECT ia FROM arr_t) q")
+      .contains("FROM table resolvable"))
+    // executed: integral stays integral end-to-end
+    import spark.implicits._
+    Seq((1L, Seq(1, 2), Seq(0.5f)), (1L, Seq(3), Seq(1.5f)))
+      .toDF("g", "ia", "fa").createOrReplaceTempView("sumarr_dsp")
+    val row = spark.sql(Dialect.translate(spark,
+      "SELECT g, sumArray(ia) AS si, avgArray(fa) AS af FROM sumarr_dsp " +
+        "GROUP BY g")).collect()(0)
+    assert(row.getLong(1) == 6L && math.abs(row.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("groupArray(n) and topK(k) parametrics translate deterministically") {
+    assert(t("SELECT k, groupArray(2)(v) FROM t GROUP BY k") ==
+      "SELECT k, slice(sort_array(collect_list(v)), 1, CAST(2 AS INT)) " +
+        "FROM t GROUP BY k")
+    assert(t("SELECT topK(3)(v) FROM t").contains("zip_with"))
+    // non-parametric groupArray stays the plain collect_list rename
+    assert(t("SELECT groupArray(v), countIf(x) FROM t")
+      .startsWith("SELECT collect_list(v)"))
+    import spark.implicits._
+    Seq(("a", 3), ("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+      .createOrReplaceTempView("topk_dsp")
+    val out = Dialect.translate(spark,
+      "SELECT g, groupArray(2)(v) AS ga, topK(2)(v) AS tk FROM topk_dsp " +
+        "GROUP BY g ORDER BY g")
+    // groupArray(2): two smallest in value order (documented
+    // divergence from insertion order); topK(2): exact frequencies
+    // 1→2, 2→1, 3→1 — ties by value ascending
+    assert(spark.sql(out).collect().toSeq.map(_.toString) ==
+      Seq("[a,ArraySeq(1, 1),ArraySeq(1, 2)]", "[b,ArraySeq(9),ArraySeq(9)]"))
   }
 
   test("dictGet resolves the registered dictionary; declared DEFAULT on miss") {
@@ -478,7 +608,7 @@ class DialectSpec extends SparkSpec {
       Seq("[ArraySeq(1, 2, 3, 4),3,2,3]", "[ArraySeq(),0,0,0]"))
   }
 
-  test("-Array combinators with exact mappings; sumArray stays unmapped") {
+  test("-Array combinators with exact mappings") {
     import spark.implicits._
     assert(t("SELECT maxArray(a), minArray(a), countArray(a) FROM t") ==
       "SELECT max(array_max(a)), min(array_min(a)), sum(size(a)) FROM t")
@@ -488,9 +618,13 @@ class DialectSpec extends SparkSpec {
       "SELECT g, maxArray(a) AS mx, minArray(a) AS mn, countArray(a) AS n " +
         "FROM arrc_dsp GROUP BY g")
     assert(spark.sql(out).collect()(0).toString == "[1,7,1,4]")
-    // sumArray's result type follows the element type — unmapped, so
-    // Spark's own undefined-function error surfaces loudly
-    assert(t("SELECT sumArray(a) FROM t") eq "SELECT sumArray(a) FROM t")
+    // sumArray — whose result type follows the element type — resolves
+    // the element type from the catalog at clause level: with no
+    // schema in scope it refuses with the contract named (the
+    // dedicated sumArray arm covers the mapped forms)
+    val err = intercept[Dialect.DialectException](
+      t("SELECT sumArray(a) FROM t")).getMessage
+    assert(err.contains("ELEMENT"))
   }
 
   test("scalar WITH bindings substitute; standard CTEs pass through byte-identical") {

@@ -413,4 +413,156 @@ class GraftSqlSpec extends SparkSpec {
     Graft.sql(spark, "DROP DICTIONARY IF EXISTS ux_dict") // absent + IF EXISTS: ok
     intercept[IllegalArgumentException](Graft.sql(spark, "DROP DICTIONARY ux_dict"))
   }
+
+  test("routed CREATE MATERIALIZED VIEW: MV-served ≡ direct, partials actually read") {
+    import spark.implicits._
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS mvdb CASCADE")
+      spark.sql(s"CREATE DATABASE mvdb LOCATION '$root/mvdb.db'")
+      Graft.sql(spark, "CREATE TABLE mvdb.src (k Int64, tag String, " +
+        "v Float64) ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "INSERT INTO mvdb.src VALUES " +
+        "(1, 'a', 1.5), (1, 'a', 2.5), (2, 'b', 4.0)")
+      Graft.sql(spark,
+        """CREATE MATERIALIZED VIEW mvdb.mv ENGINE = SummingMergeTree()
+          |ORDER BY (k, tag) POPULATE AS
+          |SELECT k, tag, sum(v) AS sv, count() AS n
+          |FROM mvdb.src GROUP BY k, tag""".stripMargin)
+      // a further INSERT maintains the MV (insert-block trigger):
+      // appended partials, no read-modify-write of the standing rows
+      Graft.sql(spark, "INSERT INTO mvdb.src VALUES (1, 'a', 10.0), (3, 'c', 7.0)")
+      val served = Graft.sql(spark,
+        "SELECT k, tag, sv, n FROM mvdb.mv FINAL ORDER BY k, tag")
+      val direct = spark.sql("SELECT k, tag, sum(v) AS sv, count(*) AS n " +
+        "FROM mvdb.src GROUP BY k, tag ORDER BY k, tag")
+      assert(served.collect().toSeq.map(_.toString) ==
+        direct.collect().toSeq.map(_.toString),
+        "MV-served answer must equal the direct aggregate over raw rows")
+      // the partials are ACTUALLY read: the served plan scans mv, not src
+      val plan = served.queryExecution.optimizedPlan.toString
+      assert(plan.contains("mvdb.db/mv") || plan.contains("spark_catalog.mvdb.mv"),
+        s"served plan must read the MV partials:\n$plan")
+      assert(!plan.contains("mvdb.db/src") && !plan.contains("spark_catalog.mvdb.src"),
+        s"served plan must NOT read the source rows:\n$plan")
+      // the MV holds >1 partial row for the twice-inserted key (the
+      // SummingMergeTree parts contract: equal keys coexist until FINAL)
+      assert(spark.table("mvdb.mv").filter("k = 1 AND tag = 'a'").count() == 2)
+      // DROP TABLE unregisters the maintenance: a later INSERT into the
+      // source must not try to append into the dropped MV
+      Graft.sql(spark, "DROP TABLE mvdb.mv")
+      assert(spark.conf.getOption("graft.mv.mv").isEmpty)
+      Graft.sql(spark, "INSERT INTO mvdb.src VALUES (9, 'z', 0.5)")
+      assert(spark.table("mvdb.src").filter("k = 9").count() == 1)
+      spark.sql("DROP DATABASE mvdb CASCADE")
+    }
+  }
+
+  test("CREATE MATERIALIZED VIEW refusals are actionable") {
+    import spark.implicits._
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("mvsrc_graftsql")
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage
+    assert(err("CREATE MATERIALIZED VIEW mv_bad1 ENGINE = AggregatingMergeTree() " +
+      "ORDER BY k AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql GROUP BY k")
+      .contains("SummingMergeTree"))
+    assert(err("CREATE MATERIALIZED VIEW mv_bad2 TO other_table AS " +
+      "SELECT k, sum(v) AS sv FROM mvsrc_graftsql GROUP BY k")
+      .contains("TO"))
+    assert(err("CREATE MATERIALIZED VIEW mv_bad3 ENGINE = SummingMergeTree() " +
+      "ORDER BY k AS SELECT k, avg(v) AS av FROM mvsrc_graftsql GROUP BY k")
+      .contains("not summable") || err("CREATE MATERIALIZED VIEW mv_bad3 " +
+      "ENGINE = SummingMergeTree() ORDER BY k AS SELECT k, avg(v) AS av " +
+      "FROM mvsrc_graftsql GROUP BY k").contains("avg"))
+    assert(err("CREATE MATERIALIZED VIEW mv_bad4 ENGINE = SummingMergeTree() " +
+      "ORDER BY k AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql " +
+      "JOIN t2 ON mvsrc_graftsql.k = t2.k GROUP BY k").contains("JOIN"))
+    assert(err("CREATE MATERIALIZED VIEW mv_bad5 ENGINE = SummingMergeTree() " +
+      "ORDER BY wrongkey AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql " +
+      "GROUP BY k").contains("ORDER BY"))
+  }
+
+  test("TTL clauses refuse — expired rows must never silently survive") {
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage
+    // table-level TTL (r12 ADVICE: was parsed into ddlClauses and
+    // silently dropped — a TTL'd table would return expired rows)
+    assert(err("CREATE TABLE ttl_bad1 (k Int64, ts DateTime) " +
+      "ENGINE = MergeTree ORDER BY k TTL ts + INTERVAL 1 DAY")
+      .contains("TTL"))
+    // column-level TTL likewise
+    assert(err("CREATE TABLE ttl_bad2 (k Int64, " +
+      "v Float64 TTL k + INTERVAL 1 DAY) ENGINE = MergeTree ORDER BY k")
+      .contains("TTL"))
+    // neither statement left a table or registration behind
+    assert(!spark.catalog.tableExists("ttl_bad1") &&
+      !spark.catalog.tableExists("ttl_bad2"))
+    assert(spark.conf.getOption("graft.orderby.ttl_bad1").isEmpty)
+  }
+
+  test("a failing CREATE TABLE leaves no stale registrations") {
+    import spark.implicits._
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS regdb CASCADE")
+      spark.sql(s"CREATE DATABASE regdb LOCATION '$root/regdb.db'")
+      Graft.sql(spark, "CREATE TABLE regdb.t_reg (k Int64, v Int64) " +
+        "ENGINE = ReplacingMergeTree(v) ORDER BY k")
+      // second CREATE without IF NOT EXISTS fails at the Spark DDL —
+      // and must not have overwritten the existing registration with
+      // different metadata (r12 ADVICE: registrations ran pre-CREATE)
+      intercept[Exception](Graft.sql(spark,
+        "CREATE TABLE regdb.t_reg (k2 Int64, v2 Int64) " +
+          "ENGINE = ReplacingMergeTree(v2) ORDER BY k2 SAMPLE BY k2"))
+      assert(spark.conf.get("graft.final.t_reg") == "k|v",
+        "a failed CREATE must not clobber the live registration")
+      assert(spark.conf.getOption("graft.sample.t_reg").isEmpty,
+        "a failed CREATE must not register a sample key")
+      spark.sql("DROP DATABASE regdb CASCADE")
+    }
+  }
+
+  test("RENAME TABLE re-homes dictionary SOURCES that name the renamed table") {
+    import spark.implicits._
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS rndb CASCADE")
+      spark.sql(s"CREATE DATABASE rndb LOCATION '$root/rndb.db'")
+      Graft.sql(spark, "CREATE TABLE rndb.dim_src (k Int64, nm String) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "INSERT INTO rndb.dim_src VALUES (1, 'one'), (2, 'two')")
+      Graft.sql(spark, "CREATE DICTIONARY rn_dict (k Int64, " +
+        "nm String DEFAULT 'NONE') PRIMARY KEY k " +
+        "SOURCE(CLICKHOUSE(TABLE 'rndb.dim_src')) LAYOUT(FLAT())")
+      Graft.sql(spark, "RENAME TABLE rndb.dim_src TO rndb.dim_moved")
+      // the dictionary's encoded source followed the rename (r12
+      // ADVICE: it kept the old name — erroring, or silently reading a
+      // DIFFERENT relation if that name is reused)
+      assert(spark.conf.get("graft.dict.rn_dict").startsWith("rndb.dim_moved|"))
+      Seq((1L, 0)).toDF("k", "z").createOrReplaceTempView("rn_probe_graftsql")
+      val got = Graft.sql(spark,
+        "SELECT dictGet('rn_dict', 'nm', k) AS nm FROM rn_probe_graftsql")
+        .collect()(0).getString(0)
+      assert(got == "one")
+      Graft.sql(spark, "DROP DICTIONARY rn_dict")
+      spark.sql("DROP DATABASE rndb CASCADE")
+    }
+  }
+
+  test("system.tables joins a db-qualified snapshot onto its catalog row (one row)") {
+    import spark.implicits._
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS sysdb CASCADE")
+      spark.sql(s"CREATE DATABASE sysdb LOCATION '$root/sysdb.db'")
+      events().limit(100).write.saveAsTable("sysdb.ev_syscat")
+      // BACKUP DATABASE registers under `db.t`; the catalog lists the
+      // simple name — r12 ADVICE: the mismatch split ONE table into
+      // two rows (one with no snapshot, one not marked catalog)
+      Graft.sql(spark, s"BACKUP TABLE sysdb.ev_syscat TO '$root/snap'")
+      val rows = operators.SystemCatalog.tables(spark)
+        .filter($"name" === "ev_syscat").collect()
+      assert(rows.length == 1, s"expected ONE joined row, got ${rows.length}")
+      assert(rows(0).getAs[String]("snapshot_dest") == s"$root/snap")
+      assert(rows(0).getAs[Long]("total_rows") == 100L)
+      spark.conf.unset("graft.snapshot.sysdb.ev_syscat")
+      spark.sql("DROP DATABASE sysdb CASCADE")
+    }
+  }
 }

@@ -106,8 +106,8 @@ object GraftSql {
       case RenameTableRe(from, to) =>
         spark.sql(s"ALTER TABLE $from RENAME TO $to")
         val (fromSimple, toSimple) = (from.split('.').last, to.split('.').last)
-        Seq("final", "sample", "sumfinal", "orderby", "partition", "snapshot",
-          "mv").foreach { kind =>
+        Seq("final", "sample", "sumfinal", "aggfinal", "orderby",
+          "partition", "snapshot", "mv").foreach { kind =>
             val (f, t) = (s"graft.$kind.$fromSimple", s"graft.$kind.$toSimple")
             spark.conf.getOption(f).foreach { v =>
               spark.conf.set(t, v); spark.conf.unset(f)
@@ -591,6 +591,13 @@ object GraftSql {
           case "decimal32" => s"DECIMAL(9, $args)"
           case "decimal64" => s"DECIMAL(18, $args)"
           case "decimal128" => s"DECIMAL(38, $args)"
+          case "aggregatefunction" => throw new IllegalArgumentException(
+            s"AggregateFunction columns carry an OPAQUE partial-state blob " +
+              s"(ClickHouse's internal serialization) with no portable " +
+              s"equivalent: $t0 — declare " +
+              "SimpleAggregateFunction(sum|min|max, T) columns instead " +
+              "(their value IS the state), or use the engine's explicit " +
+              "merge operators (q_merge_partials / the HLL/KLL sketch rows)")
           case _ => throw new IllegalArgumentException(
             s"unsupported ClickHouse column type: $t0")
         }
@@ -602,14 +609,22 @@ object GraftSql {
   private val ColAttrRe =
     """(?is)\b(DEFAULT|MATERIALIZED|ALIAS|EPHEMERAL|CODEC|COMMENT|TTL)\b""".r
 
+  private val SafTypeRe =
+    """(?is)^SimpleAggregateFunction\s*\(\s*(\w+)\s*,\s*(.+)\)$""".r
+
   /** One column entry `name Type [DEFAULT lit] [CODEC(…)] [COMMENT …]`
-    * → (name, sparkType, default literal). MATERIALIZED/ALIAS columns
-    * are computed-on-read server magic — refused, not dropped. INDEX /
-    * PROJECTION / CONSTRAINT entries are physical-layout metadata with
-    * no bearing on answers and are skipped (graft's skip/z-order
-    * indexes and projections are their own registered machinery).
+    * → (name, sparkType, default literal, SimpleAggregateFunction
+    * collapse fn when the type declares one). MATERIALIZED/ALIAS
+    * columns are computed-on-read server magic — refused, not dropped.
+    * INDEX / PROJECTION / CONSTRAINT entries are physical-layout
+    * metadata with no bearing on answers and are skipped (graft's
+    * skip/z-order indexes and projections are their own registered
+    * machinery). `SimpleAggregateFunction(fn, T)` erases to T for the
+    * table schema — unlike AggregateFunction, the column's VALUE is
+    * the state — with fn carried out for the AggregatingMergeTree
+    * registration.
     */
-  private def parseColDefs(block: String): Seq[(String, String, Option[String])] =
+  private def parseColDefs(block: String): Seq[(String, String, Option[String], Option[String])] =
     splitTopLevelCommas(block).flatMap { entry =>
       val e = entry.trim
       val headWord = e.split("\\s+", 2)(0).toUpperCase(java.util.Locale.ROOT)
@@ -641,7 +656,12 @@ object GraftSql {
             .headOption.map(_.start).getOrElse(after.length)
           after.substring(0, stop).trim
         }
-        Some((name, chType(typeTxt), dflt))
+        typeTxt match {
+          case SafTypeRe(fn, inner) =>
+            Some((name, chType(inner), dflt,
+              Some(fn.toLowerCase(java.util.Locale.ROOT))))
+          case _ => Some((name, chType(typeTxt), dflt, None))
+        }
       }
     }
 
@@ -723,12 +743,41 @@ object GraftSql {
         require(summed.forall(c => !orderKeys.contains(c)),
           "SummingMergeTree summed columns cannot include the ORDER BY keys")
         () => plans.Dialect.registerSumFinal(spark, simpleName, orderKeys, summed)
+      case "aggregatingmergetree" =>
+        // the REGISTRABLE subset: every non-key column must declare its
+        // own SimpleAggregateFunction collapse — its value IS the
+        // state, so FINAL applies the function per key (full
+        // AggregateFunction blobs already refuse in chType)
+        require(orderKeys.nonEmpty,
+          "AggregatingMergeTree needs ORDER BY keys — they are the collapse " +
+            "key FINAL aggregates under")
+        val keySet = orderKeys.toSet
+        require(cols.filter(c => keySet.contains(c._1)).forall(_._4.isEmpty),
+          "AggregatingMergeTree ORDER BY keys cannot be " +
+            "SimpleAggregateFunction columns")
+        val nonKey = cols.filterNot(c => keySet.contains(c._1))
+        val plain = nonKey.filter(_._4.isEmpty).map(_._1)
+        require(plain.isEmpty,
+          s"AggregatingMergeTree column(s) ${plain.mkString(", ")} declare no " +
+            "SimpleAggregateFunction — ClickHouse keeps an ARBITRARY merged " +
+            "value there, not reproducible on a distributed engine; declare " +
+            "SimpleAggregateFunction(sum|min|max, T) or use the explicit " +
+            "collapse operators (q_collapse_*)")
+        val colFns = nonKey.map(c => (c._1, c._4.get))
+        val badFn = colFns.filterNot(f => Seq("sum", "min", "max").contains(f._2))
+        require(badFn.isEmpty,
+          s"unsupported SimpleAggregateFunction(s) " +
+            s"${badFn.map { case (c, f) => s"$f($c)" }.mkString(", ")} — " +
+            "sum/min/max are the order-insensitive functions whose value IS " +
+            "the mergeable state; any/anyLast depend on insertion order")
+        () => plans.Dialect.registerAggFinal(spark, simpleName, orderKeys, colFns)
       case _ => throw new IllegalArgumentException(
         s"unsupported table engine: $engine — MergeTree, " +
-          "ReplacingMergeTree(ver), SummingMergeTree([cols]) and the plain " +
-          "engines (Memory/Log) route; Aggregating/CollapsingMergeTree " +
-          "read-time merges depend on agg-state types or insertion order — " +
-          "not reproducible as registrable metadata; use the engine's " +
+          "ReplacingMergeTree(ver), SummingMergeTree([cols]), " +
+          "AggregatingMergeTree with SimpleAggregateFunction columns, and " +
+          "the plain engines (Memory/Log) route; CollapsingMergeTree " +
+          "read-time merges depend on sign-row insertion order — not " +
+          "reproducible as registrable metadata; use the engine's " +
           "explicit collapse operators (q_collapse_*)")
     }
     val sampleKey = clauses.get("SAMPLE BY").map { expr0 =>
@@ -739,7 +788,7 @@ object GraftSql {
           s"SAMPLE BY must be a column or hash(column), got: $other")
       }
     }
-    val colDdl = cols.map { case (n, t, d) =>
+    val colDdl = cols.map { case (n, t, d, _) =>
       s"$n $t" + d.fold("")(x => s" DEFAULT $x")
     }.mkString(", ")
     val ifne = if (ifNotExists) "IF NOT EXISTS " else ""
@@ -779,7 +828,10 @@ object GraftSql {
           "the dictionary reads"))
     require(scala.util.Try(spark.table(src)).isSuccess,
       s"dictionary source table '$src' is not resolvable in the session catalog")
-    val defaults = cols.collect { case (n, _, Some(d)) => n -> d }.toMap
+    require(cols.forall(_._4.isEmpty),
+      "SimpleAggregateFunction columns have no meaning in a dictionary — " +
+        "declare plain attribute types")
+    val defaults = cols.collect { case (n, _, Some(d), _) => n -> d }.toMap
     plans.Dialect.registerDictionary(spark, name.split('.').last, src, key, defaults)
     Seq(("CREATE DICTIONARY", name, src, key, true))
       .toDF("command", "dictionary", "source", "key", "ok")

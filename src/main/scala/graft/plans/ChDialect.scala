@@ -857,5 +857,54 @@ object ChDialect extends QueryModule {
              |  FROM events GROUP BY 1, 2)
              |SELECT event_type,
              |  list_slice(list(v ORDER BY n DESC, v), 1, 3) AS top_mods
-             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // AggregatingMergeTree's REGISTRABLE subset (r12 verdict missing
+    // item 6): SimpleAggregateFunction(sum|min|max, T) columns — whose
+    // VALUE is the state, unlike opaque AggregateFunction blobs — make
+    // the engine's read-time merge registrable metadata after all.
+    // Two pre-aggregated INSERT batches play the role of two parts;
+    // FINAL applies each column's own function per key (one hash
+    // aggregate, map-side partial — the summing physics). The oracle
+    // recomputes from the raw rows of both batches.
+    "q_ch_aggregating_final" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_agg_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_agg_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_agg_ddl (
+            |  user_id Int64,
+            |  event_type String,
+            |  v_sum SimpleAggregateFunction(sum, Float64),
+            |  v_min SimpleAggregateFunction(min, Float64),
+            |  v_max SimpleAggregateFunction(max, Float64),
+            |  n SimpleAggregateFunction(sum, Int64)
+            |) ENGINE = AggregatingMergeTree()
+            |ORDER BY (user_id, event_type)""".stripMargin)
+        Seq(0, 1).foreach { parity =>
+          graft.Graft.sql(s,
+            "INSERT INTO graft_ddl.events_agg_ddl SELECT user_id, " +
+              "event_type, sum(value), min(value), max(value), count() " +
+              s"FROM events_ch_chv WHERE user_id % 10 = 4 AND " +
+              s"event_id % 2 = $parity GROUP BY user_id, event_type")
+        }
+        ch(s, """SELECT user_id, event_type,
+                |  round(v_sum, 4) AS v_sum, round(v_min, 4) AS v_min,
+                |  round(v_max, 4) AS v_max, n
+                |FROM graft_ddl.events_agg_ddl FINAL
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type,
+             |  round(sum(value), 4) AS v_sum,
+             |  round(min(value), 4) AS v_min,
+             |  round(max(value), 4) AS v_max,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id % 10 = 4
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)))
 }

@@ -136,6 +136,10 @@ object Dialect {
       // columns (empty = every numeric non-key column, ClickHouse's own
       // default)
       sumFinals: Map[String, (Seq[String], Seq[String])] = Map.empty,
+      // AggregatingMergeTree's REGISTRABLE subset: key columns plus a
+      // (column → sum|min|max) collapse map — exactly what
+      // SimpleAggregateFunction(fn, T) columns declare in the DDL
+      aggFinals: Map[String, (Seq[String], Seq[(String, String)])] = Map.empty,
       schemaOf: String => Option[Seq[(String, String)]] = _ => None)
 
   private def fail(msg: String): Nothing = throw new DialectException(msg)
@@ -160,6 +164,18 @@ object Dialect {
       keys: Seq[String], summed: Seq[String] = Nil): Unit =
     spark.conf.set(s"graft.sumfinal.$table",
       keys.mkString(",") + "|" + summed.mkString(","))
+
+  /** AggregatingMergeTree's registrable subset — per-column
+    * SimpleAggregateFunction collapse (sum/min/max). `FINAL` on such a
+    * table applies each column's own function per key: one hash
+    * aggregate, map-side partial, same physics as the summing shape.
+    * Encoding: `keys|col:fn,col:fn`.
+    */
+  def registerAggFinal(spark: org.apache.spark.sql.SparkSession, table: String,
+      keys: Seq[String], colFns: Seq[(String, String)]): Unit =
+    spark.conf.set(s"graft.aggfinal.$table",
+      keys.mkString(",") + "|" +
+        colFns.map { case (c, f) => s"$c:$f" }.mkString(","))
 
   /** Dictionary registration — `CREATE DICTIONARY` routes here
     * ([[graft.GraftSql]]); defaults are SQL literals keyed by
@@ -189,6 +205,17 @@ object Dialect {
           (parts(0).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
             parts.lift(1).fold(Seq.empty[String])(
               _.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
+      },
+      aggFinals = all.collect { case (k, v) if k.startsWith("graft.aggfinal.") =>
+        val parts = v.split("\\|", 2)
+        k.stripPrefix("graft.aggfinal.") ->
+          (parts(0).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+            parts.lift(1).fold(Seq.empty[(String, String)])(
+              _.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { cf =>
+                val co = cf.indexOf(':')
+                require(co > 0, s"malformed $k entry: $cf")
+                (cf.substring(0, co), cf.substring(co + 1))
+              }))
       },
       dicts = all.collect { case (k, v) if k.startsWith("graft.dict.") =>
         val parts = v.split("\\|", 3)
@@ -1299,9 +1326,35 @@ object Dialect {
                 .mkString(" AND ")
               s"(SELECT $sel FROM $refTxt GROUP BY ${keys.mkString(", ")} " +
                 s"HAVING NOT ($allZero))$aliasTxt"
-            case None =>
-              fail(s"FINAL on '$tname' but no key/version registered — call " +
-                s"Dialect.registerFinal or SET graft.final.$tname = 'keys|version'")
+            case None => reg.aggFinals.get(tname) match {
+              // AggregatingMergeTree's registrable subset: each
+              // SimpleAggregateFunction column collapses under its OWN
+              // function per key — one hash aggregate, map-side
+              // partial, the summing physics; no all-zero row deletion
+              // (that is SummingMergeTree-specific)
+              case Some((keys, colFns)) =>
+                val schema = reg.schemaOf(refTxt).getOrElse(
+                  fail(s"FINAL on AggregatingMergeTree '$tname' needs the " +
+                    "table's schema from the session catalog"))
+                val keySet = keys.toSet
+                val fnMap = colFns.toMap
+                val others = schema.map(_._1)
+                  .filterNot(c => keySet(c) || fnMap.contains(c))
+                if (others.nonEmpty)
+                  fail(s"FINAL on AggregatingMergeTree '$tname': column(s) " +
+                    s"${others.mkString(", ")} carry no registered " +
+                    "SimpleAggregateFunction — ClickHouse keeps an ARBITRARY " +
+                    "merged value there, which is not reproducible on a " +
+                    "distributed engine")
+                val sel = schema.map { case (c, _) =>
+                  if (keySet(c)) c else s"${fnMap(c)}($c) AS $c"
+                }.mkString(", ")
+                s"(SELECT $sel FROM $refTxt GROUP BY " +
+                  s"${keys.mkString(", ")})$aliasTxt"
+              case None =>
+                fail(s"FINAL on '$tname' but no key/version registered — call " +
+                  s"Dialect.registerFinal or SET graft.final.$tname = 'keys|version'")
+            }
           }
         }
         span = span.take(refStart) ++ Vector(raw(sub)) ++ span.drop(i + 1)

@@ -664,6 +664,26 @@ class DialectSpec extends SparkSpec {
     assert(err.contains("tag"))
   }
 
+  test("AggregatingMergeTree FINAL applies each SimpleAggregateFunction per key") {
+    val areg = Dialect.Registry(
+      aggFinals = Map("eva" -> (Seq("k"),
+        Seq(("lo", "min"), ("hi", "max"), ("n", "sum")))),
+      schemaOf = n => if (n == "eva") Some(Seq(("k", "BIGINT"),
+        ("lo", "DOUBLE"), ("hi", "DOUBLE"), ("n", "BIGINT"))) else None)
+    assert(Dialect.translate("SELECT * FROM eva FINAL", areg) ==
+      "SELECT * FROM (SELECT k, min(lo) AS lo, max(hi) AS hi, sum(n) AS n " +
+        "FROM eva GROUP BY k) eva")
+    // a column with no registered function refuses WITH the column
+    // named (ClickHouse keeps an arbitrary merged value there)
+    val bad = Dialect.Registry(
+      aggFinals = Map("eva" -> (Seq("k"), Seq(("lo", "min")))),
+      schemaOf = _ => Some(Seq(("k", "BIGINT"), ("lo", "DOUBLE"),
+        ("stray", "STRING"))))
+    val err = intercept[Dialect.DialectException](
+      Dialect.translate("SELECT * FROM eva FINAL", bad)).getMessage
+    assert(err.contains("stray"))
+  }
+
   test("summing FINAL executes map-side-combined: partial_sum, one key shuffle") {
     val df = ChDialect.entries("q_ch_summing_final").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

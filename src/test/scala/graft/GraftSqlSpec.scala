@@ -370,6 +370,28 @@ class GraftSqlSpec extends SparkSpec {
           "ENGINE = MergeTree ORDER BY k")
     }
     assert(err3.getMessage.contains("MATERIALIZED"))
+    // AggregatingMergeTree routes ONLY with SimpleAggregateFunction
+    // columns (their value IS the state); a plain non-key column or an
+    // opaque AggregateFunction blob refuses with the reason named
+    val err4 = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "CREATE TABLE bad4 (k Int64, v Float64) " +
+          "ENGINE = AggregatingMergeTree() ORDER BY k")
+    }
+    assert(err4.getMessage.contains("SimpleAggregateFunction"))
+    val err5 = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "CREATE TABLE bad5 (k Int64, st AggregateFunction(uniq, Int64)) " +
+          "ENGINE = AggregatingMergeTree() ORDER BY k")
+    }
+    assert(err5.getMessage.contains("OPAQUE"))
+    val err6 = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "CREATE TABLE bad6 (k Int64, " +
+          "a SimpleAggregateFunction(anyLast, Int64)) " +
+          "ENGINE = AggregatingMergeTree() ORDER BY k")
+    }
+    assert(err6.getMessage.contains("insertion order"))
     // no ENGINE clause → not ClickHouse DDL → untouched fallthrough
     spark.sql("DROP TABLE IF EXISTS plain_spark_graftsql")
     Graft.sql(spark,

@@ -88,6 +88,14 @@ object GraftSql {
       // INSERT falls through untouched.
       case InsertRe(table, rest) if mvsOn(spark, table).nonEmpty =>
         insertWithMvs(spark, table, rest.trim)
+      // INSERT OVERWRITE replaces the table wholesale — the standing MV
+      // partials would silently describe rows that no longer exist
+      case InsertOverwriteRe(table, _) if mvsOn(spark, table).nonEmpty =>
+        throw new IllegalArgumentException(
+          s"INSERT OVERWRITE $table would invalidate the materialized " +
+            s"view(s) ${mvsOn(spark, table).map(_.mv).mkString(", ")} — " +
+            "DROP TABLE the MV first (and re-CREATE … POPULATE after), " +
+            "or append with INSERT INTO")
       // DROP TABLE of a materialized view unregisters its maintenance
       // (the statement itself still runs through Spark's own DDL)
       case DropTableRe(_, name)
@@ -269,6 +277,8 @@ object GraftSql {
     """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(.*?)\s+AS\s+(SELECT\b.+)$""".r
   private val InsertRe =
     """(?is)^INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+(.+)$""".r
+  private val InsertOverwriteRe =
+    """(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(.+)$""".r
   private val DropTableRe =
     """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
   private val RenameTableRe =

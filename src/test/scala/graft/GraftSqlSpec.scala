@@ -503,6 +503,24 @@ class GraftSqlSpec extends SparkSpec {
       "GROUP BY k").contains("ORDER BY"))
   }
 
+  test("INSERT OVERWRITE into an MV-fed table refuses — stale partials never silently survive") {
+    import spark.implicits._
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS ovdb CASCADE")
+      spark.sql(s"CREATE DATABASE ovdb LOCATION '$root/ovdb.db'")
+      Graft.sql(spark, "CREATE TABLE ovdb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW ovdb.mv " +
+        "ENGINE = SummingMergeTree() ORDER BY k AS " +
+        "SELECT k, sum(v) AS sv FROM ovdb.src GROUP BY k")
+      val err = intercept[IllegalArgumentException](Graft.sql(spark,
+        "INSERT OVERWRITE ovdb.src SELECT 1, 2.0")).getMessage
+      assert(err.contains("invalidate"))
+      Graft.sql(spark, "DROP TABLE ovdb.mv")
+      spark.sql("DROP DATABASE ovdb CASCADE")
+    }
+  }
+
   test("TTL clauses refuse — expired rows must never silently survive") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage

@@ -929,8 +929,14 @@ object GraftSql {
     * is the reproducible contract).
     */
   private def createMatView(spark: SparkSession, ifNotExists: Boolean,
-      name: String, middle: String, body: String): DataFrame = {
+      name: String, middle: String, body0: String): DataFrame = {
     import spark.implicits._
+    // the body is ClickHouse dialect like any other SELECT: translate
+    // first (toDate/toYYYYMM/… in keys, WHERE predicates, sum args) so
+    // the structural parse below sees plain Spark SQL; constructs that
+    // restructure the level (LIMIT BY, FINAL, …) surface as the
+    // shape refusals below, never as a silently different aggregate
+    val body = plans.Dialect.translate(spark, body0)
     require(!middle.toUpperCase(java.util.Locale.ROOT).startsWith("TO ") &&
       !middle.toUpperCase(java.util.Locale.ROOT).startsWith("TO\t"),
       "CREATE MATERIALIZED VIEW … TO <table> writes into a foreign table — " +

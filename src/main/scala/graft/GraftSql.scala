@@ -102,6 +102,7 @@ object GraftSql {
           if spark.conf.getOption(s"graft.mv.${name.split('.').last}").isDefined =>
         spark.conf.unset(s"graft.mv.${name.split('.').last}")
         spark.conf.unset(s"graft.sumfinal.${name.split('.').last}")
+        spark.conf.unset(s"graft.aggfinal.${name.split('.').last}")
         spark.sql(stmt)
       // the operator-UX verbs around the DDL surface. RENAME maps onto
       // Spark's own ALTER TABLE … RENAME TO (different spelling, same
@@ -890,6 +891,8 @@ object GraftSql {
     val base = if (d.where.nonEmpty) batch.filter(expr(d.where)) else batch
     val aggCols = d.aggs.map {
       case (out, "sum", a) => sum(expr(a)).as(out)
+      case (out, "min", a) => min(expr(a)).as(out)
+      case (out, "max", a) => max(expr(a)).as(out)
       case (out, "cnt", _) => count(lit(1)).as(out)
       case (out, _, a) => count(expr(a)).as(out) // cntc: non-null count
     }
@@ -898,7 +901,8 @@ object GraftSql {
   }
 
   private val MvEngineRe = """(?is)\bENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?""".r
-  private val MvAggItemRe = """(?is)^(sum|count)\s*\((.*)\)\s+AS\s+(\w+)$""".r
+  private val MvAggItemRe =
+    """(?is)^(sum|count|min|max)\s*\((.*)\)\s+AS\s+(\w+)$""".r
   private val MvKeyItemRe = """(?is)^([\w.]+)(?:\s+AS\s+(\w+))?$""".r
   private val MvClauseRe =
     """(?is)\b(FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|JOIN|UNION)\b""".r
@@ -943,19 +947,18 @@ object GraftSql {
         "not supported; let the MV own its storage (drop the TO clause)")
     val em = MvEngineRe.findFirstMatchIn(middle).getOrElse(
       throw new IllegalArgumentException(
-        "CREATE MATERIALIZED VIEW needs ENGINE = SummingMergeTree() — " +
-          "graft MVs are insert-maintained partial-row tables"))
-    val engine = em.group(1)
-    require(engine.equalsIgnoreCase("summingmergetree"),
-      s"unsupported materialized-view engine: $engine — only " +
-        "SummingMergeTree routes (its partials are plain sums; " +
-        "AggregatingMergeTree carries opaque agg states and " +
-        "insertion-order engines are not reproducible). For min/max " +
-        "dashboards use plans.Projections.materialize, whose partial " +
-        "states are mergeable by construction")
+        "CREATE MATERIALIZED VIEW needs ENGINE = SummingMergeTree() or " +
+          "AggregatingMergeTree() — graft MVs are insert-maintained " +
+          "partial-row tables"))
+    val engine = em.group(1).toLowerCase(java.util.Locale.ROOT)
+    require(engine == "summingmergetree" || engine == "aggregatingmergetree",
+      s"unsupported materialized-view engine: ${em.group(1)} — " +
+        "SummingMergeTree (sum/count outputs) and AggregatingMergeTree " +
+        "(sum/count/min/max outputs, each collapsing under its own " +
+        "function) route; insertion-order engines are not reproducible")
     require(Option(em.group(2)).forall(_.trim.isEmpty),
-      "SummingMergeTree(<cols>) on a materialized view is redundant — the " +
-        "MV's aggregate outputs ARE the summed columns; drop the argument list")
+      s"${em.group(1)}(<args>) on a materialized view is redundant — the " +
+        "MV's aggregate outputs define the collapse; drop the argument list")
     val populate = "(?is)\\bPOPULATE\\s*$".r.findFirstIn(middle).isDefined
     val tail = middle.substring(em.end)
       .replaceAll("(?is)\\bPOPULATE\\s*$", "")
@@ -1009,9 +1012,10 @@ object GraftSql {
     items.foreach {
       case MvAggItemRe(fn, arg, out) =>
         fn.toLowerCase(java.util.Locale.ROOT) match {
-          case "sum" =>
-            require(arg.trim.nonEmpty, s"sum() needs an argument: $out")
-            aggItems += ((out, "sum", arg.trim))
+          case "sum" | "min" | "max" =>
+            require(arg.trim.nonEmpty,
+              s"${fn.toLowerCase(java.util.Locale.ROOT)}() needs an argument: $out")
+            aggItems += ((out, fn.toLowerCase(java.util.Locale.ROOT), arg.trim))
           case _ =>
             if (arg.trim.isEmpty || arg.trim == "*") aggItems += ((out, "cnt", ""))
             else aggItems += ((out, "cntc", arg.trim))
@@ -1024,12 +1028,20 @@ object GraftSql {
         keyItems += simpleCol
       case other => throw new IllegalArgumentException(
         s"unsupported materialized-view select item: $other — keys must be " +
-          "bare columns and aggregates sum(expr)/count([expr]) with AS " +
-          "<name> (avg/min/max are not summable: store sum + count and " +
-          "divide at read)")
+          "bare columns and aggregates sum/min/max(expr) or count([expr]) " +
+          "with AS <name> (avg has no mergeable partial: store sum + " +
+          "count and divide at read)")
     }
     require(aggItems.nonEmpty,
-      "materialized-view body needs at least one sum()/count() output")
+      "materialized-view body needs at least one aggregate output")
+    // a SummingMergeTree merge SUMS every non-key column — a min/max
+    // partial under it would silently turn into a sum of minima
+    require(engine != "summingmergetree" ||
+      aggItems.forall(a => a._2 == "sum" || a._2 == "cnt" || a._2 == "cntc"),
+      "SummingMergeTree sums EVERY non-key column on merge — min()/max() " +
+        "partials would silently become sums of minima/maxima; declare " +
+        "ENGINE = AggregatingMergeTree() so each output collapses under " +
+        "its own function")
     val keySet = keyItems.toSet
     require(groupCols.map(_.split('.').last).toSet == keySet,
       s"GROUP BY (${groupCols.mkString(", ")}) must equal the selected key " +
@@ -1049,8 +1061,16 @@ object GraftSql {
         "EXISTS to re-register, or DROP TABLE it first")
     else mvAggregate(srcDf.limit(0), d).write.saveAsTable(name)
     // registrations only after the catalog table exists (the
-    // create-before-register discipline, same as createTable)
-    plans.Dialect.registerSumFinal(spark, simpleName, d.keys, d.aggs.map(_._1))
+    // create-before-register discipline, same as createTable):
+    // summing MVs collapse by SUM on every output; aggregating MVs
+    // collapse each output under its own function (counts merge by sum)
+    if (engine == "summingmergetree")
+      plans.Dialect.registerSumFinal(spark, simpleName, d.keys, d.aggs.map(_._1))
+    else
+      plans.Dialect.registerAggFinal(spark, simpleName, d.keys,
+        d.aggs.map { case (out, kind, _) =>
+          (out, if (kind == "min" || kind == "max") kind else "sum")
+        })
     spark.conf.set(s"graft.mv.$simpleName", encodeMv(d))
     if (populate && !exists)
       mvAggregate(srcDf, d).write.mode("append").insertInto(name)

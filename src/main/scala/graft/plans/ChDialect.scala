@@ -906,5 +906,58 @@ object ChDialect extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events WHERE user_id % 10 = 4
              |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // The AggregatingMergeTree MATERIALIZED VIEW — min/max dashboards
+    // in SQL text: each output collapses under its OWN function
+    // (min/max/sum; counts merge by sum), so appended insert-batch
+    // partials stay exact under FINAL where SummingMergeTree would
+    // have summed the minima (that hazard is a named refusal).
+    "q_ch_mat_view_agg" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        graft.Graft.sql(s, "DROP TABLE IF EXISTS graft_ddl.events_mva_tgt")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mva_tgt")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mva_src")
+        Seq("events_mva_tgt", "events_mva_src").foreach { t =>
+          graft.AtomicDir.fileSystem(wh).delete(
+            new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_mva_src (
+            |  user_id Int64,
+            |  event_type String,
+            |  value Nullable(Float64)
+            |) ENGINE = MergeTree ORDER BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_mva_src SELECT user_id, " +
+            "event_type, value FROM events_ch_chv WHERE user_id % 10 = 5")
+        graft.Graft.sql(s,
+          """CREATE MATERIALIZED VIEW graft_ddl.events_mva_tgt
+            |ENGINE = AggregatingMergeTree()
+            |ORDER BY (user_id, event_type)
+            |POPULATE AS
+            |SELECT user_id, event_type,
+            |  min(value) AS lo, max(value) AS hi,
+            |  sum(value) AS sv, count() AS n
+            |FROM graft_ddl.events_mva_src
+            |GROUP BY user_id, event_type""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_mva_src SELECT user_id, " +
+            "event_type, value FROM events_ch_chv WHERE user_id % 10 = 6")
+        ch(s, """SELECT user_id, event_type,
+                |  round(lo, 4) AS lo, round(hi, 4) AS hi,
+                |  round(sv, 4) AS sv, n
+                |FROM graft_ddl.events_mva_tgt FINAL
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type,
+             |  round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+             |  round(sum(value), 4) AS sv, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id % 10 IN (5, 6)
+             |GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin)))
 }

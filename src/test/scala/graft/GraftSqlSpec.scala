@@ -484,7 +484,7 @@ class GraftSqlSpec extends SparkSpec {
     Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("mvsrc_graftsql")
     def err(sql: String): String =
       intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage
-    assert(err("CREATE MATERIALIZED VIEW mv_bad1 ENGINE = AggregatingMergeTree() " +
+    assert(err("CREATE MATERIALIZED VIEW mv_bad1 ENGINE = CollapsingMergeTree() " +
       "ORDER BY k AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql GROUP BY k")
       .contains("SummingMergeTree"))
     assert(err("CREATE MATERIALIZED VIEW mv_bad2 TO other_table AS " +
@@ -501,6 +501,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(err("CREATE MATERIALIZED VIEW mv_bad5 ENGINE = SummingMergeTree() " +
       "ORDER BY wrongkey AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql " +
       "GROUP BY k").contains("ORDER BY"))
+    // min/max partials under a SUMMING merge would silently become
+    // sums of minima — refused with the right engine named
+    assert(err("CREATE MATERIALIZED VIEW mv_bad6 ENGINE = SummingMergeTree() " +
+      "ORDER BY k AS SELECT k, min(v) AS lo FROM mvsrc_graftsql GROUP BY k")
+      .contains("AggregatingMergeTree"))
   }
 
   test("INSERT OVERWRITE into an MV-fed table refuses — stale partials never silently survive") {

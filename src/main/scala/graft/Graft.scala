@@ -54,7 +54,8 @@ object Graft {
     // the contract ("graft functions SQL-registered") holds either way
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reg = s.sessionState.functionRegistry
-    (expressions.VectorExprs.functions ++ expressions.TextExprs.functions).foreach {
+    (expressions.VectorExprs.functions ++ expressions.TextExprs.functions ++
+        expressions.ChAggExprs.functions).foreach {
       case (ident, info, fb) =>
         if (!reg.functionExists(ident)) reg.registerFunction(ident, info, fb)
     }

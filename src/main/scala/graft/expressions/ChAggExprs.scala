@@ -1,0 +1,276 @@
+package graft.expressions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Bounded-state aggregation kernels for the ClickHouse parametric
+  * aggregates `groupArray(n)(x)` and `topK(k)(x)` (SURVEY.md §2.W).
+  *
+  * Why not `collect_list`: the r13 translations buffered the WHOLE
+  * group (`sort_array(collect_list(x))` then a post-aggregation slice
+  * or run-length fold), so one skewed group held O(rows) elements in a
+  * single aggregation buffer — an OOM at 100 TB, not a slowdown, and
+  * the round's worst scale reading (4.94× at 10×). These kernels keep
+  * the count-grid bound instead:
+  *
+  *  - [[ChLeastK]] (`ch_least_k(x, n)`): the n smallest values in
+  *    ascending order. State ≤ 2n elements per buffer (amortized
+  *    sort-and-trim), merged map-side — the shuffle carries ≤ n values
+  *    per group per partition, never the group.
+  *  - [[ChTopKExact]] (`ch_topk_exact(x, k)`): EXACT top-k by
+  *    frequency, ties by value ascending — same answer as the r13
+  *    fold, same answer the DuckDB oracle re-derives from a count
+  *    grid. State = one (value, count) entry per DISTINCT value in
+  *    the buffer's slice of the group — the same bound as the
+  *    `GROUP BY (keys, v)` count-grid plan, fused into one aggregate
+  *    (no second shuffle), partials merged map-side by summing counts.
+  *
+  * Both are [[TypedImperativeAggregate]]s: they run under
+  * ObjectHashAggregate with map-side partial aggregation (the physics
+  * `collect_list` itself uses), values ordered by the child type's own
+  * interpreted ordering, NULL inputs skipped (ClickHouse's groupArray
+  * and topK both skip NULLs). Buffers serialize as length-prefixed
+  * single-row [[UnsafeRow]]s — the value round-trips through the same
+  * binary format the shuffle uses, so any orderable atomic type works.
+  */
+private[graft] trait ChBoundedAggBase {
+  def child: Expression
+
+  protected lazy val valueOrdering: Ordering[AnyRef] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+      .asInstanceOf[Ordering[AnyRef]]
+
+  protected lazy val valueProjection: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](child.dataType))
+
+  protected def writeValueRow(out: DataOutputStream, row: UnsafeRow,
+      buf: Array[Byte]): Unit = {
+    out.writeInt(row.getSizeInBytes)
+    row.writeToStream(out, buf)
+  }
+
+  /** Reads one length-prefixed UnsafeRow payload into a FRESH backing
+    * array (values like UTF8String point into it, so it must not be
+    * reused across rows).
+    */
+  protected def readValue(in: DataInputStream, row: UnsafeRow): AnyRef = {
+    val size = in.readInt()
+    val bytes = new Array[Byte](size)
+    in.readFully(bytes)
+    row.pointTo(bytes, size)
+    row.get(0, child.dataType)
+  }
+}
+
+/** `ch_least_k(x, n)` — the n smallest non-NULL values of the group in
+  * ascending order (the engine's deterministic reading of ClickHouse's
+  * `groupArray(n)(x)`, whose own insertion-order prefix is
+  * split-dependent). State is capped at 2n values: inserts past the
+  * cap sort-and-trim back to n, so a 10^9-row group costs the same
+  * buffer as a 10-row one.
+  */
+case class ChLeastK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[AnyRef]]
+  with ChBoundedAggBase with UnaryLike[Expression] {
+
+  override def prettyName: String = "ch_least_k"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (k <= 0) return TypeCheckResult.TypeCheckFailure(
+      s"ch_least_k requires a positive n, got $k")
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+  }
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[AnyRef] =
+    mutable.ArrayBuffer.empty
+
+  private def trim(buffer: mutable.ArrayBuffer[AnyRef]): Unit =
+    if (buffer.length > k) {
+      buffer.sortInPlace()(valueOrdering)
+      buffer.takeInPlace(k)
+    }
+
+  override def update(buffer: mutable.ArrayBuffer[AnyRef],
+      input: InternalRow): mutable.ArrayBuffer[AnyRef] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer += InternalRow.copyValue(v).asInstanceOf[AnyRef]
+      if (buffer.length >= 2 * k) trim(buffer)
+    }
+    buffer
+  }
+
+  override def merge(buffer: mutable.ArrayBuffer[AnyRef],
+      other: mutable.ArrayBuffer[AnyRef]): mutable.ArrayBuffer[AnyRef] = {
+    buffer ++= other
+    trim(buffer)
+    buffer
+  }
+
+  override def eval(buffer: mutable.ArrayBuffer[AnyRef]): Any = {
+    trim(buffer)
+    buffer.sortInPlace()(valueOrdering)
+    new GenericArrayData(buffer.toArray[Any])
+  }
+
+  override def serialize(buffer: mutable.ArrayBuffer[AnyRef]): Array[Byte] = {
+    trim(buffer)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val scratch = new Array[Byte](4096)
+    out.writeInt(buffer.length)
+    buffer.foreach { v =>
+      writeValueRow(out, valueProjection(InternalRow(v)), scratch)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[AnyRef] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buffer = new mutable.ArrayBuffer[AnyRef](n)
+    val row = new UnsafeRow(1)
+    var i = 0
+    while (i < n) { buffer += readValue(in, row); i += 1 }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ChLeastK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ChLeastK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ChLeastK =
+    copy(child = newChild)
+}
+
+/** `ch_topk_exact(x, k)` — EXACT top-k by frequency, ties broken by
+  * value ascending (the engine's documented upgrade over ClickHouse's
+  * approximate `topK(k)(x)`, like quantile→percentile). State is one
+  * (value, count) entry per distinct value seen by the buffer — the
+  * count-grid bound: a `GROUP BY (keys, v)` grid fused into one
+  * aggregate, partials merging by count addition, never a whole-group
+  * value list. The corpus-scale posture for open-ended key domains
+  * remains the SpaceSaving sketch (q_topk_sketch): this kernel is for
+  * the dialect construct, whose contract is exactness.
+  */
+case class ChTopKExact(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[AnyRef, Long]]
+  with ChBoundedAggBase with UnaryLike[Expression] {
+
+  override def prettyName: String = "ch_topk_exact"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (k <= 0) return TypeCheckResult.TypeCheckFailure(
+      s"ch_topk_exact requires a positive k, got $k")
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[AnyRef, Long] =
+    mutable.HashMap.empty
+
+  override def update(buffer: mutable.HashMap[AnyRef, Long],
+      input: InternalRow): mutable.HashMap[AnyRef, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = InternalRow.copyValue(v).asInstanceOf[AnyRef]
+      buffer.update(key, buffer.getOrElse(key, 0L) + 1L)
+    }
+    buffer
+  }
+
+  override def merge(buffer: mutable.HashMap[AnyRef, Long],
+      other: mutable.HashMap[AnyRef, Long]): mutable.HashMap[AnyRef, Long] = {
+    other.foreach { case (v, c) =>
+      buffer.update(v, buffer.getOrElse(v, 0L) + c)
+    }
+    buffer
+  }
+
+  override def eval(buffer: mutable.HashMap[AnyRef, Long]): Any = {
+    val top = buffer.toArray
+      .sortWith { case ((v1, c1), (v2, c2)) =>
+        if (c1 != c2) c1 > c2 else valueOrdering.lt(v1, v2)
+      }
+      .take(k)
+      .map(_._1.asInstanceOf[Any])
+    new GenericArrayData(top)
+  }
+
+  override def serialize(buffer: mutable.HashMap[AnyRef, Long]): Array[Byte] = {
+    val projection =
+      UnsafeProjection.create(Array[DataType](child.dataType, LongType))
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val scratch = new Array[Byte](4096)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (v, c) =>
+      writeValueRow(out, projection(InternalRow(v, c)), scratch)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[AnyRef, Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buffer = mutable.HashMap.empty[AnyRef, Long]
+    val row = new UnsafeRow(2)
+    var i = 0
+    while (i < n) {
+      val size = in.readInt()
+      val rowBytes = new Array[Byte](size)
+      in.readFully(rowBytes)
+      row.pointTo(rowBytes, size)
+      buffer.update(row.get(0, child.dataType), row.getLong(1))
+      i += 1
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ChTopKExact =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ChTopKExact =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ChTopKExact =
+    copy(child = newChild)
+}
+
+object ChAggExprs {
+  import FnReg._
+
+  /** Accepts the INT or BIGINT literal the SQL parser produces for a
+    * bare `5` / `5L` second argument.
+    */
+  private def litCount(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal count, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("ch_least_k"),
+      new ExpressionInfo(classOf[ChLeastK].getName, "ch_least_k"),
+      arity("ch_least_k", 2)(exprs =>
+        ChLeastK(exprs(0), litCount(exprs(1), "ch_least_k")))),
+    (FunctionIdentifier("ch_topk_exact"),
+      new ExpressionInfo(classOf[ChTopKExact].getName, "ch_topk_exact"),
+      arity("ch_topk_exact", 2)(exprs =>
+        ChTopKExact(exprs(0), litCount(exprs(1), "ch_topk_exact")))))
+}

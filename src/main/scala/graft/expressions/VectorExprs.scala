@@ -282,7 +282,8 @@ object VectorExprs {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    (VectorExprs.functions ++ TextExprs.functions).foreach(e.injectFunction)
+    (VectorExprs.functions ++ TextExprs.functions ++ ChAggExprs.functions)
+      .foreach(e.injectFunction)
     // ClickHouse-projection auto-substitution (plans.Projections): a
     // no-op until a projection is registered for a base path
     e.injectOptimizerRule(s => new graft.plans.ProjectionRewrite(s))

@@ -29,32 +29,62 @@ import org.apache.spark.sql.functions._
 object SystemCatalog {
 
   /** One row per session-catalog relation and per registered snapshot:
-    * (name, is_temporary, snapshot_dest, total_rows). Cost: a catalog
-    * listing + one manifest read per REGISTERED snapshot — bounded by
-    * operator actions, never data size.
+    * (database, name, is_temporary, snapshot_dest, total_rows) —
+    * ClickHouse's own (database, name) row identity, so two tables
+    * that SHARE a simple name across databases stay two rows (r13
+    * ADVICE: the simple-name join merged them). A db-qualified
+    * snapshot registration (`graft.snapshot.db.t`, BACKUP DATABASE's
+    * spelling) joins exactly its own catalog row; a bare registration
+    * (`graft.snapshot.t`) joins by simple name only when that name is
+    * UNAMBIGUOUS in the catalog — otherwise it surfaces as its own
+    * unjoined row rather than guessing. Cost: a catalog listing + one
+    * manifest read per REGISTERED snapshot — bounded by operator
+    * actions, never data size.
     */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // both sides key by SIMPLE name — the convention every other
-    // graft.* registry uses — so a snapshotted catalog table surfaces
-    // as ONE joined row whether its snapshot was registered under
-    // `db.t` (BACKUP DATABASE's spelling) or `t`
-    val cat = spark.catalog.listTables().collect().map { t =>
-      t.name -> t.isTemporary
-    }.toMap
+    // listTables() covers only the CURRENT database — enumerate every
+    // catalog database (each listing re-includes the session's temp
+    // views, hence the distinct). Catalog-bounded, never data-bounded.
+    val dbs = spark.catalog.listDatabases().collect().map(_.name)
+    val cat = dbs.flatMap(db => spark.catalog.listTables(db).collect())
+      .map { t =>
+        val ns = Option(t.namespace).map(_.toSeq.filter(_ != null)).getOrElse(Nil)
+        val db = if (t.isTemporary || ns.isEmpty) None else Some(ns.mkString("."))
+        (db, t.name, t.isTemporary)
+      }.distinct
+    val simpleCount = cat.groupBy(_._2).view.mapValues(_.length).toMap
     val snaps = spark.conf.getAll.collect {
       case (k, v) if k.startsWith("graft.snapshot.") =>
-        k.stripPrefix("graft.snapshot.").split('.').last -> v
+        val reg = k.stripPrefix("graft.snapshot.")
+        val i = reg.lastIndexOf('.')
+        val key: (Option[String], String) =
+          if (i > 0) (Some(reg.substring(0, i)), reg.substring(i + 1))
+          else (None, reg)
+        key -> v
+    }.toMap
+    def destOf(db: Option[String], name: String): Option[String] =
+      snaps.get((db, name)).orElse(
+        // bare registration → unambiguous simple name only
+        if (simpleCount.getOrElse(name, 0) == 1) snaps.get((None, name))
+        else None)
+    val catRows = cat.map { case (db, name, tmp) =>
+      (db, name, tmp, destOf(db, name))
     }
-    val names = (cat.keySet ++ snaps.keySet).toSeq.sorted
-    names.map { name =>
-      val dest = snaps.get(name)
-      val totalRows = dest.filterNot(_.endsWith(".zip")).flatMap { d =>
-        scala.util.Try(
-          Snapshot.parts(spark, d).agg(sum("n_rows")).head.getLong(0)).toOption
-      }
-      (name, cat.getOrElse(name, false), dest, totalRows)
-    }.toDF("name", "is_temporary", "snapshot_dest", "total_rows")
+    val joinedDests = catRows.flatMap(_._4).toSet
+    val orphanRows = snaps.toSeq.collect {
+      case ((db, name), dest) if !joinedDests.contains(dest) &&
+          !catRows.exists(r => r._1 == db && r._2 == name) =>
+        (db, name, false, Some(dest))
+    }
+    (catRows ++ orphanRows).sortBy(r => (r._1.getOrElse(""), r._2)).toSeq
+      .map { case (db, name, tmp, dest) =>
+        val totalRows = dest.filterNot(_.endsWith(".zip")).flatMap { d =>
+          scala.util.Try(
+            Snapshot.parts(spark, d).agg(sum("n_rows")).head.getLong(0)).toOption
+        }
+        (db, name, tmp, dest, totalRows)
+      }.toDF("database", "name", "is_temporary", "snapshot_dest", "total_rows")
   }
 
   /** `system.dictionaries` analog: one row per registered dictionary —

@@ -828,27 +828,40 @@ object ChDialect extends QueryModule {
     // keeps the first n in INSERTION order (split-dependent, not
     // reproducible distributed); graft returns the n smallest in
     // VALUE order — deterministic, and exactly re-derivable by the
-    // oracle's sorted-list slice.
+    // oracle's sorted-list slice. Bounded state: the translation is
+    // the ChLeastK kernel (≤ 2n values per buffer, map-side merged),
+    // never a whole-group collect_list. Output canonicalized to the
+    // '|'-joined string (the q_agg_group_array pattern — the driver's
+    // compare cannot hash raw ARRAY cells, SURVEY §K); the typed ARRAY
+    // form stays available as bare `groupArray(5)(event_id)` and is
+    // value-pinned in DialectSpec.
     "q_ch_group_array_sorted" -> QueryDef(
       (s, dir) => {
         registerEvents(s, dir)
-        ch(s, """SELECT event_type, groupArray(5)(event_id) AS low_events
+        ch(s, """SELECT event_type,
+                |  arrayStringConcat(arrayMap(x -> toString(x),
+                |    groupArray(5)(event_id)), '|') AS low_events
                 |FROM events_ch_chv
                 |GROUP BY event_type ORDER BY event_type""".stripMargin)
       },
       Some("""SELECT event_type,
-             |  list_slice(list(event_id ORDER BY event_id), 1, 5) AS low_events
+             |  array_to_string(list_slice(list(event_id ORDER BY event_id), 1, 5),
+             |                  '|') AS low_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Parametric topK(k)(x) — EXACT top-k by frequency where
     // ClickHouse approximates (documented upgrade, like
-    // quantile→percentile), ties by value ascending. One collect_list
-    // + a run-length encode over the sorted array, evaluated
-    // post-aggregation — no second shuffle, no explode.
+    // quantile→percentile), ties by value ascending. Bounded state:
+    // the ChTopKExact kernel carries one (value, count) entry per
+    // distinct value — the count-grid bound — merged map-side; the
+    // r13 whole-group collect_list fold is gone. Output canonicalized
+    // to the '|'-joined string for the driver compare (SURVEY §K).
     "q_ch_topk" -> QueryDef(
       (s, dir) => {
         registerEvents(s, dir)
-        ch(s, """SELECT event_type, topK(3)(user_id % 10) AS top_mods
+        ch(s, """SELECT event_type,
+                |  arrayStringConcat(arrayMap(x -> toString(x),
+                |    topK(3)(user_id % 10)), '|') AS top_mods
                 |FROM events_ch_chv
                 |GROUP BY event_type ORDER BY event_type""".stripMargin)
       },
@@ -856,7 +869,8 @@ object ChDialect extends QueryModule {
              |  SELECT event_type, user_id % 10 AS v, count(*) AS n
              |  FROM events GROUP BY 1, 2)
              |SELECT event_type,
-             |  list_slice(list(v ORDER BY n DESC, v), 1, 3) AS top_mods
+             |  array_to_string(list_slice(list(v ORDER BY n DESC, v), 1, 3),
+             |                  '|') AS top_mods
              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // AggregatingMergeTree's REGISTRABLE subset (r12 verdict missing
@@ -959,5 +973,225 @@ object ChDialect extends QueryModule {
              |  round(sum(value), 4) AS sv, CAST(count(*) AS BIGINT) AS n
              |FROM events WHERE user_id % 10 IN (5, 6)
              |GROUP BY user_id, event_type
-             |ORDER BY user_id, event_type""".stripMargin)))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // CollapsingMergeTree(sign) FINAL — routed DDL (r13 verdict item
+    // 6): the engine clause registers the SHIPPED deterministic
+    // sign-net semantics (q_collapse_sign; DOCUMENTED DIVERGENCE from
+    // ClickHouse's split-dependent insertion-order row pairing). Error
+    // events cancel a unit of the user's activity; FINAL is ONE
+    // map-side-combined hash aggregate + the net>0 residual filter —
+    // the shuffle carries one row per key, however many sign rows.
+    "q_ch_collapsing_final" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_coll_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_coll_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_coll_ddl (
+            |  user_id Int64,
+            |  sign Int8,
+            |  value Float64
+            |) ENGINE = CollapsingMergeTree(sign)
+            |ORDER BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_coll_ddl SELECT user_id, " +
+            "multiIf(event_type = 'error', -1, 1), value " +
+            "FROM events_ch_chv WHERE user_id % 10 = 7")
+        ch(s, """SELECT user_id, sign AS net,
+                |  round(value, 4) AS net_value
+                |FROM graft_ddl.events_coll_ddl FINAL
+                |ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+             |    AS SMALLINT) AS net,
+             |  round(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END
+             |    * value), 4) AS net_value
+             |FROM events WHERE user_id % 10 = 7
+             |GROUP BY user_id
+             |HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
+             |ORDER BY user_id""".stripMargin)),
+
+    // `CREATE MATERIALIZED VIEW … TO <table>` — ClickHouse's
+    // production-RECOMMENDED MV spelling (r13 verdict item 4): the
+    // target table's own SummingMergeTree DDL declares the collapse,
+    // the MV adds only the insert trigger, and partials append into
+    // the named table. DROP of the view leaves the target (and its
+    // registration) standing — pinned in GraftSqlSpec.
+    "q_ch_mat_view_to" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP VIEW IF EXISTS graft_ddl.events_mvt")
+        s.conf.unset("graft.mv.events_mvt")
+        Seq("events_mvt_tgt", "events_mvt_src").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS graft_ddl.$t")
+          graft.AtomicDir.fileSystem(wh).delete(
+            new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_mvt_src (
+            |  user_id Int64,
+            |  event_type String,
+            |  value Nullable(Float64)
+            |) ENGINE = MergeTree ORDER BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_mvt_tgt (
+            |  user_id Int64,
+            |  event_type String,
+            |  sv Float64,
+            |  n Int64
+            |) ENGINE = SummingMergeTree()
+            |ORDER BY (user_id, event_type)""".stripMargin)
+        graft.Graft.sql(s,
+          """CREATE MATERIALIZED VIEW graft_ddl.events_mvt
+            |TO graft_ddl.events_mvt_tgt AS
+            |SELECT user_id, event_type, sum(value) AS sv, count() AS n
+            |FROM graft_ddl.events_mvt_src
+            |GROUP BY user_id, event_type""".stripMargin)
+        // two insert batches — two appended partial sets in the target
+        Seq(8, 9).foreach { m =>
+          graft.Graft.sql(s,
+            "INSERT INTO graft_ddl.events_mvt_src SELECT user_id, " +
+              s"event_type, value FROM events_ch_chv WHERE user_id % 10 = $m " +
+              "AND user_id % 3 = 1")
+        }
+        ch(s, """SELECT user_id, event_type, round(sv, 4) AS sv, n
+                |FROM graft_ddl.events_mvt_tgt FINAL
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type, round(sum(value), 4) AS sv,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events
+             |WHERE user_id % 10 IN (8, 9) AND user_id % 3 = 1
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // avg() in an MV body (r13 verdict item 5): stored as sum+count
+    // HELPER partials (the ProjectionRewrite precedent — avg itself
+    // has no mergeable partial), each collapsing by sum under FINAL,
+    // and the output served as Σsum/Σcount. The helpers never surface
+    // through FINAL; the POPULATE batch and a later INSERT both
+    // maintain them exactly.
+    "q_ch_mat_view_avg" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        graft.Graft.sql(s, "DROP TABLE IF EXISTS graft_ddl.events_mvavg")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mvavg")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mvavg_src")
+        Seq("events_mvavg", "events_mvavg_src").foreach { t =>
+          graft.AtomicDir.fileSystem(wh).delete(
+            new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_mvavg_src (
+            |  event_type String,
+            |  value Nullable(Float64)
+            |) ENGINE = MergeTree ORDER BY event_type""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_mvavg_src SELECT event_type, " +
+            "value FROM events_ch_chv WHERE user_id % 10 = 3")
+        graft.Graft.sql(s,
+          """CREATE MATERIALIZED VIEW graft_ddl.events_mvavg
+            |ENGINE = AggregatingMergeTree()
+            |ORDER BY event_type
+            |POPULATE AS
+            |SELECT event_type, avg(value) AS av, count() AS n
+            |FROM graft_ddl.events_mvavg_src
+            |GROUP BY event_type""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_mvavg_src SELECT event_type, " +
+            "value FROM events_ch_chv WHERE user_id % 10 = 4")
+        ch(s, """SELECT event_type, round(av, 6) AS av, n
+                |FROM graft_ddl.events_mvavg FINAL
+                |ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, round(avg(value), 6) AS av,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id % 10 IN (3, 4)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // AggregateFunction(uniq, T) state columns (r13 verdict item 7):
+    // uniqState writes a mergeable distinct-count partial, stored as
+    // DataSketches HLL BYTES (Spark's codegen'd hll_sketch_agg);
+    // uniqMerge folds partials to the estimate (hll_union_agg +
+    // estimate). ROWS-ONLY BY DESIGN: the estimate is approximate on
+    // both engines and the bytes diverge from ClickHouse's internal
+    // uniq state — GraftSqlSpec pins the estimate against the exact
+    // distinct count on the fixture (HLL lgK=12 is exact at fixture
+    // cardinalities) and the merge-of-parts ≡ whole-set invariant.
+    "q_ch_uniq_state" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_uniq_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_uniq_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_uniq_ddl (
+            |  event_type String,
+            |  u AggregateFunction(uniq, Int64)
+            |) ENGINE = AggregatingMergeTree()
+            |ORDER BY event_type""".stripMargin)
+        // two INSERT batches play the role of two parts: each stores
+        // its own per-key sketch; the read merges them
+        Seq(0, 1).foreach { parity =>
+          graft.Graft.sql(s,
+            "INSERT INTO graft_ddl.events_uniq_ddl SELECT event_type, " +
+              s"uniqState(user_id) FROM events_ch_chv " +
+              s"WHERE event_id % 2 = $parity GROUP BY event_type")
+        }
+        ch(s, """SELECT event_type, uniqMerge(u) AS nu
+                |FROM graft_ddl.events_uniq_ddl
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      None),
+
+    // Inline-data INSERT forms (r13 verdict item 8): `INSERT INTO t
+    // FORMAT Values/JSONEachRow …` — the spelling clickhouse-client
+    // scripts emit. Both batches land through the same append + (here
+    // unregistered) MV path; the read-back is the claim.
+    "q_ch_insert_format" -> QueryDef(
+      (s, dir) => {
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.fmt_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/fmt_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.fmt_ddl (
+            |  k Int64, tag String, v Float64
+            |) ENGINE = MergeTree ORDER BY k""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.fmt_ddl FORMAT Values " +
+            "(1, 'alpha', 1.25), (2, 'beta', -0.5)")
+        graft.Graft.sql(s,
+          """INSERT INTO graft_ddl.fmt_ddl FORMAT JSONEachRow
+            |{"k": 3, "tag": "gamma", "v": 2.75}
+            |{"k": 4, "tag": "delta"}""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.fmt_ddl FORMAT CSV\n5,epsilon,0.125")
+        ch(s, """SELECT k, tag, v FROM graft_ddl.fmt_ddl ORDER BY k""")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS k, 'alpha' AS tag,
+             |         CAST(1.25 AS DOUBLE) AS v
+             |  UNION ALL SELECT 2, 'beta', -0.5
+             |  UNION ALL SELECT 3, 'gamma', 2.75
+             |  UNION ALL SELECT 4, 'delta', NULL
+             |  UNION ALL SELECT 5, 'epsilon', 0.125
+             |) ORDER BY k""".stripMargin)))
 }

@@ -137,9 +137,18 @@ object Dialect {
       // default)
       sumFinals: Map[String, (Seq[String], Seq[String])] = Map.empty,
       // AggregatingMergeTree's REGISTRABLE subset: key columns plus a
-      // (column → sum|min|max) collapse map — exactly what
-      // SimpleAggregateFunction(fn, T) columns declare in the DDL
+      // (column → sum|min|max|uniq) collapse map — what
+      // SimpleAggregateFunction(fn, T) columns declare in the DDL,
+      // plus AggregateFunction(uniq, T) sketch-byte columns (merged
+      // by hll_union_agg under FINAL)
       aggFinals: Map[String, (Seq[String], Seq[(String, String)])] = Map.empty,
+      // CollapsingMergeTree registrations: key columns | sign column.
+      // FINAL reads the engine's DETERMINISTIC sign-net semantics
+      // (graft's documented reading, q_collapse_sign): numeric
+      // measures net as sum(sign*col), keys whose signs annul vanish —
+      // ClickHouse's own insertion-order row pairing is
+      // split-dependent and not reproducible distributed.
+      collapseFinals: Map[String, (Seq[String], String)] = Map.empty,
       schemaOf: String => Option[Seq[(String, String)]] = _ => None)
 
   private def fail(msg: String): Nothing = throw new DialectException(msg)
@@ -176,6 +185,16 @@ object Dialect {
     spark.conf.set(s"graft.aggfinal.$table",
       keys.mkString(",") + "|" +
         colFns.map { case (c, f) => s"$c:$f" }.mkString(","))
+
+  /** CollapsingMergeTree(sign) registration — `FINAL` on such a table
+    * applies the engine's deterministic sign-net collapse (one hash
+    * aggregate per key + the net>0 residual filter — the
+    * q_collapse_sign physics). Encoding: `keys|sign`.
+    */
+  def registerCollapseFinal(spark: org.apache.spark.sql.SparkSession,
+      table: String, keys: Seq[String], signCol: String): Unit =
+    spark.conf.set(s"graft.collapsefinal.$table",
+      keys.mkString(",") + "|" + signCol)
 
   /** Dictionary registration — `CREATE DICTIONARY` routes here
     * ([[graft.GraftSql]]); defaults are SQL literals keyed by
@@ -216,6 +235,13 @@ object Dialect {
                 require(co > 0, s"malformed $k entry: $cf")
                 (cf.substring(0, co), cf.substring(co + 1))
               }))
+      },
+      collapseFinals = all.collect {
+        case (k, v) if k.startsWith("graft.collapsefinal.") =>
+          val parts = v.split("\\|", 2)
+          k.stripPrefix("graft.collapsefinal.") ->
+            (parts(0).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+              parts.lift(1).getOrElse("").trim)
       },
       dicts = all.collect { case (k, v) if k.startsWith("graft.dict.") =>
         val parts = v.split("\\|", 3)
@@ -536,6 +562,20 @@ object Dialect {
       case ("bitAnd", 2) => Some(s"(${a(0)} & ${a(1)})")
       case ("bitOr", 2) => Some(s"(${a(0)} | ${a(1)})")
       case ("bitXor", 2) => Some(s"(${a(0)} ^ ${a(1)})")
+      // AggregateFunction(uniq, T) state pair ([CH]): uniqState
+      // produces the mergeable distinct-count partial, uniqMerge folds
+      // partials back to the count. graft's state is Spark's own
+      // DataSketches HLL binary (hll_sketch_agg / hll_union_agg /
+      // hll_sketch_estimate — codegen'd builtins): sketches merge
+      // map-side and shuffle at sketch size, never value domains.
+      // DOCUMENTED DIVERGENCE: the BYTES differ from ClickHouse's
+      // internal uniq state (no portable serialization exists), and
+      // the estimate is approximate on both engines — stored states
+      // cannot cross engines, re-derive them (same doctrine as the
+      // ClickHouse-value hash refusals below).
+      case ("uniqState", 1) => Some(s"hll_sketch_agg(${a(0)})")
+      case ("uniqMerge", 1) =>
+        Some(s"hll_sketch_estimate(hll_union_agg(${a(0)}))")
       // the -Array aggregate combinators whose mappings are EXACT
       // (element-domain aggregation composed from per-row reduces —
       // one hash aggregate, no explode): maxArray/minArray/countArray/
@@ -550,10 +590,14 @@ object Dialect {
       // element type (ClickHouse avgArray → Float64), so unlike
       // sumArray no schema lookup is needed; empty arrays contribute
       // zero sum and zero count on both engines
+      // NULL elements skip on BOTH sides of the fraction (ClickHouse
+      // skips them; an unfiltered reduce would NULL the whole row's sum
+      // while the raw size() still counted them — r13 ADVICE)
       case ("avgArray", 1) =>
-        Some(s"(sum(aggregate(${a(0)}, CAST(0 AS DOUBLE), " +
+        val nn = s"filter(${a(0)}, __graft_e -> __graft_e IS NOT NULL)"
+        Some(s"(sum(aggregate($nn, CAST(0 AS DOUBLE), " +
           "(__graft_acc, __graft_x) -> __graft_acc + CAST(__graft_x AS DOUBLE)" +
-          s")) / sum(size(${a(0)})))")
+          s")) / sum(size($nn)))")
       // dictGet['OrDefault']('dict', 'attr', key[, default]) — the
       // registered dictionary becomes a correlated scalar subquery over
       // internally-renamed columns (no capture hazard: the inner scope
@@ -641,41 +685,22 @@ object Dialect {
       // first n in INSERTION order — unreproducible on a distributed
       // engine (split-dependent). graft returns the n smallest in
       // VALUE order: deterministic, split-invariant, oracle-derivable.
-      s"slice(sort_array(collect_list(${emit(args(0))})), 1, " +
-        s"CAST(${emit(params(0))} AS INT))"
+      // Kernel, not collect_list: [[graft.expressions.ChLeastK]] keeps
+      // ≤ 2n values per aggregation buffer (merged map-side), so a
+      // skewed group costs the n-bound, never its row count.
+      s"ch_least_k(${emit(args(0))}, ${emit(params(0))})"
     case "topK" =>
       if (params.length != 1 || args.length != 1)
         fail("topK: expected topK(k)(expr)")
       // EXACT top-k by frequency where ClickHouse's topK approximates
       // (documented upgrade, like quantile→percentile); ties break by
-      // value ascending — deterministic on both engines. Shape: ONE
-      // collect_list + a run-length encode over the sorted array
-      // (O(n log n) per group, evaluated post-aggregation on the
-      // group's reducer) — no second shuffle, no explode, and the
-      // lambdas reference only their own accumulator/element (Spark
-      // refuses aggregates inside lambda bodies). slice(sorted, 1, 0)
-      // is the empty-array-of-the-element-type seed, so no catalog
-      // type lookup is needed.
-      val sorted = s"sort_array(collect_list(${emit(args(0))}))"
-      s"aggregate($sorted, named_struct('vs', slice($sorted, 1, 0), " +
-        "'ns', CAST(array() AS ARRAY<BIGINT>)), " +
-        "(__graft_acc, __graft_e) -> IF(size(__graft_acc.vs) > 0 AND " +
-        "element_at(__graft_acc.vs, -1) <=> __graft_e, " +
-        "named_struct('vs', __graft_acc.vs, 'ns', " +
-        "concat(slice(__graft_acc.ns, 1, size(__graft_acc.ns) - 1), " +
-        "array(element_at(__graft_acc.ns, -1) + 1))), " +
-        "named_struct('vs', concat(__graft_acc.vs, array(__graft_e)), " +
-        "'ns', concat(__graft_acc.ns, array(CAST(1 AS BIGINT))))), " +
-        "__graft_acc -> slice(transform(array_sort(" +
-        "zip_with(__graft_acc.ns, __graft_acc.vs, " +
-        "(__graft_n, __graft_v) -> named_struct('n', __graft_n, 'v', __graft_v)), " +
-        "(__graft_l, __graft_r) -> CASE " +
-        "WHEN __graft_l.n > __graft_r.n THEN -1 " +
-        "WHEN __graft_l.n < __graft_r.n THEN 1 " +
-        "WHEN __graft_l.v < __graft_r.v THEN -1 " +
-        "WHEN __graft_l.v > __graft_r.v THEN 1 ELSE 0 END), " +
-        "__graft_s -> __graft_s.v), 1, " +
-        s"CAST(${emit(params(0))} AS INT)))"
+      // value ascending — deterministic on both engines. Kernel, not
+      // collect_list: [[graft.expressions.ChTopKExact]] carries one
+      // (value, count) entry per DISTINCT value — the count-grid
+      // bound, fused into one map-side-merged aggregate (the r13
+      // whole-group collect_list fold was the suite's worst scale
+      // reading, 4.94× at 10×).
+      s"ch_topk_exact(${emit(args(0))}, ${emit(params(0))})"
     case other => fail(s"unsupported parametric aggregate: $other")
   }
 
@@ -1119,7 +1144,11 @@ object Dialect {
                 "derived arrays into a column first, or write the reduce " +
                 "explicitly")
             }
-            out += raw(s"sum(aggregate(${emit(args(0))}, ${accOf(colName)}, " +
+            // NULL elements skip (ClickHouse's sumArray skips them; an
+            // unfiltered reduce returns NULL for the whole row, silently
+            // dropping its non-null elements — r13 ADVICE)
+            out += raw(s"sum(aggregate(filter(${emit(args(0))}, " +
+              s"__graft_e -> __graft_e IS NOT NULL), ${accOf(colName)}, " +
               "(__graft_acc, __graft_x) -> __graft_acc + __graft_x))")
             changed(); i += 2
           case Grp(cs) if !cs.exists(isWord(_, "SELECT")) =>
@@ -1331,29 +1360,83 @@ object Dialect {
               // SimpleAggregateFunction column collapses under its OWN
               // function per key — one hash aggregate, map-side
               // partial, the summing physics; no all-zero row deletion
-              // (that is SummingMergeTree-specific)
+              // (that is SummingMergeTree-specific). Two extra forms:
+              // `uniq` columns hold HLL sketch BYTES and merge under
+              // hll_union_agg; `avg@<sumcol>@<cntcol>` entries are
+              // DERIVED outputs (an MV body's avg, stored as sum+count
+              // partials) — the helper columns collapse by sum and
+              // surface only as the Σsum/Σcount quotient.
               case Some((keys, colFns)) =>
                 val schema = reg.schemaOf(refTxt).getOrElse(
                   fail(s"FINAL on AggregatingMergeTree '$tname' needs the " +
                     "table's schema from the session catalog"))
                 val keySet = keys.toSet
                 val fnMap = colFns.toMap
-                val others = schema.map(_._1)
-                  .filterNot(c => keySet(c) || fnMap.contains(c))
+                val derived = colFns.collect {
+                  case (out, fn) if fn.startsWith("avg@") =>
+                    fn.stripPrefix("avg@").split('@') match {
+                      case Array(s, c) => (out, s, c)
+                      case _ => fail(s"malformed avg registration for " +
+                        s"'$tname'.$out: $fn")
+                    }
+                }
+                val helperCols =
+                  derived.flatMap { case (_, s, c) => Seq(s, c) }.toSet
+                val others = schema.map(_._1).filterNot(c =>
+                  keySet(c) || helperCols(c) ||
+                    fnMap.get(c).exists(!_.startsWith("avg@")))
                 if (others.nonEmpty)
                   fail(s"FINAL on AggregatingMergeTree '$tname': column(s) " +
                     s"${others.mkString(", ")} carry no registered " +
                     "SimpleAggregateFunction — ClickHouse keeps an ARBITRARY " +
                     "merged value there, which is not reproducible on a " +
                     "distributed engine")
-                val sel = schema.map { case (c, _) =>
-                  if (keySet(c)) c else s"${fnMap(c)}($c) AS $c"
-                }.mkString(", ")
+                val sel = (schema.collect {
+                  case (c, _) if keySet(c) => c
+                  case (c, _) if !helperCols(c) =>
+                    if (fnMap(c) == "uniq") s"hll_union_agg($c) AS $c"
+                    else s"${fnMap(c)}($c) AS $c"
+                } ++ derived.map { case (out, s, c) =>
+                  s"(sum($s) / sum($c)) AS $out"
+                }).mkString(", ")
                 s"(SELECT $sel FROM $refTxt GROUP BY " +
                   s"${keys.mkString(", ")})$aliasTxt"
-              case None =>
-                fail(s"FINAL on '$tname' but no key/version registered — call " +
-                  s"Dialect.registerFinal or SET graft.final.$tname = 'keys|version'")
+              case None => reg.collapseFinals.get(tname) match {
+                // CollapsingMergeTree(sign) — graft's DETERMINISTIC
+                // sign-net reading (q_collapse_sign, documented
+                // divergence from ClickHouse's insertion-order row
+                // pairing): numeric measures net as sum(sign*col), the
+                // sign column surfaces as the net row count, and keys
+                // whose inserts and cancels annul (net ≤ 0) vanish.
+                // One map-side-combined hash aggregate + the residual
+                // filter — shuffle carries one row per key.
+                case Some((keys, signCol)) =>
+                  val schema = reg.schemaOf(refTxt).getOrElse(
+                    fail(s"FINAL on CollapsingMergeTree '$tname' needs the " +
+                      "table's schema from the session catalog"))
+                  val numeric = Set("TINYINT", "SMALLINT", "INT", "BIGINT",
+                    "FLOAT", "DOUBLE")
+                  val keySet = keys.toSet
+                  val bad = schema.collect {
+                    case (c, t) if !keySet(c) && c != signCol &&
+                        !numeric(t.toUpperCase) && !t.toUpperCase.startsWith("DECIMAL") => c
+                  }
+                  if (bad.nonEmpty)
+                    fail(s"FINAL on CollapsingMergeTree '$tname': non-numeric " +
+                      s"measure column(s) ${bad.mkString(", ")} — the sign-net " +
+                      "collapse is defined for numeric measures; keep " +
+                      "non-numeric attributes in the ORDER BY key")
+                  val sel = schema.map { case (c, _) =>
+                    if (keySet(c)) c
+                    else if (c == signCol) s"sum($signCol) AS $signCol"
+                    else s"sum($signCol * $c) AS $c"
+                  }.mkString(", ")
+                  s"(SELECT $sel FROM $refTxt GROUP BY ${keys.mkString(", ")} " +
+                    s"HAVING sum($signCol) > 0)$aliasTxt"
+                case None =>
+                  fail(s"FINAL on '$tname' but no key/version registered — call " +
+                    s"Dialect.registerFinal or SET graft.final.$tname = 'keys|version'")
+              }
             }
           }
         }

@@ -499,7 +499,7 @@ class DialectSpec extends SparkSpec {
     assert(Dialect.translate("SELECT sumArray(fa) FROM arr_t", sreg)
       .contains("CAST(0 AS DOUBLE)"))
     assert(Dialect.translate("SELECT avgArray(fa) FROM arr_t", sreg)
-      .contains("/ sum(size(fa))"))
+      .contains("IS NOT NULL"))
     def err(sql: String): String =
       intercept[Dialect.DialectException](Dialect.translate(sql, sreg)).getMessage
     assert(err("SELECT sumArray(g) FROM arr_t").contains("not an array"))
@@ -514,13 +514,26 @@ class DialectSpec extends SparkSpec {
       "SELECT g, sumArray(ia) AS si, avgArray(fa) AS af FROM sumarr_dsp " +
         "GROUP BY g")).collect()(0)
     assert(row.getLong(1) == 6L && math.abs(row.getDouble(2) - 1.0) < 1e-9)
+    // NULL elements skip on BOTH sides (r13 ADVICE): the sum keeps the
+    // row's non-null elements (an unfiltered reduce NULLed them all),
+    // and the avg denominator counts only the non-null elements
+    spark.sql("SELECT CAST(1 AS BIGINT) AS g, " +
+        "array(1, CAST(NULL AS INT), 3) AS ia, " +
+        "array(CAST(2.0 AS FLOAT), CAST(NULL AS FLOAT)) AS fa")
+      .createOrReplaceTempView("sumarr_null_dsp")
+    val nrow = spark.sql(Dialect.translate(spark,
+      "SELECT g, sumArray(ia) AS si, avgArray(fa) AS af " +
+        "FROM sumarr_null_dsp GROUP BY g")).collect()(0)
+    assert(nrow.getLong(1) == 4L, s"NULL element must skip, not poison: $nrow")
+    assert(math.abs(nrow.getDouble(2) - 2.0) < 1e-9,
+      s"avg denominator must count only non-null elements: $nrow")
   }
 
   test("groupArray(n) and topK(k) parametrics translate deterministically") {
     assert(t("SELECT k, groupArray(2)(v) FROM t GROUP BY k") ==
-      "SELECT k, slice(sort_array(collect_list(v)), 1, CAST(2 AS INT)) " +
-        "FROM t GROUP BY k")
-    assert(t("SELECT topK(3)(v) FROM t").contains("zip_with"))
+      "SELECT k, ch_least_k(v, 2) FROM t GROUP BY k")
+    assert(t("SELECT topK(3)(v) FROM t") ==
+      "SELECT ch_topk_exact(v, 3) FROM t")
     // non-parametric groupArray stays the plain collect_list rename
     assert(t("SELECT groupArray(v), countIf(x) FROM t")
       .startsWith("SELECT collect_list(v)"))
@@ -535,6 +548,32 @@ class DialectSpec extends SparkSpec {
     // 1→2, 2→1, 3→1 — ties by value ascending
     assert(spark.sql(out).collect().toSeq.map(_.toString) ==
       Seq("[a,ArraySeq(1, 1),ArraySeq(1, 2)]", "[b,ArraySeq(9),ArraySeq(9)]"))
+    // SCALE PIN (r13 verdict #2): the optimized plan carries the
+    // bounded-state kernels, never a whole-group collect_list — one
+    // skewed group must cost the n/k-grid bound, not its row count
+    val plan = spark.sql(out).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"whole-group collect_list back in the parametric plan:\n$plan")
+    assert(plan.contains("ch_least_k") && plan.contains("ch_topk_exact"))
+    // merge-path exercised: many partitions, values spread across them
+    val wide = spark.range(0, 1000, 1, 8)
+      .selectExpr("CAST(id % 7 AS INT) AS g", "CAST(id % 97 AS INT) AS v")
+    wide.createOrReplaceTempView("topk_wide_dsp")
+    val wideRow = spark.sql(Dialect.translate(spark,
+      "SELECT groupArray(3)(v) AS ga, topK(2)(v) AS tk FROM topk_wide_dsp " +
+        "WHERE g = 0")).collect()(0)
+    // ids 0 and 679 are the two multiples of lcm(7,97) below 1000 →
+    // v=0 twice; v=1 at ids 98 and 777 → third-smallest is 1
+    assert(wideRow.getSeq[Int](0) == Seq(0, 0, 1))
+    // 0..96 each appear ~10-11 times; ties by value ascending → 0, 1
+    assert(wideRow.getSeq[Int](1) == Seq(0, 1))
+    // strings order lexicographically through the same kernels
+    Seq("b", "a", "a", "c").toDF("s").createOrReplaceTempView("topk_str_dsp")
+    val strRow = spark.sql(Dialect.translate(spark,
+      "SELECT groupArray(2)(s) AS ga, topK(1)(s) AS tk FROM topk_str_dsp"))
+      .collect()(0)
+    assert(strRow.getSeq[String](0) == Seq("a", "a") &&
+      strRow.getSeq[String](1) == Seq("a"))
   }
 
   test("dictGet resolves the registered dictionary; declared DEFAULT on miss") {

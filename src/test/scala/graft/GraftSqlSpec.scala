@@ -359,11 +359,20 @@ class GraftSqlSpec extends SparkSpec {
         "CREATE TABLE bad1 (k Int64, v Int64) ENGINE = ReplacingMergeTree ORDER BY k")
     }
     assert(err.getMessage.contains("version column"))
+    // CollapsingMergeTree routes (r13 verdict item 6) — but only with
+    // its sign column declared, and the sign cannot be a key
     val err2 = intercept[IllegalArgumentException] {
       Graft.sql(spark,
-        "CREATE TABLE bad2 (k Int64, sign Int8) ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+        "CREATE TABLE bad2 (k Int64, sign Int8, v Float64) " +
+          "ENGINE = CollapsingMergeTree ORDER BY k")
     }
-    assert(err2.getMessage.contains("unsupported table engine"))
+    assert(err2.getMessage.contains("sign column"))
+    val err2b = intercept[IllegalArgumentException] {
+      Graft.sql(spark,
+        "CREATE TABLE bad2b (k Int64, sign Int8, v Float64) " +
+          "ENGINE = CollapsingMergeTree(nope) ORDER BY k")
+    }
+    assert(err2b.getMessage.contains("not among"))
     val err3 = intercept[IllegalArgumentException] {
       Graft.sql(spark,
         "CREATE TABLE bad3 (k Int64, v String MATERIALIZED upper(s)) " +
@@ -379,9 +388,12 @@ class GraftSqlSpec extends SparkSpec {
           "ENGINE = AggregatingMergeTree() ORDER BY k")
     }
     assert(err4.getMessage.contains("SimpleAggregateFunction"))
+    // AggregateFunction(uniq, T) routes as HLL sketch bytes (r13
+    // verdict item 7); every OTHER AggregateFunction stays the opaque
+    // refusal
     val err5 = intercept[IllegalArgumentException] {
       Graft.sql(spark,
-        "CREATE TABLE bad5 (k Int64, st AggregateFunction(uniq, Int64)) " +
+        "CREATE TABLE bad5 (k Int64, st AggregateFunction(avg, Float64)) " +
           "ENGINE = AggregatingMergeTree() ORDER BY k")
     }
     assert(err5.getMessage.contains("OPAQUE"))
@@ -608,6 +620,323 @@ class GraftSqlSpec extends SparkSpec {
       assert(rows(0).getAs[Long]("total_rows") == 100L)
       spark.conf.unset("graft.snapshot.sysdb.ev_syscat")
       spark.sql("DROP DATABASE sysdb CASCADE")
+    }
+  }
+
+  test("system.tables keeps same-named tables in different databases apart") {
+    import spark.implicits._
+    withRoot { root =>
+      Seq("sysdba", "sysdbb").foreach { db =>
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        spark.sql(s"CREATE DATABASE $db LOCATION '$root/$db.db'")
+        events().limit(10).write.saveAsTable(s"$db.ev_dup")
+      }
+      Graft.sql(spark, s"BACKUP TABLE sysdba.ev_dup TO '$root/snap_a'")
+      val rows = operators.SystemCatalog.tables(spark)
+        .filter($"name" === "ev_dup").orderBy("database").collect()
+      // r13 ADVICE: the simple-name join merged these into one row
+      assert(rows.length == 2, s"two databases → two rows: ${rows.toSeq}")
+      assert(rows(0).getAs[String]("database") == "sysdba" &&
+        rows(0).getAs[String]("snapshot_dest") == s"$root/snap_a")
+      assert(rows(1).getAs[String]("database") == "sysdbb" &&
+        rows(1).getAs[String]("snapshot_dest") == null)
+      spark.conf.unset("graft.snapshot.sysdba.ev_dup")
+      Seq("sysdba", "sysdbb").foreach(db =>
+        spark.sql(s"DROP DATABASE $db CASCADE"))
+    }
+  }
+
+  test("INSERT INTO db2.t does not trigger an MV registered over db1.t") {
+    withRoot { root =>
+      Seq("mvda", "mvdb").foreach { db =>
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        spark.sql(s"CREATE DATABASE $db LOCATION '$root/$db.db'")
+        Graft.sql(spark, s"CREATE TABLE $db.evsrc (k Int64, v Float64) " +
+          "ENGINE = MergeTree ORDER BY k")
+      }
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW mvda.mv_xdb " +
+        "ENGINE = SummingMergeTree() ORDER BY k AS " +
+        "SELECT k, sum(v) AS sv FROM mvda.evsrc GROUP BY k")
+      // r13 ADVICE: the simple-name match fed db2 inserts into db1's MV
+      Graft.sql(spark, "INSERT INTO mvdb.evsrc VALUES (1, 5.0)")
+      assert(spark.table("mvda.mv_xdb").count() == 0,
+        "a foreign database's insert must not append partials")
+      Graft.sql(spark, "INSERT INTO mvda.evsrc VALUES (1, 2.0)")
+      assert(spark.table("mvda.mv_xdb").count() == 1)
+      Graft.sql(spark, "DROP TABLE mvda.mv_xdb")
+      Seq("mvda", "mvdb").foreach(db =>
+        spark.sql(s"DROP DATABASE $db CASCADE"))
+    }
+  }
+
+  test("a failing DROP TABLE leaves the MV registrations standing") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS dropdb CASCADE")
+      spark.sql(s"CREATE DATABASE dropdb LOCATION '$root/dropdb.db'")
+      Graft.sql(spark, "CREATE TABLE dropdb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW dropdb.mv_drop " +
+        "ENGINE = SummingMergeTree() ORDER BY k AS " +
+        "SELECT k, sum(v) AS sv FROM dropdb.src GROUP BY k")
+      // conf keys are simple-named: DROP of a DIFFERENT db's same-named
+      // table fails (no such table) — the registrations must survive
+      // (r13 ADVICE: they were unset BEFORE the failing DROP ran)
+      intercept[Exception](Graft.sql(spark, "DROP TABLE nosuchdb.mv_drop"))
+      assert(spark.conf.getOption("graft.mv.mv_drop").isDefined,
+        "failing DROP must not unregister the maintenance")
+      assert(spark.conf.getOption("graft.sumfinal.mv_drop").isDefined)
+      Graft.sql(spark, "INSERT INTO dropdb.src VALUES (1, 2.0)")
+      assert(spark.table("dropdb.mv_drop").count() == 1,
+        "maintenance must still run after the failed DROP")
+      Graft.sql(spark, "DROP TABLE dropdb.mv_drop")
+      assert(spark.conf.getOption("graft.mv.mv_drop").isEmpty)
+      spark.sql("DROP DATABASE dropdb CASCADE")
+    }
+  }
+
+  test("MV insert batch evaluates ONCE: rand() and self-reference land identical rows") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS ckptdb CASCADE")
+      spark.sql(s"CREATE DATABASE ckptdb LOCATION '$root/ckptdb.db'")
+      Graft.sql(spark, "CREATE TABLE ckptdb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW ckptdb.mv_ckpt " +
+        "ENGINE = SummingMergeTree() ORDER BY k AS " +
+        "SELECT k, sum(v) AS sv FROM ckptdb.src GROUP BY k")
+      // non-deterministic batch: with per-sink re-evaluation (r13) the
+      // MV would aggregate a DIFFERENT rand() draw than the table got
+      Graft.sql(spark,
+        "INSERT INTO ckptdb.src SELECT id, rand() FROM range(64)")
+      def tableSum: Double =
+        spark.table("ckptdb.src").agg(sum("v")).head.getDouble(0)
+      def mvSum: Double = Graft.sql(spark,
+        "SELECT sum(sv) AS t FROM ckptdb.mv_ckpt").head.getDouble(0)
+      assert(math.abs(tableSum - mvSum) < 1e-9,
+        s"table $tableSum vs MV $mvSum — the batch must evaluate once")
+      // self-referencing insert: the batch pins BEFORE the append, so
+      // the MV partials aggregate the PRE-insert snapshot, never the
+      // just-appended rows (re-read would double-count → 3× total)
+      Graft.sql(spark, "INSERT INTO ckptdb.src SELECT k, v FROM ckptdb.src")
+      assert(math.abs(tableSum - mvSum) < 1e-9,
+        s"self-referencing insert diverged: table $tableSum vs MV $mvSum")
+      Graft.sql(spark, "DROP TABLE ckptdb.mv_ckpt")
+      spark.sql("DROP DATABASE ckptdb CASCADE")
+    }
+  }
+
+  test("TO-form MV: partials land in the target; DROP removes only the trigger") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS todb CASCADE")
+      spark.sql(s"CREATE DATABASE todb LOCATION '$root/todb.db'")
+      Graft.sql(spark, "CREATE TABLE todb.src (k Int64, tag String, " +
+        "v Float64) ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE TABLE todb.tgt (k Int64, tag String, " +
+        "sv Float64, n Int64) ENGINE = SummingMergeTree() ORDER BY (k, tag)")
+      Graft.sql(spark,
+        """CREATE MATERIALIZED VIEW todb.mv_to TO todb.tgt AS
+          |SELECT k, tag, sum(v) AS sv, count() AS n
+          |FROM todb.src GROUP BY k, tag""".stripMargin)
+      Graft.sql(spark, "INSERT INTO todb.src VALUES " +
+        "(1, 'a', 1.5), (1, 'a', 2.5), (2, 'b', 4.0)")
+      Graft.sql(spark, "INSERT INTO todb.src VALUES (1, 'a', 10.0)")
+      val served = Graft.sql(spark,
+        "SELECT k, tag, sv, n FROM todb.tgt FINAL ORDER BY k, tag")
+      val direct = spark.sql("SELECT k, tag, sum(v) AS sv, count(*) AS n " +
+        "FROM todb.src GROUP BY k, tag ORDER BY k, tag")
+      assert(served.collect().toSeq.map(_.toString) ==
+        direct.collect().toSeq.map(_.toString))
+      // two insert batches → the twice-hit key holds 2 partial rows
+      assert(spark.table("todb.tgt").filter("k = 1 AND tag = 'a'").count() == 2)
+      // the MV object is a readable view over the target's partials
+      assert(spark.sql("SELECT count(*) FROM todb.mv_to").head.getLong(0) ==
+        spark.table("todb.tgt").count())
+      // DROP removes the view + trigger; the target TABLE and its
+      // collapse registration survive (ClickHouse's TO semantics)
+      Graft.sql(spark, "DROP TABLE todb.mv_to")
+      assert(spark.conf.getOption("graft.mv.mv_to").isEmpty)
+      assert(spark.conf.getOption("graft.sumfinal.tgt").isDefined,
+        "the target's own registration must survive the MV drop")
+      assert(spark.catalog.tableExists("todb.tgt"))
+      assert(!spark.catalog.tableExists("todb.mv_to"))
+      Graft.sql(spark, "INSERT INTO todb.src VALUES (9, 'z', 1.0)")
+      assert(spark.table("todb.tgt").filter("k = 9").count() == 0,
+        "dropped trigger must stop maintaining the target")
+      // still a valid FINAL read after the drop
+      assert(Graft.sql(spark, "SELECT sum(n) AS t FROM todb.tgt FINAL")
+        .head.getLong(0) == 4L)
+      spark.sql("DROP DATABASE todb CASCADE")
+    }
+  }
+
+  test("TO-form MV refusals are actionable") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS tordb CASCADE")
+      spark.sql(s"CREATE DATABASE tordb LOCATION '$root/tordb.db'")
+      Graft.sql(spark, "CREATE TABLE tordb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE TABLE tordb.tgt (k Int64, sv Float64) " +
+        "ENGINE = SummingMergeTree() ORDER BY k")
+      def err(sql: String): String =
+        intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage
+      assert(err("CREATE MATERIALIZED VIEW tordb.m1 TO tordb.nope AS " +
+        "SELECT k, sum(v) AS sv FROM tordb.src GROUP BY k")
+        .contains("does not exist"))
+      // a plain (unregistered-engine) target cannot collapse partials
+      spark.sql(s"CREATE TABLE tordb.plain (k BIGINT, sv DOUBLE) USING parquet")
+      assert(err("CREATE MATERIALIZED VIEW tordb.m2 TO tordb.plain AS " +
+        "SELECT k, sum(v) AS sv FROM tordb.src GROUP BY k")
+        .contains("no Summing/AggregatingMergeTree registration"))
+      // POPULATE is refused on TO (ClickHouse refuses it too)
+      assert(err("CREATE MATERIALIZED VIEW tordb.m3 TO tordb.tgt POPULATE AS " +
+        "SELECT k, sum(v) AS sv FROM tordb.src GROUP BY k")
+        .contains("POPULATE") || err("CREATE MATERIALIZED VIEW tordb.m3 " +
+        "TO tordb.tgt POPULATE AS SELECT k, sum(v) AS sv FROM tordb.src " +
+        "GROUP BY k").contains("NOTHING between"))
+      // schema order mismatch names the contract
+      Graft.sql(spark, "CREATE TABLE tordb.tgt2 (sv Float64, k Int64) " +
+        "ENGINE = SummingMergeTree() ORDER BY k")
+      assert(err("CREATE MATERIALIZED VIEW tordb.m4 TO tordb.tgt2 AS " +
+        "SELECT k, sum(v) AS sv FROM tordb.src GROUP BY k")
+        .contains("in order"))
+      // a min partial under a SUMMING target refuses
+      assert(err("CREATE MATERIALIZED VIEW tordb.m5 TO tordb.tgt AS " +
+        "SELECT k, min(v) AS sv FROM tordb.src GROUP BY k")
+        .contains("not summable"))
+      spark.sql("DROP DATABASE tordb CASCADE")
+    }
+  }
+
+  test("avg in an MV body serves Σsum/Σcount under FINAL; helpers never surface") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS avgdb CASCADE")
+      spark.sql(s"CREATE DATABASE avgdb LOCATION '$root/avgdb.db'")
+      Graft.sql(spark, "CREATE TABLE avgdb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "INSERT INTO avgdb.src VALUES (1, 2.0), (1, 4.0), (2, 10.0)")
+      Graft.sql(spark,
+        """CREATE MATERIALIZED VIEW avgdb.mv_avg
+          |ENGINE = AggregatingMergeTree() ORDER BY k POPULATE AS
+          |SELECT k, avg(v) AS av, count() AS n
+          |FROM avgdb.src GROUP BY k""".stripMargin)
+      // a second batch shifts the mean — Σsum/Σcount must track the
+      // TRUE mean over both batches (averaging the two batch means
+      // would give a different, wrong number: key 1 batch means are 3.0
+      // and 9.0 → naive 6.0, true (2+4+9)/3 = 5.0)
+      Graft.sql(spark, "INSERT INTO avgdb.src VALUES (1, 9.0)")
+      val served = Graft.sql(spark,
+        "SELECT k, av, n FROM avgdb.mv_avg FINAL ORDER BY k").collect()
+      assert(served.map(_.getDouble(1)).toSeq == Seq(5.0, 10.0), served.toSeq)
+      assert(served.map(_.getLong(2)).toSeq == Seq(3L, 1L))
+      // helper partials exist in the TABLE but never through FINAL
+      assert(spark.table("avgdb.mv_avg").columns.toSeq ==
+        Seq("k", "av__graft_sum", "av__graft_cnt", "n"))
+      val finalCols = Graft.sql(spark,
+        "SELECT * FROM avgdb.mv_avg FINAL").columns.toSeq
+      assert(finalCols == Seq("k", "n", "av"),
+        s"helpers must not surface through FINAL: $finalCols")
+      // avg under a SUMMING MV refuses with the engine named
+      val e = intercept[IllegalArgumentException](Graft.sql(spark,
+        "CREATE MATERIALIZED VIEW avgdb.mv_avg2 ENGINE = SummingMergeTree() " +
+          "ORDER BY k AS SELECT k, avg(v) AS av FROM avgdb.src GROUP BY k"))
+      assert(e.getMessage.contains("AggregatingMergeTree"))
+      Graft.sql(spark, "DROP TABLE avgdb.mv_avg")
+      spark.sql("DROP DATABASE avgdb CASCADE")
+    }
+  }
+
+  test("CollapsingMergeTree FINAL is one sign-net aggregate + net>0 filter") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS colldb CASCADE")
+      spark.sql(s"CREATE DATABASE colldb LOCATION '$root/colldb.db'")
+      Graft.sql(spark, "CREATE TABLE colldb.state (k Int64, sign Int8, " +
+        "v Float64) ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+      Graft.sql(spark, "INSERT INTO colldb.state VALUES " +
+        "(1, 1, 5.0), (1, -1, 5.0), (2, 1, 3.0), (2, 1, 4.0), (3, -1, 1.0)")
+      val rows = Graft.sql(spark,
+        "SELECT k, sign, v FROM colldb.state FINAL ORDER BY k").collect()
+      // key 1 annuls (net 0), key 3 is a dangling cancel (net<0): gone;
+      // key 2 nets +2 rows, value 7.0
+      assert(rows.length == 1 && rows(0).getLong(0) == 2L &&
+        rows(0).getLong(1) == 2L && rows(0).getDouble(2) == 7.0, rows.toSeq)
+      // plan pin: ONE hash aggregate + the net filter — no window, no join
+      val plan = Graft.sql(spark,
+        "SELECT k, v FROM colldb.state FINAL").queryExecution
+        .executedPlan.toString
+      assert(plan.contains("HashAggregate"), plan)
+      assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+      // non-numeric measure columns refuse at FINAL with the rule named
+      Graft.sql(spark, "CREATE TABLE colldb.bad (k Int64, sign Int8, " +
+        "tag String) ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+      val e = intercept[Exception](Graft.sql(spark,
+        "SELECT k FROM colldb.bad FINAL"))
+      assert(e.getMessage.contains("non-numeric"))
+      spark.sql("DROP DATABASE colldb CASCADE")
+    }
+  }
+
+  test("AggregateFunction(uniq): sketch partials merge to the exact fixture count") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS uniqdb CASCADE")
+      spark.sql(s"CREATE DATABASE uniqdb LOCATION '$root/uniqdb.db'")
+      Graft.sql(spark, "CREATE TABLE uniqdb.st (g String, " +
+        "u AggregateFunction(uniq, Int64)) " +
+        "ENGINE = AggregatingMergeTree() ORDER BY g")
+      events().limit(400).createOrReplaceTempView("ev_uniq_graftsql")
+      // two half-batches → two sketch partial rows per group
+      Seq(0, 1).foreach { p =>
+        Graft.sql(spark, "INSERT INTO uniqdb.st SELECT event_type, " +
+          s"uniqState(user_id) FROM ev_uniq_graftsql " +
+          s"WHERE event_id % 2 = $p GROUP BY event_type")
+      }
+      val merged = Graft.sql(spark,
+        "SELECT g, uniqMerge(u) AS nu FROM uniqdb.st GROUP BY g ORDER BY g")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = spark.sql("SELECT event_type, count(DISTINCT user_id) " +
+        "FROM ev_uniq_graftsql GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // HLL (lgK=12) is exact at fixture cardinalities — and the merge
+      // of the two half-sketches must equal the whole-set answer
+      assert(merged == exact, s"merged $merged vs exact $exact")
+      // FINAL merges the sketch COLUMN itself (state stays a sketch)
+      assert(Graft.sql(spark,
+        "SELECT g, uniqMerge(u) AS nu FROM uniqdb.st FINAL GROUP BY g " +
+          "ORDER BY g").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == exact)
+      spark.sql("DROP DATABASE uniqdb CASCADE")
+    }
+  }
+
+  test("inline INSERT FORMAT forms route; unknown formats refuse BY NAME") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS fmtdb CASCADE")
+      spark.sql(s"CREATE DATABASE fmtdb LOCATION '$root/fmtdb.db'")
+      Graft.sql(spark, "CREATE TABLE fmtdb.t (k Int64, tag String, " +
+        "v Float64) ENGINE = MergeTree ORDER BY k")
+      // an MV on the table: FORMAT inserts must maintain it too
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW fmtdb.mv_fmt " +
+        "ENGINE = SummingMergeTree() ORDER BY tag AS " +
+        "SELECT tag, sum(v) AS sv FROM fmtdb.t GROUP BY tag")
+      Graft.sql(spark,
+        "INSERT INTO fmtdb.t FORMAT Values (1, 'a', 1.5), (2, 'b', 2.5)")
+      Graft.sql(spark,
+        "INSERT INTO fmtdb.t FORMAT JSONEachRow\n" +
+          "{\"k\": 3, \"tag\": \"a\", \"v\": 0.5}\n{\"k\": 4, \"tag\": \"c\"}")
+      Graft.sql(spark, "INSERT INTO fmtdb.t FORMAT CSV\n5,b,1.0\n6,a,2.0")
+      Graft.sql(spark, "INSERT INTO fmtdb.t FORMAT TSV\n7\td\t4.0")
+      assert(spark.table("fmtdb.t").count() == 7)
+      // JSON's omitted column surfaced NULL
+      assert(spark.table("fmtdb.t").filter("k = 4 AND v IS NULL").count() == 1)
+      // the MV tracked every format's batch
+      val mvServed = Graft.sql(spark,
+        "SELECT tag, sv FROM fmtdb.mv_fmt FINAL ORDER BY tag").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(mvServed == Map("a" -> 4.0, "b" -> 3.5, "d" -> 4.0), mvServed)
+      val e = intercept[IllegalArgumentException](Graft.sql(spark,
+        "INSERT INTO fmtdb.t FORMAT Native  bytes"))
+      assert(e.getMessage.contains("Native") &&
+        e.getMessage.contains("JSONEachRow"))
+      Graft.sql(spark, "DROP TABLE fmtdb.mv_fmt")
+      spark.sql("DROP DATABASE fmtdb CASCADE")
     }
   }
 }

@@ -859,6 +859,37 @@ object GraftSql {
           "CollapsingMergeTree columns cannot declare aggregate-state types")
         () => plans.Dialect.registerCollapseFinal(spark, simpleName,
           orderKeys, signCol)
+      case "versionedcollapsingmergetree" =>
+        // the versioned twin: a cancel annuls an insert only at the
+        // SAME (key, version) — registered as the sign-net collapse
+        // over keys + version (exactly q_collapse_versioned's first
+        // stage; out-of-order cancels can never eat a newer insert).
+        // Same documented divergence from row pairing as the plain
+        // engine.
+        val vArgs = splitTopLevelCommas(engineArgs)
+        require(vArgs.length == 2 && vArgs.forall(_.matches("[\\w.]+")),
+          "VersionedCollapsingMergeTree needs its sign and version " +
+            "columns: ENGINE = VersionedCollapsingMergeTree(sign, version)")
+        require(orderKeys.nonEmpty,
+          "VersionedCollapsingMergeTree needs ORDER BY keys")
+        val Seq(vSign, vVer) = vArgs
+        Seq(vSign, vVer).foreach { c =>
+          require(cols.exists(_._1 == c),
+            s"VersionedCollapsingMergeTree column '$c' is not among the " +
+              "table's columns")
+        }
+        require(!orderKeys.contains(vSign),
+          "the sign column cannot be an ORDER BY key")
+        require(vSign != vVer, "sign and version columns must differ")
+        require(cols.forall(_._4.isEmpty),
+          "VersionedCollapsingMergeTree columns cannot declare " +
+            "aggregate-state types")
+        // the version joins the collapse key: annulment is per
+        // (key, version), and every surviving version stays a row
+        val vKeys = if (orderKeys.contains(vVer)) orderKeys
+          else orderKeys :+ vVer
+        () => plans.Dialect.registerCollapseFinal(spark, simpleName,
+          vKeys, vSign)
       case _ => throw new IllegalArgumentException(
         s"unsupported table engine: $engine — MergeTree, " +
           "ReplacingMergeTree(ver), SummingMergeTree([cols]), " +

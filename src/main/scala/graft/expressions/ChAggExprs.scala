@@ -251,6 +251,107 @@ case class ChTopKExact(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** `ch_topk_weighted(x, w, k)` — EXACT top-k by summed weight
+  * (ClickHouse's `topKWeighted(k)(x, w)`, upgraded from its
+  * SpaceSaving approximation like the unweighted twin), ties by value
+  * ascending. Same count-grid state bound as [[ChTopKExact]]: one
+  * (value, weight-sum) entry per distinct value, merged map-side by
+  * addition. Weights must be non-negative BIGINTs (ClickHouse's
+  * UInt64 weight contract) — a negative weight fails fast rather than
+  * returning a confidently wrong top-k.
+  */
+case class ChTopKWeighted(child: Expression, weight: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[AnyRef, Long]]
+  with ChBoundedAggBase {
+
+  override def prettyName: String = "ch_topk_weighted"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def children: Seq[Expression] = Seq(child, weight)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChTopKWeighted =
+    copy(child = newChildren(0), weight = newChildren(1))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (k <= 0) return TypeCheckResult.TypeCheckFailure(
+      s"ch_topk_weighted requires a positive k, got $k")
+    if (weight.dataType != LongType) return TypeCheckResult.TypeCheckFailure(
+      s"ch_topk_weighted weight must be BIGINT, got ${weight.dataType.sql}")
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[AnyRef, Long] =
+    mutable.HashMap.empty
+
+  override def update(buffer: mutable.HashMap[AnyRef, Long],
+      input: InternalRow): mutable.HashMap[AnyRef, Long] = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      require(wl >= 0, s"topKWeighted weight must be non-negative, got $wl")
+      val key = InternalRow.copyValue(v).asInstanceOf[AnyRef]
+      buffer.update(key, buffer.getOrElse(key, 0L) + wl)
+    }
+    buffer
+  }
+
+  override def merge(buffer: mutable.HashMap[AnyRef, Long],
+      other: mutable.HashMap[AnyRef, Long]): mutable.HashMap[AnyRef, Long] = {
+    other.foreach { case (v, c) =>
+      buffer.update(v, buffer.getOrElse(v, 0L) + c)
+    }
+    buffer
+  }
+
+  override def eval(buffer: mutable.HashMap[AnyRef, Long]): Any = {
+    val top = buffer.toArray
+      .sortWith { case ((v1, c1), (v2, c2)) =>
+        if (c1 != c2) c1 > c2 else valueOrdering.lt(v1, v2)
+      }
+      .take(k)
+      .map(_._1.asInstanceOf[Any])
+    new GenericArrayData(top)
+  }
+
+  override def serialize(buffer: mutable.HashMap[AnyRef, Long]): Array[Byte] = {
+    val projection =
+      UnsafeProjection.create(Array[DataType](child.dataType, LongType))
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val scratch = new Array[Byte](4096)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (v, c) =>
+      writeValueRow(out, projection(InternalRow(v, c)), scratch)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[AnyRef, Long] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buffer = mutable.HashMap.empty[AnyRef, Long]
+    val row = new UnsafeRow(2)
+    var i = 0
+    while (i < n) {
+      val size = in.readInt()
+      val rowBytes = new Array[Byte](size)
+      in.readFully(rowBytes)
+      row.pointTo(rowBytes, size)
+      buffer.update(row.get(0, child.dataType), row.getLong(1))
+      i += 1
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ChTopKWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ChTopKWeighted =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object ChAggExprs {
   import FnReg._
 
@@ -272,5 +373,9 @@ object ChAggExprs {
     (FunctionIdentifier("ch_topk_exact"),
       new ExpressionInfo(classOf[ChTopKExact].getName, "ch_topk_exact"),
       arity("ch_topk_exact", 2)(exprs =>
-        ChTopKExact(exprs(0), litCount(exprs(1), "ch_topk_exact")))))
+        ChTopKExact(exprs(0), litCount(exprs(1), "ch_topk_exact")))),
+    (FunctionIdentifier("ch_topk_weighted"),
+      new ExpressionInfo(classOf[ChTopKWeighted].getName, "ch_topk_weighted"),
+      arity("ch_topk_weighted", 3)(exprs =>
+        ChTopKWeighted(exprs(0), exprs(1), litCount(exprs(2), "ch_topk_weighted")))))
 }

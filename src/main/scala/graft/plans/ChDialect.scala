@@ -1193,5 +1193,88 @@ object ChDialect extends QueryModule {
              |  UNION ALL SELECT 3, 'gamma', 2.75
              |  UNION ALL SELECT 4, 'delta', NULL
              |  UNION ALL SELECT 5, 'epsilon', 0.125
-             |) ORDER BY k""".stripMargin)))
+             |) ORDER BY k""".stripMargin)),
+
+    // VersionedCollapsingMergeTree(sign, version) FINAL — the
+    // versioned twin of the sign-net collapse: a cancel annuls an
+    // insert only at the SAME (key, version), so out-of-order cancels
+    // never eat a newer insert (the engine's whole point). Registered
+    // as the sign-net over keys+version — q_collapse_versioned's first
+    // stage, reached from pure DDL + FINAL text.
+    "q_ch_versioned_final" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_vcoll_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_vcoll_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_vcoll_ddl (
+            |  user_id Int64,
+            |  version Int64,
+            |  sign Int8,
+            |  value Float64
+            |) ENGINE = VersionedCollapsingMergeTree(sign, version)
+            |ORDER BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_vcoll_ddl SELECT user_id, " +
+            "event_id % 16, multiIf(event_type = 'error', -1, 1), value " +
+            "FROM events_ch_chv WHERE user_id % 20 = 11")
+        ch(s, """SELECT user_id, version, sign AS net,
+                |  round(value, 4) AS net_value
+                |FROM graft_ddl.events_vcoll_ddl FINAL
+                |ORDER BY user_id, version""".stripMargin)
+      },
+      Some("""SELECT user_id, event_id % 16 AS version,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+             |    AS BIGINT) AS net,
+             |  round(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END
+             |    * value), 4) AS net_value
+             |FROM events WHERE user_id % 20 = 11
+             |GROUP BY user_id, version
+             |HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // Parametric topKWeighted(k)(x, w) — EXACT top-k by summed weight
+    // (ClickHouse approximates; same documented upgrade as topK), ties
+    // by value ascending, on the same count-grid-bounded kernel.
+    // Joined-string output (§K driver-compare discipline).
+    "q_ch_topk_weighted" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        ch(s, """SELECT event_type,
+                |  arrayStringConcat(arrayMap(x -> toString(x),
+                |    topKWeighted(3)(user_id % 10, event_id % 7)), '|') AS top_w
+                |FROM events_ch_chv
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, user_id % 10 AS v,
+             |         sum(event_id % 7) AS w
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type,
+             |  array_to_string(list_slice(list(v ORDER BY w DESC, v), 1, 3),
+             |                  '|') AS top_w
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Parametric groupUniqArray(n)(x) — the n smallest DISTINCT values
+    // (same deterministic reading as groupArray(n); ClickHouse keeps
+    // an arbitrary insertion-order subset). DISTINCT rides Spark's own
+    // distinct-aggregate expansion over the bounded kernel.
+    "q_ch_group_uniq_array" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        ch(s, """SELECT event_type,
+                |  arrayStringConcat(arrayMap(x -> toString(x),
+                |    groupUniqArray(4)(user_id % 10)), '|') AS low_mods
+                |FROM events_ch_chv
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  array_to_string(list_slice(
+             |    list(DISTINCT v ORDER BY v), 1, 4), '|') AS low_mods
+             |FROM (SELECT event_type, user_id % 10 AS v FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

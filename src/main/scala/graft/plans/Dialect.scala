@@ -454,7 +454,7 @@ object Dialect {
   /** Parametric aggregates: `name(params)(args)`. */
   private val ParamAggs = Set("quantile", "quantileExact", "quantileTDigest",
     "quantileDeterministic", "quantiles", "quantilesExact", "uniqUpTo",
-    "groupArray", "topK")
+    "groupArray", "groupUniqArray", "topK", "topKWeighted")
 
   private def isLambda(arg: Vector[Node]): Boolean =
     arg.exists { case Leaf(Punct("->")) => true; case _ => false }
@@ -689,6 +689,24 @@ object Dialect {
       // ≤ 2n values per aggregation buffer (merged map-side), so a
       // skewed group costs the n-bound, never its row count.
       s"ch_least_k(${emit(args(0))}, ${emit(params(0))})"
+    case "groupUniqArray" =>
+      if (params.length != 1 || args.length != 1)
+        fail("groupUniqArray: expected groupUniqArray(n)(expr)")
+      // DOCUMENTED DIVERGENCE, same reading as groupArray(n): the n
+      // smallest DISTINCT values in ascending order (ClickHouse keeps
+      // an arbitrary insertion-order subset). DISTINCT goes through
+      // Spark's own distinct-aggregate expansion; the kernel bound is
+      // unchanged.
+      s"ch_least_k(DISTINCT ${emit(args(0))}, ${emit(params(0))})"
+    case "topKWeighted" =>
+      if (params.length != 1 || args.length != 2)
+        fail("topKWeighted: expected topKWeighted(k)(expr, weight)")
+      // EXACT top-k by summed weight (ClickHouse approximates), ties
+      // by value ascending — the ChTopKWeighted kernel: count-grid
+      // state bound, weights under ClickHouse's UInt64 contract
+      // (negative weights fail fast).
+      s"ch_topk_weighted(${emit(args(0))}, " +
+        s"CAST(${emit(args(1))} AS BIGINT), ${emit(params(0))})"
     case "topK" =>
       if (params.length != 1 || args.length != 1)
         fail("topK: expected topK(k)(expr)")

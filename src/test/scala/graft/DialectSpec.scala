@@ -576,6 +576,30 @@ class DialectSpec extends SparkSpec {
       strRow.getSeq[String](1) == Seq("a"))
   }
 
+  test("topKWeighted(k) and groupUniqArray(n) ride the bounded kernels") {
+    assert(t("SELECT topKWeighted(2)(v, w) FROM t") ==
+      "SELECT ch_topk_weighted(v, CAST(w AS BIGINT), 2) FROM t")
+    assert(t("SELECT groupUniqArray(3)(v) FROM t") ==
+      "SELECT ch_least_k(DISTINCT v, 3) FROM t")
+    // non-parametric groupUniqArray stays the collect_set rename
+    assert(t("SELECT groupUniqArray(v) FROM t") == "SELECT collect_set(v) FROM t")
+    import spark.implicits._
+    // weights: value 1 carries 10, value 3 carries 7, value 2 carries 5
+    Seq((1, 10L), (2, 5L), (3, 3L), (3, 4L), (1, 0L)).toDF("v", "w")
+      .createOrReplaceTempView("topkw_dsp")
+    val row = spark.sql(Dialect.translate(spark,
+      "SELECT topKWeighted(2)(v, w) AS tw, groupUniqArray(2)(v) AS gu " +
+        "FROM topkw_dsp")).collect()(0)
+    assert(row.getSeq[Int](0) == Seq(1, 3), row)
+    assert(row.getSeq[Int](1) == Seq(1, 2), row)
+    // ClickHouse's UInt64 weight contract: negatives fail fast rather
+    // than returning a confidently wrong top-k
+    Seq((1, -2L)).toDF("v", "w").createOrReplaceTempView("topkw_neg_dsp")
+    val e = intercept[Exception](spark.sql(Dialect.translate(spark,
+      "SELECT topKWeighted(1)(v, w) FROM topkw_neg_dsp")).collect())
+    assert(e.getMessage != null)
+  }
+
   test("dictGet resolves the registered dictionary; declared DEFAULT on miss") {
     import spark.implicits._
     Seq((0L, "alpha"), (1L, "beta")).toDF("k", "nm")

@@ -874,6 +874,34 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("VersionedCollapsingMergeTree nets per (key, version); refusals name the contract") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS vcolldb CASCADE")
+      spark.sql(s"CREATE DATABASE vcolldb LOCATION '$root/vcolldb.db'")
+      Graft.sql(spark, "CREATE TABLE vcolldb.st (k Int64, ver Int64, " +
+        "sign Int8, v Float64) " +
+        "ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY k")
+      // key 1: version 1 annuls, version 2 survives; an OUT-OF-ORDER
+      // cancel at version 3 (no matching insert) must not eat version 2
+      Graft.sql(spark, "INSERT INTO vcolldb.st VALUES " +
+        "(1, 1, 1, 5.0), (1, 1, -1, 5.0), (1, 2, 1, 7.0), (1, 3, -1, 9.0)")
+      val rows = Graft.sql(spark,
+        "SELECT k, ver, sign, v FROM vcolldb.st FINAL ORDER BY k, ver")
+        .collect()
+      assert(rows.length == 1 && rows(0).getLong(1) == 2L &&
+        rows(0).getDouble(3) == 7.0, rows.toSeq)
+      def err(sql: String): String =
+        intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage
+      assert(err("CREATE TABLE vcolldb.bad (k Int64, sign Int8) " +
+        "ENGINE = VersionedCollapsingMergeTree(sign) ORDER BY k")
+        .contains("sign and version"))
+      assert(err("CREATE TABLE vcolldb.bad2 (k Int64, sign Int8, v Float64) " +
+        "ENGINE = VersionedCollapsingMergeTree(sign, nope) ORDER BY k")
+        .contains("not among"))
+      spark.sql("DROP DATABASE vcolldb CASCADE")
+    }
+  }
+
   test("AggregateFunction(uniq): sketch partials merge to the exact fixture count") {
     withRoot { root =>
       spark.sql("DROP DATABASE IF EXISTS uniqdb CASCADE")

@@ -106,6 +106,13 @@ object GraftSql {
             s"view(s) ${mvsOn(spark, table).map(_.mv).mkString(", ")} — " +
             "DROP TABLE the MV first (and re-CREATE … POPULATE after), " +
             "or append with INSERT INTO")
+      // TRUNCATE empties the table wholesale — same stale-partials
+      // hazard as INSERT OVERWRITE, refused under the same rule
+      case TruncateRe(table) if mvsOn(spark, table).nonEmpty =>
+        throw new IllegalArgumentException(
+          s"TRUNCATE TABLE $table would orphan the partials of " +
+            s"materialized view(s) ${mvsOn(spark, table).map(_.mv).mkString(", ")} — " +
+            "DROP TABLE the MV first (and re-CREATE after the truncate)")
       // DROP TABLE of a materialized view unregisters its maintenance.
       // The Spark DDL runs FIRST: a failing DROP (missing table without
       // IF EXISTS) must leave the registrations standing — otherwise
@@ -313,6 +320,8 @@ object GraftSql {
     """(?is)^INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+FORMAT\s+(\w+)\s+(.+)$""".r
   private val InsertOverwriteRe =
     """(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(.+)$""".r
+  private val TruncateRe =
+    """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)$""".r
   private val DropTableRe =
     """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
   private val RenameTableRe =
@@ -532,9 +541,52 @@ object GraftSql {
       operators.Snapshot.update(spark, snapshotDirOf(spark, table), pred, assigns))
   }
 
+  /** `OPTIMIZE TABLE <t> FINAL` on a Summing/Aggregating-registered
+    * catalog table = ClickHouse's physical part merge: the standing
+    * partial rows collapse IN PLACE to one row per key (exactly what
+    * the read-time FINAL computes — the engine's contract is that
+    * OPTIMIZE FINAL changes no answer, only the row count), so reads
+    * after it pay one row per key whether or not they say FINAL.
+    * The collapsed content localCheckpoints BEFORE the overwrite — the
+    * same pin-before-write discipline as the MV insert fan-out (an
+    * overwrite lazily reading its own table would race itself).
+    * Tables whose FINAL output is not round-trippable back into the
+    * table schema (avg-MV helper derivations) refuse named. Snapshot
+    * tables keep the day-compaction path below.
+    */
+  private def optimizePartials(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val simple = table.split('.').last
+    val reg = plans.Dialect.registryOf(spark)
+    reg.aggFinals.get(simple).foreach { case (_, colFns) =>
+      require(!colFns.exists(_._2.startsWith("avg@")),
+        s"OPTIMIZE TABLE $table FINAL: this MV serves avg outputs DERIVED " +
+          "from sum+count helpers — its FINAL projection is not " +
+          "round-trippable into the stored schema; the partials stay " +
+          "(reads already collapse at FINAL time)")
+    }
+    val before = spark.table(table).count()
+    val collapsed = spark.sql(
+      plans.Dialect.translate(spark, s"SELECT * FROM $table FINAL"))
+      .localCheckpoint()
+    try collapsed.write.mode("overwrite").insertInto(table)
+    finally collapsed.unpersist()
+    val after = spark.table(table).count()
+    Seq(("OPTIMIZE FINAL (partials)", table, before, after))
+      .toDF("command", "table", "rows_before", "rows_after")
+  }
+
   private def optimize(spark: SparkSession, table: String,
       deduplicate: Boolean): DataFrame = {
     import spark.implicits._
+    val simple = table.split('.').last
+    if (!deduplicate &&
+        spark.conf.getOption(s"graft.snapshot.$table").isEmpty &&
+        (spark.conf.getOption(s"graft.final.$simple").isDefined ||
+          spark.conf.getOption(s"graft.sumfinal.$simple").isDefined ||
+          spark.conf.getOption(s"graft.aggfinal.$simple").isDefined) &&
+        spark.catalog.tableExists(table))
+      return optimizePartials(spark, table)
     val dir = snapshotDirOf(spark, table)
     if (deduplicate)
       report(spark, "OPTIMIZE DEDUPLICATE", table,
@@ -1008,6 +1060,7 @@ object GraftSql {
       case (out, "sum", a) => sum(expr(a)).as(out)
       case (out, "min", a) => min(expr(a)).as(out)
       case (out, "max", a) => max(expr(a)).as(out)
+      case (out, "uniq", a) => hll_sketch_agg(expr(a)).as(out)
       case (out, "cnt", _) => count(lit(1)).as(out)
       case (out, _, a) => count(expr(a)).as(out) // cntc: non-null count
     }
@@ -1017,8 +1070,10 @@ object GraftSql {
 
   private val MvEngineRe = """(?is)\bENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?""".r
   private val MvToRe = """(?is)^TO\s+([\w.]+)\s*$""".r
+  // the body arrives DIALECT-TRANSLATED, so uniqState shows up as its
+  // Spark spelling hll_sketch_agg
   private val MvAggItemRe =
-    """(?is)^(sum|count|min|max|avg)\s*\((.*)\)\s+AS\s+(\w+)$""".r
+    """(?is)^(sum|count|min|max|avg|hll_sketch_agg)\s*\((.*)\)\s+AS\s+(\w+)$""".r
   private val MvKeyItemRe = """(?is)^([\w.]+)(?:\s+AS\s+(\w+))?$""".r
   private val MvClauseRe =
     """(?is)\b(FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|JOIN|UNION)\b""".r
@@ -1158,6 +1213,16 @@ object GraftSql {
             require(arg.trim.nonEmpty,
               s"${fn.toLowerCase(java.util.Locale.ROOT)}() needs an argument: $out")
             aggItems += ((out, fn.toLowerCase(java.util.Locale.ROOT), arg.trim))
+          case "hll_sketch_agg" =>
+            // the distinct-count dashboard MV: the partial is an HLL
+            // sketch (BINARY), collapsing under hll_union_agg — read
+            // it back with uniqMerge(col). AggregatingMergeTree only
+            // (a summing merge cannot sum sketch bytes).
+            require(arg.trim.nonEmpty, s"uniqState() needs an argument: $out")
+            require(engine == "aggregatingmergetree",
+              s"uniqState($arg) AS $out: sketch partials merge under their " +
+                "own union, which needs ENGINE = AggregatingMergeTree()")
+            aggItems += ((out, "uniq", arg.trim))
           case "avg" =>
             // avg has no mergeable partial of its OWN — store sum +
             // count and divide at read (the ProjectionRewrite
@@ -1233,7 +1298,7 @@ object GraftSql {
         else
           plans.Dialect.registerAggFinal(spark, simpleName, d.keys,
             d.aggs.map { case (out, kind, _) =>
-              (out, if (kind == "min" || kind == "max") kind else "sum")
+              (out, if (Seq("min", "max", "uniq").contains(kind)) kind else "sum")
             } ++ avgItems.toSeq.map { case (out, s, c) => (out, s"avg@$s@$c") })
         spark.conf.set(s"graft.mv.$simpleName", encodeMv(d))
         if (populate && !exists)
@@ -1283,7 +1348,7 @@ object GraftSql {
     reg.aggFinals.get(targetSimple).foreach { case (_, colFns) =>
       val fnOf = colFns.toMap
       d.aggs.foreach { case (out, kind, _) =>
-        val want = if (kind == "min" || kind == "max") kind else "sum"
+        val want = if (Seq("min", "max", "uniq").contains(kind)) kind else "sum"
         val declared = fnOf.getOrElse(out, throw new IllegalArgumentException(
           s"TO-form target '$target' has no column '$out' for the MV's " +
             "aggregate output"))

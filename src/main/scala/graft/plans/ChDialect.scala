@@ -1276,5 +1276,98 @@ object ChDialect extends QueryModule {
              |  array_to_string(list_slice(
              |    list(DISTINCT v ORDER BY v), 1, 4), '|') AS low_mods
              |FROM (SELECT event_type, user_id % 10 AS v FROM events)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // The distinct-count dashboard MV — `uniqState(x)` in an
+    // AggregatingMergeTree MV body: each insert batch appends one HLL
+    // sketch partial per key (shuffle carries sketch bytes, never
+    // value domains), `uniqMerge` folds them at read. ROWS-ONLY BY
+    // DESIGN (approximate estimate; bytes diverge from ClickHouse's
+    // internal state) — GraftSqlSpec pins estimate ≡ exact on the
+    // fixture and merge-of-batches ≡ whole-set.
+    "q_ch_mat_view_uniq" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        graft.Graft.sql(s, "DROP TABLE IF EXISTS graft_ddl.events_mvu")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mvu")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mvu_src")
+        Seq("events_mvu", "events_mvu_src").foreach { t =>
+          graft.AtomicDir.fileSystem(wh).delete(
+            new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_mvu_src (
+            |  event_type String,
+            |  user_id Int64
+            |) ENGINE = MergeTree ORDER BY event_type""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_mvu_src SELECT event_type, " +
+            "user_id FROM events_ch_chv WHERE event_id % 2 = 0")
+        graft.Graft.sql(s,
+          """CREATE MATERIALIZED VIEW graft_ddl.events_mvu
+            |ENGINE = AggregatingMergeTree()
+            |ORDER BY event_type
+            |POPULATE AS
+            |SELECT event_type, uniqState(user_id) AS u, count() AS n
+            |FROM graft_ddl.events_mvu_src
+            |GROUP BY event_type""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_mvu_src SELECT event_type, " +
+            "user_id FROM events_ch_chv WHERE event_id % 2 = 1")
+        ch(s, """SELECT event_type, uniqMerge(u) AS nu, sum(n) AS n
+                |FROM graft_ddl.events_mvu
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      None),
+
+    // `OPTIMIZE TABLE <t> FINAL` on a Summing MV table — ClickHouse's
+    // physical part merge: the standing partials collapse IN PLACE to
+    // one row per key (answers unchanged — only the row count), so
+    // every later read pays one row per key whether or not it says
+    // FINAL. The post-OPTIMIZE PLAIN read matching the raw-rows oracle
+    // IS the claim.
+    "q_ch_optimize_final" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        graft.Graft.sql(s, "DROP TABLE IF EXISTS graft_ddl.events_opt")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_opt")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_opt_src")
+        Seq("events_opt", "events_opt_src").foreach { t =>
+          graft.AtomicDir.fileSystem(wh).delete(
+            new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_opt_src (
+            |  user_id Int64,
+            |  value Nullable(Float64)
+            |) ENGINE = MergeTree ORDER BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          """CREATE MATERIALIZED VIEW graft_ddl.events_opt
+            |ENGINE = SummingMergeTree()
+            |ORDER BY user_id AS
+            |SELECT user_id, sum(value) AS sv, count() AS n
+            |FROM graft_ddl.events_opt_src GROUP BY user_id""".stripMargin)
+        // two insert batches → two partial rows per twice-hit key
+        Seq(0, 1).foreach { parity =>
+          graft.Graft.sql(s,
+            "INSERT INTO graft_ddl.events_opt_src SELECT user_id, value " +
+              s"FROM events_ch_chv WHERE user_id % 10 = 2 AND " +
+              s"event_id % 2 = $parity")
+        }
+        graft.Graft.sql(s, "OPTIMIZE TABLE graft_ddl.events_opt FINAL")
+        // PLAIN read (no FINAL): physically collapsed to one row per key
+        ch(s, """SELECT user_id, round(sv, 4) AS sv, n
+                |FROM graft_ddl.events_opt
+                |ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id, round(sum(value), 4) AS sv,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id % 10 = 2
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }

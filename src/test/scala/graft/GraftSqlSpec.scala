@@ -960,11 +960,121 @@ class GraftSqlSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(mvServed == Map("a" -> 4.0, "b" -> 3.5, "d" -> 4.0), mvServed)
       val e = intercept[IllegalArgumentException](Graft.sql(spark,
-        "INSERT INTO fmtdb.t FORMAT Native  bytes"))
+        "INSERT INTO fmtdb.t FORMAT Native  bytes"))
       assert(e.getMessage.contains("Native") &&
         e.getMessage.contains("JSONEachRow"))
       Graft.sql(spark, "DROP TABLE fmtdb.mv_fmt")
       spark.sql("DROP DATABASE fmtdb CASCADE")
+    }
+  }
+
+  test("OPTIMIZE FINAL physically collapses partials; answers unchanged") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS optdb CASCADE")
+      spark.sql(s"CREATE DATABASE optdb LOCATION '$root/optdb.db'")
+      Graft.sql(spark, "CREATE TABLE optdb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW optdb.mv_opt " +
+        "ENGINE = SummingMergeTree() ORDER BY k AS " +
+        "SELECT k, sum(v) AS sv, count() AS n FROM optdb.src GROUP BY k")
+      Graft.sql(spark, "INSERT INTO optdb.src VALUES (1, 2.0), (2, 3.0)")
+      Graft.sql(spark, "INSERT INTO optdb.src VALUES (1, 5.0)")
+      val beforeFinal = Graft.sql(spark,
+        "SELECT k, sv, n FROM optdb.mv_opt FINAL ORDER BY k").collect().toSeq
+      assert(spark.table("optdb.mv_opt").count() == 3) // 2 partials for k=1
+      val rep = Graft.sql(spark, "OPTIMIZE TABLE optdb.mv_opt FINAL").collect()(0)
+      assert(rep.getAs[Long]("rows_before") == 3 &&
+        rep.getAs[Long]("rows_after") == 2)
+      // FINAL answer unchanged, and the PLAIN read now equals it too
+      assert(Graft.sql(spark,
+        "SELECT k, sv, n FROM optdb.mv_opt FINAL ORDER BY k").collect().toSeq ==
+        beforeFinal)
+      assert(spark.sql("SELECT k, sv, n FROM optdb.mv_opt ORDER BY k")
+        .collect().toSeq == beforeFinal)
+      // later inserts keep maintaining; FINAL still collapses them
+      Graft.sql(spark, "INSERT INTO optdb.src VALUES (1, 1.0)")
+      assert(Graft.sql(spark,
+        "SELECT sv FROM optdb.mv_opt FINAL WHERE k = 1").head.getDouble(0) == 8.0)
+      Graft.sql(spark, "DROP TABLE optdb.mv_opt")
+      spark.sql("DROP DATABASE optdb CASCADE")
+    }
+  }
+
+  test("OPTIMIZE FINAL dedupes a ReplacingMergeTree table to latest versions") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS roptdb CASCADE")
+      spark.sql(s"CREATE DATABASE roptdb LOCATION '$root/roptdb.db'")
+      Graft.sql(spark, "CREATE TABLE roptdb.t (k Int64, ver Int64, " +
+        "v Float64) ENGINE = ReplacingMergeTree(ver) ORDER BY k")
+      Graft.sql(spark, "INSERT INTO roptdb.t VALUES " +
+        "(1, 1, 10.0), (1, 3, 30.0), (1, 2, 20.0), (2, 1, 1.0)")
+      val rep = Graft.sql(spark, "OPTIMIZE TABLE roptdb.t FINAL").collect()(0)
+      assert(rep.getAs[Long]("rows_before") == 4 &&
+        rep.getAs[Long]("rows_after") == 2)
+      assert(spark.sql("SELECT k, ver, v FROM roptdb.t ORDER BY k")
+        .collect().toSeq.map(_.toString) == Seq("[1,3,30.0]", "[2,1,1.0]"))
+      spark.sql("DROP DATABASE roptdb CASCADE")
+    }
+  }
+
+  test("OPTIMIZE FINAL refuses avg-MVs; TRUNCATE refuses on MV-fed tables") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS guarddb CASCADE")
+      spark.sql(s"CREATE DATABASE guarddb LOCATION '$root/guarddb.db'")
+      Graft.sql(spark, "CREATE TABLE guarddb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW guarddb.mv_g " +
+        "ENGINE = AggregatingMergeTree() ORDER BY k AS " +
+        "SELECT k, avg(v) AS av FROM guarddb.src GROUP BY k")
+      // the avg-MV's FINAL projection (derived quotient) is not
+      // round-trippable into the stored helper schema — refuse named
+      val e1 = intercept[IllegalArgumentException](Graft.sql(spark,
+        "OPTIMIZE TABLE guarddb.mv_g FINAL"))
+      assert(e1.getMessage.contains("avg"))
+      // TRUNCATE on the MV-fed source would orphan the partials
+      val e2 = intercept[IllegalArgumentException](Graft.sql(spark,
+        "TRUNCATE TABLE guarddb.src"))
+      assert(e2.getMessage.contains("orphan"))
+      // on a plain table TRUNCATE falls through to Spark and works
+      Graft.sql(spark, "CREATE TABLE guarddb.plain (k Int64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "INSERT INTO guarddb.plain VALUES (1), (2)")
+      Graft.sql(spark, "TRUNCATE TABLE guarddb.plain")
+      assert(spark.table("guarddb.plain").count() == 0)
+      Graft.sql(spark, "DROP TABLE guarddb.mv_g")
+      spark.sql("DROP DATABASE guarddb CASCADE")
+    }
+  }
+
+  test("uniqState in an MV body: sketch partials per batch, uniqMerge ≡ exact") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS umvdb CASCADE")
+      spark.sql(s"CREATE DATABASE umvdb LOCATION '$root/umvdb.db'")
+      Graft.sql(spark, "CREATE TABLE umvdb.src (g String, uid Int64) " +
+        "ENGINE = MergeTree ORDER BY g")
+      Graft.sql(spark, "CREATE MATERIALIZED VIEW umvdb.mv_u " +
+        "ENGINE = AggregatingMergeTree() ORDER BY g AS " +
+        "SELECT g, uniqState(uid) AS u, count() AS n " +
+        "FROM umvdb.src GROUP BY g")
+      Graft.sql(spark, "INSERT INTO umvdb.src VALUES " +
+        "('a', 1), ('a', 2), ('b', 1)")
+      Graft.sql(spark, "INSERT INTO umvdb.src VALUES " +
+        "('a', 2), ('a', 3), ('b', 9)")
+      // 2 batches → 2 sketch partials per group; the merge must count
+      // DISTINCT uids across both (a: {1,2,3} = 3, b: {1,9} = 2)
+      val got = Graft.sql(spark,
+        "SELECT g, uniqMerge(u) AS nu FROM umvdb.mv_u GROUP BY g ORDER BY g")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 3L, "b" -> 2L), got)
+      assert(spark.table("umvdb.mv_u").count() == 4)
+      // uniqState under a SUMMING MV refuses with the engine named
+      val e = intercept[IllegalArgumentException](Graft.sql(spark,
+        "CREATE MATERIALIZED VIEW umvdb.mv_u2 ENGINE = SummingMergeTree() " +
+          "ORDER BY g AS SELECT g, uniqState(uid) AS u FROM umvdb.src " +
+          "GROUP BY g"))
+      assert(e.getMessage.contains("AggregatingMergeTree"))
+      Graft.sql(spark, "DROP TABLE umvdb.mv_u")
+      spark.sql("DROP DATABASE umvdb CASCADE")
     }
   }
 }

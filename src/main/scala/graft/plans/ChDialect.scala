@@ -1060,8 +1060,7 @@ object ChDialect extends QueryModule {
         Seq(8, 9).foreach { m =>
           graft.Graft.sql(s,
             "INSERT INTO graft_ddl.events_mvt_src SELECT user_id, " +
-              s"event_type, value FROM events_ch_chv WHERE user_id % 10 = $m " +
-              "AND user_id % 3 = 1")
+              s"event_type, value FROM events_ch_chv WHERE user_id % 10 = $m")
         }
         ch(s, """SELECT user_id, event_type, round(sv, 4) AS sv, n
                 |FROM graft_ddl.events_mvt_tgt FINAL
@@ -1070,7 +1069,7 @@ object ChDialect extends QueryModule {
       Some("""SELECT user_id, event_type, round(sum(value), 4) AS sv,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events
-             |WHERE user_id % 10 IN (8, 9) AND user_id % 3 = 1
+             |WHERE user_id % 10 IN (8, 9)
              |GROUP BY user_id, event_type
              |ORDER BY user_id, event_type""".stripMargin)),
 

@@ -951,14 +951,17 @@ class GraftSqlSpec extends SparkSpec {
           "{\"k\": 3, \"tag\": \"a\", \"v\": 0.5}\n{\"k\": 4, \"tag\": \"c\"}")
       Graft.sql(spark, "INSERT INTO fmtdb.t FORMAT CSV\n5,b,1.0\n6,a,2.0")
       Graft.sql(spark, "INSERT INTO fmtdb.t FORMAT TSV\n7\td\t4.0")
-      assert(spark.table("fmtdb.t").count() == 7)
+      Graft.sql(spark,
+        "INSERT INTO fmtdb.t FORMAT CSVWithNames\nk,tag,v\n8,e,0.5")
+      assert(spark.table("fmtdb.t").count() == 8)
       // JSON's omitted column surfaced NULL
       assert(spark.table("fmtdb.t").filter("k = 4 AND v IS NULL").count() == 1)
       // the MV tracked every format's batch
       val mvServed = Graft.sql(spark,
         "SELECT tag, sv FROM fmtdb.mv_fmt FINAL ORDER BY tag").collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      assert(mvServed == Map("a" -> 4.0, "b" -> 3.5, "d" -> 4.0), mvServed)
+      assert(mvServed ==
+        Map("a" -> 4.0, "b" -> 3.5, "d" -> 4.0, "e" -> 0.5), mvServed)
       val e = intercept[IllegalArgumentException](Graft.sql(spark,
         "INSERT INTO fmtdb.t FORMAT Native  bytes"))
       assert(e.getMessage.contains("Native") &&

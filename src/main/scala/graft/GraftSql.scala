@@ -151,8 +151,10 @@ object GraftSql {
       case RenameTableRe(from, to) =>
         spark.sql(s"ALTER TABLE $from RENAME TO $to")
         val (fromSimple, toSimple) = (from.split('.').last, to.split('.').last)
+        // graft.ddl re-homes by key AND rewrites the statement's own
+        // table name below
         Seq("final", "sample", "sumfinal", "aggfinal", "collapsefinal",
-          "orderby", "partition", "snapshot", "mv").foreach { kind =>
+          "orderby", "partition", "snapshot", "mv", "ddl").foreach { kind =>
             val (f, t) = (s"graft.$kind.$fromSimple", s"graft.$kind.$toSimple")
             spark.conf.getOption(f).foreach { v =>
               spark.conf.set(t, v); spark.conf.unset(f)
@@ -163,6 +165,13 @@ object GraftSql {
         // and a materialized view's (mv|src|…) segments — otherwise a
         // later dictGet / INSERT would read the old name (an error, or
         // silently a DIFFERENT relation if that name is reused)
+        // the stored SHOW CREATE statement names the table inside its
+        // value — rewrite the head so the returned DDL matches the
+        // table's new name
+        spark.conf.getOption(s"graft.ddl.$toSimple").foreach { v =>
+          spark.conf.set(s"graft.ddl.$toSimple",
+            v.replaceFirst("(?is)^CREATE\\s+TABLE\\s+[\\w.]+", s"CREATE TABLE $to"))
+        }
         def rehome(seg: String): String =
           if (seg == from) to else if (seg == fromSimple) toSimple else seg
         spark.conf.getAll.foreach {
@@ -188,6 +197,15 @@ object GraftSql {
         okRow(spark, "DROP DICTIONARY", name)
       case ReloadDictRe(_) =>
         okRow(spark, "SYSTEM RELOAD DICTIONARIES", "-")
+      // SHOW CREATE TABLE on a routed-DDL table returns the
+      // canonicalized original statement (ClickHouse's behavior — the
+      // engine/keys metadata Spark's own SHOW CREATE cannot carry);
+      // unregistered tables fall through to Spark's native form
+      case ShowCreateRe(table)
+          if spark.conf.getOption(s"graft.ddl.${table.split('.').last}").isDefined =>
+        import spark.implicits._
+        Seq(spark.conf.get(s"graft.ddl.${table.split('.').last}"))
+          .toDF("statement")
       case BackupDbRe(db, destRaw, settings) =>
         backupDatabase(spark, db, destRaw.trim, parseSettings(Option(settings)))
       case BackupTableRe(table, destRaw, settings) =>
@@ -331,6 +349,8 @@ object GraftSql {
     """(?is)^DROP\s+DICTIONARY\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
   private val ReloadDictRe =
     """(?is)^SYSTEM\s+RELOAD\s+(DICTIONARIES|DICTIONARY\s+[\w.]+)$""".r
+  private val ShowCreateRe =
+    """(?is)^SHOW\s+CREATE\s+(?:TABLE\s+)?([\w.]+)$""".r
   private val ExplainSyntaxRe = """(?is)^EXPLAIN\s+SYNTAX\s+(.+)$""".r
   private val ExplainPlanRe = """(?is)^EXPLAIN\s+(?:PLAN|PIPELINE)\s+(SELECT\b.+|WITH\b.+)$""".r
   private val ExplainEstimateRe = """(?is)^EXPLAIN\s+ESTIMATE\s+(.+)$""".r
@@ -970,6 +990,16 @@ object GraftSql {
       spark.conf.set(s"graft.orderby.$simpleName", orderKeys.mkString(","))
     clauses.get("PARTITION BY").foreach(e =>
       spark.conf.set(s"graft.partition.$simpleName", e))
+    // SHOW CREATE TABLE returns the canonicalized original statement
+    // (ClickHouse's own behavior) — whitespace-normalized so the text
+    // is deterministic however the DDL was line-broken
+    val engineTxt = engine +
+      (if (engineArgs.nonEmpty) s"($engineArgs)" else "")
+    val normCols = colsBlock.trim.replaceAll("\\s+", " ")
+    val normTail = tail.trim.replaceAll("\\s+", " ")
+    spark.conf.set(s"graft.ddl.$simpleName",
+      s"CREATE TABLE $name ($normCols) ENGINE = $engineTxt" +
+        (if (normTail.nonEmpty) s" $normTail" else ""))
     Seq(("CREATE TABLE", name, engine, orderKeys.mkString(","), true))
       .toDF("command", "table", "engine", "order_by", "ok")
   }

@@ -1368,5 +1368,95 @@ object ChDialect extends QueryModule {
       Some("""SELECT user_id, round(sum(value), 4) AS sv,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events WHERE user_id % 10 = 2
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // The round-14 scalar pack — the ClickHouse string/array/math
+    // functions a migration corpus leans on daily: countSubstrings,
+    // splitByWhitespace (no empty tokens), arraySum(lambda)/
+    // arrayFirst[Index], hasAny/hasAll, the OrZero division twins
+    // (doubly needed under ANSI mode, where x/0 ERRORS), the
+    // float-class predicates isFinite/isInfinite/ifNotFinite, and the
+    // base64/trim families. All per-row scalars folded into one hash
+    // aggregate per source — one scan, no shuffle beyond the group.
+    "q_ch_scalar_pack" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        ch(s, """SELECT source,
+                |  sum(countSubstrings(text, 'the')) AS n_the,
+                |  CAST(sum(arraySum(x -> 1, splitByWhitespace(text))) AS BIGINT)
+                |    AS n_tokens,
+                |  sum(arrayFirstIndex(x -> x = 'data',
+                |    splitByWhitespace(text))) AS idx_data,
+                |  countIf(hasAny(splitByWhitespace(text),
+                |    array('the', 'and'))) AS n_hasany,
+                |  countIf(hasAll(splitByWhitespace(text),
+                |    array('the', 'data'))) AS n_hasall,
+                |  sum(intDivOrZero(n_chars, doc_id % 5)) AS div5,
+                |  sum(moduloOrZero(n_chars, doc_id % 3)) AS mod3,
+                |  countIf(isFinite(CAST(1e308 AS DOUBLE) * (doc_id % 2 + 1)))
+                |    AS n_fin,
+                |  countIf(isInfinite(CAST(1e308 AS DOUBLE) * (doc_id % 2 + 1)))
+                |    AS n_inf,
+                |  round(min(ifNotFinite(CAST(1e308 AS DOUBLE) * 2, -1.0)), 4)
+                |    AS not_fin,
+                |  max(base64Decode(base64Encode(source))) AS src_rt,
+                |  max(trimLeft('  pad')) AS tl,
+                |  max(trimRight('pad  ')) AS tr
+                |FROM documents_chv
+                |GROUP BY source ORDER BY source""".stripMargin)
+      },
+      Some("""SELECT source,
+             |  CAST(sum((length(text) - length(replace(text, 'the', ''))) / 3)
+             |    AS BIGINT) AS n_the,
+             |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+             |    x -> x != ''))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(coalesce(list_position(list_filter(
+             |    regexp_split_to_array(text, '\s+'), x -> x != ''), 'data'), 0))
+             |    AS BIGINT) AS idx_data,
+             |  CAST(count(*) FILTER (WHERE list_has_any(list_filter(
+             |    regexp_split_to_array(text, '\s+'), x -> x != ''),
+             |    ['the', 'and'])) AS BIGINT) AS n_hasany,
+             |  CAST(count(*) FILTER (WHERE list_has_all(list_filter(
+             |    regexp_split_to_array(text, '\s+'), x -> x != ''),
+             |    ['the', 'data'])) AS BIGINT) AS n_hasall,
+             |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0
+             |    ELSE n_chars // (doc_id % 5) END) AS BIGINT) AS div5,
+             |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0
+             |    ELSE n_chars % (doc_id % 3) END) AS BIGINT) AS mod3,
+             |  CAST(count(*) FILTER (WHERE isfinite(1e308 * (doc_id % 2 + 1)))
+             |    AS BIGINT) AS n_fin,
+             |  CAST(count(*) FILTER (WHERE isinf(1e308 * (doc_id % 2 + 1)))
+             |    AS BIGINT) AS n_inf,
+             |  round(min(-1.0), 4) AS not_fin,
+             |  max(CAST(from_base64(to_base64(CAST(source AS BLOB)))
+             |    AS VARCHAR)) AS src_rt,
+             |  max(ltrim('  pad')) AS tl,
+             |  max(rtrim('pad  ')) AS tr
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // SHOW CREATE TABLE on routed DDL — ClickHouse's own behavior: the
+    // canonicalized original statement, carrying the engine/keys
+    // metadata Spark's native SHOW CREATE cannot (unregistered tables
+    // keep the Spark fallthrough). The returned text round-trips: the
+    // oracle pins it as the constant the DDL declared.
+    "q_ch_show_create" -> QueryDef(
+      (s, dir) => {
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.show_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/show_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.show_ddl (
+            |  k Int64,
+            |  ver Int64,
+            |  v Float64
+            |) ENGINE = ReplacingMergeTree(ver)
+            |ORDER BY k""".stripMargin)
+        ch(s, "SHOW CREATE TABLE graft_ddl.show_ddl")
+      },
+      Some("""SELECT 'CREATE TABLE graft_ddl.show_ddl (k Int64, ver Int64, """ +
+        """v Float64) ENGINE = ReplacingMergeTree(ver) ORDER BY k' """ +
+        """AS statement""")))
 }

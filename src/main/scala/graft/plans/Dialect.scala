@@ -433,6 +433,8 @@ object Dialect {
     "match" -> "regexp_like",
     "startsWith" -> "startswith", "endsWith" -> "endswith",
     "leftPad" -> "lpad", "rightPad" -> "rpad", "trimBoth" -> "trim",
+    "trimLeft" -> "ltrim", "trimRight" -> "rtrim",
+    "base64Encode" -> "base64",
     "arrayStringConcat" -> "array_join",
     // arrays (same arg order)
     "has" -> "array_contains", "indexOf" -> "array_position",
@@ -519,6 +521,18 @@ object Dialect {
           case other => s"concat('\\\\Q', ${emit(other)}, '\\\\E')"
         }
         Some(s"split(${a(1)}, $sep)")
+      // ClickHouse returns NO empty tokens here, unlike splitByChar —
+      // the filter drops the leading "" a whitespace-headed string
+      // produces under Spark's regex split
+      case ("splitByWhitespace", 1) =>
+        Some(s"filter(split(${a(0)}, '\\\\s+'), __graft_x -> __graft_x != '')")
+      // exact non-overlapping substring count via replace-length
+      // arithmetic — no regex escape hazard for a plain-text needle
+      case ("countSubstrings", 2) =>
+        Some(s"IF(length(${a(1)}) = 0, CAST(0 AS BIGINT), " +
+          s"CAST((length(${a(0)}) - length(replace(${a(0)}, ${a(1)}, ''))) " +
+          s"/ length(${a(1)}) AS BIGINT))")
+      case ("base64Decode", 1) => Some(s"CAST(unbase64(${a(0)}) AS STRING)")
       case ("replaceAll", 3) => Some(s"replace(${a(0)}, ${a(1)}, ${a(2)})")
       case ("JSONExtractString", 2) =>
         args(1) match {
@@ -553,12 +567,42 @@ object Dialect {
         Some(s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)")
       case ("arrayUniq", 1) => Some(s"size(array_distinct(${a(0)}))")
       case ("arrayJoin", 1) => Some(s"explode(${a(0)})")
+      // lambda-first first-match forms; get() is the OOB-safe element
+      // read under ANSI mode (element_at throws on the no-match case)
+      case ("arrayFirst", 2) if isLambda(args(0)) =>
+        Some(s"get(filter(${a(1)}, ${a(0)}), 0)")
+      case ("arrayFirstIndex", 2) if isLambda(args(0)) =>
+        // ClickHouse returns 0 for no match; array_position is 1-based
+        Some(s"coalesce(array_position(transform(${a(1)}, ${a(0)}), true), " +
+          "CAST(0 AS BIGINT))")
+      case ("arraySum", 2) if isLambda(args(0)) =>
+        Some(s"aggregate(transform(${a(1)}, ${a(0)}), CAST(0 AS DOUBLE), " +
+          "(__acc, __x) -> __acc + __x)")
+      case ("hasAny", 2) => Some(s"arrays_overlap(${a(0)}, ${a(1)})")
+      case ("hasAll", 2) =>
+        Some(s"forall(${a(1)}, __graft_x -> array_contains(${a(0)}, __graft_x))")
       case ("arrayAvg", 1) =>
         Some(s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (__acc, __x) -> __acc + __x)" +
           s" / size(${a(0)})")
       // math
       case ("intDiv", 2) => Some(s"(CAST(${a(0)} AS BIGINT) DIV CAST(${a(1)} AS BIGINT))")
       case ("modulo", 2) => Some(s"(${a(0)} % ${a(1)})")
+      // the OrZero twins — ClickHouse's divide-by-zero-safe spellings,
+      // doubly needed here because ANSI mode makes x/0 an ERROR
+      case ("intDivOrZero", 2) =>
+        Some(s"IF((${a(1)}) = 0, CAST(0 AS BIGINT), " +
+          s"CAST(${a(0)} AS BIGINT) DIV CAST(${a(1)} AS BIGINT))")
+      case ("moduloOrZero", 2) =>
+        Some(s"IF((${a(1)}) = 0, 0, (${a(0)}) % (${a(1)}))")
+      // float-class predicates (Spark has isnan but no finite/infinite)
+      case ("isFinite", 1) =>
+        Some(s"(NOT isnan(${a(0)}) AND " +
+          s"abs(${a(0)}) < CAST('Infinity' AS DOUBLE))")
+      case ("isInfinite", 1) =>
+        Some(s"(abs(${a(0)}) = CAST('Infinity' AS DOUBLE))")
+      case ("ifNotFinite", 2) =>
+        Some(s"IF(isnan(${a(0)}) OR " +
+          s"abs(${a(0)}) = CAST('Infinity' AS DOUBLE), ${a(1)}, ${a(0)})")
       case ("bitAnd", 2) => Some(s"(${a(0)} & ${a(1)})")
       case ("bitOr", 2) => Some(s"(${a(0)} | ${a(1)})")
       case ("bitXor", 2) => Some(s"(${a(0)} ^ ${a(1)})")

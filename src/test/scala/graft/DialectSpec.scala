@@ -576,6 +576,40 @@ class DialectSpec extends SparkSpec {
       strRow.getSeq[String](1) == Seq("a"))
   }
 
+  test("round-14 scalar pack: OrZero twins, float-class predicates, token/array scalars") {
+    assert(t("SELECT intDivOrZero(a, b) FROM t") ==
+      "SELECT IF((b) = 0, CAST(0 AS BIGINT), CAST(a AS BIGINT) DIV CAST(b AS BIGINT)) FROM t")
+    assert(t("SELECT moduloOrZero(a, b) FROM t") ==
+      "SELECT IF((b) = 0, 0, (a) % (b)) FROM t")
+    assert(t("SELECT isFinite(x), isInfinite(x) FROM t").contains("isnan"))
+    assert(t("SELECT ifNotFinite(x, y) FROM t").startsWith("SELECT IF(isnan(x)"))
+    assert(t("SELECT splitByWhitespace(s) FROM t") ==
+      "SELECT filter(split(s, '\\\\s+'), __graft_x -> __graft_x != '') FROM t")
+    assert(t("SELECT countSubstrings(h, n) FROM t").contains("replace(h, n, '')"))
+    assert(t("SELECT hasAny(a, b), hasAll(a, b) FROM t") ==
+      "SELECT arrays_overlap(a, b), forall(b, __graft_x -> array_contains(a, __graft_x)) FROM t")
+    assert(t("SELECT arrayFirst(x -> x > 1, a) FROM t") ==
+      "SELECT get(filter(a, x -> x > 1), 0) FROM t")
+    assert(t("SELECT arrayFirstIndex(x -> x > 1, a) FROM t")
+      .contains("array_position"))
+    assert(t("SELECT arraySum(x -> x * 2, a) FROM t")
+      .contains("aggregate(transform(a, x -> x * 2)"))
+    assert(t("SELECT trimLeft(s), trimRight(s), base64Encode(s), base64Decode(s) FROM t") ==
+      "SELECT ltrim(s), rtrim(s), base64(s), CAST(unbase64(s) AS STRING) FROM t")
+    // executed: ANSI-mode division by zero is exactly what OrZero guards
+    import spark.implicits._
+    Seq((10L, 0L), (10L, 3L)).toDF("a", "b").createOrReplaceTempView("orzero_dsp")
+    val rows = spark.sql(Dialect.translate(spark,
+      "SELECT intDivOrZero(a, b) AS d, moduloOrZero(a, b) AS m " +
+        "FROM orzero_dsp ORDER BY d")).collect().toSeq.map(_.toString)
+    assert(rows == Seq("[0,0]", "[3,1]"), rows)
+    // arrayFirst's no-match case is NULL (get() is OOB-safe under ANSI)
+    val fr = spark.sql(Dialect.translate(spark,
+      "SELECT arrayFirst(x -> x > 9, array(1, 2)) AS f, " +
+        "arrayFirstIndex(x -> x = 2, array(1, 2)) AS i")).collect()(0)
+    assert(fr.isNullAt(0) && fr.getLong(1) == 2L, fr)
+  }
+
   test("topKWeighted(k) and groupUniqArray(n) ride the bounded kernels") {
     assert(t("SELECT topKWeighted(2)(v, w) FROM t") ==
       "SELECT ch_topk_weighted(v, CAST(w AS BIGINT), 2) FROM t")

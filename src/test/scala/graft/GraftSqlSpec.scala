@@ -971,6 +971,27 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CREATE TABLE returns routed DDL; rename rewrites it; fallthrough intact") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS scdb CASCADE")
+      spark.sql(s"CREATE DATABASE scdb LOCATION '$root/scdb.db'")
+      Graft.sql(spark, "CREATE TABLE scdb.sc_t (k Int64, ver Int64) " +
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k")
+      assert(Graft.sql(spark, "SHOW CREATE TABLE scdb.sc_t").head.getString(0) ==
+        "CREATE TABLE scdb.sc_t (k Int64, ver Int64) " +
+          "ENGINE = ReplacingMergeTree(ver) ORDER BY k")
+      // RENAME rewrites the statement's own table name
+      Graft.sql(spark, "RENAME TABLE scdb.sc_t TO scdb.sc_t2")
+      assert(Graft.sql(spark, "SHOW CREATE TABLE scdb.sc_t2").head.getString(0)
+        .startsWith("CREATE TABLE scdb.sc_t2 ("))
+      // an unrouted table keeps Spark's own SHOW CREATE output
+      spark.sql("CREATE TABLE scdb.plain_sc (a INT) USING parquet")
+      assert(Graft.sql(spark, "SHOW CREATE TABLE scdb.plain_sc")
+        .head.getString(0).contains("USING parquet"))
+      spark.sql("DROP DATABASE scdb CASCADE")
+    }
+  }
+
   test("OPTIMIZE FINAL physically collapses partials; answers unchanged") {
     withRoot { root =>
       spark.sql("DROP DATABASE IF EXISTS optdb CASCADE")

@@ -66,6 +66,26 @@ object GraftSql {
       case CreateTableRe(ifne, name, colsBlock, engine, engineArgs, tail) =>
         createTable(spark, ifne != null, name, colsBlock, engine,
           Option(engineArgs).map(_.trim).getOrElse(""), tail)
+      // ClickHouse's CTAS spelling — `CREATE TABLE t ENGINE = … ORDER
+      // BY … AS SELECT …` (no column block: the SELECT declares the
+      // schema). The body is dialect text like any SELECT.
+      case CreateTableAsRe(ifne, name, engine, engineArgs, tail, body) =>
+        createTableAs(spark, ifne != null, name, engine,
+          Option(engineArgs).map(_.trim).getOrElse(""), tail.trim, body.trim)
+      // EXCHANGE TABLES a AND b — the operator's swap verb, composed
+      // from three routed RENAMEs so every graft registration re-homes
+      // with its table. DOCUMENTED DIVERGENCE: ClickHouse's EXCHANGE
+      // is atomic; this three-step is not — a crash mid-way leaves the
+      // __graft_xchg intermediate visible (loud and recoverable by
+      // renaming it back), never silent corruption.
+      case ExchangeTablesRe(a, b) =>
+        require(spark.catalog.tableExists(a) && spark.catalog.tableExists(b),
+          s"EXCHANGE TABLES $a AND $b: both tables must exist")
+        val tmp = s"${a}__graft_xchg"
+        sql(spark, s"RENAME TABLE $a TO $tmp")
+        sql(spark, s"RENAME TABLE $b TO $a")
+        sql(spark, s"RENAME TABLE $tmp TO $b")
+        okRow(spark, s"EXCHANGE TABLES WITH $b", a)
       case CreateDictRe(ifne, name, colsBlock, key, tail) =>
         createDictionary(spark, ifne != null, name, colsBlock, key, tail)
       // ClickHouse's most-used operational construct: the
@@ -324,6 +344,12 @@ object GraftSql {
   // Spark's own CREATE TABLE … USING … never has one and falls through
   private val CreateTableRe =
     """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?(.*)$""".r
+  // CTAS: no column block between name and ENGINE; non-greedy tail up
+  // to the first top-level AS SELECT
+  private val CreateTableAsRe =
+    """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?(.*?)\s+AS\s+(SELECT\b.+)$""".r
+  private val ExchangeTablesRe =
+    """(?is)^EXCHANGE\s+TABLES\s+([\w.]+)\s+AND\s+([\w.]+)$""".r
   private val CreateDictRe =
     """(?is)^CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*PRIMARY\s+KEY\s+(\w+)(.*)$""".r
   // non-greedy middle: everything up to the FIRST `AS SELECT` is the
@@ -1001,6 +1027,78 @@ object GraftSql {
       s"CREATE TABLE $name ($normCols) ENGINE = $engineTxt" +
         (if (normTail.nonEmpty) s" $normTail" else ""))
     Seq(("CREATE TABLE", name, engine, orderKeys.mkString(","), true))
+      .toDF("command", "table", "engine", "order_by", "ok")
+  }
+
+  /** ClickHouse CTAS: `CREATE TABLE t ENGINE = <engine> [ORDER BY …]
+    * AS SELECT …`. The SELECT declares the schema (analyzed lazily for
+    * validation BEFORE anything executes — the create-before-register
+    * discipline), the engine clause registers the same read-time
+    * metadata the explicit-columns form does. Engines whose semantics
+    * need per-column DECLARATIONS refuse named: AggregatingMergeTree
+    * (SimpleAggregateFunction collapse functions cannot be read off a
+    * SELECT) and the Collapsing family (a sign column is a contract,
+    * not an inference).
+    */
+  private def createTableAs(spark: SparkSession, ifNotExists: Boolean,
+      name: String, engine: String, engineArgs: String, tail: String,
+      body0: String): DataFrame = {
+    import spark.implicits._
+    val body = plans.Dialect.translate(spark, body0)
+    val schema = spark.sql(body).schema // analysis only — nothing runs
+    val colNames = schema.fieldNames.toSeq
+    val clauses = ddlClauses(tail)
+    require(!clauses.contains("TTL"),
+      s"CREATE TABLE $name AS SELECT: TTL refuses for the same reason as " +
+        "the explicit-columns form (row expiry is a server-side delete " +
+        "graft will not silently skip)")
+    val simpleName = name.split('.').last
+    val orderKeys = clauses.get("ORDER BY").map { txt =>
+      val inner = if (txt.startsWith("(") && txt.endsWith(")"))
+        txt.substring(1, txt.length - 1) else txt
+      splitTopLevelCommas(inner).filterNot(_.equalsIgnoreCase("tuple()"))
+    }.getOrElse(Nil)
+    orderKeys.foreach(k => require(colNames.contains(k),
+      s"ORDER BY key '$k' is not among the SELECT's output columns " +
+        s"(${colNames.mkString(", ")})"))
+    val registerEngine: () => Unit = engine.toLowerCase(java.util.Locale.ROOT) match {
+      case "mergetree" | "memory" | "log" | "tinylog" | "stripelog" => () => ()
+      case "replacingmergetree" =>
+        require(engineArgs.nonEmpty,
+          "ReplacingMergeTree without an explicit version column collapses " +
+            "by INSERTION ORDER — declare ReplacingMergeTree(<version column>)")
+        require(orderKeys.nonEmpty, "ReplacingMergeTree needs ORDER BY keys")
+        require(colNames.contains(engineArgs.trim),
+          s"version column '${engineArgs.trim}' is not among the SELECT's " +
+            "output columns")
+        () => plans.Dialect.registerFinal(spark, simpleName, orderKeys,
+          Seq(engineArgs.trim))
+      case "summingmergetree" =>
+        require(orderKeys.nonEmpty, "SummingMergeTree needs ORDER BY keys")
+        val summed = if (engineArgs.isEmpty) Nil
+          else splitTopLevelCommas(engineArgs)
+        summed.foreach(c => require(colNames.contains(c) && !orderKeys.contains(c),
+          s"summed column '$c' must be a non-key output of the SELECT"))
+        () => plans.Dialect.registerSumFinal(spark, simpleName, orderKeys, summed)
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE … AS SELECT supports MergeTree, " +
+          "ReplacingMergeTree(ver), SummingMergeTree([cols]) and the plain " +
+          s"engines — $other needs per-column declarations " +
+          "(SimpleAggregateFunction / sign columns) the SELECT cannot carry; " +
+          "use the explicit-columns CREATE TABLE form")
+    }
+    val ifne = if (ifNotExists) "IF NOT EXISTS " else ""
+    spark.sql(s"CREATE TABLE $ifne$name USING parquet AS $body")
+    registerEngine()
+    if (orderKeys.nonEmpty)
+      spark.conf.set(s"graft.orderby.$simpleName", orderKeys.mkString(","))
+    val engineTxt = engine + (if (engineArgs.nonEmpty) s"($engineArgs)" else "")
+    val normTail = tail.trim.replaceAll("\\s+", " ")
+    spark.conf.set(s"graft.ddl.$simpleName",
+      s"CREATE TABLE $name ENGINE = $engineTxt" +
+        (if (normTail.nonEmpty) s" $normTail" else "") +
+        s" AS ${body0.replaceAll("\\s+", " ")}")
+    Seq(("CREATE TABLE AS SELECT", name, engine, orderKeys.mkString(","), true))
       .toDF("command", "table", "engine", "order_by", "ok")
   }
 

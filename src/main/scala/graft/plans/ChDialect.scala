@@ -1458,5 +1458,74 @@ object ChDialect extends QueryModule {
       },
       Some("""SELECT 'CREATE TABLE graft_ddl.show_ddl (k Int64, ver Int64, """ +
         """v Float64) ENGINE = ReplacingMergeTree(ver) ORDER BY k' """ +
-        """AS statement""")))
+        """AS statement""")),
+
+    // ClickHouse's CTAS spelling — `CREATE TABLE t ENGINE = … ORDER BY
+    // … AS SELECT …`: the SELECT declares the schema, the engine
+    // clause registers the same FINAL metadata the explicit-columns
+    // form does. The fixture CTAS-materializes a versioned extract and
+    // reads it back with FINAL — proving the registration rode along.
+    "q_ch_ctas" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_ctas")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_ctas"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_ctas
+            |ENGINE = ReplacingMergeTree(event_id)
+            |ORDER BY (user_id, event_type) AS
+            |SELECT user_id, event_type, event_id,
+            |       round(value, 4) AS value
+            |FROM events_ch_chv WHERE user_id % 10 = 1""".stripMargin)
+        ch(s, """SELECT user_id, event_type, event_id, value
+                |FROM graft_ddl.events_ctas FINAL
+                |ORDER BY user_id, event_type""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type,
+             |  max(event_id) AS event_id,
+             |  round(arg_max(value, event_id), 4) AS value
+             |FROM events WHERE user_id % 10 = 1
+             |GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // EXCHANGE TABLES a AND b — the operator's swap verb (blue/green
+    // table flips), composed from three routed RENAMEs so every
+    // registration re-homes with its table. DOCUMENTED DIVERGENCE:
+    // ClickHouse's EXCHANGE is atomic; the three-step is not — a crash
+    // leaves a visible __graft_xchg intermediate, never silent
+    // corruption. The read-back of both sides IS the claim.
+    "q_ch_exchange" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        Seq("xchg_live", "xchg_next").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS graft_ddl.$t")
+          graft.AtomicDir.fileSystem(wh).delete(
+            new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.xchg_live ENGINE = MergeTree
+            |ORDER BY user_id AS
+            |SELECT user_id, count() AS n FROM events_ch_chv
+            |WHERE user_id % 10 = 5 GROUP BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.xchg_next ENGINE = MergeTree
+            |ORDER BY user_id AS
+            |SELECT user_id, count() AS n FROM events_ch_chv
+            |WHERE user_id % 10 = 6 GROUP BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          "EXCHANGE TABLES graft_ddl.xchg_live AND graft_ddl.xchg_next")
+        // after the flip, live serves what next held (the %6 extract)
+        ch(s, """SELECT user_id, n FROM graft_ddl.xchg_live
+                |ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id % 10 = 6
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }

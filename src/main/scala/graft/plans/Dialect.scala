@@ -695,6 +695,19 @@ object Dialect {
       // an xxhash64 rename would type-check and silently produce
       // different numbers everywhere the hash is exposed, compared, or
       // persisted. Fail fast with the portable alternative named.
+      // ClickHouse's BLOCK-LOCAL family: their answers depend on the
+      // server's physical row batching — not reproducible on a
+      // distributed engine (nor on ClickHouse itself across part
+      // layouts). The deterministic spelling is the explicit window.
+      case ("neighbor", _) | ("runningDifference", _)
+          | ("runningAccumulate", _) | ("rowNumberInBlock", _)
+          | ("rowNumberInAllBlocks", _) =>
+        fail(s"$name is block-local in ClickHouse (the answer depends on " +
+          "physical row batching) — write the explicit window instead: " +
+          "lag/lead(x) OVER (ORDER BY <sort keys>) for " +
+          "neighbor/runningDifference, sum(x) OVER (ORDER BY … ROWS " +
+          "UNBOUNDED PRECEDING) for runningAccumulate, row_number() " +
+          "OVER (ORDER BY …) for rowNumberIn*Blocks")
       case ("cityHash64", _) | ("sipHash64", _) | ("farmHash64", _)
           | ("halfMD5", _) =>
         fail(s"$name computes a ClickHouse-specific hash value with no Spark " +

@@ -596,6 +596,12 @@ class DialectSpec extends SparkSpec {
       .contains("aggregate(transform(a, x -> x * 2)"))
     assert(t("SELECT trimLeft(s), trimRight(s), base64Encode(s), base64Decode(s) FROM t") ==
       "SELECT ltrim(s), rtrim(s), base64(s), CAST(unbase64(s) AS STRING) FROM t")
+    // the block-local family refuses with the window spelling named
+    def err(sql: String): String =
+      intercept[Dialect.DialectException](t(sql)).getMessage
+    assert(err("SELECT neighbor(x, 1) FROM t").contains("block-local"))
+    assert(err("SELECT runningDifference(x) FROM t").contains("lag/lead"))
+    assert(err("SELECT runningAccumulate(x) FROM t").contains("OVER"))
     // executed: ANSI-mode division by zero is exactly what OrZero guards
     import spark.implicits._
     Seq((10L, 0L), (10L, 3L)).toDF("a", "b").createOrReplaceTempView("orzero_dsp")

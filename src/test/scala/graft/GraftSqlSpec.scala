@@ -971,6 +971,46 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("CTAS registers engine metadata; EXCHANGE swaps tables with their registrations") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS ctasdb CASCADE")
+      spark.sql(s"CREATE DATABASE ctasdb LOCATION '$root/ctasdb.db'")
+      spark.sql("SELECT 1L AS k, 2L AS ver, 1.5D AS v " +
+        "UNION ALL SELECT 1L, 5L, 9.5D UNION ALL SELECT 2L, 1L, 3.0D")
+        .createOrReplaceTempView("ctas_src_graftsql")
+      Graft.sql(spark,
+        """CREATE TABLE ctasdb.t ENGINE = ReplacingMergeTree(ver)
+          |ORDER BY k AS SELECT k, ver, v FROM ctas_src_graftsql""".stripMargin)
+      // the registration rode along: FINAL keeps the latest version
+      val rows = Graft.sql(spark,
+        "SELECT k, ver, v FROM ctasdb.t FINAL ORDER BY k").collect()
+        .toSeq.map(_.toString)
+      assert(rows == Seq("[1,5,9.5]", "[2,1,3.0]"), rows)
+      def err(sql: String): String =
+        intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage
+      assert(err("CREATE TABLE ctasdb.bad ENGINE = AggregatingMergeTree() " +
+        "ORDER BY k AS SELECT k, v FROM ctas_src_graftsql")
+        .contains("explicit-columns"))
+      assert(err("CREATE TABLE ctasdb.bad2 ENGINE = ReplacingMergeTree(nope) " +
+        "ORDER BY k AS SELECT k, ver FROM ctas_src_graftsql")
+        .contains("not among"))
+      assert(err("CREATE TABLE ctasdb.bad3 ENGINE = MergeTree " +
+        "ORDER BY wrong AS SELECT k FROM ctas_src_graftsql")
+        .contains("not among"))
+      // EXCHANGE: the FINAL registration follows its table to the new name
+      Graft.sql(spark, "CREATE TABLE ctasdb.t2 ENGINE = MergeTree " +
+        "ORDER BY k AS SELECT k, ver, v FROM ctas_src_graftsql WHERE k = 2")
+      Graft.sql(spark, "EXCHANGE TABLES ctasdb.t AND ctasdb.t2")
+      // t now holds t2's single row; t2 holds the versioned content AND
+      // its ReplacingMergeTree registration
+      assert(spark.table("ctasdb.t").count() == 1)
+      assert(Graft.sql(spark,
+        "SELECT k FROM ctasdb.t2 FINAL ORDER BY k").collect().length == 2)
+      assert(spark.conf.get("graft.final.t2").startsWith("k|"))
+      spark.sql("DROP DATABASE ctasdb CASCADE")
+    }
+  }
+
   test("SHOW CREATE TABLE returns routed DDL; rename rewrites it; fallthrough intact") {
     withRoot { root =>
       spark.sql("DROP DATABASE IF EXISTS scdb CASCADE")

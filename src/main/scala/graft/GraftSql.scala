@@ -76,12 +76,36 @@ object GraftSql {
       // from three routed RENAMEs so every graft registration re-homes
       // with its table. DOCUMENTED DIVERGENCE: ClickHouse's EXCHANGE
       // is atomic; this three-step is not — a crash mid-way leaves the
-      // __graft_xchg intermediate visible (loud and recoverable by
-      // renaming it back), never silent corruption.
+      // __graft_xchg intermediate visible (never silent corruption),
+      // and the retry of the SAME statement detects it and rolls
+      // forward/back (the recovery block below).
       case ExchangeTablesRe(a, b) =>
+        val tmp = s"${a}__graft_xchg"
+        // entry-time crash recovery (the AtomicDir.recover discipline,
+        // r14 verdict #6): a prior EXCHANGE of these tables that died
+        // mid-way left the durable evidence — the catalog intermediate
+        // — visible. Which rename it died after is decidable from
+        // which of a/b is missing: after rename 1 only `a` is missing
+        // (roll BACK, then redo the swap below); after rename 2 only
+        // `b` is missing and `a` already holds the old b (one rename
+        // rolls FORWARD to the completed swap — re-swapping here would
+        // undo the crashed statement's intent).
+        if (spark.catalog.tableExists(tmp)) {
+          val (aExists, bExists) =
+            (spark.catalog.tableExists(a), spark.catalog.tableExists(b))
+          if (!aExists && bExists)
+            sql(spark, s"RENAME TABLE $tmp TO $a")
+          else if (aExists && !bExists) {
+            sql(spark, s"RENAME TABLE $tmp TO $b")
+            return okRow(spark, s"EXCHANGE TABLES WITH $b (roll-forward)", a)
+          } else throw new IllegalStateException(
+            s"EXCHANGE TABLES $a AND $b: intermediate $tmp exists alongside " +
+              (if (aExists) "both tables" else "neither table") +
+              " — not a recognizable crash window; inspect and RENAME the " +
+              "intermediate manually")
+        }
         require(spark.catalog.tableExists(a) && spark.catalog.tableExists(b),
           s"EXCHANGE TABLES $a AND $b: both tables must exist")
-        val tmp = s"${a}__graft_xchg"
         sql(spark, s"RENAME TABLE $a TO $tmp")
         sql(spark, s"RENAME TABLE $b TO $a")
         sql(spark, s"RENAME TABLE $tmp TO $b")
@@ -138,13 +162,15 @@ object GraftSql {
       // IF EXISTS) must leave the registrations standing — otherwise
       // the surviving MV table would silently stop collapsing and stop
       // receiving partials (r13 ADVICE; the create-before-register
-      // discipline's mirror image).
+      // discipline's mirror image). The TO/table-backed split reads the
+      // EXPLICIT toForm marker — simple-name inequality misclassified
+      // cross-database `… db1.stats TO db2.stats` (r14 ADVICE).
       case DropTableRe(_, name)
           if spark.conf.getOption(s"graft.mv.${name.split('.').last}").isDefined =>
         val simple = name.split('.').last
         val d = decodeMv(spark.conf.get(s"graft.mv.$simple"))
         val out =
-          if (d.mv.split('.').last != simple) {
+          if (d.toForm) {
             // TO-form MV: the catalog object is a VIEW over the target
             // table; DROP drops the view and its maintenance, the
             // target table and ITS collapse registration survive
@@ -155,11 +181,35 @@ object GraftSql {
           } else {
             val r = spark.sql(stmt)
             spark.conf.unset(s"graft.mv.$simple")
-            spark.conf.unset(s"graft.sumfinal.$simple")
-            spark.conf.unset(s"graft.aggfinal.$simple")
+            unregisterTable(spark, simple)
             r
           }
         out
+      // the natural DROP spelling for a TO-form MV (it IS a catalog
+      // VIEW): without this arm the statement fell through to Spark,
+      // dropped the view, and left the trigger registration standing —
+      // later INSERTs into the source kept appending partials to the
+      // target after the MV was gone (r14 ADVICE). Spark's DROP runs
+      // first: dropping a table-backed MV name this way fails there
+      // ("not a view") and the registration survives, correctly.
+      case DropViewRe(_, name)
+          if spark.conf.getOption(s"graft.mv.${name.split('.').last}").isDefined =>
+        spark.sql(stmt)
+        spark.conf.unset(s"graft.mv.${name.split('.').last}")
+        okRow(spark, "DROP MATERIALIZED VIEW (TO-form)", name)
+      // DROP TABLE of a routed-DDL table: the Spark DROP runs first; on
+      // success every graft table registration for the name unsets —
+      // otherwise SHOW CREATE keeps serving the stale ClickHouse
+      // statement (r14 ADVICE) and FINAL/SAMPLE would fire against a
+      // later unrelated table reusing the name. The SNAPSHOT
+      // registration survives by design: backups outlive their tables
+      // (the reference's whole point).
+      case DropTableRe(_, name)
+          if TableRegKinds.exists(k => spark.conf.getOption(
+            s"graft.$k.${name.split('.').last}").isDefined) =>
+        val r = spark.sql(stmt)
+        unregisterTable(spark, name.split('.').last)
+        r
       // the operator-UX verbs around the DDL surface. RENAME maps onto
       // Spark's own ALTER TABLE … RENAME TO (different spelling, same
       // catalog op) and re-homes any graft registrations; EXISTS TABLE
@@ -174,7 +224,7 @@ object GraftSql {
         // graft.ddl re-homes by key AND rewrites the statement's own
         // table name below
         Seq("final", "sample", "sumfinal", "aggfinal", "collapsefinal",
-          "orderby", "partition", "snapshot", "mv", "ddl").foreach { kind =>
+          "orderby", "partition", "snapshot", "mv", "ddl", "ttl").foreach { kind =>
             val (f, t) = (s"graft.$kind.$fromSimple", s"graft.$kind.$toSimple")
             spark.conf.getOption(f).foreach { v =>
               spark.conf.set(t, v); spark.conf.unset(f)
@@ -200,8 +250,16 @@ object GraftSql {
             if (rehome(parts(0)) != parts(0))
               spark.conf.set(k, (rehome(parts(0)) +: parts.tail.toSeq).mkString("|"))
           case (k, v) if k.startsWith("graft.mv.") =>
-            val parts = v.split("\\|", 5)
-            val moved = Seq(rehome(parts(0)), rehome(parts(1))) ++ parts.drop(2)
+            val parts = v.split("\\|", 7)
+            // the broadcast-dim join segment names a table too — its
+            // dim re-homes with the rename like the mv/src segments
+            val moved = (Seq(rehome(parts(0)), rehome(parts(1))) ++
+              parts.drop(2).toSeq).zipWithIndex.map {
+                case (seg, i) if i == 5 && seg.nonEmpty =>
+                  val j = seg.split(";", 3)
+                  (Seq(j(0), rehome(j(1))) ++ j.drop(2).toSeq).mkString(";")
+                case (seg, _) => seg
+              }
             if (moved != parts.toSeq) spark.conf.set(k, moved.mkString("|"))
           case _ => ()
         }
@@ -368,6 +426,17 @@ object GraftSql {
     """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)$""".r
   private val DropTableRe =
     """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
+  private val DropViewRe =
+    """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
+
+  /** The per-table graft registrations DROP TABLE clears (on success).
+    * `snapshot` is deliberately absent — a backup outlives its table.
+    */
+  private val TableRegKinds = Seq("ddl", "final", "sample", "sumfinal",
+    "aggfinal", "collapsefinal", "orderby", "partition", "ttl")
+
+  private def unregisterTable(spark: SparkSession, simple: String): Unit =
+    TableRegKinds.foreach(k => spark.conf.unset(s"graft.$k.$simple"))
   private val RenameTableRe =
     """(?is)^RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)$""".r
   private val ExistsTableRe = """(?is)^EXISTS\s+(?:TABLE\s+)?([\w.]+)$""".r
@@ -612,11 +681,33 @@ object GraftSql {
           "(reads already collapse at FINAL time)")
     }
     val before = spark.table(table).count()
-    val collapsed = spark.sql(
-      plans.Dialect.translate(spark, s"SELECT * FROM $table FINAL"))
-      .localCheckpoint()
-    try collapsed.write.mode("overwrite").insertInto(table)
-    finally collapsed.unpersist()
+    // 1. TTL expiry — ClickHouse expires at merge time, and OPTIMIZE
+    //    FINAL is the explicit merge. Rows whose TTL point lies at or
+    //    before the table's max-anchor drop; NULL timestamps never
+    //    expire (ClickHouse's reading). The kept rows localCheckpoint
+    //    BEFORE the overwrite (the pin-before-write discipline — the
+    //    scalar-subquery anchor reads the table being overwritten).
+    spark.conf.getOption(s"graft.ttl.$simple").foreach { enc =>
+      val Array(col, n, unit) = enc.split('|')
+      val kept = spark.sql(
+        s"SELECT * FROM $table WHERE $col IS NULL OR " +
+          s"$col + INTERVAL '$n' $unit > (SELECT max($col) FROM $table)")
+        .localCheckpoint()
+      try kept.write.mode("overwrite").insertInto(table)
+      finally kept.unpersist()
+    }
+    // 2. partial-row collapse for Summing/Aggregating/Replacing
+    //    registrations (a TTL-only table skips this — FINAL on it
+    //    would be an unregistered-FINAL error)
+    val hasCollapse = reg.finals.contains(simple) ||
+      reg.sumFinals.contains(simple) || reg.aggFinals.contains(simple)
+    if (hasCollapse) {
+      val collapsed = spark.sql(
+        plans.Dialect.translate(spark, s"SELECT * FROM $table FINAL"))
+        .localCheckpoint()
+      try collapsed.write.mode("overwrite").insertInto(table)
+      finally collapsed.unpersist()
+    }
     val after = spark.table(table).count()
     Seq(("OPTIMIZE FINAL (partials)", table, before, after))
       .toDF("command", "table", "rows_before", "rows_after")
@@ -630,7 +721,8 @@ object GraftSql {
         spark.conf.getOption(s"graft.snapshot.$table").isEmpty &&
         (spark.conf.getOption(s"graft.final.$simple").isDefined ||
           spark.conf.getOption(s"graft.sumfinal.$simple").isDefined ||
-          spark.conf.getOption(s"graft.aggfinal.$simple").isDefined) &&
+          spark.conf.getOption(s"graft.aggfinal.$simple").isDefined ||
+          spark.conf.getOption(s"graft.ttl.$simple").isDefined) &&
         spark.catalog.tableExists(table))
       return optimizePartials(spark, table)
     val dir = snapshotDirOf(spark, table)
@@ -734,18 +826,19 @@ object GraftSql {
           case "decimal64" => s"DECIMAL(18, $args)"
           case "decimal128" => s"DECIMAL(38, $args)"
           case "aggregatefunction" =>
-            // the uniq case routes (sketch-byte columns, see
-            // parseColDefs); every OTHER AggregateFunction is an opaque
-            // ClickHouse-internal blob with no portable equivalent
+            // the MERGEABLE family routes before chType is consulted
+            // (parseColDefs: uniq → HLL sketch bytes, sum/min/max →
+            // the value, count → BIGINT, avg → the (sum, count) pair);
+            // what reaches here is a genuinely opaque ClickHouse-
+            // internal blob with no portable equivalent
             throw new IllegalArgumentException(
-              s"AggregateFunction columns carry an OPAQUE partial-state blob " +
-                s"(ClickHouse's internal serialization) with no portable " +
-                s"equivalent: $t0 — declare " +
-                "SimpleAggregateFunction(sum|min|max, T) columns instead " +
-                "(their value IS the state), AggregateFunction(uniq, T) " +
-                "(stored as mergeable HLL sketch bytes), or use the " +
-                "engine's explicit merge operators (q_merge_partials / " +
-                "the HLL/KLL sketch rows)")
+              s"this AggregateFunction's state is an OPAQUE " +
+                s"ClickHouse-internal blob with no portable equivalent: " +
+                s"$t0 — the mergeable family routes " +
+                "(AggregateFunction(sum|min|max|count|avg|uniq, T) and " +
+                "SimpleAggregateFunction(sum|min|max, T)); for the rest " +
+                "use the engine's explicit merge operators " +
+                "(q_merge_partials / the HLL/KLL sketch rows)")
           case _ => throw new IllegalArgumentException(
             s"unsupported ClickHouse column type: $t0")
         }
@@ -760,9 +853,9 @@ object GraftSql {
   private val SafTypeRe =
     """(?is)^SimpleAggregateFunction\s*\(\s*(\w+)\s*,\s*(.+)\)$""".r
 
-  /** `AggregateFunction(uniq[Combined|HLL12], T)` — the ONE opaque
-    * state type with a portable home: the column stores DataSketches
-    * HLL bytes (BINARY), written by `uniqState` (→ hll_sketch_agg) and
+  /** `AggregateFunction(uniq[Combined|HLL12], T)` — the opaque state
+    * type with a portable home: the column stores DataSketches HLL
+    * bytes (BINARY), written by `uniqState` (→ hll_sketch_agg) and
     * merged by `uniqMerge` (→ hll_union_agg + estimate) or under
     * FINAL. The bytes diverge from ClickHouse's internal serialization
     * — documented at the dialect's uniqState arm; stored CH states
@@ -770,6 +863,28 @@ object GraftSql {
     */
   private val AggFnUniqRe =
     """(?is)^AggregateFunction\s*\(\s*(uniq|uniqCombined|uniqHLL12)\s*,\s*.+\)$""".r
+
+  /** The TRIVIALLY-mergeable `AggregateFunction` family (r14 verdict
+    * next-item 3) — unlike uniq these are EXACT:
+    *  - sum/min/max states ARE their value (the
+    *    SimpleAggregateFunction physics — ClickHouse wraps the same
+    *    number in its state envelope);
+    *  - a count state is its BIGINT count, merging by sum;
+    *  - an avg state is the (sum, count) helper pair — the r14 avg-MV
+    *    precedent as a COLUMN: STRUCT<s: DOUBLE, c: BIGINT>, each
+    *    field merging by sum, `avgMerge` serving the quotient.
+    * DOCUMENTED DIVERGENCE: the stored representation is the plain
+    * value/pair, not ClickHouse's internal state envelope — states
+    * written by a ClickHouse server must be re-derived (the uniqState
+    * doctrine). Genuinely opaque states (quantileTDigest, topK, …)
+    * keep the chType refusal.
+    */
+  private val AggFnValRe =
+    """(?is)^AggregateFunction\s*\(\s*(sum|min|max)\s*,\s*(.+)\)$""".r
+  private val AggFnCountRe =
+    """(?is)^AggregateFunction\s*\(\s*count\s*(?:,\s*.+)?\)$""".r
+  private val AggFnAvgRe =
+    """(?is)^AggregateFunction\s*\(\s*avg\s*,\s*.+\)$""".r
 
   /** One column entry `name Type [DEFAULT lit] [CODEC(…)] [COMMENT …]`
     * → (name, sparkType, default literal, SimpleAggregateFunction
@@ -820,12 +935,25 @@ object GraftSql {
             Some((name, chType(inner), dflt,
               Some(fn.toLowerCase(java.util.Locale.ROOT))))
           case AggFnUniqRe(_) => Some((name, "BINARY", dflt, Some("uniq")))
+          case AggFnValRe(fn, inner) =>
+            Some((name, chType(inner), dflt,
+              Some(fn.toLowerCase(java.util.Locale.ROOT))))
+          // count states merge by SUM of counts
+          case AggFnCountRe() => Some((name, "BIGINT", dflt, Some("sum")))
+          case AggFnAvgRe() =>
+            Some((name, "STRUCT<s: DOUBLE, c: BIGINT>", dflt, Some("avgpair")))
           case _ => Some((name, chType(typeTxt), dflt, None))
         }
       }
     }
 
   private val HashedSampleRe = """(?is)^\w+\s*\(\s*([\w.]+)\s*\)$""".r
+
+  /** The routed table-TTL shape: `<col> + INTERVAL <n> <unit> [DELETE]`
+    * (DELETE is ClickHouse's default TTL action and may be omitted).
+    */
+  private val TtlDeleteRe =
+    """(?is)^(\w+)\s*\+\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)S?(?:\s+DELETE)?$""".r
 
   /** `CREATE TABLE … ENGINE = <engine>[(args)] [ORDER BY …] [SAMPLE BY
     * …] [PARTITION BY …]` — the first statement of every ClickHouse
@@ -849,10 +977,11 @@ object GraftSql {
     *
     * Engines with read-time collapse semantics the clause pair can
     * carry route too — ReplacingMergeTree(ver) and SummingMergeTree
-    * ([cols]) ARE registrable metadata; Aggregating/CollapsingMergeTree
-    * refuse (agg-state types / insertion-order merges are not), as does
-    * any TTL clause (row expiry is a server-side delete graft will not
-    * silently skip).
+    * ([cols]) ARE registrable metadata, and so is a table-level
+    * `TTL col + INTERVAL n unit DELETE` (expiry applies at OPTIMIZE
+    * FINAL time — the merge-time semantics — against a max-anchor;
+    * see the routing block below). Column-level TTL and non-DELETE
+    * TTL actions stay refusals.
     *
     * Order of effects: validation first, then the Spark CREATE TABLE,
     * then the graft.* registrations — a failing CREATE (exists without
@@ -866,13 +995,37 @@ object GraftSql {
     val cols = parseColDefs(colsBlock)
     require(cols.nonEmpty, s"CREATE TABLE $name: no columns")
     val clauses = ddlClauses(tail)
-    require(!clauses.contains("TTL"),
-      s"CREATE TABLE $name: a table-level TTL DELETES expired rows " +
-        "server-side in ClickHouse — dropping it would silently return " +
-        "rows ClickHouse would have expired. Remove the TTL and run the " +
-        "engine's explicit retention operators (q_ttl_rollup / " +
-        "q_retention_filter / ALTER TABLE … DROP PARTITION) instead")
     val simpleName = name.split('.').last
+    // table-level `TTL <col> + INTERVAL n <unit> [DELETE]` ROUTES
+    // (r14 verdict next-item 1 — TTL is on virtually every production
+    // MergeTree table; it is the reference's own retention semantics,
+    // backup.sh:119-122, moved server-side): the expression registers
+    // as metadata and expires at OPTIMIZE FINAL time — ClickHouse
+    // itself expires at MERGE time, so rows past their TTL remain
+    // visible there too until a merge runs. DOCUMENTED DIVERGENCE: the
+    // expiry anchor is the table's own max(<col>) (the
+    // q_retention_filter discipline — deterministic, oracle-derivable,
+    // re-runnable), not the wall clock. Every other TTL shape (TO
+    // VOLUME/DISK tiering, GROUP BY rollups, WHERE, month/year units
+    // whose calendar arithmetic diverges) refuses by name.
+    val ttlReg: Option[String] = clauses.get("TTL").map { body =>
+      body.trim match {
+        case TtlDeleteRe(col, n, unit) =>
+          require(cols.exists(_._1 == col),
+            s"TTL column '$col' is not among the table's columns")
+          val colType = cols.find(_._1 == col).get._2
+          require(colType == "DATE" || colType == "TIMESTAMP",
+            s"TTL column '$col' must be a Date/DateTime column, got $colType")
+          s"$col|$n|${unit.toUpperCase(java.util.Locale.ROOT)}"
+        case other => throw new IllegalArgumentException(
+          s"CREATE TABLE $name: unsupported TTL clause '$other' — the " +
+            "routed form is TTL <col> + INTERVAL <n> " +
+            "SECOND|MINUTE|HOUR|DAY|WEEK [DELETE] (month/year units have " +
+            "calendar-dependent arithmetic; TO VOLUME/DISK tiering and " +
+            "GROUP BY rollup TTLs have no single-table equivalent here — " +
+            "run q_ttl_rollup / ALTER TABLE … DROP PARTITION explicitly)")
+      }
+    }
     val orderKeys = clauses.get("ORDER BY").map { txt =>
       val inner = if (txt.startsWith("(") && txt.endsWith(")"))
         txt.substring(1, txt.length - 1) else txt
@@ -925,13 +1078,13 @@ object GraftSql {
             "collapse operators (q_collapse_*)")
         val colFns = nonKey.map(c => (c._1, c._4.get))
         val badFn = colFns.filterNot(f =>
-          Seq("sum", "min", "max", "uniq").contains(f._2))
+          Seq("sum", "min", "max", "uniq", "avgpair").contains(f._2))
         require(badFn.isEmpty,
           s"unsupported SimpleAggregateFunction(s) " +
             s"${badFn.map { case (c, f) => s"$f($c)" }.mkString(", ")} — " +
             "sum/min/max are the order-insensitive functions whose value IS " +
-            "the mergeable state (plus AggregateFunction(uniq, T) sketch " +
-            "columns); any/anyLast depend on insertion order")
+            "the mergeable state (plus the AggregateFunction(uniq|count|avg" +
+            ", T) state columns); any/anyLast depend on insertion order")
         () => plans.Dialect.registerAggFinal(spark, simpleName, orderKeys, colFns)
       case "collapsingmergetree" =>
         // registrable onto the engine's SHIPPED deterministic sign-net
@@ -1012,6 +1165,7 @@ object GraftSql {
     spark.sql(s"CREATE TABLE $ifne$name ($colDdl) USING parquet")
     registerEngine()
     sampleKey.foreach(plans.Dialect.registerSample(spark, simpleName, _))
+    ttlReg.foreach(spark.conf.set(s"graft.ttl.$simpleName", _))
     if (orderKeys.nonEmpty)
       spark.conf.set(s"graft.orderby.$simpleName", orderKeys.mkString(","))
     clauses.get("PARTITION BY").foreach(e =>
@@ -1049,9 +1203,10 @@ object GraftSql {
     val colNames = schema.fieldNames.toSeq
     val clauses = ddlClauses(tail)
     require(!clauses.contains("TTL"),
-      s"CREATE TABLE $name AS SELECT: TTL refuses for the same reason as " +
-        "the explicit-columns form (row expiry is a server-side delete " +
-        "graft will not silently skip)")
+      s"CREATE TABLE $name AS SELECT: declare TTL through the " +
+        "explicit-columns CREATE TABLE form (the TTL column's declared " +
+        "type is part of the routed contract) and INSERT … SELECT the " +
+        "backfill")
     val simpleName = name.split('.').last
     val orderKeys = clauses.get("ORDER BY").map { txt =>
       val inner = if (txt.startsWith("(") && txt.endsWith(")"))
@@ -1140,25 +1295,37 @@ object GraftSql {
 
   /** One registered materialized view: its full catalog name, the
     * source table INSERTs fold through, the group keys, the aggregate
-    * outputs as (name, kind, arg) with kind ∈ sum|cnt|cntc, and the
-    * optional WHERE predicate. Encoded in session conf as
-    * `graft.mv.<simple>` = `mv|src|keys|name=kind:arg;…|where`.
+    * outputs as (name, kind, arg) with kind ∈ sum|cnt|cntc, the
+    * optional WHERE predicate, the optional broadcast-dim join
+    * (joinType, dim table, ON condition), and the explicit TO-form
+    * marker (r14 ADVICE: inferring the form from simple-name
+    * inequality misclassified `CREATE MATERIALIZED VIEW db1.stats TO
+    * db2.stats`). Encoded in session conf as `graft.mv.<simple>` =
+    * `mv|src|keys|name=kind:arg;…|where|jointype;dim;cond|flags`.
     */
   private[graft] final case class MvDef(mv: String, src: String,
-      keys: Seq[String], aggs: Seq[(String, String, String)], where: String)
+      keys: Seq[String], aggs: Seq[(String, String, String)], where: String,
+      join: Option[(String, String, String)] = None, toForm: Boolean = false)
 
   private def encodeMv(d: MvDef): String =
     Seq(d.mv, d.src, d.keys.mkString(","),
       d.aggs.map { case (o, k, a) => s"$o=$k:$a" }.mkString(";"),
-      d.where).mkString("|")
+      d.where,
+      d.join.fold("") { case (t, dim, cond) => s"$t;$dim;$cond" },
+      if (d.toForm) "to" else "").mkString("|")
 
   private def decodeMv(v: String): MvDef = {
-    val p = v.split("\\|", 5)
+    val p = v.split("\\|", 7)
     MvDef(p(0), p(1), p(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
       p(3).split(';').toSeq.filter(_.nonEmpty).map { s =>
         val eq = s.indexOf('='); val co = s.indexOf(':', eq)
         (s.substring(0, eq), s.substring(eq + 1, co), s.substring(co + 1))
-      }, p.lift(4).getOrElse(""))
+      }, p.lift(4).getOrElse(""),
+      p.lift(5).filter(_.nonEmpty).map { j =>
+        val Array(t, dim, cond) = j.split(";", 3)
+        (t, dim, cond)
+      },
+      p.lift(6).contains("to"))
   }
 
   /** The materialized views fed by INSERTs into `table`. When BOTH the
@@ -1180,10 +1347,20 @@ object GraftSql {
 
   /** One batch of SOURCE rows → the MV's partial rows (keys + summable
     * aggregates, in the MV's declared column order) — the shape that
-    * APPENDS to the MV and sum-collapses under `FINAL`.
+    * APPENDS to the MV and sum-collapses under `FINAL`. A declared
+    * broadcast-dim join runs against the dim's CURRENT content (insert-
+    * time semantics, same as ClickHouse's MV joins), aliased by both
+    * tables' simple names so the body's `src.col = dim.col` condition
+    * resolves; the dim side broadcasts — an insert batch costs the
+    * batch scan + one broadcast probe, never a shuffle of the dim.
     */
   private def mvAggregate(batch: DataFrame, d: MvDef): DataFrame = {
-    val base = if (d.where.nonEmpty) batch.filter(expr(d.where)) else batch
+    val joined = d.join.fold(batch) { case (kind, dim, cond) =>
+      batch.as(d.src.split('.').last).join(
+        broadcast(batch.sparkSession.table(dim).as(dim.split('.').last)),
+        expr(cond), kind)
+    }
+    val base = if (d.where.nonEmpty) joined.filter(expr(d.where)) else joined
     val aggCols = d.aggs.map {
       case (out, "sum", a) => sum(expr(a)).as(out)
       case (out, "min", a) => min(expr(a)).as(out)
@@ -1198,6 +1375,8 @@ object GraftSql {
 
   private val MvEngineRe = """(?is)\bENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?""".r
   private val MvToRe = """(?is)^TO\s+([\w.]+)\s*$""".r
+  // the join segment AFTER the JOIN keyword: `<dim> ON <cond>`
+  private val MvJoinRe = """(?is)^([\w.]+)\s+ON\s+(.+)$""".r
   // the body arrives DIALECT-TRANSLATED, so uniqState shows up as its
   // Spark spelling hll_sketch_agg
   private val MvAggItemRe =
@@ -1224,12 +1403,15 @@ object GraftSql {
     * the same aggregate over the current source content (ClickHouse's
     * own semantics: without it, pre-existing rows are NOT included).
     *
-    * Refused, each with the divergence named: `TO <table>` (graft MVs
-    * own their storage), engines other than SummingMergeTree (agg
-    * states / insertion-order merges), avg/min/max outputs (not
-    * summable — store sum + count and divide at read), and bodies with
-    * joins/HAVING/ORDER/LIMIT (an insert-block trigger over one table
-    * is the reproducible contract).
+    * One broadcast-dim `[INNER|LEFT] JOIN dim ON cond` routes (r15):
+    * row-local per insert batch against the dim's insert-time content
+    * — ClickHouse's own MV-join semantics — so it composes with the
+    * partial machinery. Refused, each with the divergence named:
+    * engines other than Summing/AggregatingMergeTree (insertion-order
+    * merges), min/max outputs under a SUMMING engine (not summable),
+    * RIGHT/FULL joins and join chains (not an insert-block trigger
+    * over the source), and HAVING/ORDER/LIMIT/UNION bodies (they do
+    * not commute with partial merges).
     */
   private def createMatView(spark: SparkSession, ifNotExists: Boolean,
       name: String, middle: String, body0: String): DataFrame = {
@@ -1292,7 +1474,8 @@ object GraftSql {
           "CREATE MATERIALIZED VIEW needs ORDER BY <keys> — the collapse key " +
             "FINAL sums under"))
     }
-    // SELECT body: items / FROM <one table> / [WHERE] / GROUP BY
+    // SELECT body: items / FROM <one table> [[INNER|LEFT] JOIN <dim>
+    // ON <cond>] / [WHERE] / GROUP BY
     val ms = topLevelMatches(body, MvClauseRe)
     def clauseAt(kw: String): Option[(Int, Int)] =
       ms.zipWithIndex.collectFirst {
@@ -1300,11 +1483,12 @@ object GraftSql {
             .replaceAll("\\s+", " ") == kw =>
           (m.end, ms.lift(i + 1).map(_.start).getOrElse(body.length))
       }
-    Seq("HAVING", "ORDER BY", "LIMIT", "JOIN", "UNION").foreach { kw =>
+    Seq("HAVING", "ORDER BY", "LIMIT", "UNION").foreach { kw =>
       require(clauseAt(kw).isEmpty,
-        s"materialized-view bodies with $kw are not supported — the MV is " +
-          "an insert-block trigger over ONE table (aggregate the MV at " +
-          "read time instead)")
+        s"materialized-view bodies with $kw are not supported — they do " +
+          "not commute with the partial merge (an insert-block trigger " +
+          "appends per-batch partials; aggregate the MV at read time " +
+          "instead)")
     }
     val fromSpan = clauseAt("FROM").getOrElse(throw new IllegalArgumentException(
       "materialized-view body needs FROM <table>"))
@@ -1316,9 +1500,46 @@ object GraftSql {
     val selEnd = ms.head.start
     val items = splitTopLevelCommas(
       body.substring(0, selEnd).trim.replaceFirst("(?is)^SELECT\\s+", ""))
-    val src = body.substring(fromSpan._1, fromSpan._2).trim
+    val fromTxt = body.substring(fromSpan._1, fromSpan._2).trim
+    // the broadcast-dim join (r14 verdict next-item 5): `FROM src
+    // [INNER|LEFT] JOIN dim ON cond` — row-local per insert batch (the
+    // batch joins the CURRENT dim content at insert time, ClickHouse's
+    // own MV-join semantics), so it composes with the partial
+    // machinery; the dim side broadcasts (dimension-table contract).
+    // ON columns are qualified by the tables' SIMPLE names. RIGHT/FULL
+    // (which would trigger on dim rows) and join chains refuse.
+    require(ms.count(_.group(1).equalsIgnoreCase("JOIN")) <= 1,
+      "materialized-view bodies support at most ONE broadcast-dim JOIN — " +
+        "pre-join the dimensions into one relation")
+    val joinSpec: Option[(String, String, String)] =
+      clauseAt("JOIN").map { case (js, je) =>
+        val joinTxt = body.substring(js, je).trim
+        val m = MvJoinRe.findFirstMatchIn(joinTxt).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot parse materialized-view join '$joinTxt' — expected " +
+              "JOIN <dim table> ON <condition>"))
+        val kind = fromTxt.split("\\s+").drop(1).toSeq.map(
+          _.toUpperCase(java.util.Locale.ROOT)) match {
+          case Seq() | Seq("INNER") => "inner"
+          case Seq("LEFT") => "left"
+          case other => throw new IllegalArgumentException(
+            s"materialized-view joins route as [INNER|LEFT] JOIN only — " +
+              s"${other.mkString(" ")} JOIN would trigger on DIMENSION " +
+              "rows, which is not an insert-block trigger over the source")
+        }
+        (kind, m.group(1), m.group(2).trim)
+      }
+    val src = fromTxt.split("\\s+")(0)
     require(src.matches("[\\w.]+"),
       s"materialized-view source must be a single named table, got: $src")
+    joinSpec.foreach { case (_, dim, cond) =>
+      require(scala.util.Try(spark.table(dim)).isSuccess,
+        s"materialized-view join table '$dim' is not resolvable in the " +
+          "session catalog")
+      require(!cond.contains("|") && !cond.contains(";") && !dim.contains("|"),
+        "materialized-view join definitions may not contain '|' or ';' " +
+          "(the session-conf encoding reserves them)")
+    }
     val where = whereSpan.fold("")(s => body.substring(s._1, s._2).trim)
     require(!where.contains("|") && items.forall(i => !i.contains("|") && !i.contains(";")),
       "materialized-view definitions may not contain '|' or ';' " +
@@ -1408,9 +1629,9 @@ object GraftSql {
     toTarget match {
       case Some(target) =>
         createMatViewTo(spark, ifNotExists, name, simpleName, target, populate,
-          MvDef(target, src, keyItems.toSeq, aggItems.toSeq, where))
+          MvDef(target, src, keyItems.toSeq, aggItems.toSeq, where, joinSpec))
       case None =>
-        val d = MvDef(name, src, keyItems.toSeq, aggItems.toSeq, where)
+        val d = MvDef(name, src, keyItems.toSeq, aggItems.toSeq, where, joinSpec)
         val exists = spark.catalog.tableExists(name)
         if (exists) require(ifNotExists,
           s"table $name already exists — CREATE MATERIALIZED VIEW IF NOT " +
@@ -1505,7 +1726,7 @@ object GraftSql {
       s"$name already exists — CREATE MATERIALIZED VIEW IF NOT EXISTS to " +
         "re-register, or DROP TABLE it first")
     else spark.sql(s"CREATE VIEW $name AS SELECT * FROM $target")
-    spark.conf.set(s"graft.mv.$simpleName", encodeMv(d))
+    spark.conf.set(s"graft.mv.$simpleName", encodeMv(d.copy(toForm = true)))
     Seq(("CREATE MATERIALIZED VIEW", name, d.src, d.keys.mkString(","),
       false, true))
       .toDF("command", "view", "source", "keys", "populated", "ok")
@@ -1577,14 +1798,25 @@ object GraftSql {
     val target = spark.table(table).schema
     def lines: org.apache.spark.sql.Dataset[String] =
       data.split('\n').map(_.trim).filter(_.nonEmpty).toSeq.toDS()
+    // FAILFAST, not the readers' PERMISSIVE default: a malformed inline
+    // line (typo'd JSON, wrong column count) must RAISE — under
+    // PERMISSIVE it silently landed as an all-NULL row (r14 ADVICE),
+    // where ClickHouse rejects bad inline data outright. JSON fields
+    // genuinely ABSENT from a well-formed line still surface NULL
+    // (FAILFAST governs corrupt records, not omitted columns — the
+    // input_format defaults behavior the Scaladoc documents).
     val batch = fmt.toLowerCase(java.util.Locale.ROOT) match {
       case "values" => spark.sql(s"SELECT * FROM VALUES ${data.trim}")
-      case "jsoneachrow" => spark.read.schema(target).json(lines)
-      case "csv" => spark.read.schema(target).csv(lines)
+      case "jsoneachrow" =>
+        spark.read.schema(target).option("mode", "FAILFAST").json(lines)
+      case "csv" =>
+        spark.read.schema(target).option("mode", "FAILFAST").csv(lines)
       case "csvwithnames" =>
-        spark.read.schema(target).option("header", "true").csv(lines)
+        spark.read.schema(target).option("mode", "FAILFAST")
+          .option("header", "true").csv(lines)
       case "tsv" | "tabseparated" =>
-        spark.read.schema(target).option("sep", "\t").csv(lines)
+        spark.read.schema(target).option("mode", "FAILFAST")
+          .option("sep", "\t").csv(lines)
       case other => throw new IllegalArgumentException(
         s"INSERT INTO $table FORMAT $other does not route — inline data " +
           "parses as Values, JSONEachRow, CSV, CSVWithNames, or " +

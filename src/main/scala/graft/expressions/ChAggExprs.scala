@@ -52,6 +52,15 @@ private[graft] trait ChBoundedAggBase {
   protected lazy val valueProjection: UnsafeProjection =
     UnsafeProjection.create(Array[DataType](child.dataType))
 
+  /** (value, count) buffer-row projection for the grid-state kernels —
+    * held lazily like [[valueProjection]] so serialize() never pays a
+    * fresh codegen per call (each shuffle write/spill serializes every
+    * buffer; a per-call UnsafeProjection.create was the r14 verdict's
+    * hot-path finding #3).
+    */
+  protected lazy val pairProjection: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](child.dataType, LongType))
+
   protected def writeValueRow(out: DataOutputStream, row: UnsafeRow,
       buf: Array[Byte]): Unit = {
     out.writeInt(row.getSizeInBytes)
@@ -69,6 +78,29 @@ private[graft] trait ChBoundedAggBase {
     row.pointTo(bytes, size)
     row.get(0, child.dataType)
   }
+}
+
+private[graft] object ChBoundedAggBase {
+  /** Hard ceiling on a grid-state kernel's per-buffer distinct-value
+    * entries. The (value, count) bound is exactly right for the
+    * bounded domains the dialect queries aggregate (mods, enums,
+    * buckets), but a `topK(10)(user_id)` over an OPEN domain would
+    * grow one in-memory HashMap entry per distinct value — and a
+    * TypedImperativeAggregate buffer cannot spill (the two-phase
+    * `GROUP BY (keys, v)` grid CAN fall back to sort-based
+    * aggregation, which is the prescribed rewrite above this cap).
+    * 2^21 entries ≈ tens of MB/buffer worst case — far above any
+    * declared query's domain, far below an executor OOM.
+    */
+  val MaxDistinct: Int = 1 << 21
+
+  def failDomainCap(fn: String): Nothing = throw new IllegalStateException(
+    s"$fn: more than $MaxDistinct distinct values in one aggregation " +
+      "buffer — this kernel's exact count-grid state is for BOUNDED value " +
+      "domains and cannot spill. For open domains (ids, URLs, free text) " +
+      "use the SpaceSaving sketch (q_topk_sketch's approxTopK) or " +
+      "aggregate the count grid explicitly: GROUP BY (keys, v) then " +
+      "rank ≤ k — that plan spills to sort-based aggregation")
 }
 
 /** `ch_least_k(x, n)` — the n smallest non-NULL values of the group in
@@ -164,7 +196,10 @@ case class ChLeastK(child: Expression, k: Int,
   * aggregate, partials merging by count addition, never a whole-group
   * value list. The corpus-scale posture for open-ended key domains
   * remains the SpaceSaving sketch (q_topk_sketch): this kernel is for
-  * the dialect construct, whose contract is exactness.
+  * the dialect construct, whose contract is exactness — and because a
+  * TypedImperativeAggregate buffer cannot spill, it refuses BY NAME
+  * past [[ChBoundedAggBase.MaxDistinct]] distinct values per buffer
+  * rather than growing an unbounded in-memory map (r14 verdict #2).
   */
 case class ChTopKExact(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -189,6 +224,8 @@ case class ChTopKExact(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val key = InternalRow.copyValue(v).asInstanceOf[AnyRef]
+      if (!buffer.contains(key) && buffer.size >= ChBoundedAggBase.MaxDistinct)
+        ChBoundedAggBase.failDomainCap(prettyName)
       buffer.update(key, buffer.getOrElse(key, 0L) + 1L)
     }
     buffer
@@ -197,6 +234,8 @@ case class ChTopKExact(child: Expression, k: Int,
   override def merge(buffer: mutable.HashMap[AnyRef, Long],
       other: mutable.HashMap[AnyRef, Long]): mutable.HashMap[AnyRef, Long] = {
     other.foreach { case (v, c) =>
+      if (!buffer.contains(v) && buffer.size >= ChBoundedAggBase.MaxDistinct)
+        ChBoundedAggBase.failDomainCap(prettyName)
       buffer.update(v, buffer.getOrElse(v, 0L) + c)
     }
     buffer
@@ -213,14 +252,12 @@ case class ChTopKExact(child: Expression, k: Int,
   }
 
   override def serialize(buffer: mutable.HashMap[AnyRef, Long]): Array[Byte] = {
-    val projection =
-      UnsafeProjection.create(Array[DataType](child.dataType, LongType))
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val scratch = new Array[Byte](4096)
     out.writeInt(buffer.size)
     buffer.foreach { case (v, c) =>
-      writeValueRow(out, projection(InternalRow(v, c)), scratch)
+      writeValueRow(out, pairProjection(InternalRow(v, c)), scratch)
     }
     out.flush()
     bos.toByteArray
@@ -292,6 +329,8 @@ case class ChTopKWeighted(child: Expression, weight: Expression, k: Int,
       val wl = w.asInstanceOf[Long]
       require(wl >= 0, s"topKWeighted weight must be non-negative, got $wl")
       val key = InternalRow.copyValue(v).asInstanceOf[AnyRef]
+      if (!buffer.contains(key) && buffer.size >= ChBoundedAggBase.MaxDistinct)
+        ChBoundedAggBase.failDomainCap(prettyName)
       buffer.update(key, buffer.getOrElse(key, 0L) + wl)
     }
     buffer
@@ -300,6 +339,8 @@ case class ChTopKWeighted(child: Expression, weight: Expression, k: Int,
   override def merge(buffer: mutable.HashMap[AnyRef, Long],
       other: mutable.HashMap[AnyRef, Long]): mutable.HashMap[AnyRef, Long] = {
     other.foreach { case (v, c) =>
+      if (!buffer.contains(v) && buffer.size >= ChBoundedAggBase.MaxDistinct)
+        ChBoundedAggBase.failDomainCap(prettyName)
       buffer.update(v, buffer.getOrElse(v, 0L) + c)
     }
     buffer
@@ -316,14 +357,12 @@ case class ChTopKWeighted(child: Expression, weight: Expression, k: Int,
   }
 
   override def serialize(buffer: mutable.HashMap[AnyRef, Long]): Array[Byte] = {
-    val projection =
-      UnsafeProjection.create(Array[DataType](child.dataType, LongType))
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val scratch = new Array[Byte](4096)
     out.writeInt(buffer.size)
     buffer.foreach { case (v, c) =>
-      writeValueRow(out, projection(InternalRow(v, c)), scratch)
+      writeValueRow(out, pairProjection(InternalRow(v, c)), scratch)
     }
     out.flush()
     bos.toByteArray
@@ -360,7 +399,14 @@ object ChAggExprs {
     */
   private def litCount(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) =>
+      // a BIGINT literal above Int.MaxValue would WRAP under toInt
+      // (4294967297 → 1: a silently 1-element answer; 2147483648 → a
+      // negative that fails with a misleading 'positive n' message)
+      if (v < 1L || v > Int.MaxValue.toLong)
+        throw new IllegalArgumentException(
+          s"$fn count $v is out of range — expected 1 ≤ n ≤ ${Int.MaxValue}")
+      v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal count, got $other")
   }

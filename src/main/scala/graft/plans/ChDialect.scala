@@ -1029,8 +1029,10 @@ object ChDialect extends QueryModule {
         val wh = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
         s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
-        s.sql("DROP VIEW IF EXISTS graft_ddl.events_mvt")
-        s.conf.unset("graft.mv.events_mvt")
+        // the ROUTED drop: unregisters the trigger with the view (the
+        // r14 ADVICE DropViewRe arm; falls through untouched when the
+        // view/registration is absent on a fresh session)
+        graft.Graft.sql(s, "DROP VIEW IF EXISTS graft_ddl.events_mvt")
         Seq("events_mvt_tgt", "events_mvt_src").foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS graft_ddl.$t")
           graft.AtomicDir.fileSystem(wh).delete(
@@ -1527,5 +1529,157 @@ object ChDialect extends QueryModule {
       },
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
              |FROM events WHERE user_id % 10 = 6
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Table-level `TTL ts + INTERVAL 30 DAY DELETE` — on virtually
+    // every production MergeTree table, and the reference's own
+    // retention semantics (backup.sh:119-122) server-side (r14 verdict
+    // next-item 1). Expiry applies at OPTIMIZE FINAL time (ClickHouse
+    // expires at MERGE time — rows past TTL stay visible there too
+    // until a merge). DOCUMENTED DIVERGENCE: the anchor is the
+    // table's own max(ts) (deterministic, oracle-derivable — the
+    // q_retention_filter discipline), not the wall clock. The
+    // post-OPTIMIZE read matching the DuckDB complement IS the claim.
+    "q_ch_ttl_delete" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        graft.Graft.sql(s, "DROP TABLE IF EXISTS graft_ddl.events_ttl_ddl")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_ttl_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_ttl_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_ttl_ddl (
+            |  user_id Int64,
+            |  ts DateTime,
+            |  value Float64
+            |) ENGINE = MergeTree ORDER BY user_id
+            |TTL ts + INTERVAL 30 DAY DELETE""".stripMargin)
+        graft.Graft.sql(s,
+          "INSERT INTO graft_ddl.events_ttl_ddl SELECT user_id, " +
+            "CAST(ts_s AS TIMESTAMP), value FROM events_ch_chv " +
+            "WHERE user_id % 10 = 8")
+        graft.Graft.sql(s, "OPTIMIZE TABLE graft_ddl.events_ttl_ddl FINAL")
+        ch(s, """SELECT user_id, count() AS n,
+                |       round(sum(value), 4) AS sv
+                |FROM graft_ddl.events_ttl_ddl
+                |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      Some("""WITH mx AS (SELECT max(date_trunc('second', ts)) AS m
+             |  FROM events WHERE user_id % 10 = 8)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS sv
+             |FROM events, mx
+             |WHERE user_id % 10 = 8
+             |  AND date_trunc('second', ts) + INTERVAL 30 DAY > mx.m
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // The trivially-mergeable -State/-Merge family (r14 verdict
+    // next-item 3): AggregateFunction(sum|min|max|count|avg, T)
+    // columns store the VALUE (count → its BIGINT, avg → the
+    // (sum, count) pair — the r14 avg-MV helper precedent as a column
+    // type); <f>State writes the partial, <f>Merge folds at read.
+    // Unlike uniq these are EXACT — hash-checked against the raw rows
+    // of both "parts". DOCUMENTED DIVERGENCE: the stored bytes are the
+    // plain value/pair, not ClickHouse's state envelope — states
+    // written by a ClickHouse server must be re-derived.
+    "q_ch_sum_state" -> QueryDef(
+      (s, dir) => {
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_state_ddl")
+        graft.AtomicDir.fileSystem(wh).delete(
+          new org.apache.hadoop.fs.Path(s"$wh/events_state_ddl"), true)
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_state_ddl (
+            |  event_type String,
+            |  sv AggregateFunction(sum, Float64),
+            |  mn AggregateFunction(min, Float64),
+            |  mx AggregateFunction(max, Float64),
+            |  n AggregateFunction(count),
+            |  av AggregateFunction(avg, Float64)
+            |) ENGINE = AggregatingMergeTree()
+            |ORDER BY event_type""".stripMargin)
+        // two INSERT batches play the role of two parts
+        Seq(0, 1).foreach { parity =>
+          graft.Graft.sql(s,
+            "INSERT INTO graft_ddl.events_state_ddl SELECT event_type, " +
+              "sumState(value), minState(value), maxState(value), " +
+              "countState(), avgState(value) FROM events_ch_chv " +
+              s"WHERE user_id % 10 = 2 AND event_id % 2 = $parity " +
+              "GROUP BY event_type")
+        }
+        ch(s, """SELECT event_type,
+                |  round(sumMerge(sv), 4) AS sv,
+                |  round(minMerge(mn), 4) AS mn,
+                |  round(maxMerge(mx), 4) AS mx,
+                |  countMerge(n) AS n,
+                |  round(avgMerge(av), 6) AS av
+                |FROM graft_ddl.events_state_ddl
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  round(sum(value), 4) AS sv,
+             |  round(min(value), 4) AS mn,
+             |  round(max(value), 4) AS mx,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(avg(value), 6) AS av
+             |FROM events WHERE user_id % 10 = 2
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // The dimension-enrichment MATERIALIZED VIEW (r14 verdict
+    // next-item 5): `SELECT dim_key, aggs FROM src JOIN dim ON …
+    // GROUP BY dim_key` — ClickHouse's standard MV pattern. The join
+    // is row-local per insert batch against the dim's INSERT-TIME
+    // content (ClickHouse's own semantics), the dim side broadcasts,
+    // and the per-batch partials collapse under FINAL exactly like the
+    // single-table MVs. Two insert batches; the oracle recomputes the
+    // join+aggregate from the raw rows of both.
+    "q_ch_mat_view_join" -> QueryDef(
+      (s, dir) => {
+        registerViews(s, dir)
+        registerEvents(s, dir)
+        val wh = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ddl_db").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_ddl LOCATION '$wh'")
+        graft.Graft.sql(s, "DROP TABLE IF EXISTS graft_ddl.events_mvj")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mvj")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.events_mvj_src")
+        Seq("events_mvj", "events_mvj_src").foreach { t =>
+          graft.AtomicDir.fileSystem(wh).delete(
+            new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        graft.Graft.sql(s,
+          """CREATE TABLE graft_ddl.events_mvj_src (
+            |  user_id Int64,
+            |  nk Int64,
+            |  value Nullable(Float64)
+            |) ENGINE = MergeTree ORDER BY user_id""".stripMargin)
+        graft.Graft.sql(s,
+          """CREATE MATERIALIZED VIEW graft_ddl.events_mvj
+            |ENGINE = AggregatingMergeTree()
+            |ORDER BY n_name AS
+            |SELECT n_name, min(value) AS lo, sum(value) AS sv,
+            |       count() AS n
+            |FROM graft_ddl.events_mvj_src INNER JOIN nation_chv
+            |  ON events_mvj_src.nk = nation_chv.n_nationkey
+            |GROUP BY n_name""".stripMargin)
+        Seq(5, 6).foreach { m =>
+          graft.Graft.sql(s,
+            "INSERT INTO graft_ddl.events_mvj_src SELECT user_id, " +
+              s"user_id % 25, value FROM events_ch_chv WHERE user_id % 10 = $m")
+        }
+        ch(s, """SELECT n_name, round(lo, 4) AS lo, round(sv, 4) AS sv, n
+                |FROM graft_ddl.events_mvj FINAL
+                |ORDER BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, round(min(value), 4) AS lo,
+             |  round(sum(value), 4) AS sv, CAST(count(*) AS BIGINT) AS n
+             |FROM events JOIN nation ON (user_id % 25) = n_nationkey
+             |WHERE user_id % 10 IN (5, 6)
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)))
 }

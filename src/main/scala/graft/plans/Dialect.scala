@@ -137,10 +137,11 @@ object Dialect {
       // default)
       sumFinals: Map[String, (Seq[String], Seq[String])] = Map.empty,
       // AggregatingMergeTree's REGISTRABLE subset: key columns plus a
-      // (column → sum|min|max|uniq) collapse map — what
+      // (column → sum|min|max|uniq|avgpair) collapse map — what
       // SimpleAggregateFunction(fn, T) columns declare in the DDL,
       // plus AggregateFunction(uniq, T) sketch-byte columns (merged
-      // by hll_union_agg under FINAL)
+      // by hll_union_agg under FINAL) and AggregateFunction(avg, T)
+      // (sum, count) pair columns (merged field-wise by sum)
       aggFinals: Map[String, (Seq[String], Seq[(String, String)])] = Map.empty,
       // CollapsingMergeTree registrations: key columns | sign column.
       // FINAL reads the engine's DETERMINISTIC sign-net semantics
@@ -149,7 +150,11 @@ object Dialect {
       // ClickHouse's own insertion-order row pairing is
       // split-dependent and not reproducible distributed.
       collapseFinals: Map[String, (Seq[String], String)] = Map.empty,
-      schemaOf: String => Option[Seq[(String, String)]] = _ => None)
+      schemaOf: String => Option[Seq[(String, String)]] = _ => None,
+      // ANALYSIS-ONLY schema of an arbitrary SELECT (nothing runs) —
+      // what lets the bare/multi-array ARRAY JOIN wrap work over
+      // subquery FROM items too (the CTAS lazy-ANALYZE pattern)
+      schemaOfSql: String => Option[Seq[(String, String)]] = _ => None)
 
   private def fail(msg: String): Nothing = throw new DialectException(msg)
 
@@ -256,6 +261,8 @@ object Dialect {
         k.stripPrefix("graft.dict.") -> Dict(parts(0).trim, parts(1).trim, defaults)
       },
       schemaOf = name => scala.util.Try(spark.table(name).schema).toOption
+        .map(_.fields.toSeq.map(f => (f.name, f.dataType.sql))),
+      schemaOfSql = sql => scala.util.Try(spark.sql(sql).schema).toOption
         .map(_.fields.toSeq.map(f => (f.name, f.dataType.sql))))
   }
 
@@ -409,8 +416,10 @@ object Dialect {
   private val Renames: Map[String, String] = Map(
     // aggregates
     "argMax" -> "max_by", "argMin" -> "min_by",
-    "groupArray" -> "collect_list", "groupUniqArray" -> "collect_set",
-    "anyLast" -> "last",
+    // groupArray/groupUniqArray/anyLast are NOT plain renames:
+    // collect_list/collect_set element order and last()'s winner are
+    // partition/scheduling-dependent — the group* pair canonicalizes
+    // to sorted spellings (argRewrite), anyLast refuses by name
     "uniq" -> "approx_count_distinct", "uniqCombined" -> "approx_count_distinct",
     "uniqHLL12" -> "approx_count_distinct",
     "stddevPop" -> "stddev_pop", "stddevSamp" -> "stddev_samp",
@@ -606,6 +615,27 @@ object Dialect {
       case ("bitAnd", 2) => Some(s"(${a(0)} & ${a(1)})")
       case ("bitOr", 2) => Some(s"(${a(0)} | ${a(1)})")
       case ("bitXor", 2) => Some(s"(${a(0)} ^ ${a(1)})")
+      // bare groupArray/groupUniqArray — a plain collect_list/set
+      // rename would return a partition/scheduling-dependent element
+      // ORDER per run (the exact split-dependence this translator
+      // refuses `any` and the block-local family for). Canonicalized
+      // to the sorted spellings instead — DOCUMENTED DIVERGENCE: the
+      // elements arrive in VALUE order, not ClickHouse's insertion
+      // order (which is itself irreproducible distributed) — the same
+      // reading groupArray(n)/groupUniqArray(n) pinned in r14.
+      case ("groupArray", 1) =>
+        Some(s"sort_array(collect_list(${a(0)}))")
+      case ("groupUniqArray", 1) =>
+        Some(s"sort_array(collect_set(${a(0)}))")
+      // anyLast has NO deterministic canonical form without an ordering
+      // key the call does not carry: last()'s winner depends on row
+      // arrival order. Refuse with the pinned spellings named.
+      case ("anyLast", _) =>
+        fail("anyLast picks the last value in INSERTION order — " +
+          "split-dependent and not reproducible on a distributed engine " +
+          "(the same determinism rule that refuses any and the " +
+          "block-local family). Write max_by(x, <ordering column>) to pin " +
+          "WHICH row wins, or last_value(x) OVER an explicit window")
       // AggregateFunction(uniq, T) state pair ([CH]): uniqState
       // produces the mergeable distinct-count partial, uniqMerge folds
       // partials back to the count. graft's state is Spark's own
@@ -620,6 +650,28 @@ object Dialect {
       case ("uniqState", 1) => Some(s"hll_sketch_agg(${a(0)})")
       case ("uniqMerge", 1) =>
         Some(s"hll_sketch_estimate(hll_union_agg(${a(0)}))")
+      // the trivially-mergeable -State/-Merge family (r15; the
+      // AggregateFunction(sum|min|max|count|avg, T) column twins):
+      // sum/min/max states ARE their value, a count state is its
+      // count (merging by SUM), an avg state is the (sum, count)
+      // struct pair the r14 avg-MV helpers pioneered — all EXACT,
+      // hash-checkable, unlike uniq. DOCUMENTED DIVERGENCE: the
+      // stored bytes are the plain value/pair, not ClickHouse's state
+      // envelope — server-written states must be re-derived.
+      case ("sumState", 1) => Some(s"sum(${a(0)})")
+      case ("minState", 1) => Some(s"min(${a(0)})")
+      case ("maxState", 1) => Some(s"max(${a(0)})")
+      case ("countState", 0) => Some("count(*)")
+      case ("countState", 1) => Some(s"count(${a(0)})")
+      case ("avgState", 1) =>
+        Some(s"named_struct('s', sum(CAST(${a(0)} AS DOUBLE)), " +
+          s"'c', count(${a(0)}))")
+      case ("sumMerge", 1) => Some(s"sum(${a(0)})")
+      case ("minMerge", 1) => Some(s"min(${a(0)})")
+      case ("maxMerge", 1) => Some(s"max(${a(0)})")
+      case ("countMerge", 1) => Some(s"sum(${a(0)})")
+      case ("avgMerge", 1) =>
+        Some(s"(sum((${a(0)}).s) / sum((${a(0)}).c))")
       // the -Array aggregate combinators whose mappings are EXACT
       // (element-domain aggregation composed from per-row reduces —
       // one hash aggregate, no explode): maxArray/minArray/countArray/
@@ -870,15 +922,26 @@ object Dialect {
             val base = name.dropRight(2)
             val cond = emit(args.last)
             val kept = args.dropRight(1)
-            val call =
-              if (base == "count" && kept.isEmpty) "count(*)"
+            val txt =
+              if (base == "count" && kept.isEmpty)
+                s"count(*) FILTER (WHERE $cond)"
               else if (base == "uniqExact")
-                s"count(DISTINCT ${kept.map(emit).mkString(", ")})"
+                s"count(DISTINCT ${kept.map(emit).mkString(", ")}) " +
+                  s"FILTER (WHERE $cond)"
+              // the canonical sorted spelling, FILTER inside the sort —
+              // same determinism reading as bare groupArray
+              else if (base == "groupArray")
+                s"sort_array(collect_list(${kept.map(emit).mkString(", ")}) " +
+                  s"FILTER (WHERE $cond))"
+              else if (base == "anyLast")
+                fail("anyLastIf picks the last MATCHING value in insertion " +
+                  "order — split-dependent like anyLast itself; write " +
+                  "max_by(x, <ordering column>) FILTER (WHERE cond) instead")
               else {
                 val mapped = Renames.getOrElse(base, base)
-                s"$mapped(${kept.map(emit).mkString(", ")})"
+                s"$mapped(${kept.map(emit).mkString(", ")}) FILTER (WHERE $cond)"
               }
-            out += raw(s"$call FILTER (WHERE $cond)"); changed(); i += 2
+            out += raw(txt); changed(); i += 2
           } else if (!qualified && argRewrite(name, args, reg).isDefined) {
             out += raw(argRewrite(name, args, reg).get); changed(); i += 2
           } else if (!qualified && Renames.contains(name)) {
@@ -1470,6 +1533,12 @@ object Dialect {
                   case (c, _) if keySet(c) => c
                   case (c, _) if !helperCols(c) =>
                     if (fnMap(c) == "uniq") s"hll_union_agg($c) AS $c"
+                    // AggregateFunction(avg, T) state columns: the
+                    // (sum, count) pair merges field-wise by sum —
+                    // still a pair after the collapse (avgMerge serves
+                    // the quotient at read)
+                    else if (fnMap(c) == "avgpair")
+                      s"named_struct('s', sum($c.s), 'c', sum($c.c)) AS $c"
                     else s"${fnMap(c)}($c) AS $c"
                 } ++ derived.map { case (out, s, c) =>
                   s"(sum($s) / sum($c)) AS $out"
@@ -1622,9 +1691,10 @@ object Dialect {
       //    shorter array where ClickHouse errors on unequal sizes
       //    (documented divergence — the recoverable reading). The same
       //    schema-projected wrap keeps __graft_pos/__graft_arrN out of
-      //    SELECT * when the FROM item is catalog-resolvable; over a
-      //    subquery source the internals still leak into a bare `*`
-      //    (documented divergence, SURVEY §V) — project explicitly.
+      //    SELECT * when the FROM item is catalog-resolvable OR an
+      //    analyzable (SELECT …) subquery (schema from lazy analysis —
+      //    the r13 §V leak, closed r15); only schemaless FROM shapes
+      //    (parenthesized joins) still leak — project explicitly.
       var aj = span.indices.find(i => isWord(span(i), "ARRAY") &&
         i + 1 < span.length && isWord(span(i + 1), "JOIN"))
       while (aj.isDefined) {
@@ -1707,9 +1777,30 @@ object Dialect {
             "expressions with AS <name>")
         }
         val relOpt = namedRel(span.take(start))
-        val schemaOpt = relOpt.flatMap { case (ref, _) =>
-          reg.schemaOf(ref).map(s => (ref, s))
+        // subquery FROM item `(SELECT …) [AS] alias` — its output
+        // schema comes from ANALYSIS of the already-translated inner
+        // text (nothing runs), so the same schema-projected wrap that
+        // keeps internals out of `SELECT *` works here too (the r13
+        // documented residual, closed r15)
+        def subqueryRel(pre: Vector[Node]): Option[(String, String)] = pre match {
+          case Vector(g: Grp) if g.children.headOption.exists(isWord(_, "SELECT")) =>
+            Some((emit(g.children), "__graft_ajsrc"))
+          case Vector(g: Grp, Leaf(w: Word))
+              if g.children.headOption.exists(isWord(_, "SELECT")) =>
+            Some((emit(g.children), w.text))
+          case Vector(g: Grp, asW, Leaf(w: Word))
+              if isWord(asW, "AS") && g.children.headOption.exists(isWord(_, "SELECT")) =>
+            Some((emit(g.children), w.text))
+          case _ => None
         }
+        // (FROM-item text, exposed alias, source schema) — catalog
+        // relation first, analyzed subquery second
+        val wrapSrc: Option[(String, String, Seq[(String, String)])] =
+          relOpt.flatMap { case (ref, al) =>
+            reg.schemaOf(ref).map(s => (ref, al, s))
+          }.orElse(subqueryRel(span.take(start)).flatMap { case (sub, al) =>
+            reg.schemaOfSql(sub).map(s => (s"($sub)", al, s))
+          })
         if (!needWrap) {
           // single aliased item: plain LATERAL VIEW, works over any
           // FROM item, exposes nothing internal
@@ -1717,9 +1808,8 @@ object Dialect {
           val gen = if (left) "explode_outer" else "explode"
           val lv = s"LATERAL VIEW $gen(${emit(exprNodes)}) __graft_aj AS $alias"
           span = span.take(start) ++ Vector(raw(lv)) ++ span.drop(end)
-        } else if (schemaOpt.isDefined) {
-          val (refTxt, srcSchema) = schemaOpt.get
-          val outAlias = relOpt.get._2
+        } else if (wrapSrc.isDefined) {
+          val (refTxt, outAlias, srcSchema) = wrapSrc.get
           val srcCols = srcSchema.map(_._1)
           val gens: Seq[String] = (
             if (items.length == 1) {
@@ -1756,13 +1846,16 @@ object Dialect {
           span = span.take(0) ++ Vector(raw(sub)) ++ span.drop(end)
         } else if (bareItems.nonEmpty) {
           fail("ARRAY JOIN without AS shadows the source column with its " +
-            "elements, which needs the FROM item catalog-resolvable " +
-            s"(got '${emit(span.take(start))}') — alias the item " +
-            "(ARRAY JOIN col AS x) or register the relation as a view")
+            "elements, which needs the FROM item's schema — a catalog " +
+            s"table/view or an analyzable (SELECT …) subquery (got " +
+            s"'${emit(span.take(start))}') — alias the item " +
+            "(ARRAY JOIN col AS x) or name/analyze the relation")
         } else {
-          // multi-array over a non-catalog FROM item: the positional
-          // zip still works, but __graft_pos/__graft_arrN leak into a
-          // bare `*` (documented divergence) — project explicitly
+          // multi-array over a FROM item with no derivable schema (a
+          // parenthesized join, a non-analyzable subquery): the
+          // positional zip still works, but __graft_pos/__graft_arrN
+          // leak into a bare `*` (documented divergence) — project
+          // explicitly
           val (e0, a0) = (items.head._1, items.head._2.get)
           val gen0 = if (left) "posexplode_outer" else "posexplode"
           val binders = items.tail.zipWithIndex.map { case ((e, _), k) =>
@@ -2048,7 +2141,8 @@ object Dialect {
           "with DIFFERENT semantics (ClickHouse length() counts bytes, " +
           "Spark's counts characters; any() is first-value vs bool_or; …). " +
           "Use the unambiguous spellings instead — lengthUTF8/octet_length, " +
-          "anyLast/first_value, locate, … — so the intent survives translation")
+          "max_by(x, key)/first_value, locate, … — so the intent survives " +
+          "translation")
       emit(clPass)
     }
   }

@@ -55,7 +55,7 @@ class DialectSpec extends SparkSpec {
     assert(t("SELECT quantile(0.5)(v), uniqUpTo(3)(k) FROM t") ==
       "SELECT percentile(v, 0.5), least(count(DISTINCT k), CAST(3 AS BIGINT) + 1) FROM t")
     assert(t("SELECT argMax(a, b), uniqExact(k), groupArray(v) FROM t") ==
-      "SELECT max_by(a, b), count(DISTINCT k), collect_list(v) FROM t")
+      "SELECT max_by(a, b), count(DISTINCT k), sort_array(collect_list(v)) FROM t")
     assert(t("SELECT x FROM t ARRAY JOIN splitByChar(',', s) AS x") ==
       "SELECT x FROM t LATERAL VIEW explode(split(s, ',')) __graft_aj AS x")
     // regex metachar separators arrive escaped for Spark's regex split
@@ -443,11 +443,12 @@ class DialectSpec extends SparkSpec {
       "SELECT id, count() AS n FROM ajb_dsp ARRAY JOIN xs WHERE xs > 1 " +
         "GROUP BY id ORDER BY id")
     assert(spark.sql(agg).collect().toSeq.map(_.toString) == Seq("[1,2]", "[2,2]"))
-    // over a non-catalog FROM item the shadowing projection is
-    // unresolvable → named refusal, never a silently different answer
-    val err = intercept[Dialect.DialectException](Dialect.translate(spark,
-      "SELECT xs FROM (SELECT xs FROM ajb_dsp) q ARRAY JOIN xs")).getMessage
-    assert(err.contains("catalog-resolvable"))
+    // over a subquery FROM item the shadowing projection resolves from
+    // the ANALYZED subquery schema (r15 — previously a named refusal)
+    val sub = Dialect.translate(spark,
+      "SELECT xs FROM (SELECT xs FROM ajb_dsp) q ARRAY JOIN xs")
+    assert(spark.sql(sub).collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3, 10, 20))
     // a bare derived expression cannot shadow anything → named refusal
     val err2 = intercept[Dialect.DialectException](Dialect.translate(spark,
       "SELECT id FROM ajb_dsp ARRAY JOIN arrayMap(x -> x + 1, xs)")).getMessage
@@ -534,9 +535,42 @@ class DialectSpec extends SparkSpec {
       "SELECT k, ch_least_k(v, 2) FROM t GROUP BY k")
     assert(t("SELECT topK(3)(v) FROM t") ==
       "SELECT ch_topk_exact(v, 3) FROM t")
-    // non-parametric groupArray stays the plain collect_list rename
+    // non-parametric groupArray canonicalizes to the SORTED spelling —
+    // a bare collect_list's element order is partition/scheduling-
+    // dependent, the determinism gap the r14 verdict named (#1); the
+    // value-order divergence is documented at the rewrite
     assert(t("SELECT groupArray(v), countIf(x) FROM t")
-      .startsWith("SELECT collect_list(v)"))
+      .startsWith("SELECT sort_array(collect_list(v))"))
+    assert(t("SELECT groupUniqArray(v) FROM t") ==
+      "SELECT sort_array(collect_set(v)) FROM t")
+    // groupArrayIf keeps the FILTER inside the sort (one aggregate)
+    assert(t("SELECT groupArrayIf(v, v > 2) FROM t") ==
+      "SELECT sort_array(collect_list(v) FILTER (WHERE v > 2)) FROM t")
+    // anyLast[If] have NO deterministic canonical form without an
+    // ordering key — refuse by name with the pinned spelling
+    val alErr = intercept[graft.plans.Dialect.DialectException] {
+      t("SELECT anyLast(v) FROM t")
+    }
+    assert(alErr.getMessage.contains("max_by"))
+    val alIfErr = intercept[graft.plans.Dialect.DialectException] {
+      t("SELECT anyLastIf(v, v > 0) FROM t")
+    }
+    assert(alIfErr.getMessage.contains("max_by"))
+    // run-stability: over an 8-partition input the canonical spelling
+    // returns ONE array — ascending, identical across runs — where the
+    // old collect_list rename's element order depended on which split
+    // finished first
+    spark.range(0, 1000, 1, 8)
+      .selectExpr("CAST(id % 3 AS INT) AS g", "CAST((id * 37) % 11 AS INT) AS v")
+      .createOrReplaceTempView("ga_stab_dsp")
+    val stabQ = Dialect.translate(spark,
+      "SELECT g, groupArray(v) AS ga FROM ga_stab_dsp GROUP BY g ORDER BY g")
+    val stab1 = spark.sql(stabQ).collect().map(_.toString).toSeq
+    val stab2 = spark.sql(stabQ).collect().map(_.toString).toSeq
+    assert(stab1 == stab2, "canonical groupArray must be run-stable")
+    val ga0 = spark.sql(stabQ).collect()(0).getSeq[Int](1)
+    assert(ga0.length == 334 && ga0 == ga0.sorted,
+      s"expected the full group in ascending value order: $ga0")
     import spark.implicits._
     Seq(("a", 3), ("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
       .createOrReplaceTempView("topk_dsp")
@@ -574,6 +608,85 @@ class DialectSpec extends SparkSpec {
       .collect()(0)
     assert(strRow.getSeq[String](0) == Seq("a", "a") &&
       strRow.getSeq[String](1) == Seq("a"))
+  }
+
+  test("ARRAY JOIN over a subquery FROM item derives the wrap schema from analysis") {
+    import spark.implicits._
+    Seq((1L, Seq(1, 2), Seq("x", "y")), (2L, Seq(5), Seq("z")))
+      .toDF("k", "xs", "ts").createOrReplaceTempView("ajsub_dsp")
+    // bare item (no AS) SHADOWS the column — over a subquery FROM this
+    // was a named refusal through r14; the analyzed subquery schema now
+    // feeds the same projected wrap, and SELECT * exposes EXACTLY the
+    // subquery's columns (r13 §V residual, r14 verdict next-item 7)
+    val q1 = Dialect.translate(spark,
+      "SELECT * FROM (SELECT k, xs FROM ajsub_dsp) s ARRAY JOIN xs " +
+        "ORDER BY k, xs")
+    val df1 = spark.sql(q1)
+    assert(df1.columns.toSeq == Seq("k", "xs"))
+    assert(df1.collect().map(_.toString).toSeq ==
+      Seq("[1,1]", "[1,2]", "[2,5]"))
+    // multi-array positional zip: __graft_pos/__graft_arrN stay OUT of
+    // the bare * over a subquery source too
+    val q2 = Dialect.translate(spark,
+      "SELECT * FROM (SELECT xs, ts FROM ajsub_dsp WHERE k = 1) s " +
+        "ARRAY JOIN xs AS x, ts AS t ORDER BY x")
+    val df2 = spark.sql(q2)
+    assert(df2.columns.toSeq == Seq("xs", "ts", "x", "t"),
+      s"internal columns leaked: ${df2.columns.toSeq}")
+    assert(df2.collect().map(r => (r.getInt(2), r.getString(3))).toSeq ==
+      Seq((1, "x"), (2, "y")))
+    // a schemaless FROM shape still refuses the bare item by name
+    val e = intercept[graft.plans.Dialect.DialectException] {
+      Dialect.translate("SELECT * FROM (t1 JOIN t2 ON t1.k = t2.k) " +
+        "ARRAY JOIN xs", graft.plans.Dialect.Registry())
+    }
+    assert(e.getMessage.contains("analyzable"))
+  }
+
+  test("topK kernels cap open-domain buffers; kernel counts bounds-check") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    import graft.expressions.{ChBoundedAggBase, ChTopKExact, ChTopKWeighted}
+    // the exact count-grid state is right for BOUNDED domains only; an
+    // open-domain column must refuse by name (a TypedImperativeAggregate
+    // buffer cannot spill), pointing at the SpaceSaving sketch — r14
+    // verdict #2. The buffer seeds directly to the cap (2^21 update
+    // calls through interpreted eval would dominate the suite).
+    val agg = ChTopKExact(BoundReference(0, LongType, nullable = false), 3)
+    val buf = agg.createAggregationBuffer()
+    var i = 0L
+    while (buf.size < ChBoundedAggBase.MaxDistinct) {
+      buf.update(java.lang.Long.valueOf(i), 1L); i += 1
+    }
+    // an EXISTING value still updates fine at the cap …
+    agg.update(buf, InternalRow(0L))
+    assert(buf(java.lang.Long.valueOf(0L)) == 2L)
+    // … a NEW one refuses with the sketch sibling named
+    val capErr = intercept[IllegalStateException] {
+      agg.update(buf, InternalRow(i))
+    }
+    assert(capErr.getMessage.contains("q_topk_sketch") &&
+      capErr.getMessage.contains("GROUP BY (keys, v)"))
+    // the merge path enforces the same bound
+    val wagg = ChTopKWeighted(BoundReference(0, LongType, nullable = false),
+      BoundReference(1, LongType, nullable = false), 3)
+    val mergeErr = intercept[IllegalStateException] {
+      val one = wagg.createAggregationBuffer()
+      one.update(java.lang.Long.valueOf(i), 7L)
+      wagg.merge(buf, one)
+    }
+    assert(mergeErr.getMessage.contains("ch_topk_weighted"))
+    // litCount (r14 ADVICE): a BIGINT count above Int.MaxValue refuses
+    // explicitly instead of wrapping (4294967297.toInt == 1 — a
+    // silently 1-element answer)
+    val wrapErr = intercept[IllegalArgumentException] {
+      graft.expressions.ChAggExprs.functions
+        .find(_._1.funcName == "ch_least_k").get._3(
+          Seq(BoundReference(0, LongType, nullable = false),
+            Literal(4294967297L)))
+    }
+    assert(wrapErr.getMessage.contains("out of range"))
   }
 
   test("round-14 scalar pack: OrZero twins, float-class predicates, token/array scalars") {
@@ -621,8 +734,10 @@ class DialectSpec extends SparkSpec {
       "SELECT ch_topk_weighted(v, CAST(w AS BIGINT), 2) FROM t")
     assert(t("SELECT groupUniqArray(3)(v) FROM t") ==
       "SELECT ch_least_k(DISTINCT v, 3) FROM t")
-    // non-parametric groupUniqArray stays the collect_set rename
-    assert(t("SELECT groupUniqArray(v) FROM t") == "SELECT collect_set(v) FROM t")
+    // non-parametric groupUniqArray canonicalizes to the SORTED
+    // spelling (r15 — collect_set's element order is run-dependent)
+    assert(t("SELECT groupUniqArray(v) FROM t") ==
+      "SELECT sort_array(collect_set(v)) FROM t")
     import spark.implicits._
     // weights: value 1 carries 10, value 3 carries 7, value 2 carries 5
     Seq((1, 10L), (2, 5L), (3, 3L), (3, 4L), (1, 0L)).toDF("v", "w")

@@ -388,12 +388,13 @@ class GraftSqlSpec extends SparkSpec {
           "ENGINE = AggregatingMergeTree() ORDER BY k")
     }
     assert(err4.getMessage.contains("SimpleAggregateFunction"))
-    // AggregateFunction(uniq, T) routes as HLL sketch bytes (r13
-    // verdict item 7); every OTHER AggregateFunction stays the opaque
-    // refusal
+    // AggregateFunction(uniq|sum|min|max|count|avg, T) route (sketch
+    // bytes / plain values / the (sum, count) pair); a genuinely
+    // opaque state (quantileTDigest, topK, …) stays the refusal
     val err5 = intercept[IllegalArgumentException] {
       Graft.sql(spark,
-        "CREATE TABLE bad5 (k Int64, st AggregateFunction(avg, Float64)) " +
+        "CREATE TABLE bad5 (k Int64, " +
+          "st AggregateFunction(quantileTDigest, Float64)) " +
           "ENGINE = AggregatingMergeTree() ORDER BY k")
     }
     assert(err5.getMessage.contains("OPAQUE"))
@@ -507,9 +508,22 @@ class GraftSqlSpec extends SparkSpec {
       .contains("not summable") || err("CREATE MATERIALIZED VIEW mv_bad3 " +
       "ENGINE = SummingMergeTree() ORDER BY k AS SELECT k, avg(v) AS av " +
       "FROM mvsrc_graftsql GROUP BY k").contains("avg"))
+    // a JOIN routes (r15) — but only to a RESOLVABLE dim, only
+    // INNER/LEFT, and only ONE of them
     assert(err("CREATE MATERIALIZED VIEW mv_bad4 ENGINE = SummingMergeTree() " +
       "ORDER BY k AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql " +
-      "JOIN t2 ON mvsrc_graftsql.k = t2.k GROUP BY k").contains("JOIN"))
+      "JOIN no_such_t2 ON mvsrc_graftsql.k = no_such_t2.k GROUP BY k")
+      .contains("not resolvable"))
+    Seq((1L, "x")).toDF("k", "nm").createOrReplaceTempView("mvdim_graftsql")
+    assert(err("CREATE MATERIALIZED VIEW mv_bad4b ENGINE = SummingMergeTree() " +
+      "ORDER BY k AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql " +
+      "RIGHT JOIN mvdim_graftsql ON mvsrc_graftsql.k = mvdim_graftsql.k " +
+      "GROUP BY k").contains("DIMENSION"))
+    assert(err("CREATE MATERIALIZED VIEW mv_bad4c ENGINE = SummingMergeTree() " +
+      "ORDER BY k AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql " +
+      "JOIN mvdim_graftsql ON mvsrc_graftsql.k = mvdim_graftsql.k " +
+      "JOIN mvdim_graftsql ON mvsrc_graftsql.k = mvdim_graftsql.k " +
+      "GROUP BY k").contains("ONE broadcast-dim"))
     assert(err("CREATE MATERIALIZED VIEW mv_bad5 ENGINE = SummingMergeTree() " +
       "ORDER BY wrongkey AS SELECT k, sum(v) AS sv FROM mvsrc_graftsql " +
       "GROUP BY k").contains("ORDER BY"))
@@ -518,6 +532,94 @@ class GraftSqlSpec extends SparkSpec {
     assert(err("CREATE MATERIALIZED VIEW mv_bad6 ENGINE = SummingMergeTree() " +
       "ORDER BY k AS SELECT k, min(v) AS lo FROM mvsrc_graftsql GROUP BY k")
       .contains("AggregatingMergeTree"))
+  }
+
+  test("AggregateFunction state columns: sum/min/max/count/avg merge exactly") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS stdb CASCADE")
+      spark.sql(s"CREATE DATABASE stdb LOCATION '$root/stdb.db'")
+      spark.sql("SELECT 'a' AS g, 1.0D AS v UNION ALL SELECT 'a', 2.0D " +
+        "UNION ALL SELECT 'b', 10.0D").createOrReplaceTempView("stsrc1_gs")
+      spark.sql("SELECT 'a' AS g, 3.0D AS v").createOrReplaceTempView("stsrc2_gs")
+      Graft.sql(spark,
+        """CREATE TABLE stdb.t (
+          |  g String,
+          |  sv AggregateFunction(sum, Float64),
+          |  mn AggregateFunction(min, Float64),
+          |  mx AggregateFunction(max, Float64),
+          |  n AggregateFunction(count),
+          |  av AggregateFunction(avg, Float64)
+          |) ENGINE = AggregatingMergeTree() ORDER BY g""".stripMargin)
+      Seq("stsrc1_gs", "stsrc2_gs").foreach { src =>
+        Graft.sql(spark, s"INSERT INTO stdb.t SELECT g, sumState(v), " +
+          s"minState(v), maxState(v), countState(), avgState(v) FROM $src " +
+          "GROUP BY g")
+      }
+      // two "parts" in the table: one per insert batch for key a
+      assert(spark.table("stdb.t").filter("g = 'a'").count() == 2)
+      def merged(): Seq[String] = Graft.sql(spark,
+        "SELECT g, sumMerge(sv) AS sv, minMerge(mn) AS mn, " +
+          "maxMerge(mx) AS mx, countMerge(n) AS n, avgMerge(av) AS av " +
+          "FROM stdb.t GROUP BY g ORDER BY g").collect().toSeq.map(_.toString)
+      val expect = Seq("[a,6.0,1.0,3.0,3,2.0]", "[b,10.0,10.0,10.0,1,10.0]")
+      assert(merged() == expect, merged())
+      // FINAL collapses the pair field-wise; the *Merge reads after the
+      // physical OPTIMIZE still serve the same exact answers (the state
+      // columns round-trip through the stored schema)
+      assert(Graft.sql(spark, "SELECT g, av.s AS s, av.c AS c FROM " +
+        "stdb.t FINAL ORDER BY g").collect().toSeq.map(_.toString) ==
+        Seq("[a,6.0,3]", "[b,10.0,1]"))
+      Graft.sql(spark, "OPTIMIZE TABLE stdb.t FINAL")
+      assert(spark.table("stdb.t").count() == 2)
+      assert(merged() == expect, s"post-OPTIMIZE drift: ${merged()}")
+      // routed drop — clears the simple-name registrations too
+      Graft.sql(spark, "DROP TABLE stdb.t")
+      spark.sql("DROP DATABASE stdb CASCADE")
+    }
+  }
+
+  test("MV with broadcast-dim JOIN: per-batch row-local, dim read at insert time") {
+    import spark.implicits._
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS mvjdb CASCADE")
+      spark.sql(s"CREATE DATABASE mvjdb LOCATION '$root/mvjdb.db'")
+      Graft.sql(spark, "CREATE TABLE mvjdb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Seq((1L, "x"), (2L, "y")).toDF("k", "nm")
+        .createOrReplaceTempView("dim_mvj_gs")
+      Graft.sql(spark,
+        """CREATE MATERIALIZED VIEW mvjdb.mv_j ENGINE = SummingMergeTree()
+          |ORDER BY nm AS
+          |SELECT nm, sum(v) AS sv, count() AS n
+          |FROM mvjdb.src INNER JOIN dim_mvj_gs ON src.k = dim_mvj_gs.k
+          |GROUP BY nm""".stripMargin)
+      Graft.sql(spark, "INSERT INTO mvjdb.src VALUES (1, 1.0), (2, 2.0)")
+      // the dim changes BETWEEN batches: the second batch joins the
+      // NEW content (insert-time semantics — ClickHouse's MV joins
+      // read the right side at insert time too)
+      Seq((1L, "z"), (2L, "y")).toDF("k", "nm")
+        .createOrReplaceTempView("dim_mvj_gs")
+      Graft.sql(spark, "INSERT INTO mvjdb.src VALUES (1, 5.0)")
+      val served = Graft.sql(spark,
+        "SELECT nm, sv, n FROM mvjdb.mv_j FINAL ORDER BY nm")
+        .collect().toSeq.map(_.toString)
+      assert(served == Seq("[x,1.0,1]", "[y,2.0,1]", "[z,5.0,1]"), served)
+      // POPULATE runs the same join over the standing source content
+      Graft.sql(spark,
+        """CREATE MATERIALIZED VIEW mvjdb.mv_j2 ENGINE = SummingMergeTree()
+          |ORDER BY nm POPULATE AS
+          |SELECT nm, sum(v) AS sv, count() AS n
+          |FROM mvjdb.src INNER JOIN dim_mvj_gs ON src.k = dim_mvj_gs.k
+          |GROUP BY nm""".stripMargin)
+      val pop = Graft.sql(spark,
+        "SELECT nm, sv, n FROM mvjdb.mv_j2 FINAL ORDER BY nm")
+        .collect().toSeq.map(_.toString)
+      assert(pop == Seq("[y,2.0,1]", "[z,6.0,2]"), pop)
+      Graft.sql(spark, "DROP TABLE mvjdb.mv_j")
+      Graft.sql(spark, "DROP TABLE mvjdb.mv_j2")
+      Graft.sql(spark, "DROP TABLE mvjdb.src")
+      spark.sql("DROP DATABASE mvjdb CASCADE")
+    }
   }
 
   test("INSERT OVERWRITE into an MV-fed table refuses — stale partials never silently survive") {
@@ -538,22 +640,64 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
-  test("TTL clauses refuse — expired rows must never silently survive") {
+  test("table TTL DELETE routes: registered at CREATE, expired at OPTIMIZE FINAL") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS ttldb CASCADE")
+      spark.sql(s"CREATE DATABASE ttldb LOCATION '$root/ttldb.db'")
+      Graft.sql(spark, "CREATE TABLE ttldb.t (k Int64, ts DateTime, " +
+        "v Float64) ENGINE = MergeTree ORDER BY k " +
+        "TTL ts + INTERVAL 30 DAY DELETE")
+      assert(spark.conf.get("graft.ttl.t") == "ts|30|DAY")
+      // SHOW CREATE carries the TTL clause (part of the stored DDL)
+      assert(Graft.sql(spark, "SHOW CREATE TABLE ttldb.t")
+        .head.getString(0).contains("TTL ts + INTERVAL 30 DAY DELETE"))
+      // anchor = max(ts): rows 40 and 31 days older than the newest
+      // expire at OPTIMIZE FINAL; 29 days and the anchor itself stay;
+      // a NULL timestamp never expires (ClickHouse's reading)
+      Graft.sql(spark, "INSERT INTO ttldb.t VALUES " +
+        "(1, timestamp'2024-03-01 00:00:00', 1.0), " +
+        "(2, timestamp'2024-01-21 00:00:00', 2.0), " +  // 40 d old → expires
+        "(3, timestamp'2024-01-30 00:00:00', 3.0), " +  // 31 d old → expires
+        "(4, timestamp'2024-02-01 00:00:00', 4.0), " +  // 29 d old → stays
+        "(5, CAST(NULL AS TIMESTAMP), 5.0)")
+      // TTL is merge-time semantics: rows remain visible UNTIL the
+      // explicit merge (ClickHouse behaves the same between merges)
+      assert(spark.table("ttldb.t").count() == 5)
+      val rep = Graft.sql(spark, "OPTIMIZE TABLE ttldb.t FINAL").head
+      assert(rep.getAs[Long]("rows_before") == 5 &&
+        rep.getAs[Long]("rows_after") == 3, rep.toString)
+      assert(spark.table("ttldb.t").select("k").collect().map(_.getLong(0))
+        .sorted.toSeq == Seq(1L, 4L, 5L))
+      // a second OPTIMIZE is a fixpoint (the anchor did not move)
+      Graft.sql(spark, "OPTIMIZE TABLE ttldb.t FINAL")
+      assert(spark.table("ttldb.t").count() == 3)
+      // DROP clears the TTL registration with the rest
+      Graft.sql(spark, "DROP TABLE ttldb.t")
+      assert(spark.conf.getOption("graft.ttl.t").isEmpty)
+      spark.sql("DROP DATABASE ttldb CASCADE")
+    }
     def err(sql: String): String =
       intercept[IllegalArgumentException](Graft.sql(spark, sql)).getMessage
-    // table-level TTL (r12 ADVICE: was parsed into ddlClauses and
-    // silently dropped — a TTL'd table would return expired rows)
+    // non-DELETE TTL shapes refuse by name: tiering, rollups,
+    // calendar-unit arithmetic, non-time columns
     assert(err("CREATE TABLE ttl_bad1 (k Int64, ts DateTime) " +
-      "ENGINE = MergeTree ORDER BY k TTL ts + INTERVAL 1 DAY")
-      .contains("TTL"))
-    // column-level TTL likewise
+      "ENGINE = MergeTree ORDER BY k TTL ts + INTERVAL 1 DAY " +
+      "TO VOLUME 'cold'").contains("TTL"))
+    assert(err("CREATE TABLE ttl_bad3 (k Int64, ts DateTime) " +
+      "ENGINE = MergeTree ORDER BY k TTL ts + INTERVAL 3 MONTH DELETE")
+      .contains("calendar"))
+    assert(err("CREATE TABLE ttl_bad4 (k Int64, ts DateTime) " +
+      "ENGINE = MergeTree ORDER BY k TTL k + INTERVAL 1 DAY")
+      .contains("Date/DateTime"))
+    // column-level TTL stays the named refusal
     assert(err("CREATE TABLE ttl_bad2 (k Int64, " +
       "v Float64 TTL k + INTERVAL 1 DAY) ENGINE = MergeTree ORDER BY k")
       .contains("TTL"))
-    // neither statement left a table or registration behind
+    // no failing statement left a table or registration behind
     assert(!spark.catalog.tableExists("ttl_bad1") &&
       !spark.catalog.tableExists("ttl_bad2"))
     assert(spark.conf.getOption("graft.orderby.ttl_bad1").isEmpty)
+    assert(spark.conf.getOption("graft.ttl.ttl_bad1").isEmpty)
   }
 
   test("a failing CREATE TABLE leaves no stale registrations") {
@@ -768,6 +912,57 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("DROP VIEW routes the TO-form MV drop; cross-db same-simple-name TO classifies as TO-form") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS dvdb CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS dvdb2 CASCADE")
+      spark.sql(s"CREATE DATABASE dvdb LOCATION '$root/dvdb.db'")
+      spark.sql(s"CREATE DATABASE dvdb2 LOCATION '$root/dvdb2.db'")
+      Graft.sql(spark, "CREATE TABLE dvdb.src (k Int64, v Float64) " +
+        "ENGINE = MergeTree ORDER BY k")
+      Graft.sql(spark, "CREATE TABLE dvdb.tgt (k Int64, sv Float64) " +
+        "ENGINE = SummingMergeTree() ORDER BY k")
+      Graft.sql(spark,
+        "CREATE MATERIALIZED VIEW dvdb.mv_dv TO dvdb.tgt AS " +
+          "SELECT k, sum(v) AS sv FROM dvdb.src GROUP BY k")
+      Graft.sql(spark, "INSERT INTO dvdb.src VALUES (1, 2.0)")
+      assert(spark.table("dvdb.tgt").count() == 1)
+      // the user's NATURAL spelling — the MV object IS a view. Before
+      // the r14 ADVICE fix this fell through to Spark, dropped the
+      // view, and left the trigger silently appending partials.
+      Graft.sql(spark, "DROP VIEW dvdb.mv_dv")
+      assert(!spark.catalog.tableExists("dvdb.mv_dv"))
+      assert(spark.conf.getOption("graft.mv.mv_dv").isEmpty,
+        "DROP VIEW must unregister the trigger with the view")
+      Graft.sql(spark, "INSERT INTO dvdb.src VALUES (9, 9.0)")
+      assert(spark.table("dvdb.tgt").filter("k = 9").count() == 0,
+        "a dropped MV must stop maintaining the target")
+      // DROP VIEW on a TABLE-backed MV name fails in Spark ("not a
+      // view") and the registration survives — the mirror guarantee
+      Graft.sql(spark,
+        "CREATE MATERIALIZED VIEW dvdb.mv_tb ENGINE = SummingMergeTree() " +
+          "ORDER BY k AS SELECT k, sum(v) AS sv FROM dvdb.src GROUP BY k")
+      intercept[Exception](Graft.sql(spark, "DROP VIEW dvdb.mv_tb"))
+      assert(spark.conf.getOption("graft.mv.mv_tb").isDefined)
+      Graft.sql(spark, "DROP TABLE dvdb.mv_tb")
+      // cross-db TO with the SAME simple name on view and target (r14
+      // ADVICE #4): the explicit toForm marker classifies the DROP —
+      // simple-name inequality called this table-backed and errored
+      Graft.sql(spark, "CREATE TABLE dvdb2.stats (k Int64, sv Float64) " +
+        "ENGINE = SummingMergeTree() ORDER BY k")
+      Graft.sql(spark,
+        "CREATE MATERIALIZED VIEW dvdb.stats TO dvdb2.stats AS " +
+          "SELECT k, sum(v) AS sv FROM dvdb.src GROUP BY k")
+      Graft.sql(spark, "DROP TABLE dvdb.stats")
+      assert(spark.conf.getOption("graft.mv.stats").isEmpty)
+      assert(spark.catalog.tableExists("dvdb2.stats"),
+        "the TO target must survive the view drop")
+      assert(spark.conf.getOption("graft.sumfinal.stats").isDefined)
+      spark.sql("DROP DATABASE dvdb CASCADE")
+      spark.sql("DROP DATABASE dvdb2 CASCADE")
+    }
+  }
+
   test("TO-form MV refusals are actionable") {
     withRoot { root =>
       spark.sql("DROP DATABASE IF EXISTS tordb CASCADE")
@@ -966,6 +1161,17 @@ class GraftSqlSpec extends SparkSpec {
         "INSERT INTO fmtdb.t FORMAT Native  bytes"))
       assert(e.getMessage.contains("Native") &&
         e.getMessage.contains("JSONEachRow"))
+      // malformed inline rows RAISE (FAILFAST, r14 ADVICE) — under the
+      // readers' PERMISSIVE default a typo'd JSON line or a
+      // wrong-typed CSV field silently inserted an all-NULL row where
+      // ClickHouse rejects bad inline data
+      intercept[Exception](Graft.sql(spark,
+        "INSERT INTO fmtdb.t FORMAT JSONEachRow\n{not json at all}"))
+      intercept[Exception](Graft.sql(spark,
+        "INSERT INTO fmtdb.t FORMAT CSV\nnot_a_number,b,1.0"))
+      assert(spark.table("fmtdb.t").count() == 8,
+        "a failed inline insert must land NOTHING")
+      assert(spark.table("fmtdb.t").filter("tag IS NULL").count() == 0)
       Graft.sql(spark, "DROP TABLE fmtdb.mv_fmt")
       spark.sql("DROP DATABASE fmtdb CASCADE")
     }
@@ -1011,6 +1217,47 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("EXCHANGE TABLES recovers a crashed swap from the catalog intermediate") {
+    withRoot { root =>
+      spark.sql("DROP DATABASE IF EXISTS xrdb CASCADE")
+      spark.sql(s"CREATE DATABASE xrdb LOCATION '$root/xrdb.db'")
+      def reset(): Unit = {
+        Seq("a", "b", "a__graft_xchg").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS xrdb.$t"))
+        spark.sql("SELECT 1L AS k").write.saveAsTable("xrdb.a")
+        spark.sql("SELECT 2L AS k UNION ALL SELECT 3L").write
+          .saveAsTable("xrdb.b")
+      }
+      def counts(): (Long, Long) =
+        (spark.table("xrdb.a").count(), spark.table("xrdb.b").count())
+      // crash after rename 1 (a → tmp): the retry rolls BACK, then
+      // redoes the full swap — post-state is the swapped state
+      reset()
+      Graft.sql(spark, "RENAME TABLE xrdb.a TO xrdb.a__graft_xchg")
+      Graft.sql(spark, "EXCHANGE TABLES xrdb.a AND xrdb.b")
+      assert(counts() == ((2L, 1L)), "recovered swap after rename 1")
+      assert(!spark.catalog.tableExists("xrdb.a__graft_xchg"))
+      // crash after rename 2 (b → a): a already holds the old b — the
+      // retry rolls FORWARD with ONE rename (a second full swap here
+      // would undo the crashed statement's intent)
+      reset()
+      Graft.sql(spark, "RENAME TABLE xrdb.a TO xrdb.a__graft_xchg")
+      Graft.sql(spark, "RENAME TABLE xrdb.b TO xrdb.a")
+      val r = Graft.sql(spark, "EXCHANGE TABLES xrdb.a AND xrdb.b")
+      assert(r.head.getString(0).contains("roll-forward"))
+      assert(counts() == ((2L, 1L)), "completed swap after rename 2")
+      assert(!spark.catalog.tableExists("xrdb.a__graft_xchg"))
+      // an unrecognizable layout (intermediate alongside BOTH tables)
+      // refuses loudly instead of guessing
+      reset()
+      spark.sql("SELECT 9L AS k").write.saveAsTable("xrdb.a__graft_xchg")
+      val e = intercept[IllegalStateException](
+        Graft.sql(spark, "EXCHANGE TABLES xrdb.a AND xrdb.b"))
+      assert(e.getMessage.contains("crash window"))
+      spark.sql("DROP DATABASE xrdb CASCADE")
+    }
+  }
+
   test("SHOW CREATE TABLE returns routed DDL; rename rewrites it; fallthrough intact") {
     withRoot { root =>
       spark.sql("DROP DATABASE IF EXISTS scdb CASCADE")
@@ -1028,6 +1275,17 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("CREATE TABLE scdb.plain_sc (a INT) USING parquet")
       assert(Graft.sql(spark, "SHOW CREATE TABLE scdb.plain_sc")
         .head.getString(0).contains("USING parquet"))
+      // routed DROP TABLE clears the stored DDL and the FINAL/sample
+      // registrations (r14 ADVICE): a later same-named table created
+      // through plain Spark DDL must NOT inherit the stale ClickHouse
+      // statement (or worse, the old collapse keys)
+      Graft.sql(spark, "DROP TABLE scdb.sc_t2")
+      assert(spark.conf.getOption("graft.ddl.sc_t2").isEmpty)
+      assert(spark.conf.getOption("graft.final.sc_t2").isEmpty)
+      spark.sql("CREATE TABLE scdb.sc_t2 (other INT) USING parquet")
+      assert(Graft.sql(spark, "SHOW CREATE TABLE scdb.sc_t2")
+        .head.getString(0).contains("USING parquet"),
+        "a re-created plain table must serve Spark's own SHOW CREATE")
       spark.sql("DROP DATABASE scdb CASCADE")
     }
   }

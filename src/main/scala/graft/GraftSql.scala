@@ -292,6 +292,27 @@ object GraftSql {
         restoreDatabase(spark, db, destRaw.trim)
       case RestoreTableRe(table, destRaw) =>
         restoreTable(spark, table, destRaw.trim)
+      // `ALTER TABLE t MODIFY TTL <expr>` / `REMOVE TTL` — how a
+      // ClickHouse user changes retention on a LIVE table (the
+      // companion verbs to the routed CREATE-time TTL). MODIFY
+      // re-registers the expression (same routed shape and refusals as
+      // CREATE) and rewrites the stored SHOW CREATE text; existing
+      // expired rows drop at the next OPTIMIZE FINAL — ClickHouse's
+      // own materialize-on-merge behavior. Works on any catalog table,
+      // routed or plain (adding TTL to an existing table is the
+      // canonical use). REMOVE TTL unsets both.
+      case ModifyTtlRe(table, body) =>
+        modifyTtl(spark, table, body.trim)
+      case RemoveTtlRe(table) =>
+        require(spark.catalog.tableExists(table),
+          s"ALTER TABLE $table REMOVE TTL: no such table")
+        val simple = table.split('.').last
+        spark.conf.unset(s"graft.ttl.$simple")
+        spark.conf.getOption(s"graft.ddl.$simple").foreach { ddl =>
+          spark.conf.set(s"graft.ddl.$simple",
+            ddl.replaceAll(StoredTtlRe, "").replaceAll("\\s+", " ").trim)
+        }
+        okRow(spark, "REMOVE TTL", table)
       case AlterDeleteRe(table, pred) =>
         report(spark, "DELETE", table,
           operators.Snapshot.delete(spark, snapshotDirOf(spark, table), expr(pred.trim)))
@@ -376,6 +397,10 @@ object GraftSql {
     """(?is)^RESTORE\s+DATABASE\s+(\w+)\s+FROM\s+(.+)$""".r
   private val RestoreTableRe =
     """(?is)^RESTORE\s+TABLE\s+([\w.]+)\s+FROM\s+(.+)$""".r
+  private val ModifyTtlRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s+TTL\s+(.+)$""".r
+  private val RemoveTtlRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+REMOVE\s+TTL$""".r
   private val AlterDeleteRe =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DELETE\s+WHERE\s+(.+)$""".r
   private val AlterUpdateRe =
@@ -954,6 +979,49 @@ object GraftSql {
     */
   private val TtlDeleteRe =
     """(?is)^(\w+)\s*\+\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)S?(?:\s+DELETE)?$""".r
+
+  /** The same shape inside a stored SHOW CREATE statement (only the
+    * routed form can appear there — other TTL shapes refuse at
+    * CREATE), for MODIFY/REMOVE TTL to rewrite.
+    */
+  private val StoredTtlRe =
+    "(?i)\\s*\\bTTL\\s+\\w+\\s*\\+\\s*INTERVAL\\s+\\d+\\s+\\w+(\\s+DELETE)?"
+
+  private def modifyTtl(spark: SparkSession, table: String,
+      body: String): DataFrame = {
+    require(spark.catalog.tableExists(table),
+      s"ALTER TABLE $table MODIFY TTL: no such table")
+    val simple = table.split('.').last
+    body match {
+      case TtlDeleteRe(col, n, unit) =>
+        val f = spark.table(table).schema.fields.find(_.name == col)
+          .getOrElse(throw new IllegalArgumentException(
+            s"MODIFY TTL: column '$col' is not among $table's columns"))
+        require(Seq("date", "timestamp", "timestamp_ntz")
+            .contains(f.dataType.typeName),
+          s"MODIFY TTL: column '$col' must be a Date/DateTime column, " +
+            s"got ${f.dataType.sql}")
+        val unitUp = unit.toUpperCase(java.util.Locale.ROOT)
+        spark.conf.set(s"graft.ttl.$simple", s"$col|$n|$unitUp")
+        // keep SHOW CREATE truthful: replace the routed TTL clause in
+        // the stored statement, or append one if the table had none
+        spark.conf.getOption(s"graft.ddl.$simple").foreach { ddl =>
+          val clause = s"TTL $col + INTERVAL $n $unitUp DELETE"
+          val next =
+            if (StoredTtlRe.r.findFirstIn(ddl).isDefined)
+              ddl.replaceAll(StoredTtlRe, " " + clause)
+            else s"$ddl $clause"
+          spark.conf.set(s"graft.ddl.$simple",
+            next.replaceAll("\\s+", " ").trim)
+        }
+        okRow(spark, s"MODIFY TTL $col + INTERVAL $n $unitUp", table)
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE $table MODIFY TTL: unsupported TTL shape '$other' — " +
+          "the routed form is <col> + INTERVAL <n> " +
+          "SECOND|MINUTE|HOUR|DAY|WEEK [DELETE] (same contract as the " +
+          "CREATE-time clause)")
+    }
+  }
 
   /** `CREATE TABLE … ENGINE = <engine>[(args)] [ORDER BY …] [SAMPLE BY
     * …] [PARTITION BY …]` — the first statement of every ClickHouse

@@ -615,6 +615,23 @@ class GraftSqlSpec extends SparkSpec {
         "SELECT nm, sv, n FROM mvjdb.mv_j2 FINAL ORDER BY nm")
         .collect().toSeq.map(_.toString)
       assert(pop == Seq("[y,2.0,1]", "[z,6.0,2]"), pop)
+      // the TO form composes with the join: the target's DDL declares
+      // the collapse, the MV adds only the JOINED trigger (and no
+      // POPULATE — only post-create batches land)
+      Graft.sql(spark, "CREATE TABLE mvjdb.tgt (nm String, sv Float64, " +
+        "n Int64) ENGINE = SummingMergeTree() ORDER BY nm")
+      Graft.sql(spark,
+        """CREATE MATERIALIZED VIEW mvjdb.mv_j3 TO mvjdb.tgt AS
+          |SELECT nm, sum(v) AS sv, count() AS n
+          |FROM mvjdb.src INNER JOIN dim_mvj_gs ON src.k = dim_mvj_gs.k
+          |GROUP BY nm""".stripMargin)
+      Graft.sql(spark, "INSERT INTO mvjdb.src VALUES (2, 0.5)")
+      assert(Graft.sql(spark,
+        "SELECT nm, sv, n FROM mvjdb.tgt FINAL ORDER BY nm")
+        .collect().toSeq.map(_.toString) == Seq("[y,0.5,1]"))
+      Graft.sql(spark, "DROP TABLE mvjdb.mv_j3")
+      assert(spark.catalog.tableExists("mvjdb.tgt"))
+      Graft.sql(spark, "DROP TABLE mvjdb.tgt")
       Graft.sql(spark, "DROP TABLE mvjdb.mv_j")
       Graft.sql(spark, "DROP TABLE mvjdb.mv_j2")
       Graft.sql(spark, "DROP TABLE mvjdb.src")
@@ -671,9 +688,40 @@ class GraftSqlSpec extends SparkSpec {
       // a second OPTIMIZE is a fixpoint (the anchor did not move)
       Graft.sql(spark, "OPTIMIZE TABLE ttldb.t FINAL")
       assert(spark.table("ttldb.t").count() == 3)
-      // DROP clears the TTL registration with the rest
-      Graft.sql(spark, "DROP TABLE ttldb.t")
+      // MODIFY TTL tightens retention on the LIVE table: the 29-day
+      // row now falls outside a 7-day window and expires at the next
+      // OPTIMIZE; SHOW CREATE serves the REWRITTEN clause
+      Graft.sql(spark, "ALTER TABLE ttldb.t MODIFY TTL ts + INTERVAL 7 DAY")
+      assert(spark.conf.get("graft.ttl.t") == "ts|7|DAY")
+      val shown = Graft.sql(spark, "SHOW CREATE TABLE ttldb.t")
+        .head.getString(0)
+      assert(shown.contains("TTL ts + INTERVAL 7 DAY DELETE") &&
+        !shown.contains("30 DAY"), shown)
+      Graft.sql(spark, "OPTIMIZE TABLE ttldb.t FINAL")
+      assert(spark.table("ttldb.t").select("k").collect().map(_.getLong(0))
+        .sorted.toSeq == Seq(1L, 5L))
+      // REMOVE TTL stops expiry and strips the clause from SHOW CREATE
+      Graft.sql(spark, "ALTER TABLE ttldb.t REMOVE TTL")
       assert(spark.conf.getOption("graft.ttl.t").isEmpty)
+      assert(!Graft.sql(spark, "SHOW CREATE TABLE ttldb.t")
+        .head.getString(0).contains("TTL ts"))
+      // MODIFY can also ADD a TTL to a table created without one (the
+      // canonical retrofit), and the registration re-homes on RENAME
+      Graft.sql(spark, "ALTER TABLE ttldb.t MODIFY TTL ts + INTERVAL 30 DAY DELETE")
+      assert(spark.conf.get("graft.ttl.t") == "ts|30|DAY")
+      assert(Graft.sql(spark, "SHOW CREATE TABLE ttldb.t")
+        .head.getString(0).endsWith("TTL ts + INTERVAL 30 DAY DELETE"))
+      Graft.sql(spark, "RENAME TABLE ttldb.t TO ttldb.t_rn")
+      assert(spark.conf.getOption("graft.ttl.t").isEmpty &&
+        spark.conf.get("graft.ttl.t_rn") == "ts|30|DAY")
+      // MODIFY refusals keep the CREATE-time contract
+      intercept[IllegalArgumentException](Graft.sql(spark,
+        "ALTER TABLE ttldb.t_rn MODIFY TTL ts + INTERVAL 3 MONTH"))
+      intercept[IllegalArgumentException](Graft.sql(spark,
+        "ALTER TABLE ttldb.t_rn MODIFY TTL k + INTERVAL 1 DAY"))
+      // DROP clears the TTL registration with the rest
+      Graft.sql(spark, "DROP TABLE ttldb.t_rn")
+      assert(spark.conf.getOption("graft.ttl.t_rn").isEmpty)
       spark.sql("DROP DATABASE ttldb CASCADE")
     }
     def err(sql: String): String =

@@ -63,17 +63,30 @@ object SystemCatalog {
           else (None, reg)
         key -> v
     }.toMap
-    def destOf(db: Option[String], name: String): Option[String] =
-      snaps.get((db, name)).orElse(
+    // Resolve each catalog row's snapshot and REMEMBER which
+    // registration key it consumed: an orphan is a registration no
+    // catalog row consumed. (The r14 form suppressed orphans whose
+    // dest VALUE was joined anywhere — but two registrations may
+    // legitimately share one destination (`SET graft.snapshot.x =
+    // <already-backed-up dir>`, the documented attach path), and the
+    // attached name then vanished from the listing whenever the
+    // original backup's view was live in the same session.)
+    def resolve(db: Option[String], name: String)
+        : Option[((Option[String], String), String)] =
+      snaps.get((db, name)).map(((db, name), _)).orElse(
         // bare registration → unambiguous simple name only
-        if (simpleCount.getOrElse(name, 0) == 1) snaps.get((None, name))
+        if (simpleCount.getOrElse(name, 0) == 1)
+          snaps.get((None, name)).map(((None: Option[String], name), _))
         else None)
-    val catRows = cat.map { case (db, name, tmp) =>
-      (db, name, tmp, destOf(db, name))
+    val catResolved = cat.map { case (db, name, tmp) =>
+      (db, name, tmp, resolve(db, name))
     }
-    val joinedDests = catRows.flatMap(_._4).toSet
+    val catRows = catResolved.map { case (db, name, tmp, r) =>
+      (db, name, tmp, r.map(_._2))
+    }
+    val consumed = catResolved.flatMap(_._4.map(_._1)).toSet
     val orphanRows = snaps.toSeq.collect {
-      case ((db, name), dest) if !joinedDests.contains(dest) &&
+      case ((db, name), dest) if !consumed.contains((db, name)) &&
           !catRows.exists(r => r._1 == db && r._2 == name) =>
         (db, name, false, Some(dest))
     }

@@ -815,6 +815,30 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("system.tables keeps an attached registration sharing a backed-up dest") {
+    import spark.implicits._
+    withRoot { root =>
+      // The documented attach path: `SET graft.snapshot.<name> = <dir>`
+      // over a directory some OTHER registration already points at.
+      // The r14 orphan suppression keyed on dest VALUE, so while the
+      // backed-up view was live in the session the attached name
+      // silently vanished from the listing (the q_sql_system_tables
+      // 0-row failure on a fresh staging).
+      events().limit(25).createOrReplaceTempView("ev_attach_src")
+      Graft.sql(spark, s"BACKUP TABLE ev_attach_src TO '$root/snap'")
+      spark.conf.set("graft.snapshot.ev_attach_alias", s"$root/snap")
+      val rows = operators.SystemCatalog.tables(spark)
+        .filter($"name".isin("ev_attach_src", "ev_attach_alias"))
+        .orderBy("name").collect()
+      assert(rows.length == 2, s"both names must list: ${rows.toSeq}")
+      assert(rows.forall(_.getAs[String]("snapshot_dest") == s"$root/snap"))
+      assert(rows.forall(_.getAs[Long]("total_rows") == 25L))
+      spark.conf.unset("graft.snapshot.ev_attach_src")
+      spark.conf.unset("graft.snapshot.ev_attach_alias")
+      spark.catalog.dropTempView("ev_attach_src")
+    }
+  }
+
   test("system.tables keeps same-named tables in different databases apart") {
     import spark.implicits._
     withRoot { root =>

@@ -34,6 +34,19 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Whole-stage-codegen compile cache (static conf, default 100
+      // entries): this engine's query surface is ~320 distinct queries
+      // × several codegen units each, so at the default size every
+      // entry is evicted long before a plan repeats and EVERY
+      // invocation re-pays Janino compilation — pure fixed overhead,
+      // identical at any data scale (compile cost does not grow with
+      // data; at 100 TB it is noise, on a many-query server it is the
+      // difference between compiling once and compiling per request).
+      // 8192 generated-class entries are a few hundred MB at worst
+      // against the multi-GB driver heap. Parameterized via env for
+      // constrained drivers.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
       // read as a timestamp (PARQUET_TYPE_ILLEGAL); the legacy flag
       // surfaces it as LongType epoch-nanos. A session-level default —

@@ -58,4 +58,26 @@ object Tables {
     resolved
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Scale-adaptive fan-out for expression-heavy MAP pipelines (r15,
+    * guide §2 "make partitioning scale-adaptive — derive from input
+    * size"): the fixture parquets are single-row-group files, so a scan
+    * can never split and every per-row-expensive projection (regex,
+    * string formatting, tokenization) runs in ONE task regardless of
+    * core count. When — and only when — the plan's natural scan
+    * parallelism is below the session's core count, redistribute on a
+    * stable key before the expensive map work; at production scale the
+    * scan already yields >= cores splits and this is the IDENTITY (no
+    * extra exchange ships). Hash partitioning on an explicit key keeps
+    * the row→partition mapping deterministic (no round-robin
+    * order-sensitivity), and every declared query is
+    * partitioning-invariant by the determinism doctrine (the driver
+    * already benches the same queries at different core counts).
+    * Query-path only: NEVER use under a snapshot/backup write — part
+    * counts are observable results there.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+  }
 }

@@ -107,6 +107,89 @@ object Aggregates extends QueryModule {
        |FROM s${HistFoldGrid - HistFoldBins} ORDER BY bin_idx""".stripMargin
   }
 
+  /** q_agg_percentile's quantile points, shared by the DataFrame and
+    * SQL-text forms and by the rewrite-equivalence spec.
+    */
+  private[graft] val PercentileQs = Seq(0.5, 0.9, 0.99)
+
+  /** Exact interpolated percentiles via ONE cumulative-count window —
+    * the r15 rewrite of the `percentile(value, qs, freq)` aggregate
+    * form ([[exactPercentilesAgg]], kept as the spec reference).
+    *
+    * Why (r15 profile, sf0.1): l_extendedprice is ~99% distinct
+    * (594,330 grid rows / 600,000 rows), so the (group, value) grid
+    * collapse bought NO state reduction — it just paid one extra
+    * exchange — and the `percentile` TypedImperativeAggregate then
+    * shuffled 5.4 MB of serialized OpenHashMap buffers per partial and
+    * spent ~1.3 s single-threaded in its final merge+sort, outside
+    * whole-stage codegen. This form: one exchange on the group key,
+    * one sort (the window), and plain min/max DeclarativeAggregates —
+    * codegen end to end (guide §2.3 shuffle fewer bytes, §2.4 one less
+    * exchange, §4 prefer built-in/codegen expressions).
+    *
+    * Exactness: `cum` uses the default RANGE frame (ties included), so
+    * for every row `cum` = #rows with value ≤ this value — the
+    * inclusive cumulative count of the distinct value. The value at
+    * 0-based expanded index i is the FIRST value with cum > i, i.e.
+    * min(value | cum > i) since values ascend with cum. Interpolation
+    * reproduces Percentile.getPercentile literally:
+    * position = q·(N−1); lower/higher = floor/ceil;
+    * v = v_lo·(higher − position) + v_hi·(position − lower), v_lo when
+    * the position is integral — same doubles, same operation order,
+    * bit-identical to the aggregate form (PercentileRewriteSpec pins
+    * it).
+    */
+  private[graft] def exactPercentilesWindow(lineitem: DataFrame): DataFrame = {
+    val byVal = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val all = Window.partitionBy("l_returnflag")
+    val cum = lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("cum", count(lit(1)).over(byVal))
+      .withColumn("n", count(lit(1)).over(all))
+    def pos(q: Double) = lit(q) * (col("n") - 1).cast("double")
+    val aggs = PercentileQs.zipWithIndex.flatMap { case (q, i) =>
+      Seq(
+        min(when(col("cum") > floor(pos(q)), col("l_extendedprice"))).as(s"vlo_$i"),
+        min(when(col("cum") > ceil(pos(q)), col("l_extendedprice"))).as(s"vhi_$i"))
+    } ++ Seq(
+      max(col("n")).as("n"),
+      round(min(col("l_extendedprice")), 4).as("p_min"),
+      round(max(col("l_extendedprice")), 4).as("p_max"))
+    val a = cum.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+    def interp(q: Double, i: Int) = {
+      val p = pos(q)
+      val lo = floor(p)
+      val hi = ceil(p)
+      round(when(lo === hi, col(s"vlo_$i"))
+        .otherwise(col(s"vlo_$i") * (hi.cast("double") - p) +
+          col(s"vhi_$i") * (p - lo.cast("double"))), 4)
+    }
+    a.select(col("l_returnflag"),
+        interp(0.5, 0).as("p50"), interp(0.9, 1).as("p90"),
+        interp(0.99, 2).as("p99"), col("p_min"), col("p_max"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The `percentile(value, array(qs), freq)` aggregate form over the
+    * (group, value) grid — the pre-r15 declared plan, kept as the
+    * reference [[exactPercentilesWindow]] is spec-pinned against.
+    */
+  private[graft] def exactPercentilesAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), c)").as("ps"),
+        round(min(col("l_extendedprice")), 4).as("p_min"),
+        round(max(col("l_extendedprice")), 4).as("p_max"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("ps"), 3), 4).as("p99"),
+        col("p_min"), col("p_max"))
+      .orderBy("l_returnflag")
+
   /** Exact weighted median, two-phase (see the q_agg_weighted_median
     * comment). Phase 1 windows over bucket subtotals, phase 2 over the
     * crossing bucket's grid rows only; the crossing row is identical
@@ -114,10 +197,20 @@ object Aggregates extends QueryModule {
     * sums) and bucket subtotal order ≡ price order.
     */
   private[graft] def weightedMedianTwoPhase(lineitem: DataFrame): DataFrame = {
+    // ONE scan+aggregate for the (group, value) grid, materialized —
+    // the coarse-bucket branch and the fine in-bucket branch both read
+    // it, and WITHOUT materialization Catalyst plans two full
+    // scan+grid-aggregate subtrees (exchange reuse can't fire: the
+    // join branch pushes an extra IsNotNull(l_returnflag) into its
+    // scan, so the subtrees never canonicalize equal — r15 profile:
+    // two 560 ms / 7.2 MB-shuffle map stages for one logical grid).
+    // Guide §2.4 (remove shuffles outright) / §3.3 (materialize to
+    // stop duplicate subtrees); grid-scale rows, never raw rows.
     val grid = lineitem
       .groupBy("l_returnflag", "l_extendedprice")
       .agg(sum(col("l_quantity")).as("w"))
       .withColumn("bkt", floor(col("l_extendedprice") / MedianBucketWidth))
+      .localCheckpoint()
     val byBkt = Window.partitionBy("l_returnflag").orderBy("bkt")
     val allB = Window.partitionBy("l_returnflag")
     val coarse = grid.groupBy("l_returnflag", "bkt")
@@ -331,7 +424,14 @@ object Aggregates extends QueryModule {
           (round(covar_pop(col("l_discount"), col("l_tax")) + 1e-9, 4) + 0.0)
             .as("covar_disc_tax"),
           // + 0.0: skewness of the uniform discount hovers near zero —
-          // same -0.0 exposure as the covariance
+          // same -0.0 exposure as the covariance. Spark's skewness is
+          // the POPULATION moment m3/m2^1.5; DuckDB's is the SAMPLE
+          // (bias-corrected) form, a factor sqrt(n(n-1))/(n-2) apart —
+          // ~1.5/n relative, invisible at 4 decimals on large groups
+          // but a real boundary-crosser on small ones (r15: the
+          // regenerated sf0.001 fixture rounded -0.04953 vs -0.04957
+          // apart), so the oracle un-corrects back to the population
+          // definition explicitly.
           (round(skewness(col("l_discount")) + 1e-9, 4) + 0.0).as("skew_disc"),
           round(kurtosis(col("l_discount")) + 1e-9, 4).as("kurt_disc"))
         .orderBy("l_returnflag"),
@@ -340,7 +440,8 @@ object Aggregates extends QueryModule {
              |  round(var_pop(l_discount) + 1e-9, 4) AS var_disc,
              |  round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr_qty_price,
              |  round(covar_pop(l_discount, l_tax) + 1e-9, 4) + 0.0 AS covar_disc_tax,
-             |  round(skewness(l_discount) + 1e-9, 4) + 0.0 AS skew_disc,
+             |  round(skewness(l_discount) * (count(*) - 2)
+             |    / sqrt(count(*) * (count(*) - 1.0)) + 1e-9, 4) + 0.0 AS skew_disc,
              |  round(kurtosis_pop(l_discount) + 1e-9, 4) AS kurt_disc
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
@@ -564,35 +665,20 @@ object Aggregates extends QueryModule {
         .orderBy("event_type"),
       None),
 
-    // Quantiles — the ClickHouse-staple aggregate ([CH]). Exact
-    // `percentile` (linear interpolation, same semantics as DuckDB's
-    // quantile_cont) so the query is oracle-checkable.
-    // Two state-shrinking moves, same exact answer:
-    //  - ONE percentile call with the quantile ARRAY (each aggregate
-    //    builds its own per-group buffer; 3 separate calls measured 3×
-    //    on sf0.1);
-    //  - the FREQUENCY form over the collapsed (group, value) grid —
-    //    percentile(value, q, count) expands counts arithmetically, so
-    //    the per-group buffer is the distinct-value set, not the rows
-    //    (the quantileExactWeighted trick, here with weight = count).
+    // Quantiles — the ClickHouse-staple aggregate ([CH]). Exact linear
+    // interpolation (same semantics as DuckDB's quantile_cont) so the
+    // query is oracle-checkable. r15: re-planned from the
+    // `percentile(value, qs, count)` frequency-grid aggregate onto the
+    // cumulative-count window form ([[exactPercentilesWindow]] — the
+    // grid bought no collapse on this ~99%-distinct value column and
+    // the TypedImperativeAggregate shuffled multi-MB opaque buffers;
+    // the window form is one exchange + codegen min/max, bit-identical
+    // results, PercentileRewriteSpec pins it against the old plan).
     // At 100 TB the production form is still `approx_percentile`
     // (mergeable Greenwald–Khanna, O(1/accuracy) state) — this exact
     // form doubles as its correctness reference.
     "q_agg_percentile" -> QueryDef(
-      (s, dir) => Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_extendedprice")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), c)").as("ps"),
-          round(min(col("l_extendedprice")), 4).as("p_min"),
-          round(max(col("l_extendedprice")), 4).as("p_max"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p50"),
-          round(element_at(col("ps"), 2), 4).as("p90"),
-          round(element_at(col("ps"), 3), 4).as("p99"),
-          col("p_min"), col("p_max"))
-        .orderBy("l_returnflag"),
+      (s, dir) => exactPercentilesWindow(Tables(s, dir, "lineitem")),
       Some("""SELECT l_returnflag,
              |  round(ps[1], 4) AS p50,
              |  round(ps[2], 4) AS p90,
@@ -769,6 +855,11 @@ object Aggregates extends QueryModule {
     "q_funnel" -> QueryDef(
       (s, dir) => {
         val e = Relational.eventsSec(s, dir).select("user_id", "event_type", "ts_s")
+        // NOT checkpointed (unlike q_funnel_strict): SqlSurfaceSpec pins
+        // q_sql_funnel's physical strategy vector ≡ this plan, and the
+        // parser route cannot materialize — the r15 A/B measured the
+        // checkpoint at only −0.18 s here (3 stages vs strict's 5), the
+        // wrong trade for losing the route-equivalence pin.
         val u1 = e.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
         val u2 = e.filter(col("event_type") === "click")
@@ -822,8 +913,15 @@ object Aggregates extends QueryModule {
     "q_funnel_strict" -> QueryDef(
       (s, dir) => {
         val e = Relational.eventsSec(s, dir).select("user_id", "event_type", "ts_s")
+        // u1/u2 are MATERIALIZED (one row per user): u1 feeds n1, u2
+        // and the final chain; u2 feeds n2, u3 and the final chain —
+        // un-checkpointed, Catalyst replicated each stage's whole
+        // upstream pipeline per consumer and the chain compounded
+        // exponentially (r15 plan audit: 15 scans of events → 5).
+        // Guide §2.4 (remove shuffles outright).
         val u1 = e.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+          .localCheckpoint()
         // the user's next event of ANY type after t1 (the strictness probe)
         val n1 = e.join(u1, Seq("user_id"))
           .filter(col("ts_s") > col("t1"))
@@ -836,6 +934,7 @@ object Aggregates extends QueryModule {
           // strict: the matched click IS the next event after signup
           .join(n1, Seq("user_id"))
           .filter(col("t2") === col("tn1"))
+          .localCheckpoint()
         val n2 = e.join(u2.select("user_id", "t2"), Seq("user_id"))
           .filter(col("ts_s") > col("t2"))
           .groupBy("user_id").agg(min(col("ts_s")).as("tn2"))
@@ -1119,6 +1218,11 @@ object Aggregates extends QueryModule {
           .groupBy("user_id")
           .agg(min_by(col("event_type"), ord).as("first_touch"),
             max_by(col("event_type"), ord).as("last_touch"))
+          // MATERIALIZED: the first-credit and last-credit rollups both
+          // consume it — un-checkpointed, the whole join+argmin/argmax
+          // aggregate ran twice (r15 plan audit: 4 scans of events → 2).
+          // One row per converting user.
+          .localCheckpoint()
         touches.groupBy(col("first_touch").as("channel"))
           .agg(count(lit(1)).as("first_credit"))
           .join(

@@ -949,10 +949,14 @@ object Analytics extends QueryModule {
     // broadcast 1-row median onto the user grid → 2-row arm grid.
     "q_ab_ztest" -> QueryDef(
       (s, dir) => {
+        // users is MATERIALIZED: the median grid and the arm split both
+        // consume it — un-checkpointed, the events aggregate ran twice
+        // (r15 plan audit). One row per user; guide §2.4.
         val users = Relational.eventsSec(s, dir)
           .groupBy(col("user_id"))
           .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("purch"))
+          .localCheckpoint()
         val med = users.groupBy("purch").agg(count(lit(1)).as("freq"))
           .agg(percentile(col("purch"), lit(0.5), col("freq")).as("med"))
         val arms = users.crossJoin(broadcast(med))
@@ -1037,12 +1041,26 @@ object Analytics extends QueryModule {
         def sig(a: Double, b: Double, c: Double) =
           lit(1.0) / (lit(1.0) +
             exp(-(lit(a) + lit(b) * col("x1") + lit(c) * col("x2"))))
+        // Weights flow as a broadcast ONE-ROW relation, not literals:
+        // embedding (a, b, c) as literals gave every iteration a
+        // textually different generated-code body, so all 12 rounds
+        // paid a fresh whole-stage-codegen compile (r15 profile: task
+        // time ~0.9 s of a ~2.9 s query — the rest was per-iteration
+        // planning/compile). With the weights as columns the 12 plans
+        // are codegen-identical and the compile cache hits after round
+        // one. Same expression tree over the same doubles → identical
+        // gradients. Guide §1.2 step 2 / §4 (expression choice).
+        val sigW =
+          lit(1.0) / (lit(1.0) +
+            exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"))))
         var (a, b, c) = (0.0, 0.0, 0.0)
         (1 to LogRegIters).foreach { _ =>
-          val g = feats.agg(
-            avg(sig(a, b, c) - col("y")).as("g0"),
-            avg((sig(a, b, c) - col("y")) * col("x1")).as("g1"),
-            avg((sig(a, b, c) - col("y")) * col("x2")).as("g2")).head()
+          import s.implicits._
+          val w = Seq((a, b, c)).toDF("w0", "w1", "w2")
+          val g = feats.crossJoin(broadcast(w)).agg(
+            avg(sigW - col("y")).as("g0"),
+            avg((sigW - col("y")) * col("x1")).as("g1"),
+            avg((sigW - col("y")) * col("x2")).as("g2")).head()
           a -= LogRegEta * g.getDouble(0)
           b -= LogRegEta * g.getDouble(1)
           c -= LogRegEta * g.getDouble(2)

@@ -90,13 +90,54 @@ object SystemCatalog {
           !catRows.exists(r => r._1 == db && r._2 == name) =>
         (db, name, false, Some(dest))
     }
+    // Manifest totals for ALL registered dests in ONE parquet read
+    // (r15: the per-dest `Snapshot.parts(...).agg(sum).head` cost ~3
+    // driver round-trips + 2 jobs per registration — a session with a
+    // dozen snapshots paid >1 s of pure job overhead inside what is a
+    // metadata-scale listing; guide §1.2 step 1: don't run N jobs
+    // where one suffices). Dests whose manifest is missing/unreadable
+    // fall back to the per-dest Try (same NULL semantics as before).
+    val allDests = (catRows.flatMap(_._4) ++ orphanRows.flatMap(_._4))
+      .distinct.filterNot(_.endsWith(".zip"))
+    val totals: Map[String, Long] = if (allDests.isEmpty) Map.empty else {
+      val hconf = spark.sessionState.newHadoopConf()
+      // qualified manifest-dir URI → dest string, for mapping
+      // input_file_name back to its registration
+      val byDir = allDests.flatMap { d =>
+        scala.util.Try {
+          graft.AtomicDir.recover(s"$d/_graft_manifest")
+          val p = new org.apache.hadoop.fs.Path(s"$d/_graft_manifest")
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) Some(fs.makeQualified(p).toString -> d) else None
+        }.toOption.flatten
+      }.toMap
+      if (byDir.isEmpty) Map.empty
+      else scala.util.Try {
+        spark.read.parquet(byDir.keys.toSeq: _*)
+          .select(input_file_name().as("f"), col("n_rows"))
+          .collect()
+          .groupBy { r =>
+            val f = r.getString(0)
+            // normalize through Path: input_file_name may spell the
+            // scheme as file:/// where makeQualified spells file:/
+            new org.apache.hadoop.fs.Path(f.substring(0, f.lastIndexOf('/')))
+              .toString
+          }
+          .collect { case (dir, rs) if byDir.contains(dir) =>
+            byDir(dir) -> rs.map(_.getLong(1)).sum
+          }
+      }.getOrElse {
+        // mixed-schema or torn manifests: per-dest reads, old behavior
+        byDir.values.flatMap { d =>
+          scala.util.Try(
+            d -> Snapshot.parts(spark, d).agg(sum("n_rows")).head.getLong(0))
+            .toOption
+        }.toMap
+      }
+    }
     (catRows ++ orphanRows).sortBy(r => (r._1.getOrElse(""), r._2)).toSeq
       .map { case (db, name, tmp, dest) =>
-        val totalRows = dest.filterNot(_.endsWith(".zip")).flatMap { d =>
-          scala.util.Try(
-            Snapshot.parts(spark, d).agg(sum("n_rows")).head.getLong(0)).toOption
-        }
-        (db, name, tmp, dest, totalRows)
+        (db, name, tmp, dest, dest.flatMap(totals.get))
       }.toDF("database", "name", "is_temporary", "snapshot_dest", "total_rows")
   }
 

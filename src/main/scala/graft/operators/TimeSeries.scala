@@ -239,6 +239,10 @@ object TimeSeries extends QueryModule {
             datediff(date_trunc("day", col("ts_s")), to_date(lit("2024-01-01")))
               .cast("long").as("d"))
           .agg(count(lit(1)).as("cnt"))
+          // MATERIALIZED: (type, day) grid feeds ext + the binning —
+          // un-checkpointed, events re-scanned per consumer (r15 plan
+          // audit: 4 scans → 1). Day-grid scale.
+          .localCheckpoint()
         val ext = ser.agg(min("d").as("d0"), max("d").as("d1"))
         val binned = ser.crossJoin(broadcast(ext))
           .select(col("event_type"),
@@ -347,10 +351,16 @@ object TimeSeries extends QueryModule {
     "q_win_lttb" -> QueryDef(
       (s, dir) => {
         val nb = 8
+        // ser is MATERIALIZED: the day-grid series (≤ a few hundred
+        // rows at any scale) feeds ext, the bucket assignment, the
+        // anchors union and the area join — un-checkpointed, Catalyst
+        // replicated the full events scan+aggregate per consumer (r15
+        // plan audit: 12 scans of events → 1). Guide §2.4.
         val ser = Relational.eventsSec(s, dir)
           .groupBy(datediff(date_trunc("day", col("ts_s")),
             to_date(lit("2024-01-01"))).cast("double").as("x"))
           .agg(count(lit(1)).cast("double").as("y"))
+          .localCheckpoint()
         val ext = ser.agg(min("x").as("x0"), max("x").as("x1"))
         val bkt = ser.crossJoin(broadcast(ext))
           .withColumn("b",

@@ -185,20 +185,26 @@ object Windows extends QueryModule {
     // engines fold the list left-to-right in frame order.
     "q_win_ema" -> QueryDef(
       (s, dir) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy("ts_s", "event_id")
-          .rowsBetween(-7, Window.currentRow)
-        val decay = lit(0.7)
-        val n = size(col("vs"))
-        val wsum = aggregate(
-          transform(col("vs"), (x, i) => x * pow(decay, (n - 1 - i).cast("double"))),
-          lit(0.0), (acc, x) => acc + x)
-        val norm = aggregate(
-          transform(col("vs"), (_, i) => pow(decay, (n - 1 - i).cast("double"))),
-          lit(0.0), (acc, x) => acc + x)
+        // r15 rewrite: the frame list + two HOF folds
+        // (collect_list over ROWS -7..0, then interpreted
+        // aggregate(transform(...)) lambdas per row) ran outside
+        // codegen and allocated an array per output row. Eight lag()
+        // columns over the SAME window are one window pass and plain
+        // codegen arithmetic. Bit-identical by construction: the fold
+        // added oldest→newest, so summing j=7..0 with the same
+        // Math.pow(0.7, j) weights reproduces the exact FP association
+        // (a missing lag contributes +0.0, which is FP-exact; value
+        // has no NULLs — with NULLs the old collect_list form already
+        // diverged from the oracle's list()). Guide §4.
+        val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        val lags = (7 to 0 by -1).map(j =>
+          (if (j == 0) col("value") else lag(col("value"), j).over(w)).as(s"l$j"))
+        val wsum = (7 to 0 by -1).foldLeft(lit(0.0)) { (acc, j) =>
+          acc + coalesce(col(s"l$j") * lit(math.pow(0.7, j)), lit(0.0)) }
+        val norm = (7 to 0 by -1).foldLeft(lit(0.0)) { (acc, j) =>
+          acc + when(col(s"l$j").isNotNull, lit(math.pow(0.7, j))).otherwise(lit(0.0)) }
         Relational.eventsSec(s, dir)
-          .select(col("user_id"), col("event_id"),
-            collect_list(col("value")).over(w).as("vs"))
+          .select(Seq(col("user_id"), col("event_id")) ++ lags: _*)
           .select(col("user_id"), col("event_id"),
             round(wsum / norm + 1e-9, 4).as("ema_8"))
           .orderBy("user_id", "event_id")

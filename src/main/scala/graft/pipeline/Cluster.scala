@@ -322,10 +322,15 @@ object Cluster extends QueryModule {
     * that; the 30× rehearsal measures it).
     */
   private[graft] def dupPassagesCollapsedOf(docs: DataFrame): DataFrame = {
+    // groups is MATERIALIZED: the rep table feeds the gram pipeline
+    // and BOTH member-list joins — un-checkpointed, Catalyst planned
+    // the md5-collapse aggregate (shuffling every text) three times
+    // (r15 plan audit: 3 scans of documents → 1). Rep-scale rows.
     val groups = docs
       .groupBy(md5(col("text")).as("fp"))
       .agg(min("doc_id").as("doc_id"), first("text").as("text"),
         array_join(sort_array(collect_list(col("doc_id"))), ",").as("members"))
+      .localCheckpoint()
     dupPassageRuns(gramsOf(groups.select(col("doc_id"), col("text"))))
       .join(groups.select(col("doc_id").as("doc_a"), col("members").as("members_a")),
         Seq("doc_a"))
@@ -599,17 +604,26 @@ object Cluster extends QueryModule {
     // small integers, identical across engines.
     "q_graph_triangles" -> QueryDef(
       (s, dir) => {
+        // os and e are MATERIALIZED: e feeds the degree table, the
+        // orientation, the closing-edge probe and the stats aggregate,
+        // and un-checkpointed Catalyst replicated the whole
+        // scan→self-join→distinct pipeline per consumer (r15 plan
+        // audit: 28 scans of lineitem in one query). Edge-scale rows —
+        // the same rows every consumer needs; guide §2.4/§3.3.
         val os = Tables(s, dir, "lineitem")
           .where(pmod(col("l_partkey"), lit(3)) === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("sn"))
           .distinct()
+          .localCheckpoint()
         val e = os.as("x").join(os.as("y"), "ok")
           .where(col("x.sn") < col("y.sn"))
           .select(col("x.sn").as("lo"), col("y.sn").as("hi"))
           .distinct()
+          .localCheckpoint()
         val deg = e.select(col("lo").as("n"))
           .unionByName(e.select(col("hi").as("n")))
           .groupBy("n").agg(count(lit(1)).as("d"))
+          .localCheckpoint()
         // Orient by (deg, id): struct comparison is lexicographic.
         val ed = e
           .join(deg.select(col("n").as("lo"), col("d").as("dlo")), "lo")
@@ -621,6 +635,8 @@ object Cluster extends QueryModule {
             .otherwise(struct(col("hi").as("src"), col("lo").as("dst")))
             .as("o"))
           .select(col("o.src").as("src"), col("o.dst").as("dst"))
+          // materialized: the wedge self-join consumes it twice
+          .localCheckpoint()
         val wedges = oriented.as("w1").join(oriented.as("w2"), "src")
           .where(col("w1.dst") < col("w2.dst"))
           .select(col("w1.dst").as("lo"), col("w2.dst").as("hi"))

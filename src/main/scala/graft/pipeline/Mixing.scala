@@ -428,10 +428,15 @@ object Mixing extends QueryModule {
     // absorbed by the 1e-9 round nudge.
     "q_source_kl" -> QueryDef(
       (s, dir) => {
+        // cells is MATERIALIZED: the (source, word) grid feeds wtot,
+        // tot and the per-source window+join — un-checkpointed,
+        // Catalyst re-tokenized the corpus per consumer (r15 plan
+        // audit: 3 scans of documents -> 1). Vocab-grid scale; §2.4.
         val cells = Tables(s, dir, "documents")
           .select(col("source"),
             explode(graft.functions.TextFns.words(col("text"))).as("w"))
           .groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
         val wtot = cells.groupBy(col("w").as("ww"))
           .agg(sum(col("c")).cast("double").as("nw"))
         val tot = cells.agg(sum(col("c")).cast("double").as("n"))
@@ -493,10 +498,15 @@ object Mixing extends QueryModule {
     // sums absorbed by the repo-wide round+1e-9 nudge.
     "q_mix_doremi" -> QueryDef(
       (s, dir) => {
+        // cells is MATERIALIZED: the (source, word) grid feeds wtot,
+        // tot and the per-source loss join — un-checkpointed, Catalyst
+        // re-tokenized the whole corpus per consumer (r15 plan audit:
+        // 10 scans of documents -> 1). Vocab-grid scale. Guide §2.4.
         val cells = Tables(s, dir, "documents")
           .select(col("source"),
             explode(graft.functions.TextFns.words(col("text"))).as("w"))
           .groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
         val wtot = cells.groupBy(col("w").as("ww"))
           .agg(sum(col("c")).cast("double").as("nw"))
         val tot = cells.agg(sum(col("c")).cast("double").as("n"))

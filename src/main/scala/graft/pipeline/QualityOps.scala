@@ -219,12 +219,22 @@ object QualityOps extends QueryModule {
     "q_doc_lm_bigram" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // Tokens and the lagged sequence are each MATERIALIZED once:
+        // without the checkpoints Catalyst planned FIVE independent
+        // Scan+Generate subtrees of documents (uni built three times —
+        // for the join, for tot, for uniPrev — and the per-doc lag
+        // window twice), re-tokenizing the whole corpus per subtree
+        // (r15 plan audit: 5 scans → 1 scan + 1 window). Token-scale
+        // rows, the same rows every branch needs anyway; guide §2.4 /
+        // §3.3 (materialize to stop duplicate subtrees).
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), posexplode(TextFns.words(col("text"))))
           .toDF("doc_id", "pos", "w")
         val seq = toks.withColumn("prev",
-          lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-        val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+            lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+          .localCheckpoint()
+        val uni = seq.groupBy("w").agg(count(lit(1)).as("c1"))
+          .localCheckpoint()
         val tot = uni.agg(sum("c1").as("t"))
         val bi = seq.filter(col("prev").isNotNull)
           .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
@@ -270,9 +280,13 @@ object QualityOps extends QueryModule {
 
     "q_doc_lm_score" -> QueryDef(
       (s, dir) => {
+        // One tokenization, one vocab count: un-materialized, the
+        // token subtree planned 3× (wc, tot-via-wc, join input) —
+        // same duplicate-subtree fix as q_doc_lm_bigram (guide §2.4).
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
-        val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val wc = toks.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
         val tot = wc.agg(sum("c").as("t"))
         toks.join(wc, Seq("w")).join(broadcast(tot))
           .groupBy("doc_id")
@@ -305,14 +319,22 @@ object QualityOps extends QueryModule {
     "q_ccnet_buckets" -> QueryDef(
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
+        // toks / wc / perDoc are MATERIALIZED: toks feeds the vocab
+        // count and the scoring join, wc feeds tot and the join,
+        // perDoc feeds the threshold grid and the final bucket join —
+        // un-checkpointed, Catalyst re-tokenized the corpus per
+        // consumer (r15 plan audit: 6 scans of documents → 1).
+        // Token-/vocab-/doc-scale respectively; guide §2.4.
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
-        val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val wc = toks.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
         val tot = wc.agg(sum("c").as("t"))
         val perDoc = toks.join(wc, Seq("w")).join(broadcast(tot))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_tokens"),
             round(avg(-log2(col("c").cast("double") / col("t"))), 4).as("bits"))
+          .localCheckpoint()
         val grid = perDoc.groupBy("bits").agg(count(lit(1)).as("gc"))
         val cumW = w.orderBy("bits")
           .rowsBetween(w.unboundedPreceding, -1)
@@ -379,6 +401,10 @@ object QualityOps extends QueryModule {
               lit(" "), lead("w", 1).over(nw), lit(" "), lead("w", 2).over(nw),
               lit(" "), lead("w", 3).over(nw), lit(" "), lead("w", 4).over(nw)).as("g"))
           .filter(col("g").isNotNull)
+          // MATERIALIZED: the bench side and the candidate side both
+          // consume it — un-checkpointed, the corpus was re-tokenized
+          // and re-windowed per side (r15 plan audit: 2 scans → 1).
+          .localCheckpoint()
         val bench = grams.filter(col("doc_id") % 97 === 0)
           .select("g").distinct().withColumn("hit", lit(1L))
         grams.filter(col("doc_id") % 97 =!= 0)
@@ -730,9 +756,13 @@ object QualityOps extends QueryModule {
     // identical grams, which IS the point of the hash check.)
     "q_repetition" -> QueryDef(
       (s, dir) => {
+        // toks is MATERIALIZED: the word-stats and bigram-stats branches
+        // otherwise each re-tokenize the corpus (r15 plan audit: 2
+        // scans+Generates of documents → 1). Token-scale; guide §2.4.
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"),
             posexplode(TextFns.words(col("text"))).as(Seq("pos", "w")))
+          .localCheckpoint()
         val wordStats = toks
           .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(

@@ -1255,10 +1255,15 @@ object Similarity extends QueryModule {
         val eRank = rankTopK(eScored, 20)
           .select(col("q_id"), col("vec_id").as("doc_id"),
             col("rank").as("e_rank"))
+        // toks is MATERIALIZED: it feeds the df count, the query-side
+        // filter and the scoring join — un-checkpointed, Catalyst
+        // re-tokenized the corpus per consumer (r15 plan audit: 3
+        // scans+Generates of documents → 1). Token-scale; guide §2.4.
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(graft.functions.TextFns.words(col("text"))))
               .as("word"))
+          .localCheckpoint()
         val nDocs = Tables(s, dir, "documents")
           .agg(count(lit(1)).cast("double").as("n_docs"))
         val dfw = toks.groupBy("word")

@@ -172,8 +172,12 @@ object TextOps extends QueryModule {
     // round trip.
     "q_vocab_encode" -> QueryDef(
       (s, dir) => {
+        // words is MATERIALIZED: the vocab distinct and the encoding
+        // join both consume it — un-checkpointed, the corpus was
+        // re-tokenized per consumer (r15 plan audit: 2 scans → 1).
         val words = Tables(s, dir, "documents")
           .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
+          .localCheckpoint()
         // dense ids = 1 + distributed global rank over the distinct
         // token domain (DistRank: range-repartition + offset stamping) —
         // a row_number() over an empty partitionBy would sort the whole
@@ -220,9 +224,14 @@ object TextOps extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables(s, dir, "documents")
+        // tf is MATERIALIZED: used by both the df aggregation and the
+        // scoring join, un-checkpointed it planned two full
+        // tokenize+group subtrees (r15 duplicate-subtree audit,
+        // guide §2.4). (doc, word) grid scale.
         val tf = docs
           .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
           .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
         val n = docs.select(countDistinct("doc_id").cast("double").as("n_docs"))
         val scored = tf.join(df, "word").crossJoin(broadcast(n))
@@ -636,6 +645,9 @@ object TextOps extends QueryModule {
           .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
           .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
             explode(col("ws")).as("word"))
+          // materialized: the corpus-scalars branch and the tf branch
+          // otherwise each re-tokenize (r15 duplicate-subtree audit)
+          .localCheckpoint()
         val scalars = toks.groupBy("doc_id").agg(first("dl").as("dl"))
           .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
         val tf = toks.filter(col("word").isInCollection(terms))

@@ -300,28 +300,44 @@ object SqlSurface extends QueryModule {
       },
       twinOracle(graft.operators.Analytics, "q_replacing_final")),
 
-    // Exact quantiles as SQL text (q_agg_percentile's frequency form):
-    // the (group, value) grid collapse then ONE percentile call with
-    // the quantile array and the count as frequency — the parser route
-    // keeps the same two-aggregate state-shrinking plan.
+    // Exact quantiles as SQL text (q_agg_percentile's r15 window form):
+    // cumulative count over the default RANGE frame (ties included)
+    // gives each value's inclusive rank; the value at expanded index i
+    // is min(value | cum > i), interpolated exactly as
+    // Percentile.getPercentile does — the parser route keeps the same
+    // one-exchange codegen plan as the DataFrame twin (the former
+    // frequency-grid percentile() call bought no collapse on this
+    // ~99%-distinct column and shuffled opaque aggregate buffers).
     "q_sql_agg_percentile" -> QueryDef(
       (s, dir) => {
         registerViews(s, dir)
-        s.sql("""SELECT l_returnflag,
-                |  round(element_at(ps, 1), 4) AS p50,
-                |  round(element_at(ps, 2), 4) AS p90,
-                |  round(element_at(ps, 3), 4) AS p99,
-                |  p_min, p_max
-                |FROM (
-                |  SELECT l_returnflag,
-                |    percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), c) AS ps,
-                |    round(min(l_extendedprice), 4) AS p_min,
-                |    round(max(l_extendedprice), 4) AS p_max
-                |  FROM (SELECT l_returnflag, l_extendedprice, count(1) AS c
-                |        FROM lineitem_sqlv
-                |        GROUP BY l_returnflag, l_extendedprice)
-                |  GROUP BY l_returnflag)
-                |ORDER BY l_returnflag""".stripMargin)
+        val qs = Seq("0.5D" -> "p50", "0.9D" -> "p90", "0.99D" -> "p99")
+        val loHi = qs.zipWithIndex.map { case ((q, _), i) =>
+          s"""    min(CASE WHEN cum > floor($q * (n - 1)) THEN l_extendedprice END) AS lo_$i,
+             |    min(CASE WHEN cum > ceil($q * (n - 1)) THEN l_extendedprice END) AS hi_$i,""".stripMargin
+        }.mkString("\n")
+        val outs = qs.zipWithIndex.map { case ((q, name), i) =>
+          s"""  round(CASE WHEN floor($q * (n - 1)) = ceil($q * (n - 1)) THEN lo_$i
+             |        ELSE lo_$i * (CAST(ceil($q * (n - 1)) AS DOUBLE) - $q * (n - 1))
+             |           + hi_$i * ($q * (n - 1) - CAST(floor($q * (n - 1)) AS DOUBLE))
+             |        END, 4) AS $name,""".stripMargin
+        }.mkString("\n")
+        s.sql(s"""SELECT l_returnflag,
+                 |$outs
+                 |  p_min, p_max
+                 |FROM (
+                 |  SELECT l_returnflag,
+                 |$loHi
+                 |    max(n) AS n,
+                 |    round(min(l_extendedprice), 4) AS p_min,
+                 |    round(max(l_extendedprice), 4) AS p_max
+                 |  FROM (SELECT l_returnflag, l_extendedprice,
+                 |          count(1) OVER (PARTITION BY l_returnflag
+                 |            ORDER BY l_extendedprice) AS cum,
+                 |          count(1) OVER (PARTITION BY l_returnflag) AS n
+                 |        FROM lineitem_sqlv)
+                 |  GROUP BY l_returnflag)
+                 |ORDER BY l_returnflag""".stripMargin)
       },
       twinOracle(graft.operators.Aggregates, "q_agg_percentile")),
 

@@ -92,6 +92,12 @@ class PlanSpec extends SparkSpec {
       // aggregates (edge count, node/wedge totals, triangle count) —
       // 1-row × 1-row broadcasts by construction
       "q_graph_triangles",
+      // profile: the hash-friendly distinct-only aggregate and the
+      // grouping-free plain fold (r15 split — see profileWith) are each
+      // ONE row; their crossJoin is a 1-row × 1-row broadcast by
+      // construction (an equi-join on a literal key constant-folds
+      // back to the same nested-loop plan)
+      "q_profile_table",
       // source KL: the 1-row corpus grand-total aggregate broadcast
       // onto the (source × word) cell grid — the q_tfidf scalar
       // pattern (word totals ride an equi-join, not the NL join)

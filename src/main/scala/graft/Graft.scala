@@ -34,6 +34,19 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalescing floor (default 1MB): with parallelismFirst=true
+      // (default) AQE sizes post-shuffle partitions at
+      // totalBytes/defaultParallelism but never below this floor, so
+      // any CPU-heavy stage over a byte-SMALL shuffle (per-group HOF
+      // arrays, window frames over a few MB of grid rows) collapses to
+      // totalBytes/1MB tasks — 2–3 tasks on a 32-core host. 64 KiB
+      // keeps such stages at the parallelism target while leaving
+      // byte-LARGE shuffles untouched (the floor only binds when
+      // total/parallelism < floor, i.e. small data). Scale-neutral by
+      // construction; env-tunable for constrained or very-high-core
+      // deployments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       // Whole-stage-codegen compile cache (static conf, default 100
       // entries): this engine's query surface is ~320 distinct queries
       // × several codegen units each, so at the default size every

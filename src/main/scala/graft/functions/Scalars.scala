@@ -117,7 +117,10 @@ object Scalars extends QueryModule {
     // Thursday-of-week identity), oracle-checked against DuckDB's
     // native strftime('%G%V') including year-boundary rows.
     "q_date_funcs" -> QueryDef(
-      (s, dir) => Tables(s, dir, "orders")
+      // fanOut: five per-row date_format calls on a single-split scan
+      // ran in ONE task (r15 profile); scale-adaptive redistribution —
+      // identity at production split counts (see Tables.fanOut)
+      (s, dir) => Tables.fanOut(Tables(s, dir, "orders"), col("o_orderkey"))
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyyMMdd-HHmmss").as("bucket_instant"),
           date_format(col("o_orderdate"), "yyyyMMdd").as("bucket_day"),
@@ -246,7 +249,8 @@ object Scalars extends QueryModule {
 
     // JSON-in-string extraction (events.props, FIXTURES.md): typed get.
     "q_json_get" -> QueryDef(
-      (s, dir) => Relational.eventsSec(s, dir)
+      // fanOut: per-row JSON-path parse on a single-split scan (r15)
+      (s, dir) => Tables.fanOut(Relational.eventsSec(s, dir), col("event_id"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id"),
@@ -265,7 +269,9 @@ object Scalars extends QueryModule {
           lit(".example.com/"), col("event_type"),
           lit("/p"), pmod(col("event_id"), lit(100L)).cast("string"),
           lit("?ref=r"), pmod(col("event_id"), lit(7L)).cast("string"))
-        Relational.eventsSec(s, dir)
+        // fanOut: three regex extracts per row on a single-split scan
+        // ran in ONE task (r15 profile); scale-adaptive
+        Tables.fanOut(Relational.eventsSec(s, dir), col("event_id"))
           .select(col("event_id"), url.as("url"))
           .select(col("event_id"),
             regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
@@ -313,7 +319,9 @@ object Scalars extends QueryModule {
     // map, not just its first entry, is hash-checked against DuckDB's
     // JSON surface.
     "q_map_funcs" -> QueryDef(
-      (s, dir) => Relational.eventsSec(s, dir)
+      // fanOut: per-row JSON parsing on a single-split scan ran in ONE
+      // task (r15 profile); scale-adaptive (see Tables.fanOut)
+      (s, dir) => Tables.fanOut(Relational.eventsSec(s, dir), col("event_id"))
         .select(col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,

@@ -553,7 +553,11 @@ object Aggregates extends QueryModule {
     // parallelism; a bare max_by(key, price) would be free to return
     // either tied row.
     "q_agg_argmax" -> QueryDef(
-      (s, dir) => Tables(s, dir, "orders")
+      // fanOut: the string-keyed max_by/min_by partial SortAggregate
+      // (plus two format_string keys per row) sorted the whole input
+      // in ONE task on the single-split scan (r15 profile);
+      // scale-adaptive (see Tables.fanOut)
+      (s, dir) => Tables.fanOut(Tables(s, dir, "orders"), col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
           max_by(col("o_orderkey"),

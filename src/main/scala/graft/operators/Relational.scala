@@ -218,7 +218,9 @@ object Relational extends QueryModule {
     // into the four tier names. Narrow map, codegen'd end-to-end.
     "q_project_rename" -> QueryDef(
       (s, dir) => {
-        val e = eventsSec(s, dir)
+        // fanOut: four date_format buckets per row on a single-split
+        // scan ran in ONE task (r15); scale-adaptive
+        val e = graft.Tables.fanOut(eventsSec(s, dir), col("event_id"))
         Retention.withBuckets(e, col("ts_s"), col("event_type"))
           .select("event_id", "f_last", "f_daily", "f_weekly", "f_monthly")
           .orderBy("event_id")

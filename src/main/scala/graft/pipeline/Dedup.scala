@@ -654,7 +654,13 @@ object Dedup extends QueryModule {
         // fingerprint's rep list (BucketCap filter BEFORE any pair
         // exists), expand ordered pairs in-row (≤ BucketCap²/2 per
         // bucket — O(1) by construction).
-        val fps = groups
+        // fanOut: the checkpointed rep table carries the (AQE-coalesced)
+        // 1–3 partitions of its build, so the per-char winnowing kernel
+        // and the 16-gram transform below ran near-serially (r15
+        // profile); scale-adaptive redistribution on the rep key —
+        // identity once the rep table is ≥ cores partitions
+        val groupsW = Tables.fanOut(groups, col("rep_id"))
+        val fps = groupsW
           .select(col("rep_id").as("doc_id"),
             explode(TextFns.winnowFingerprints(col("text"), 16, 8)).as("fp"))
         val cands = fps
@@ -682,7 +688,7 @@ object Dedup extends QueryModule {
         // roles broadcast carries each rep's grams once per pair side
         // (the minhash pattern — never corpus×corpus).
         val candIds = roles.select(col("doc_id")).distinct()
-        val grams16 = groups
+        val grams16 = groupsW
           .select(col("rep_id").as("doc_id"), col("text"))
           .join(broadcast(candIds), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), expr(gramExpr).as("g16"))

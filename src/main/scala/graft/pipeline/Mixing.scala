@@ -153,7 +153,10 @@ object Mixing extends QueryModule {
         // one — a zero-shuffle scan (a lag window here would shuffle
         // the full token explosion on doc_id for nothing: adjacency is
         // already explicit in the array)
-        val bi = Tables(s, dir, "documents")
+        // fanOut: tokenize + per-bigram md5 on a single-split scan ran
+        // in ONE task feeding the checkpoint (r15 profile);
+        // scale-adaptive (see Tables.fanOut)
+        val bi = Tables.fanOut(Tables(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), col("lang"),
             graft.functions.TextFns.words(col("text")).as("ws"))
           .withColumn("prevs", slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))))

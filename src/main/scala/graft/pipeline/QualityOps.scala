@@ -70,7 +70,10 @@ object QualityOps extends QueryModule {
           lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-01"),
           lpad((col("doc_id") % 100).cast("string"), 2, "0"),
           lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-        Tables(s, dir, "documents")
+        // fanOut: six regex passes per doc on a single-split scan ran
+        // in ONE task (r15 profile: 6 s of 32-core wall on one core);
+        // scale-adaptive — identity at production split counts
+        Tables.fanOut(Tables(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), pii.as("pii_text"))
           .select(col("doc_id"),
             regexp_count(col("pii_text"), lit(EmailRe)).cast("long").as("n_emails"),
@@ -523,7 +526,7 @@ object QualityOps extends QueryModule {
         val s1 = col("pos") >= 1 && seed(col("pos") - 1)
         val s2 = col("pos") >= 2 && seed(col("pos") - 2)
         val s3 = col("pos") >= 3 && seed(col("pos") - 3)
-        Tables(s, dir, "documents")
+        Tables.fanOut(Tables(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
             posexplode(TextFns.words(col("text"))).as(Seq("pos", "word")))
           .withColumn("corrupted", s0 || s1 || s2)

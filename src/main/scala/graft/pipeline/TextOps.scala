@@ -45,7 +45,9 @@ object TextOps extends QueryModule {
     "q_text_tiling" -> QueryDef(
       (s, dir) => {
         val tile = 8
-        val d = Tables(s, dir, "documents")
+        // fanOut: per-doc tile similarity HOFs on a single-split
+        // scan ran in ONE task (r15); scale-adaptive
+        val d = Tables.fanOut(Tables(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
           .filter(size(col("ws")) > tile)
           .withColumn("nt", ceil(size(col("ws")).cast("double") / tile).cast("int"))
@@ -112,7 +114,7 @@ object TextOps extends QueryModule {
     // aggregate; nothing unbounded after the first exchange.
     "q_token_entropy" -> QueryDef(
       (s, dir) => {
-        val tf = Tables(s, dir, "documents")
+        val tf = Tables.fanOut(Tables(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), explode(TextFns.words(col("text"))).as("w"))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
         tf.groupBy("doc_id")
@@ -500,7 +502,7 @@ object TextOps extends QueryModule {
         def stripped(re: String) =
           length(regexp_replace(col("text"), re, "")).cast("long")
         val n = length(col("text")).cast("long")
-        Tables(s, dir, "documents")
+        Tables.fanOut(Tables(s, dir, "documents"), col("doc_id"))
           .select(col("lang"), n.as("n"),
             (n - stripped("[A-Za-z]")).as("letters"),
             (n - stripped("[0-9]")).as("digits"),
